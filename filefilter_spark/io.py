@@ -1,0 +1,92 @@
+"""Sources and sinks — OP-A1..A4, OP-A9.
+
+Reference loads one input file into DuckDB (``Database.py:64-92``: csv
+branch 77-78, parquet 79-80, s3 72-75) and exports the final stage with
+``COPY ... TO ... (FORMAT CSV, DELIMITER ...)`` (``filefilter.py:374-379``).
+
+Spark-first: ``spark.read`` with format dispatch on extension; the
+``sampleLines`` dev cap (OP-A4, ``filefilter.py:283-284``) becomes
+``df.limit(n)`` which Catalyst pushes into the scan (GlobalLimit over
+the file source — only the needed splits are read).
+
+Scale notes: CSV schema inference reads the file once extra — callers
+on 100 TB inputs should pass an explicit ``schema``; parquet needs no
+inference. S3 paths map to ``s3a://`` (hadoop-aws connector; credential
+chain is the standard AWS provider chain, same idea as DuckDB httpfs).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+_TEXT_EXTS = {".csv", ".tsv", ".txt"}
+
+
+def _normalize_path(path: str) -> str:
+    if path.startswith("s3://"):
+        return "s3a://" + path[len("s3://"):]
+    return path
+
+
+def read_input(
+    spark: SparkSession,
+    path: str,
+    delimiter: str | None = None,
+    sample_lines: int = 0,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Load an input file, dispatching on extension (``Database.py:77-80``).
+
+    Unlike the reference (which crashes when ``inDelimiter`` is absent —
+    quirk 2 in SURVEY.md §2.A) the delimiter is optional: ``.tsv``
+    defaults to tab, everything else to comma (the reference's orphan
+    loader auto-sniffed; explicit-default is deterministic at scale).
+    """
+    p = _normalize_path(path)
+    ext = Path(p).suffix.lower()
+    if ext == ".parquet":
+        df = spark.read.parquet(p)
+    elif ext in _TEXT_EXTS:
+        sep = delimiter if delimiter is not None else ("\t" if ext == ".tsv" else ",")
+        reader = spark.read.options(header=True, sep=sep)
+        if schema is not None:
+            reader = reader.schema(schema)
+        else:
+            reader = reader.option("inferSchema", True)
+        df = reader.csv(p)
+    else:
+        raise ValueError(f"unsupported input extension {ext!r} for {path!r}")
+    if sample_lines and sample_lines > 0:
+        df = df.limit(sample_lines)  # OP-A4 dev cap, pushed into the scan
+    return df
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    delimiter: str = ",",
+    single_file: bool = False,
+) -> None:
+    """CSV sink (OP-A9; reference ``filefilter.py:374-379``).
+
+    ``single_file=True`` coalesces to 1 partition for byte-parity with
+    the reference's single-file ``COPY`` — only for small outputs; at
+    scale leave it off and let each task write its own part file.
+    """
+    out = df.coalesce(1) if single_file else df
+    (
+        out.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", delimiter)
+        .csv(_normalize_path(path))
+    )
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(_normalize_path(path))

@@ -1,0 +1,242 @@
+"""Deduplication operators (OP-D1/D2) — training-data-pipeline tier.
+
+Four escalating strategies, each the standard scalable Spark shape:
+
+- **exact**: hash-groupBy on an md5 fingerprint — shuffle 16-byte keys,
+  not document bodies.
+- **token-Jaccard all-pairs**: inverted-index self-join (explode tokens
+  → join on token → count shared → Jaccard). Recall is exact for any
+  threshold > 0 (a pair with Jaccard > 0 shares ≥ 1 token). The
+  ``max_doc_freq`` knob drops ubiquitous tokens to kill the quadratic
+  hot-token blowup at scale (documented recall tradeoff).
+- **MinHash + LSH banding**: per-doc k minhashes (JVM-side: xxhash64
+  inside array ``transform``), banded into buckets; only same-bucket
+  pairs are candidates; candidates are verified with exact Jaccard.
+  Sub-quadratic: cost ~ O(docs × k + bucket collisions).
+- **SimHash**: 32-bit sign-of-weighted-bit-sum fingerprint, Hamming
+  band join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from filefilter_spark.ops.text import fingerprint, shingles, tokens
+
+# Mersenne prime for the universal-hash family used by minhash.
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct (normalized) text: the min id wins —
+    deterministic, unlike dropDuplicates' arbitrary-survivor semantics.
+    Returns (fp, keep_id, n_dups)."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1) -> DataFrame:
+    feat = shingles(text_col, shingle_n) if shingle_n > 1 else F.array_distinct(tokens(text_col))
+    return df.select(F.col(id_col).alias("doc_id"), feat.alias("toks"))
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 1,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with token-set Jaccard ≥ threshold.
+
+    Inverted-index join: shuffle is on tokens (narrow rows), the
+    pair-count aggregation is map-side combinable, and Jaccard =
+    shared/(|A|+|B|-shared) is integer arithmetic → exact cross-engine.
+    """
+    docs = _doc_tokens(df, id_col, text_col, shingle_n).cache()
+    sizes = docs.select("doc_id", F.size("toks").alias("n_toks"))
+    posting = docs.select("doc_id", F.explode("toks").alias("tok"))
+    if max_doc_freq is not None:
+        hot = (
+            posting.groupBy("tok").count()
+            .filter(F.col("count") > max_doc_freq)
+            .select("tok")
+        )
+        posting = posting.join(F.broadcast(hot), "tok", "left_anti")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_toks", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_toks", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    seed: int = 42,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """k minhashes per doc, all JVM-side: xxhash64 token base hash run
+    through k universal-hash perms ((a*h+b) mod p), min-folded per perm
+    with higher-order array functions. No UDF, no explode."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    perms = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    toks = shingles(text_col, shingle_n) if shingle_n > 1 else F.array_distinct(tokens(text_col))
+    base = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
+                )
+            )
+            for (a, b) in perms
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("minhash"))
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Banding: 16 bands × 4 rows → catches J≥0.5 pairs with ~97% per-pair
+    probability; verification removes false positives, so precision is
+    exact and only recall is probabilistic (the scale/recall tradeoff
+    every production near-dup pipeline makes).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, seed, shingle_n)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("minhash", i * rows_per_band + 1, rows_per_band)).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    docs = _doc_tokens(df, id_col, text_col, shingle_n)
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("n_shared", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-token 32-bit hash (crc32 of the token —
+    stable across engines), sign-summed per bit position. Output
+    (doc_id, simhash BIGINT)."""
+    toks = F.array_distinct(tokens(text_col))
+    th = F.transform(toks, lambda t: F.crc32(t))
+    sim = F.lit(0).cast("bigint")
+    for j in range(bits):
+        bitsum = F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.pmod(F.shiftright(h, j), 2) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        sim = sim + F.when(bitsum > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+    return df.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+) -> DataFrame:
+    """Hamming-ball pairs via the block trick (pigeonhole: two hashes
+    within distance d share at least one of d+1 blocks verbatim) —
+    join on block value, verify with bit_count(xor)."""
+    sh = simhash(df, id_col, text_col, bits)
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    blocked = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        (F.shiftright("simhash", i * block_bits).bitwiseAND(F.lit(mask))).alias("val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.blk", "bb.val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing (images/audio/video as binary columns).
+
+Design per BASELINE.json's north star: media payloads travel as opaque
+``binary`` columns next to typed metadata; decode/resize/frame-sample
+run as Arrow-batched ``mapInPandas`` functions so bytes cross the
+JVM↔Python boundary once per batch, never per row.
+
+The decode kernels themselves are STUBBED (this container ships no
+image/audio codecs): ``decode_image_stub`` raises unless
+``fake=True``, in which case it derives deterministic pseudo-metadata
+from the bytes — making the Spark-side plumbing (schema, batch shape,
+partitioning) fully real and testable. Swapping in Pillow/ffmpeg later
+changes only the kernel body, not the plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),   # image/audio/video
+    StructField("content", BinaryType()),      # opaque payload
+    StructField("content_len", LongType()),
+    StructField("sha256", StringType()),
+])
+
+
+def to_media_table(df: DataFrame, id_col: str, payload_col: str,
+                   media_type: str = "image") -> DataFrame:
+    """Wrap an id + binary payload into the canonical media schema.
+    Hash/length are JVM-side (sha2/octet_length) — no Python."""
+    payload = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit(media_type).alias("media_type"),
+        payload.alias("content"),
+        F.octet_length(payload).cast("long").alias("content_len"),
+        F.lower(F.sha2(payload, 256)).alias("sha256"),
+    )
+
+
+_DECODE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("feature_hash", StringType()),
+])
+
+
+def decode_image_stub(content: bytes, fake: bool = False) -> dict:
+    """Decode kernel stub. Real impl would be Pillow/libvips; this
+    container has neither, so either raise (production signature) or
+    derive deterministic fake dims from the payload hash (test mode)."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires a codec library not present in this "
+            "environment; run with fake=True for plumbing tests"
+        )
+    h = hashlib.sha256(content or b"").digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "n_channels": 3,
+        "feature_hash": h.hex()[:16],
+    }
+
+
+def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Arrow-batched decode/feature pass: one Python crossing per batch;
+    output is narrow typed metadata (bytes stay behind)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                meta = decode_image_stub(bytes(content) if content is not None else b"", fake=fake)
+                meta["media_id"] = int(mid)
+                rows.append(meta)
+            yield pd.DataFrame(rows, columns=[f.name for f in _DECODE_SCHEMA.fields])
+
+    return media.select("media_id", "content").mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+def frame_sample_stub(media: DataFrame, every_n: int = 30, fake: bool = True) -> DataFrame:
+    """Video frame-sampling plumbing: fan one video row out to frame
+    rows (1:N mapInPandas), deterministic fake frame ids."""
+    schema = StructType([
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_hash": []}
+            for mid, content, clen in zip(pdf["media_id"], pdf["content"], pdf["content_len"]):
+                if not fake:
+                    raise NotImplementedError("video decoding unavailable; fake=True only")
+                n_frames = max(1, int(clen) % 300)
+                h = hashlib.sha256(bytes(content) if content is not None else b"")
+                for i in range(0, n_frames, every_n):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["frame_hash"].append(
+                        hashlib.sha256(h.digest() + i.to_bytes(4, "big")).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content", "content_len").mapInPandas(run, schema=schema)

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (OP-D3).
+
+Brute-force cosine is the correctness baseline (exact, one pass, no
+shuffle when the query vector is a literal); the scale path is
+random-hyperplane LSH bucketing (cosine LSH) that prunes the candidate
+set before exact re-ranking. Dot products run JVM-side via
+``zip_with`` + ``aggregate`` higher-order functions — no Python UDF in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double_array(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector.
+
+    Plan shape: narrow map (cosine per row) + TakeOrderedAndProject —
+    per-partition heaps, no global sort, no shuffle of vectors. This is
+    the right baseline even at 100 TB: it reads every vector once.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = _as_double_array(vec_col)
+    return (
+        df.select(F.col(id_col), cosine(emb, q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup detection).
+    Exact O(n²) formulation — use :func:`lsh_topk_cosine`'s bucketing at
+    scale."""
+    emb = _as_double_array(vec_col)
+    n = df.select(
+        F.col(id_col).alias("id"),
+        (F.transform(emb, lambda v: v / norm(emb))).alias("unit"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dot(F.col("a.unit"), F.col("b.unit")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane (cosine) LSH: one sign bit per plane, packed to
+    a BIGINT bucket id."""
+    sig = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(dot(vec, p) > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_topk_cosine(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k: probe only rows sharing an LSH bucket with the query in
+    any of ``n_tables`` hash tables, then exact-rerank the candidates.
+
+    At scale the bucketed table is written partitioned by (table, bucket)
+    so a probe is partition-pruned to ~n/2^planes of the data per table.
+    Recall is tunable via (n_planes, n_tables); tests measure it against
+    the exact baseline.
+    """
+    emb = _as_double_array(vec_col)
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    sig_cols = [lsh_signature(emb, planes).alias(f"sig{t}") for t, planes in enumerate(tables)]
+    with_sigs = df.select(F.col(id_col), emb.alias("__emb"), *sig_cols)
+
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    q_sigs = []
+    for planes in tables:
+        s = 0
+        for j, plane in enumerate(planes):
+            if sum(p * x for p, x in zip(plane, query_vec)) > 0:
+                s |= 1 << j
+        q_sigs.append(s)
+    cond = F.lit(False)
+    for t, qs in enumerate(q_sigs):
+        cond = cond | (F.col(f"sig{t}") == qs)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        with_sigs.filter(cond)
+        .select(F.col(id_col), cosine(F.col("__emb"), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

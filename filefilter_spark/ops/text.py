@@ -1,0 +1,118 @@
+"""Text-analysis operators for LLM training-data pipelines (OP-D4).
+
+All JVM-side (built-in ``pyspark.sql.functions`` — no Python in the hot
+path): tokenization, token counting, n-grams, language-ID heuristic,
+quality scoring, document fingerprinting. Each helper returns columns,
+composable into any pipeline; the inventory queries in
+``queries/extensions.py`` wire them to the ``documents`` table with
+DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# Tiny in-expression stopword lists for the language-ID heuristic.
+# (A real pipeline broadcasts a bigger lexicon; the heuristic shape —
+# per-language stopword hit-rate over tokens — is the scalable part.)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+}
+
+_WORD_RE = r"\s+"
+# BPE-ish pre-tokenizer: runs of letters, runs of digits, or single
+# non-space symbols — the GPT-2-style pretokenization shape.
+BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, _WORD_RE), lambda t: t != "")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """Token count under a BPE-style pre-tokenizer regex (regexp_count
+    stays JVM-side — no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_RE))
+
+
+def shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct), built with
+    higher-order functions — no UDF, no explode round-trip."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def detect_language(col: str | Column) -> Column:
+    """N-gram/stopword-hit-rate language ID: argmax over per-language
+    stopword ratios; 'und' when nothing hits."""
+    ratios = [(lang, stopword_ratio(col, lang)) for lang in LANG_STOPWORDS]
+    best_lang = F.lit("und")
+    best_ratio = F.lit(0.0)
+    for lang, r in ratios:
+        is_better = r > best_ratio
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(is_better, r).otherwise(best_ratio)
+    return best_lang
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: length band, alpha ratio,
+    mean word length band — the standard cheap pre-filters before
+    expensive model-based scoring."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^a-zA-Z]", ""))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    n_toks = token_count(c)
+    mean_word_len = n_chars / F.greatest(n_toks, F.lit(1))
+    length_ok = (n_chars >= 50) & (n_chars <= 20000)
+    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+    return (
+        F.when(length_ok, 0.4).otherwise(0.0)
+        + F.when(word_len_ok, 0.3).otherwise(0.0)
+        + alpha_ratio * 0.3
+    )
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Deterministic document fingerprint: md5 over whitespace-normalized
+    lowercase text. Stable across engines (md5 is md5) — the exact-dedup
+    key for OP-D1 at scale (hash once, group on 16 bytes, not on 100 KB
+    of text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stat battery as columns."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        detect_language(text_col).alias("lang_detected"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fp"),
+    )

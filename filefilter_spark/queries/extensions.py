@@ -1,0 +1,389 @@
+"""Extension-tier inventory (SURVEY.md §2.D + OP-B10): dedup, similarity
+search, text analysis, streaming, multimodal plumbing.
+
+Oracle notes: integer-arithmetic similarity (Jaccard) is exact
+cross-engine; cosine similarities are rounded to 6dp to absorb fold
+order; probabilistic ops (MinHash/SimHash/LSH) are declared rows-only
+(no oracle) and their recall is measured against the exact baselines in
+``tests/test_ops.py``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from filefilter_spark.queries.registry import load_table, query, register_views
+
+# ---------------------------------------------------------------------------
+# OP-B10 — as-of join (DuckDB-native operator, library pattern in Spark)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "OP-B10",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS matched_ts
+    FROM events e ASOF JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    doc="as-of join: each event matched to the latest prior order date of "
+        "the same user — union+window pattern (ops.asof), oracle is DuckDB's "
+        "native ASOF JOIN.",
+)
+def op_b10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    joined = asof_join(
+        events.withColumnRenamed("user_id", "o_custkey"),
+        orders,
+        on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=[],
+        how="inner",
+    )
+    return joined.select(
+        "event_id", F.col("o_custkey").alias("user_id"), "ts", "matched_ts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# OP-D1/D2 — deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "OP-D1",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup: md5 fingerprint of normalized text, min-id survivor — "
+        "shuffles 16-byte keys instead of document bodies.",
+)
+def op_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+      THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+      ELSE [array_to_string(tk, ' ')] END) AS shingles
+  FROM toks
+),
+posting AS (SELECT doc_id, unnest(shingles) AS t FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM posting a JOIN posting b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.5
+"""
+
+
+@query(
+    "OP-D2",
+    oracle=_JACCARD_ORACLE,
+    doc="exact near-dup: 3-gram-shingle Jaccard ≥ 0.5 via inverted-index "
+        "self-join (recall 1.0; integer arithmetic → exact cross-engine).",
+)
+def op_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import token_jaccard_pairs
+
+    return token_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
+    )
+
+
+@query(
+    "OP-D2-minhash",
+    oracle=None,  # probabilistic recall; precision exact (verified); tests
+    doc="MinHash(64)+LSH(16 bands) candidate pairs, exact-Jaccard verified "
+        "at 0.5 — sub-quadratic near-dup; recall vs OP-D2 measured in tests.",
+)
+def op_d2_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import minhash_near_dup
+
+    return minhash_near_dup(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
+    )
+
+
+@query(
+    "OP-D2-simhash",
+    oracle=None,
+    doc="SimHash(32-bit) near-dup pairs within Hamming distance 3 via the "
+        "pigeonhole block join.",
+)
+def op_d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import simhash_near_dup
+
+    return simhash_near_dup(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# OP-D3 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row[0]]
+
+
+@query(
+    "OP-D3",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
+    FROM embeddings, q
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+    LIMIT 10
+    """,
+    doc="brute-force cosine top-10 vs the vec_id=0 query vector: JVM-side "
+        "zip_with/aggregate dot product + TakeOrderedAndProject (no sort, "
+        "no shuffle of vectors).",
+)
+def op_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.similarity import topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = topk_cosine(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@query(
+    "OP-D3-pairs",
+    oracle="""
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+    """,
+    doc="embedding-cosine near-dup: all pairs with cosine ≥ 0.45.",
+)
+def op_d3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.similarity import cosine_pairs
+
+    out = cosine_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@query(
+    "OP-D3-lsh",
+    oracle=None,  # ANN: recall vs exact measured in tests
+    doc="ANN top-10 via random-hyperplane LSH bucketing (4 tables × 8 "
+        "planes) + exact rerank of candidates.",
+)
+def op_d3_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.similarity import lsh_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_topk_cosine(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# OP-D4 — text analysis
+# ---------------------------------------------------------------------------
+
+_STATS_ORACLE = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe_tokens,
+       length(text) AS n_chars_actual,
+       CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS alpha_ratio
+FROM documents
+"""
+
+
+@query(
+    "OP-D4",
+    oracle=_STATS_ORACLE,
+    doc="text stats battery: whitespace tokens, BPE-ish regex tokens, char "
+        "count, alpha ratio — all JVM-side expressions.",
+)
+def op_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").cast("int").alias("n_bpe_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        (
+            F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("alpha_ratio"),
+    )
+
+
+def _langid_oracle() -> str:
+    from filefilter_spark.ops.text import LANG_STOPWORDS
+
+    def hits(lang: str) -> str:
+        lst = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+        return (
+            f"CAST(len(list_filter(toks, t -> list_contains([{lst}], lower(t)))) AS DOUBLE)"
+            f" / greatest(len(toks), 1)"
+        )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             {hits('en')} AS r_en, {hits('es')} AS r_es, {hits('fr')} AS r_fr
+      FROM toks
+    )
+    SELECT doc_id, lang AS lang_declared,
+           CASE WHEN r_fr > r_en AND r_fr > r_es AND r_fr > 0 THEN 'fr'
+                WHEN r_es > r_en AND r_es > 0 THEN 'es'
+                WHEN r_en > 0 THEN 'en'
+                ELSE 'und' END AS lang_detected
+    FROM r
+    """
+
+
+@query(
+    "OP-D4-langid",
+    oracle=_langid_oracle(),
+    doc="language-ID heuristic: argmax of per-language stopword hit-rate "
+        "(lexicon broadcast as literals; heuristic shape is the scalable part).",
+)
+def op_d4_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import detect_language
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        detect_language("text").alias("lang_detected"),
+    )
+
+
+@query(
+    "OP-D4-quality",
+    oracle="""
+    SELECT doc_id,
+           (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(text) AS DOUBLE)
+                        / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')), 1)
+                   BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+           + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1) * 0.3 AS quality
+    FROM documents
+    """,
+    doc="quality scoring: length band + mean-word-length band + alpha ratio.",
+)
+def op_d4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "OP-D4-fingerprint",
+    oracle="""
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="document fingerprinting: md5 over normalized text (cross-engine "
+        "stable dedup key).",
+)
+def op_d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# OP-D5 — Structured Streaming over events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "OP-D5",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Structured Streaming: tumbling 1-hour event-time window with "
+        "watermark, run to completion with availableNow trigger against the "
+        "static events table — batch oracle is the same windowed aggregate.",
+)
+def op_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.streaming.jobs import windowed_counts_available_now
+
+    return windowed_counts_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# OP-D6 — multimodal binary-column plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "OP-D6-multimodal",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    doc="multimodal media-table plumbing: opaque binary payload + typed "
+        "metadata (length, sha256) — hashing JVM-side; payload column "
+        "dropped for comparison (DuckDB can't hash blobs).",
+)
+def op_d6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.multimodal import to_media_table
+
+    d = load_table(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text", media_type="image")
+    return media.select("media_id", "media_type", "content_len", "sha256")
+
+
+@query(
+    "OP-D6-decode",
+    oracle=None,  # decode kernel is stubbed (no codecs in container)
+    doc="image decode/feature plumbing: Arrow-batched mapInPandas over the "
+        "binary column; deterministic fake kernel (see ops.multimodal).",
+)
+def op_d6_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.multimodal import extract_image_features, to_media_table
+
+    d = load_table(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text", media_type="image")
+    return extract_image_features(media, fake=True)

@@ -1,0 +1,903 @@
+"""Operator inventory — SURVEY.md §2.A/B/C declared as oracle-checked queries.
+
+Each OP-* id from SURVEY.md §2 gets one entry: a Spark builder and a
+DuckDB oracle. Spark sides use the DataFrame API for the operators
+where the idiomatic-Spark shape matters (joins, windows, pivot, Q1) and
+``spark.sql`` where Spark/DuckDB SQL coincide (both routes are Catalyst).
+
+See registry.py's module docstring for the float-determinism rules
+(DECIMAL-sum recipe) every aggregate here follows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from filefilter_spark.config import load_config_str
+from filefilter_spark.queries.registry import load_table, query, register_views, sql_query
+
+# ---------------------------------------------------------------------------
+# §2.A — native pipeline operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "OP-A2",
+    oracle="SELECT count(*) AS n FROM lineitem",
+    doc="Parquet scan (Database.py:79-80) → count.",
+)
+def op_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n"))
+
+
+@query(
+    "OP-A4",
+    oracle="SELECT count(*) AS n FROM (SELECT * FROM lineitem LIMIT 100)",
+    doc="sampleLines dev cap (filefilter.py:283-284) — limit pushed into scan.",
+)
+def op_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").limit(100).agg(F.count("*").alias("n"))
+
+
+_A5_YAML = """
+filters:
+  - name: classify
+    actionType: python
+    code: |
+      row['bal_bucket'] = 'high' if row['c_acctbal'] > 5000 else 'low'
+      row['name_upper'] = row['c_name'].upper()
+"""
+
+
+@query(
+    "OP-A5",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           CASE WHEN c_acctbal > 5000 THEN 'high' ELSE 'low' END AS bal_bucket,
+           upper(c_name) AS name_upper
+    FROM customer
+    """,
+    doc="python row-map stage (filefilter.py:38-50) via mapInPandas; "
+        "schema inferred from driver-side sample run.",
+)
+def op_a5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_A5_YAML))
+    return pipe.run(load_table(spark, sf_dir, "customer")).df
+
+
+_A6_YAML = """
+filters:
+  - name: enrich
+    actionType: rest
+    actionConfig:
+      newField: response
+      mockTemplate: '{{"custkey": {c_custkey}, "segment": "{c_mktsegment}"}}'
+"""
+
+
+@query(
+    "OP-A6",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           '{"custkey": ' || CAST(c_custkey AS VARCHAR)
+             || ', "segment": "' || c_mktsegment || '"}' AS response
+    FROM customer
+    """,
+    doc="rest enrichment stage (filters.py:17-89): response JSON lands as a "
+        "string column; deterministic mock transport exercises the full "
+        "templating + mapInPandas path (live HTTP covered by unit tests).",
+)
+def op_a6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_A6_YAML))
+    return pipe.run(load_table(spark, sf_dir, "customer")).df
+
+
+_A7_YAML = """
+filters:
+  - name: agg
+    actionType: sql
+    code: |
+      SELECT o_orderstatus,
+             count(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM df GROUP BY o_orderstatus
+"""
+
+
+@query(
+    "OP-A7",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="sql stage (filefilter.py:340-342): arbitrary SQL over view `df`.",
+)
+def op_a7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_A7_YAML))
+    return pipe.run(load_table(spark, sf_dir, "orders")).df
+
+
+_A8_YAML = """
+filters:
+  - name: only_clicks
+    actionType: sql
+    code: SELECT * FROM df WHERE event_type IN ('click', 'view')
+  - name: skipped
+    actionType: sql
+    disabled: true
+    code: SELECT 1 AS should_never_run
+  - name: double_it
+    actionType: python
+    code: |
+      row['value_x2'] = row['value'] * 2
+  - name: summarize
+    actionType: sql
+    code: |
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(value_x2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_v2
+      FROM df GROUP BY event_type
+"""
+
+
+@query(
+    "OP-A8",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_v2
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY event_type
+    """,
+    doc="stage composition + disabled-skip (filefilter.py:306-372): "
+        "sql → (disabled) → python → sql folded into one lazy plan.",
+)
+def op_a8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_A8_YAML))
+    return pipe.run(load_table(spark, sf_dir, "events")).df
+
+
+@query(
+    "OP-A9",
+    oracle="""
+    SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region
+    """,
+    doc="CSV sink + re-read round-trip (filefilter.py:374-379): written with "
+        "header+delimiter, read back as strings.",
+)
+def op_a9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from filefilter_spark.io import write_csv
+
+    out = tempfile.mkdtemp(prefix="ffspark_a9_") + "/region_csv"
+    write_csv(load_table(spark, sf_dir, "region"), out, delimiter=";", single_file=True)
+    return (
+        spark.read.options(header=True, sep=";")
+        .schema("r_regionkey string, r_name string")
+        .csv(out)
+    )
+
+
+sql_query(
+    "OP-A10",
+    "SELECT count(*) AS n FROM orders",
+    doc="per-stage row count (filefilter.py:296,355).",
+)
+
+sql_query(
+    "OP-A11",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 5
+    """,
+    doc="head sample (filefilter.py:361-368) made deterministic via ORDER BY.",
+)
+
+
+@query(
+    "OP-A16",
+    oracle="""
+    SELECT c_custkey,
+           'id=' || CAST(c_custkey AS VARCHAR) || '&seg=' || c_mktsegment AS qstring
+    FROM customer
+    """,
+    doc="template substitution (filters.py:22-39) as a JVM-side expression.",
+)
+def op_a16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("id="), F.col("c_custkey").cast("string"),
+            F.lit("&seg="), F.col("c_mktsegment"),
+        ).alias("qstring"),
+    )
+
+
+_C1_YAML = """
+filters:
+  - name: pandas_enrich
+    actionType: pandas
+    code: |
+      df = df.assign(price_x2=df['o_totalprice'] * 2,
+                     key_mod=df['o_orderkey'] % 7)
+"""
+
+
+@query(
+    "OP-C1",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority,
+           o_totalprice * 2 AS price_x2, o_orderkey % 7 AS key_mod
+    FROM orders
+    """,
+    doc="pandas whole-df stage (OP-C1, reference stub filefilter.py:344-346) "
+        "implemented via mapInPandas per Arrow batch.",
+)
+def op_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_C1_YAML))
+    return pipe.run(load_table(spark, sf_dir, "orders")).df
+
+
+_C2_YAML = """
+filters:
+  - name: register_udf
+    actionType: udf
+    actionConfig:
+      name: doubled
+      returnType: double
+      vectorized: true
+      code: |
+        def fn(x):
+            return x + x
+  - name: use_udf
+    actionType: sql
+    code: |
+      SELECT l_orderkey, l_linenumber, doubled(l_quantity) AS qty2 FROM df
+"""
+
+
+@query(
+    "OP-C2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity + l_quantity AS qty2 FROM lineitem
+    """,
+    doc="udf registration stage (OP-C2, readme.md:72-76 TODO) as a "
+        "vectorized pandas_udf callable from later sql stages.",
+)
+def op_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_C2_YAML))
+    return pipe.run(load_table(spark, sf_dir, "lineitem")).df
+
+
+# ---------------------------------------------------------------------------
+# §2.B — relational surface (delegated via the sql stage in the reference,
+# native Spark SQL / DataFrame API here)
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "OP-B1",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+    doc="projection with column pruning down to the parquet scan.",
+)
+
+
+@query(
+    "OP-B2",
+    oracle="SELECT p_partkey, p_name, p_brand, p_size FROM part",
+    doc="column exclusion — `* EXCLUDE(...)` (fullExample.yml:102) → df.drop.",
+)
+def op_b2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "part").drop("p_type", "p_retailprice")
+
+
+sql_query(
+    "OP-B3",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 150000
+      AND o_orderstatus IN ('F', 'O')
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_custkey IS NOT NULL
+    """,
+    doc="predicate surface: BETWEEN / IN / LIKE / IS NULL / AND.",
+)
+
+sql_query(
+    "OP-B4",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_quantity * 10 AS qty10
+    FROM lineitem
+    """,
+    doc="computed columns; per-row double arithmetic is cross-engine exact.",
+)
+
+
+@query(
+    "OP-B5",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="inner equi-join; customer side is broadcast-eligible, Catalyst/AQE "
+        "picks broadcast-hash at this size.",
+)
+def op_b5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "OP-B6",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    """,
+    doc="left outer join (null-extended for order-less customers).",
+)
+def op_b6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "OP-B7",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="left anti join = NOT EXISTS (Catalyst rewrites the subquery form "
+        "to the same physical anti join).",
+)
+def op_b7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "OP-B8",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    doc="cross join (tiny dims only; guarded at scale).",
+)
+def op_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+sql_query(
+    "OP-B9",
+    """
+    SELECT p_partkey, count(*) AS n_matches
+    FROM part JOIN lineitem
+      ON p_retailprice BETWEEN l_extendedprice * 0.99 AND l_extendedprice * 1.01
+    WHERE p_partkey <= 50
+    GROUP BY p_partkey
+    """,
+    doc="theta/range join → BroadcastNestedLoop; quadratic, bounded here; "
+        "the scalable variant is banded pre-bucketing (ops.asof notes).",
+)
+
+
+@query(
+    "OP-B12",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape (flagship aggregate): hash group-by with partial "
+        "(map-side) aggregation; one shuffle on the 4-group key.",
+)
+def op_b12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec_qty = F.col("l_quantity").cast("decimal(18,2)")
+    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    charge = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec_qty).cast("double").alias("sum_qty"),
+            F.sum(dec_price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec_qty).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec_price).cast("double") / F.count("*")).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "OP-B11",
+    oracle="""
+    SELECT r_name, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    GROUP BY r_name
+    """,
+    doc="multi-way join with small dims broadcast; one shuffle for the agg.",
+)
+def op_b11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+sql_query(
+    "OP-B13",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_price,
+           sqrt(
+             (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+              - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+             / (count(*) - 1)
+           ) AS stddev_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="aggregate-function battery; stddev from exact decimal moments so "
+        "both engines hit identical doubles (see registry.py docstring).",
+)
+
+@query(
+    "OP-B14",
+    oracle="""
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, true AS within_tol
+    FROM events
+    """,
+    doc="approx_count_distinct (HLL) — oracle checks the exact count and that "
+        "the sketch lands within 5% (encoded as a boolean the oracle pins true).",
+)
+def op_b14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            <= 0.05 * F.countDistinct("user_id")
+        ).alias("within_tol"),
+    )
+
+
+sql_query(
+    "OP-B15",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (subtotals + grand total).",
+)
+
+sql_query(
+    "OP-B16",
+    """
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 15
+    """,
+    doc="HAVING post-aggregation filter.",
+)
+
+sql_query(
+    "OP-B17",
+    "SELECT DISTINCT c_mktsegment FROM customer",
+    doc="DISTINCT (hash aggregate, partial dedup map-side).",
+)
+
+
+@query(
+    "OP-B18",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             rank()       OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderstatus) AS status_rank
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="ranking window functions; deterministic tiebreak on o_orderkey.",
+)
+def op_b18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("status_rank"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "OP-B19",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_type
+    FROM events
+    """,
+    doc="analytic window functions (lag/lead/first_value).",
+)
+def op_b19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@query(
+    "OP-B20",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+    doc="window aggregate with an explicit ROWS frame (running total); "
+        "decimal accumulation keeps it association-order independent.",
+)
+def op_b20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        .alias("running_total"),
+    )
+
+
+sql_query(
+    "OP-B21",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 100
+    """,
+    doc="multi-key ORDER BY + LIMIT → TakeOrderedAndProject (no full sort).",
+)
+
+
+@query(
+    "OP-B22",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="top-k: Catalyst compiles orderBy+limit to TakeOrderedAndProject "
+        "(per-partition heap + driver merge — no global sort at scale).",
+)
+def op_b22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+sql_query(
+    "OP-B23",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 400000
+    """,
+    doc="UNION (distinct) of two branches over the same scan.",
+)
+
+sql_query(
+    "OP-B24",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="INTERSECT set operation.",
+)
+
+sql_query(
+    "OP-B25",
+    """
+    WITH price_stats AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      FROM orders
+    ),
+    big_orders AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders, price_stats
+      WHERE o_totalprice > avg_price * 1.5
+    )
+    SELECT b.o_orderkey, b.o_totalprice, c.c_name
+    FROM big_orders b JOIN customer c ON b.o_custkey = c.c_custkey
+    """,
+    doc="CTE chain + scalar subquery (via cross join of a 1-row aggregate).",
+)
+
+sql_query(
+    "OP-B26",
+    """
+    SELECT c_custkey,
+           lower(c_name) AS lname,
+           upper(c_mktsegment) AS useg,
+           trim(concat('  ', c_name, '  ')) AS trimmed,
+           substr(c_name, 1, 8) AS prefix,
+           replace(c_name, '#', '-') AS replaced,
+           length(c_name) AS name_len,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+    FROM customer
+    """,
+    doc="string-function battery incl. regexp_extract (RE2/Java-common syntax).",
+)
+
+
+@query(
+    "OP-B27",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS month_start,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+           CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+           count(*) AS n
+    FROM orders
+    GROUP BY ALL
+    """,
+    doc="date/time battery; DuckDB strftime ↔ Spark date_format handled by "
+        "the dialect map (%Y-%m → yyyy-MM).",
+)
+def op_b27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+sql_query(
+    "OP-B28",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS rounded,
+           floor(l_quantity) AS fl,
+           ceil(l_quantity) AS ce,
+           abs(l_quantity - 25) AS dist25,
+           round(ln(1 + l_quantity), 6) AS log_qty,
+           round(sqrt(l_quantity), 6) AS sqrt_qty
+    FROM lineitem
+    """,
+    doc="math battery; transcendentals rounded to 6dp to absorb last-ulp "
+        "libm differences between JVM and DuckDB.",
+)
+
+sql_query(
+    "OP-B29",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS size_bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_norm
+    FROM orders
+    """,
+    doc="CASE WHEN / coalesce / nullif conditionals.",
+)
+
+sql_query(
+    "OP-B30",
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS is_even
+    FROM orders
+    """,
+    doc="cast battery (double→decimal, int→string, timestamp→date→string).",
+)
+
+
+@query(
+    "OP-B31",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+           CAST(length(list(o_orderkey)) AS INT) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="array functions: collect_list → sort → join (sorted for "
+        "order-insensitive comparison); DuckDB list_* names via dialect map.",
+)
+def op_b31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("o_orderkey")), lambda x: x.cast("string")),
+            ",",
+        ).alias("order_keys"),
+        F.size(F.collect_list("o_orderkey")).alias("n_orders"),
+    )
+
+
+@query(
+    "OP-B32",
+    oracle="""
+    SELECT c_custkey, c_name AS name_from_struct, c_mktsegment AS seg_from_map
+    FROM customer
+    """,
+    doc="struct build + field access and map build + element_at "
+        "(oracle states the equivalent flat semantics).",
+)
+def op_b32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.struct("c_name", "c_acctbal").getField("c_name").alias("name_from_struct"),
+        F.element_at(F.create_map(F.lit("seg"), F.col("c_mktsegment")), "seg").alias(
+            "seg_from_map"
+        ),
+    )
+
+
+@query(
+    "OP-B33",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+    doc="JSON extraction from the string props column — replaces the "
+        "reference's json.loads-inside-exec idiom (fullExample.yml:84-94).",
+)
+def op_b33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_num"),
+    )
+
+
+@query(
+    "OP-B34",
+    oracle="SELECT true AS in_range",
+    doc="seeded Bernoulli sampling — engines sample different rows by design, "
+        "so the check validates the sampled fraction lands in ±40% of 10%.",
+)
+def op_b34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count()
+    sampled = li.sample(fraction=0.1, seed=42).count()
+    return spark.createDataFrame(
+        [(bool(0.06 * total <= sampled <= 0.14 * total),)], "in_range boolean"
+    )
+
+
+@query(
+    "OP-B35",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="pivot: order-status counts per market segment (df.groupBy().pivot()).",
+)
+def op_b35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query(
+    "OP-B36",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn = 1
+    """,
+    doc="QUALIFY (DuckDB-native) run through the engine's dialect rewrite "
+        "on the Spark side — oracle executes the original QUALIFY text.",
+)
+def op_b36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.dialect import translate
+
+    register_views(spark, sf_dir)
+    duck_sql = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn = 1
+    """
+    return spark.sql(translate(duck_sql))

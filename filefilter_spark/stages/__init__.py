@@ -1,0 +1,22 @@
+"""Pipeline stages: each stage is a DataFrame → DataFrame transform.
+
+Dispatch map mirrors the reference's actionType dispatch
+(reference ``filefilter.py:329,340,344,348``) plus the two stubs it
+declared but never implemented (``pandas``, ``udf`` — SURVEY.md §2.C).
+"""
+
+from filefilter_spark.stages.sql_stage import SqlStage
+from filefilter_spark.stages.python_stage import PythonStage
+from filefilter_spark.stages.rest_stage import RestStage
+from filefilter_spark.stages.pandas_stage import PandasStage
+from filefilter_spark.stages.udf_stage import UdfStage
+
+STAGE_TYPES = {
+    "sql": SqlStage,
+    "python": PythonStage,
+    "rest": RestStage,
+    "pandas": PandasStage,
+    "udf": UdfStage,
+}
+
+__all__ = ["SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage", "STAGE_TYPES"]
