@@ -121,31 +121,78 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+def _scan_top_level(sql: str, pattern: re.Pattern, start: int = 0) -> re.Match | None:
+    """First match of ``pattern`` at paren-depth 0 outside string
+    literals — so ``ORDER BY`` inside an ``OVER(...)`` clause or a
+    subquery never counts as the statement tail."""
+    depth = 0
+    in_str = False
+    i = start
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(sql, i)
+            if m:
+                return m
+        i += 1
+    return None
+
+
 _QUALIFY_RE = re.compile(r"(?is)\bQUALIFY\b")
 _TAIL_RE = re.compile(r"(?is)\b(ORDER\s+BY|LIMIT)\b")
+_FROM_RE = re.compile(r"(?is)\bFROM\b")
+_OVER_RE = re.compile(r"(?is)\bOVER\s*\(")
 
 
 def _rewrite_qualify(sql: str) -> str:
-    """``SELECT ... FROM ... QUALIFY pred [ORDER BY/LIMIT tail]`` →
-    ``SELECT * EXCEPT(__q) FROM (SELECT ..., (pred) AS __q FROM ...)
-    WHERE __q [tail]``.
+    """Rewrite DuckDB's ``QUALIFY`` (window-aware post-filter).
 
-    Works because Spark 4 resolves lateral window-alias references in
-    the SELECT list, so ``pred`` may reference window aliases defined in
-    the same SELECT (verified in tests).
+    Two shapes (both scanned paren-depth-aware, OP-B36 round-trips
+    through ``spark.sql`` in tests/test_dialect.py):
+
+    - predicate references select-list aliases (``QUALIFY rn = 1``) →
+      wrap the QUALIFY-less statement as a subquery and filter outside:
+      ``SELECT * FROM (<stmt>) WHERE rn = 1 [tail]``.
+    - predicate contains its own window functions
+      (``QUALIFY row_number() OVER (...) = 1``) → inject the predicate
+      into the SELECT list (where window expressions are legal) and
+      filter + drop it one level up.
     """
-    m = _QUALIFY_RE.search(sql)
+    m = _scan_top_level(sql, _QUALIFY_RE)
     if not m:
         return sql
     head, rest = sql[: m.start()], sql[m.end():]
-    tail_m = _TAIL_RE.search(rest)
+    tail_m = _scan_top_level(rest, _TAIL_RE)
     if tail_m:
         pred, tail = rest[: tail_m.start()], rest[tail_m.start():]
     else:
         pred, tail = rest, ""
     pred = pred.strip().rstrip(";")
-    inner = f"{head.rstrip()} , ({pred}) AS __qualify__"
-    return f"SELECT * EXCEPT(__qualify__) FROM ({inner}) WHERE __qualify__ {tail}".strip()
+    tail = tail.strip().rstrip(";")
+    head = head.rstrip()
+
+    if not _OVER_RE.search(pred):
+        # Alias-only predicate: filter the wrapped statement.
+        return f"SELECT * FROM ({head}) WHERE {pred} {tail}".strip()
+
+    # Window predicate: compute it alongside the select list.
+    from_m = _scan_top_level(head, _FROM_RE)
+    if from_m is None:
+        raise DialectError(f"QUALIFY rewrite: no top-level FROM in: {sql!r}")
+    select_part, from_part = head[: from_m.start()].rstrip(), head[from_m.start():]
+    inner = f"{select_part}, ({pred}) AS __qualify__ {from_part}"
+    return (
+        f"SELECT * EXCEPT(__qualify__) FROM ({inner}) WHERE __qualify__ {tail}".strip()
+    )
 
 
 def _rewrite_fn_names(sql: str) -> str:

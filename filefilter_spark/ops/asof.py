@@ -50,13 +50,21 @@ def asof_join(
         payload = [c for c in right.columns if c not in keys and c != right_ts]
     pay_out = {c: (c + suffix if c in left.columns else c) for c in payload}
 
+    # One struct per right row: a single last(ignorenulls) carries ALL
+    # payload columns from the SAME right row — filling each payload
+    # column independently would mix values across right rows whenever a
+    # matching right row holds a legitimate NULL in one payload column.
+    right_struct = F.struct(
+        F.col(right_ts).alias("__matched_ts"),
+        *[F.col(c).alias(pay_out[c]) for c in payload],
+    )
     lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(_TS, F.col(left_ts))
     rhs = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
-        *[F.col(c).alias(pay_out[c]) for c in payload],
-    ).withColumn("__asof_matched_ts", F.col(_TS))
+        right_struct.alias("__asof_payload"),
+    )
 
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
     # Right rows (side=0) sort before left rows at equal ts → inclusive.
@@ -67,18 +75,14 @@ def asof_join(
     )
     filled = unioned.select(
         "*",
-        *[
-            F.last(pay_out[c], ignorenulls=True).over(w).alias("__f_" + pay_out[c])
-            for c in payload
-        ],
-        F.last("__asof_matched_ts", ignorenulls=True).over(w).alias("__f_matched_ts"),
+        F.last("__asof_payload", ignorenulls=True).over(w).alias("__f_payload"),
     )
     out = (
         filled.filter(F.col(_SIDE) == 1)
         .select(
             *left.columns,
-            *[F.col("__f_" + pay_out[c]).alias(pay_out[c]) for c in payload],
-            F.col("__f_matched_ts").alias("matched_ts"),
+            *[F.col("__f_payload")[pay_out[c]].alias(pay_out[c]) for c in payload],
+            F.col("__f_payload")["__matched_ts"].alias("matched_ts"),
         )
     )
     if how == "inner":

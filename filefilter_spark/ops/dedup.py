@@ -24,8 +24,12 @@ from pyspark.sql import DataFrame
 
 from filefilter_spark.ops.text import fingerprint, shingles, tokens
 
-# Mersenne prime for the universal-hash family used by minhash.
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1 for the universal-hash family used by minhash.
+# Kept at 31 bits ON PURPOSE: a, b, h < 2^31 keeps a*h + b < 2^62, so
+# the multiply-mod never overflows Spark's 64-bit bigint arithmetic
+# (ANSI is off — an overflow would silently wrap and quietly destroy
+# the uniformity the LSH recall math assumes).
+_MERSENNE = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -50,15 +54,24 @@ def token_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_n: int = 1,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with token-set Jaccard ≥ threshold.
 
     Inverted-index join: shuffle is on tokens (narrow rows), the
     pair-count aggregation is map-side combinable, and Jaccard =
     shared/(|A|+|B|-shared) is integer arithmetic → exact cross-engine.
+
+    ``max_doc_freq`` bounds every posting list: a token appearing in
+    more than that many docs is dropped before the self-join, capping
+    the join at max_doc_freq² pairs per token instead of going quadratic
+    on ubiquitous tokens at 100 TB. Default 10k (no-op at test SFs —
+    oracle results unchanged — a real bound in production). Pass None to
+    disable. Dropping a shared token can only *lower* a pair's measured
+    Jaccard, so precision is kept and only recall on stopword-only
+    overlap is traded — the standard production tradeoff.
     """
-    docs = _doc_tokens(df, id_col, text_col, shingle_n).cache()
+    docs = _doc_tokens(df, id_col, text_col, shingle_n)
     sizes = docs.select("doc_id", F.size("toks").alias("n_toks"))
     posting = docs.select("doc_id", F.explode("toks").alias("tok"))
     if max_doc_freq is not None:

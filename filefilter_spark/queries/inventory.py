@@ -709,7 +709,7 @@ sql_query(
 @query(
     "OP-B27",
     oracle="""
-    SELECT date_trunc('month', o_orderdate) AS month_start,
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
            strftime(o_orderdate, '%Y-%m') AS ym,
            CAST(extract(year FROM o_orderdate) AS INT) AS yr,
            CAST(extract(month FROM o_orderdate) AS INT) AS mo,
@@ -718,13 +718,14 @@ sql_query(
     GROUP BY ALL
     """,
     doc="date/time battery; DuckDB strftime ↔ Spark date_format handled by "
-        "the dialect map (%Y-%m → yyyy-MM).",
+        "the dialect map (%Y-%m → yyyy-MM); date_trunc cast to DATE on both "
+        "sides (Spark returns TIMESTAMP, DuckDB DATE).",
 )
 def op_b27(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy(
-            F.date_trunc("month", "o_orderdate").alias("month_start"),
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
             F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
             F.year("o_orderdate").alias("yr"),
             F.month("o_orderdate").alias("mo"),
@@ -738,8 +739,8 @@ sql_query(
     """
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice, 1) AS rounded,
-           floor(l_quantity) AS fl,
-           ceil(l_quantity) AS ce,
+           CAST(floor(l_quantity) AS BIGINT) AS fl,
+           CAST(ceil(l_quantity) AS BIGINT) AS ce,
            abs(l_quantity - 25) AS dist25,
            round(ln(1 + l_quantity), 6) AS log_qty,
            round(sqrt(l_quantity), 6) AS sqrt_qty
@@ -767,8 +768,8 @@ sql_query(
     """
     SELECT o_orderkey,
            CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
-           CAST(o_orderkey AS VARCHAR) AS key_str,
-           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           CAST(o_orderkey AS STRING) AS key_str,
+           CAST(CAST(o_orderdate AS DATE) AS STRING) AS date_str,
            CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS is_even
     FROM orders
     """,

@@ -21,10 +21,14 @@ across engines regardless of tie-break rule).
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+log = logging.getLogger("filefilter_spark")
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -43,14 +47,62 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark 4 refuses
+    to read natively (PARQUET_TYPE_ILLEGAL). Sniffed via pyarrow footer
+    metadata — a cheap driver-side read. On remote filesystems where
+    pyarrow can't open the path, fall back to 'no nanos' and let the
+    plain read surface its own error."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [
+            name
+            for name, typ in zip(schema.names, schema.types)
+            if str(typ) == "timestamp[ns]"
+        ]
+    except Exception:
+        return []
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one testdata table, normalizing nanosecond timestamps.
+
+    ``events.parquet`` carries TIMESTAMP(NANOS); Spark reads it as a
+    long (ns since epoch) under ``legacy.parquet.nanosAsLong`` and we
+    truncate to microseconds — exactly what DuckDB's TIMESTAMP (µs)
+    does on the same file, so oracle comparisons agree."""
+    path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_timestamp_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+# (spark JVM session id, sf_dir) pairs already registered — avoids
+# re-reading 10 parquet footers per query entry during bench runs.
+_registered: set[tuple[int, str]] = set()
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register all testdata tables as temp views (idempotent, lazy)."""
+    """Register all testdata tables as temp views (idempotent, lazy).
+
+    Per-table failures are logged and skipped so one unreadable file
+    cannot poison queries that never touch it."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key in _registered:
+        return
     for t in TABLES:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        try:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        except Exception as e:  # noqa: BLE001 - isolate per-table read errors
+            log.warning("register_views: skipping table %s: %s", t, e)
+    _registered.add(key)
 
 
 def query(name: str, oracle: str | None = None, doc: str = ""):

@@ -48,7 +48,7 @@ class PandasStage(Stage):
         rows = out.to_dict(orient="records")
         if not rows:
             return df.schema
-        return schema_from_rows(rows, list(df.columns))
+        return schema_from_rows(rows, list(df.columns), base_schema=df.schema)
 
     def apply(self, df: DataFrame) -> DataFrame:
         schema = self.infer_schema(df)

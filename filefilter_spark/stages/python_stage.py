@@ -61,7 +61,7 @@ class PythonStage(Stage):
         out_rows = [_run_user_code(code_obj, dict(r)) for r in sample]
         if not out_rows:
             return df.schema
-        return schema_from_rows(out_rows, list(df.columns))
+        return schema_from_rows(out_rows, list(df.columns), base_schema=df.schema)
 
     def apply(self, df: DataFrame) -> DataFrame:
         schema = self.infer_schema(df)
