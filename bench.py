@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {"OP-B12": sec, ...}, "sf": 0.1}
+
+One shared SparkSession across all queries (fixed JVM/session startup is
+paid once, as it would be on a real cluster); each query is forced to
+full execution with the noop sink — no driver-side collect, so what's
+timed is the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: the flagship aggregate, joins, window, top-k, as-of,
+# and the LLM-pipeline tier (dedup exact/fuzzy, similarity, text).
+HEADLINE = [
+    "OP-B12",        # TPC-H Q1 aggregate
+    "OP-B5",         # broadcast equi-join
+    "OP-B11",        # 4-way join + agg
+    "OP-B18",        # ranking window
+    "OP-B22",        # top-k
+    "OP-B10",        # as-of join
+    "OP-D1",         # exact dedup
+    "OP-D2",         # jaccard near-dup self-join
+    "OP-D2-minhash", # minhash LSH near-dup
+    "OP-D3",         # cosine top-k
+    "OP-D4",         # text stats battery
+    "OP-D5",         # streaming windowed agg
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from filefilter_spark.session import get_spark
+
+    spark = get_spark("filefilter_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+
+    # Warm the JVM/codegen paths once so per-query numbers reflect the
+    # steady-state plan, not first-job classloading.
+    qs["OP-B12"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        builder = qs.get(name)
+        if builder is None:
+            continue
+        t0 = time.time()
+        df = builder(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,35 +63,49 @@ def token_jaccard_pairs(
     shared/(|A|+|B|-shared) is integer arithmetic → exact cross-engine.
 
     ``max_doc_freq`` bounds every posting list: a token appearing in
-    more than that many docs is dropped before the self-join, capping
-    the join at max_doc_freq² pairs per token instead of going quadratic
-    on ubiquitous tokens at 100 TB. Default 10k (no-op at test SFs —
+    more than that many docs is dropped, capping pair generation at
+    C(max_doc_freq, 2) per token instead of going quadratic on
+    ubiquitous tokens at 100 TB. Default 10k (no-op at test SFs —
     oracle results unchanged — a real bound in production). Pass None to
     disable. Dropping a shared token can only *lower* a pair's measured
     Jaccard, so precision is kept and only recall on stopword-only
     overlap is traded — the standard production tradeoff.
+
+    Shape: the corpus is tokenized exactly once — each posting row
+    carries its doc's set size, so Jaccard needs no size join at the
+    end. ONE shuffle groups postings by token (the doc-freq cap falls
+    out of the same aggregation for free); ordered pairs are generated
+    per group with a two-step explode so no intermediate row ever holds
+    more than one posting list; the pair-count aggregation is map-side
+    combinable. Two shuffles total, both on narrow rows.
     """
     docs = _doc_tokens(df, id_col, text_col, shingle_n)
-    sizes = docs.select("doc_id", F.size("toks").alias("n_toks"))
-    posting = docs.select("doc_id", F.explode("toks").alias("tok"))
-    if max_doc_freq is not None:
-        hot = (
-            posting.groupBy("tok").count()
-            .filter(F.col("count") > max_doc_freq)
-            .select("tok")
-        )
-        posting = posting.join(F.broadcast(hot), "tok", "left_anti")
-    a = posting.alias("a")
-    b = posting.alias("b")
-    shared = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_shared"))
+    posting = docs.select(
+        F.struct(F.col("doc_id").alias("id"), F.size("toks").alias("n")).alias("d"),
+        F.explode("toks").alias("tok"),
     )
+    grouped = posting.groupBy("tok").agg(F.array_sort(F.collect_list("d")).alias("ds"))
+    grouped = grouped.filter(F.size("ds") >= 2)
+    if max_doc_freq is not None:
+        grouped = grouped.filter(F.size("ds") <= max_doc_freq)
+    # (x, everything after x) — bounded rows, then explode to pairs.
+    ds = F.col("ds")
+    halves = grouped.select(
+        F.explode(
+            F.transform(ds, lambda x, i: F.struct(x.alias("a"), F.slice(ds, i + 2, F.size(ds)).alias("rest")))
+        ).alias("h")
+    )
+    pairs = halves.select(F.col("h.a").alias("a"), F.explode("h.rest").alias("b"))
+    shared = pairs.groupBy(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+    ).agg(F.count("*").alias("n_shared"))
     return (
-        shared.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_toks", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_toks", "n_b"), "id_b")
-        .withColumn("jaccard", F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")))
+        shared.withColumn(
+            "jaccard", F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_shared", "jaccard")
     )
@@ -107,25 +121,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """k minhashes per doc, all JVM-side: xxhash64 token base hash run
     through k universal-hash perms ((a*h+b) mod p), min-folded per perm
-    with higher-order array functions. No UDF, no explode."""
+    with higher-order array functions. No UDF, no explode.
+
+    The base-hash array is materialized in its own projection ON
+    PURPOSE: the k per-perm transforms each reference it, and Catalyst's
+    CollapseProject keeps a non-cheap multiply-referenced alias as its
+    own step — inlining the expression instead would re-run
+    tokenize+shingle+xxhash k times per row (measured 64× slower)."""
     import random as _random
 
     rng = _random.Random(seed)
     perms = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
     toks = shingles(text_col, shingle_n) if shingle_n > 1 else F.array_distinct(tokens(text_col))
     base = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)))
+    hashed = df.select(F.col(id_col).alias("doc_id"), base.alias("__base_h"))
     sig = F.array(
         *[
             F.array_min(
                 F.transform(
-                    base,
+                    F.col("__base_h"),
                     lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
                 )
             )
             for (a, b) in perms
         ]
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("minhash"))
+    return hashed.select("doc_id", sig.alias("minhash"))
 
 
 def minhash_near_dup(
@@ -193,9 +214,18 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-token 32-bit hash (crc32 of the token —
     stable across engines), sign-summed per bit position. Output
-    (doc_id, simhash BIGINT)."""
+    (doc_id, simhash BIGINT).
+
+    Token hashes are materialized once (own projection, same
+    CollapseProject reasoning as minhash_signatures), then each of the
+    32 bit-sums folds over the cached array — one tokenize pass per row
+    instead of 32."""
     toks = F.array_distinct(tokens(text_col))
-    th = F.transform(toks, lambda t: F.crc32(t))
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(toks, lambda t: F.crc32(t)).alias("__tok_h"),
+    )
+    th = F.col("__tok_h")
     sim = F.lit(0).cast("bigint")
     for j in range(bits):
         bitsum = F.aggregate(
@@ -205,7 +235,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             + F.when(F.pmod(F.shiftright(h, j), 2) == 1, F.lit(1)).otherwise(F.lit(-1)),
         )
         sim = sim + F.when(bitsum > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0))
-    return df.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_dup(

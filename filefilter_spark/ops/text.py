@@ -34,6 +34,16 @@ def tokens(col: str | Column) -> Column:
     return F.filter(F.split(c, _WORD_RE), lambda t: t != "")
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Let-binding for column expressions: evaluate ``expr`` ONCE and
+    pass it to ``fn`` as a lambda variable, via transform over a
+    1-element array. Without this, an expression referenced k times in
+    a composite (e.g. tokens() inside shingles) is inlined and
+    re-evaluated k times per row — regex splits are the expensive
+    subtree here, so single-eval is a real constant-factor win."""
+    return F.get(F.transform(F.array(expr), fn), 0)
+
+
 def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
@@ -47,15 +57,19 @@ def bpe_ish_token_count(col: str | Column) -> Column:
 
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (distinct), built with
-    higher-order functions — no UDF, no explode round-trip."""
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-        ).otherwise(F.array(F.array_join(toks, " ")))
-    )
+    higher-order functions — no UDF, no explode round-trip. The token
+    array is let-bound so the tokenizing regex runs once per row."""
+
+    def build(tk: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+        return F.array_distinct(
+            F.when(
+                F.size(tk) >= n,
+                F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, n), " ")),
+            ).otherwise(F.array(F.array_join(tk, " ")))
+        )
+
+    return _bind(tokens(col), build)
 
 
 def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
@@ -67,15 +81,22 @@ def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
 
 def detect_language(col: str | Column) -> Column:
     """N-gram/stopword-hit-rate language ID: argmax over per-language
-    stopword ratios; 'und' when nothing hits."""
-    ratios = [(lang, stopword_ratio(col, lang)) for lang in LANG_STOPWORDS]
-    best_lang = F.lit("und")
-    best_ratio = F.lit(0.0)
-    for lang, r in ratios:
-        is_better = r > best_ratio
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_ratio = F.when(is_better, r).otherwise(best_ratio)
-    return best_lang
+    stopword ratios; 'und' when nothing hits. Tokenizes once (let-bound)
+    regardless of how many languages are scored."""
+
+    def score(tk: Column) -> Column:
+        best_lang = F.lit("und")
+        best_ratio = F.lit(0.0)
+        for lang in LANG_STOPWORDS:
+            sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+            hits = F.size(F.filter(tk, lambda t: F.array_contains(sw, F.lower(t))))
+            r = hits / F.greatest(F.size(tk), F.lit(1))
+            is_better = r > best_ratio
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_ratio = F.when(is_better, r).otherwise(best_ratio)
+        return best_lang
+
+    return _bind(tokens(col), score)
 
 
 def quality_score(col: str | Column) -> Column:
