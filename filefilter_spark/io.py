@@ -85,6 +85,28 @@ def write_csv(
     )
 
 
+def write_csv_file(df: DataFrame, path: str, delimiter: str = ",") -> None:
+    """Write ONE local CSV file at ``path`` — byte-parity with the
+    reference's single-file ``COPY ... TO`` sink (``filefilter.py:374-379``).
+
+    Spark's csv writer emits a directory of part files; this coalesces
+    to one part and renames it to the target. Local-filesystem CLI
+    convenience only — at scale use :func:`write_csv` and let every
+    task write its own part.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path as _P
+
+    tmp = tempfile.mkdtemp(prefix="ffspark_csv_")
+    out_dir = str(_P(tmp) / "out")
+    write_csv(df, out_dir, delimiter=delimiter, single_file=True)
+    part = next(_P(out_dir).glob("part-*.csv"))
+    _P(path).parent.mkdir(parents=True, exist_ok=True)
+    shutil.move(str(part), path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     w = df.write.mode("overwrite")
     if partition_by:

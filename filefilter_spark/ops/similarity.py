@@ -66,11 +66,13 @@ def cosine_pairs(
     """All pairs with cosine ≥ threshold (embedding near-dup detection).
     Exact O(n²) formulation — use :func:`lsh_topk_cosine`'s bucketing at
     scale."""
+    from filefilter_spark.ops.text import _bind
+
     emb = _as_double_array(vec_col)
-    n = df.select(
-        F.col(id_col).alias("id"),
-        (F.transform(emb, lambda v: v / norm(emb))).alias("unit"),
-    )
+    # let-bind the norm: computing it inside the transform lambda would
+    # re-run the O(d) aggregate once per element (O(d²) per row).
+    unit = _bind(norm(emb), lambda nn: F.transform(emb, lambda v: v / nn))
+    n = df.select(F.col(id_col).alias("id"), unit.alias("unit"))
     a, b = n.alias("a"), n.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
@@ -110,23 +112,26 @@ def lsh_topk_cosine(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 7,
+    multiprobe_bits: int = 2,
 ) -> DataFrame:
-    """ANN top-k: probe only rows sharing an LSH bucket with the query in
-    any of ``n_tables`` hash tables, then exact-rerank the candidates.
+    """ANN top-k: probe only rows whose LSH bucket is within Hamming
+    distance ``multiprobe_bits`` of the query's bucket in any of
+    ``n_tables`` hash tables, then exact-rerank the candidates.
 
-    At scale the bucketed table is written partitioned by (table, bucket)
-    so a probe is partition-pruned to ~n/2^planes of the data per table.
-    Recall is tunable via (n_planes, n_tables); tests measure it against
-    the exact baseline.
+    Multi-probe is what makes the recall/selectivity tradeoff work: a
+    single-bucket probe at 8 planes catches only ~(1-θ/π)^8 of true
+    neighbors per table (~15% over 4 tables at cosine 0.5), while
+    probing the 1+8+28=37 buckets within Hamming ≤2 lifts that to ~90%
+    and still prunes to 37/256 of each table. At scale the bucketed
+    table is written partitioned by (table, bucket) so every probed
+    bucket is a pruned partition read; tests measure recall against the
+    exact baseline.
     """
     emb = _as_double_array(vec_col)
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     sig_cols = [lsh_signature(emb, planes).alias(f"sig{t}") for t, planes in enumerate(tables)]
     with_sigs = df.select(F.col(id_col), emb.alias("__emb"), *sig_cols)
 
-    import math
-
-    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
     q_sigs = []
     for planes in tables:
         s = 0
@@ -134,9 +139,22 @@ def lsh_topk_cosine(
             if sum(p * x for p, x in zip(plane, query_vec)) > 0:
                 s |= 1 << j
         q_sigs.append(s)
+
+    def probe_set(qs: int) -> list[int]:
+        probes = {qs}
+        if multiprobe_bits >= 1:
+            probes |= {qs ^ (1 << i) for i in range(n_planes)}
+        if multiprobe_bits >= 2:
+            probes |= {
+                qs ^ (1 << i) ^ (1 << j)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
+            }
+        return sorted(probes)
+
     cond = F.lit(False)
     for t, qs in enumerate(q_sigs):
-        cond = cond | (F.col(f"sig{t}") == qs)
+        cond = cond | F.col(f"sig{t}").isin(probe_set(qs))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         with_sigs.filter(cond)

@@ -1,0 +1,84 @@
+"""Unit tests for every DuckDB→Spark dialect rewrite (SURVEY.md §4.3)."""
+
+import pytest
+
+from filefilter_spark.dialect import DialectError, translate
+
+
+def test_exclude_rewrite():
+    assert translate("SELECT * EXCLUDE(a, b) FROM df") == "SELECT * EXCEPT(a, b) FROM df"
+    assert "EXCEPT (x)" in translate("SELECT t.* EXCLUDE (x) FROM t")
+
+
+def test_exclude_executes(spark):
+    spark.createDataFrame([(1, 2, 3)], "a int, b int, c int").createOrReplaceTempView("df")
+    out = spark.sql(translate("SELECT * EXCLUDE(b) FROM df"))
+    assert out.columns == ["a", "c"]
+
+
+def test_qualify_alias_pred(spark):
+    spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 9), (2, "c", 3)], "k int, v string, x int"
+    ).createOrReplaceTempView("df")
+    sql = translate(
+        "SELECT k, v, x, row_number() OVER(PARTITION BY k ORDER BY x DESC) AS rn "
+        "FROM df QUALIFY rn = 1"
+    )
+    rows = {(r["k"], r["v"]) for r in spark.sql(sql).collect()}
+    assert rows == {(1, "b"), (2, "c")}
+
+
+def test_qualify_window_pred_with_tail(spark):
+    spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 9), (2, "c", 3)], "k int, v string, x int"
+    ).createOrReplaceTempView("df")
+    sql = translate(
+        "SELECT k, v FROM df "
+        "QUALIFY row_number() OVER(PARTITION BY k ORDER BY x DESC) = 1 "
+        "ORDER BY k LIMIT 5"
+    )
+    rows = [(r["k"], r["v"]) for r in spark.sql(sql).collect()]
+    assert rows == [(1, "b"), (2, "c")]
+    assert "__qualify__" not in spark.sql(sql).columns
+
+
+def test_qualify_order_by_inside_over_not_tail():
+    """ORDER BY inside OVER() must not be mistaken for the statement
+    tail (the round-1 regression this rewrite fixes)."""
+    sql = translate(
+        "SELECT k, rank() OVER(ORDER BY x) AS r FROM df QUALIFY r <= 2"
+    )
+    assert sql.startswith("SELECT * FROM (")
+    assert sql.rstrip().endswith("WHERE r <= 2")
+
+
+def test_strftime_both_arg_orders():
+    out = translate("SELECT strftime(ts, '%Y-%m-%d') FROM df")
+    assert "date_format(ts, 'yyyy-MM-dd')" in out
+    out2 = translate("SELECT strftime('%H:%M', ts) FROM df")
+    assert "date_format(ts, 'HH:mm')" in out2
+
+
+def test_fn_renames():
+    out = translate("SELECT list_distinct(a), list_contains(a, 1), len(s) FROM df")
+    assert "array_distinct(a)" in out
+    assert "array_contains(a, 1)" in out
+    assert "length(s)" in out
+
+
+def test_asof_join_raises():
+    with pytest.raises(DialectError):
+        translate("SELECT * FROM a ASOF JOIN b ON a.t >= b.t")
+
+
+def test_read_csv_raises():
+    with pytest.raises(DialectError):
+        translate("SELECT * FROM read_csv_auto('x.csv')")
+
+
+def test_triple_dash_comment(spark):
+    """The reference's examples use `---` comment lines
+    (fullExample.yml:101); Spark treats them as `--` comments too."""
+    spark.range(1).createOrReplaceTempView("df")
+    sql = translate("--- a comment\nSELECT id FROM df")
+    assert spark.sql(sql).count() == 1

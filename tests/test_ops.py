@@ -1,0 +1,119 @@
+"""Library-op tests: recall of the probabilistic near-dup/ANN paths
+against their exact baselines (promised in queries/extensions.py), asof
+semantics, dedup determinism. Runs at sf0.001."""
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_minhash_recall_vs_exact(documents):
+    """MinHash(64)+LSH(16 bands) must recover ≥90% of the exact
+    Jaccard≥0.5 pairs (theory: ~97% per-pair at J=0.5) with perfect
+    precision (candidates are verified with exact Jaccard)."""
+    from filefilter_spark.ops.dedup import minhash_near_dup, token_jaccard_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in token_jaccard_pairs(documents, threshold=0.5, shingle_n=3).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup(documents, threshold=0.5, shingle_n=3).collect()
+    }
+    assert approx <= exact  # verification ⇒ no false positives
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.9, f"minhash recall {recall:.2f} < 0.9 ({len(exact)} true pairs)"
+
+
+def test_simhash_finds_exact_duplicates(documents):
+    """Identical normalized texts have identical simhash → hamming 0;
+    every exact-dup pair must appear in the hamming≤3 output."""
+    from filefilter_spark.ops.dedup import exact_dedup, simhash_near_dup
+
+    dup_groups = exact_dedup(documents).filter(F.col("n_dups") >= 2)
+    n_dup_groups = dup_groups.count()
+    pairs = simhash_near_dup(documents, max_hamming=0)
+    zero_ham = pairs.filter(F.col("hamming") == 0).count()
+    assert (n_dup_groups == 0) == (zero_ham == 0) or zero_ham >= n_dup_groups
+
+
+def test_exact_dedup_min_id_survivor(spark):
+    from filefilter_spark.ops.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(10, "same  text"), (3, "same text"), (7, "other")], "doc_id int, text string"
+    )
+    rows = {r["keep_id"]: r["n_dups"] for r in exact_dedup(df).collect()}
+    # whitespace-normalized: ids 3 and 10 collapse; min id 3 survives
+    assert rows == {3: 2, 7: 1}
+
+
+def test_lsh_ann_recall_vs_exact_topk(spark, embeddings):
+    from filefilter_spark.ops.similarity import lsh_topk_cosine, topk_cosine
+
+    qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in topk_cosine(embeddings, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_topk_cosine(embeddings, qv, k=10).collect()]
+    # every ANN result must be a real vector, ranked by true cosine;
+    # recall@10 ≥ 0.5 for the bucket-probe config on this data
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"ANN recall@10 = {overlap}/10"
+    assert approx[0] == exact[0] == 0  # the query vector itself is its own top-1
+
+
+def test_asof_join_backward_inclusive(spark):
+    from filefilter_spark.ops.asof import asof_join
+
+    ts = lambda d: datetime.datetime(2024, 1, d)
+    left = spark.createDataFrame(
+        [(1, ts(5)), (1, ts(2)), (2, ts(1))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(2), "r1"), (1, ts(4), "r2"), (2, ts(9), "r3")],
+        "k int, rts timestamp, v string",
+    )
+    out = {(r["k"], r["ts"].day): (r["v"], r["matched_ts"].day)
+           for r in asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()}
+    # inclusive backward: left@2 matches right@2; left@5 matches right@4;
+    # k=2 left@1 has no prior right row → dropped (inner)
+    assert out == {(1, 5): ("r2", 4), (1, 2): ("r1", 2)}
+
+
+def test_asof_left_keeps_unmatched(spark):
+    from filefilter_spark.ops.asof import asof_join
+
+    ts = lambda d: datetime.datetime(2024, 1, d)
+    left = spark.createDataFrame([(2, ts(1))], "k int, ts timestamp")
+    right = spark.createDataFrame([(2, ts(9), "r")], "k int, rts timestamp, v string")
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", how="left").collect()
+    assert len(out) == 1 and out[0]["v"] is None and out[0]["matched_ts"] is None
+
+
+def test_streaming_windowed_counts_matches_batch(spark, sf_dir):
+    """OP-D5: the streaming windowed aggregate equals the same aggregate
+    run as a plain batch query."""
+    from filefilter_spark.queries.registry import load_table
+    from filefilter_spark.streaming.jobs import windowed_counts_available_now
+
+    stream_out = windowed_counts_available_now(spark, f"{sf_dir}/events.parquet")
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("win_start"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    s = {(r["win_start"], r["event_type"]): r["n"] for r in stream_out.collect()}
+    b = {(r["win_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert s == b

@@ -1,0 +1,81 @@
+"""Golden pipeline tests replicating the reference's documented outputs.
+
+- fullExample (deterministic variant): running the *actual reference
+  YAML* end-to-end must byte-match the golden CSV embedded at
+  ``/root/reference/FileFilterGPT/example1.txt:101-109`` (rows compared
+  sorted — row order through row stages is not defined, SURVEY.md §1.4).
+- phones: regex truth table from ``/root/reference/FileFilterGPT/phones.yml:5-16``
+  (spec prose in ``phones.txt:1-3``).
+"""
+
+import subprocess
+import sys
+from pathlib import Path
+
+REF = Path("/root/reference")
+
+GOLDEN_FULLEXAMPLE = [
+    "id;address;state",
+    "1;Calle de la Princesa, 1, 28008 Madrid, Spain;Madrid",
+    "2;Calle de la Princesa, 1, 28008 Madrid, Spain;Madrid",
+    "3;Calle de la Princesa, 1, 28008 Madrid, Spain;Madrid",
+    "4;Calle de la Princesa, 1, 28008 Madrid, Spain;Madrid",
+    "5;Calle de la Princesa, 1, 28008 Madrid, Spain;Madrid",
+]
+
+
+def test_fullexample_golden(spark, tmp_path):
+    from filefilter_spark.io import read_input, write_csv_file
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline.from_yaml(spark, str(REF / "examples/fullExample/fullExample.yml"))
+    df = read_input(
+        spark,
+        str(REF / "examples/fullExample/fullExample.txt"),
+        delimiter=pipe.config.in_delimiter,
+    )
+    out = tmp_path / "out.csv"
+    write_csv_file(pipe.run(df).df, str(out), delimiter=pipe.config.out_delimiter)
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == GOLDEN_FULLEXAMPLE[0]
+    assert sorted(lines[1:]) == GOLDEN_FULLEXAMPLE[1:]
+
+
+def test_cli_end_to_end(tmp_path):
+    """The module CLI mirrors `python3 filefilter.py IN CONFIG OUT`."""
+    out = tmp_path / "cli_out.csv"
+    proc = subprocess.run(
+        [sys.executable, "-m", "filefilter_spark",
+         str(REF / "examples/fullExample/fullExample.txt"),
+         str(REF / "examples/fullExample/fullExample.yml"),
+         str(out)],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = out.read_text().strip().splitlines()
+    assert sorted(lines[1:]) == GOLDEN_FULLEXAMPLE[1:]
+
+
+def test_phones_truth_table(spark, tmp_path):
+    """phones.yml regex classification: ^9\\d{8}$ → fijo, ^6\\d{8}$ →
+    movil, else error (FileFilterGPT/phones.yml:5-16)."""
+    from filefilter_spark.config import load_config
+    from filefilter_spark.io import read_input
+    from filefilter_spark.pipeline import Pipeline
+
+    src = tmp_path / "phones.csv"
+    src.write_text(
+        "telefono\n912345678\n612345678\n512345678\n9123456789\n6123\nabc\n"
+    )
+    pipe = Pipeline(spark, load_config(str(REF / "FileFilterGPT/phones.yml")))
+    df = read_input(spark, str(src))
+    rows = {str(r["telefono"]): r["tipo_telefono"] for r in pipe.run(df).df.collect()}
+    assert rows == {
+        "912345678": "fijo",
+        "612345678": "movil",
+        "512345678": "error",
+        "9123456789": "error",
+        "6123": "error",
+        "abc": "error",
+    }

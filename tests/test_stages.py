@@ -1,0 +1,193 @@
+"""Stage semantics tests — SURVEY.md §1.5 error/drop contract, schema
+inference/preservation (§1.2/§1.3), and each stage type."""
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from filefilter_spark.config import ConfigError, load_config_str
+from filefilter_spark.pipeline import Pipeline
+
+
+def run_yaml(spark, df, yaml_text):
+    return Pipeline(spark, load_config_str(yaml_text)).run(df).df
+
+
+# --- python stage (OP-A5) --------------------------------------------------
+
+
+def test_python_keep_on_error(spark):
+    """Exception in user code keeps the ORIGINAL row (filefilter.py:56-65)."""
+    df = spark.createDataFrame([(1, "ok"), (2, None), (3, "ok")], "id int, s string")
+    out = run_yaml(spark, df, """
+filters:
+  - name: upper
+    actionType: python
+    code: |
+      row['s'] = row['s'].upper()   # raises AttributeError on None
+""")
+    rows = {r["id"]: r["s"] for r in out.collect()}
+    assert rows == {1: "OK", 2: None, 3: "OK"}
+
+
+def test_python_adds_columns_with_reference_coercion(spark):
+    """New columns follow the reference contract (Database.py:102-103):
+    float→double, anything stringy→string; ints stay integral."""
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    out = run_yaml(spark, df, """
+filters:
+  - name: addcols
+    actionType: python
+    code: |
+      row['f'] = row['id'] * 1.5
+      row['j'] = {'a': row['id']}
+      row['n'] = row['id'] + 10
+""")
+    types = dict(out.dtypes)
+    assert types["f"] == "double"
+    assert types["j"] == "string"  # dicts JSON-stringified (filters.py:78)
+    assert types["n"] == "bigint"
+    assert out.filter("id = 1").first()["j"] == '{"a": 1}'
+
+
+def test_python_preserves_untouched_timestamp_schema(spark, sf_dir):
+    """Round-1 regression: columns user code never touched must keep
+    their Spark types (timestamps stayed pandas-datetimes in the
+    reference's re-registration; re-inferring them as strings is wrong)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = run_yaml(spark, orders, """
+filters:
+  - name: tag
+    actionType: python
+    code: |
+      row['tag'] = 'x'
+""")
+    assert dict(out.dtypes)["o_orderdate"] == dict(orders.dtypes)["o_orderdate"]
+    assert out.count() == orders.count()
+
+
+# --- rest stage (OP-A6) ----------------------------------------------------
+
+
+def test_rest_drop_on_unfillable_template(spark):
+    """Unfillable {param} → row dropped (filters.py:31-33 + drop at
+    filefilter.py:110-113, via the deterministic mock transport)."""
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id int, k string")
+    out = run_yaml(spark, df, """
+filters:
+  - name: enrich
+    actionType: rest
+    actionConfig:
+      newField: resp
+      mockTemplate: 'id={missing_col}'
+""")
+    assert out.count() == 0  # all rows unfillable → all dropped
+
+
+def test_rest_mock_enrichment(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, k string")
+    out = run_yaml(spark, df, """
+filters:
+  - name: enrich
+    actionType: rest
+    actionConfig:
+      newField: resp
+      mockTemplate: '{{"got": "{k}"}}'
+""")
+    rows = {r["id"]: r["resp"] for r in out.collect()}
+    assert rows == {1: '{"got": "x"}', 2: '{"got": "y"}'}
+
+
+# --- sql stage (OP-A7) -----------------------------------------------------
+
+
+def test_sql_stage_dialect_applied(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a int, b int, c int")
+    out = run_yaml(spark, df, """
+filters:
+  - name: pick
+    actionType: sql
+    code: SELECT * EXCLUDE(b) FROM df
+""")
+    assert out.columns == ["a", "c"]
+
+
+# --- pandas stage (OP-C1) --------------------------------------------------
+
+
+def test_pandas_stage_with_timestamps(spark, sf_dir):
+    """Round-1 regression: pandas stage over a timestamp-bearing table
+    crashed in Arrow when the untouched timestamp was re-inferred as
+    string."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = run_yaml(spark, orders, """
+filters:
+  - name: enrich
+    actionType: pandas
+    code: |
+      df = df.assign(double_price=df['o_totalprice'] * 2)
+""")
+    assert dict(out.dtypes)["o_orderdate"] == dict(orders.dtypes)["o_orderdate"]
+    assert dict(out.dtypes)["double_price"] == "double"
+    row = out.select("o_totalprice", "double_price").first()
+    assert row["double_price"] == pytest.approx(row["o_totalprice"] * 2)
+
+
+# --- udf stage (OP-C2) -----------------------------------------------------
+
+
+def test_udf_stage_registers_sql_callable(spark):
+    df = spark.createDataFrame([(2.0,), (3.0,)], "x double")
+    out = run_yaml(spark, df, """
+filters:
+  - name: reg
+    actionType: udf
+    actionConfig:
+      name: sq
+      returnType: double
+      vectorized: true
+      code: |
+        def fn(x):
+            return x * x
+  - name: use
+    actionType: sql
+    code: SELECT x, sq(x) AS x2 FROM df
+""")
+    assert {(r["x"], r["x2"]) for r in out.collect()} == {(2.0, 4.0), (3.0, 9.0)}
+
+
+# --- pipeline composition (OP-A8) ------------------------------------------
+
+
+def test_disabled_stage_skipped(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = run_yaml(spark, df, """
+filters:
+  - name: off
+    actionType: sql
+    disabled: true
+    code: SELECT 999 AS id
+  - name: on
+    actionType: sql
+    code: SELECT id + 1 AS id FROM df
+""")
+    assert out.first()["id"] == 2
+
+
+# --- config validation -----------------------------------------------------
+
+
+def test_config_validation_errors():
+    with pytest.raises(ConfigError):
+        load_config_str("filters:\n  - name: x\n    actionType: bogus\n    code: SELECT 1")
+    with pytest.raises(ConfigError):
+        load_config_str("filters:\n  - name: x\n    actionType: sql")  # no code
+    with pytest.raises(ConfigError):
+        load_config_str("filters:\n  - name: x\n    actionType: rest")  # no actionConfig
+
+
+def test_config_delimiter_aliases_and_reload_alias():
+    cfg = load_config_str("inDelimiter: TAB\nreloadConfigEvery: 9\nfilters: []")
+    assert cfg.in_delimiter == "\t"
+    assert cfg.reload_config_every_seconds == 9
