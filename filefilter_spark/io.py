@@ -36,7 +36,7 @@ def read_input(
     path: str,
     delimiter: str | None = None,
     sample_lines: int = 0,
-    schema: StructType | None = None,
+    schema: StructType | str | None = None,
 ) -> DataFrame:
     """Load an input file, dispatching on extension (``Database.py:77-80``).
 
@@ -45,11 +45,14 @@ def read_input(
     defaults to tab, everything else to comma (the reference's orphan
     loader auto-sniffed; explicit-default is deterministic at scale).
     """
+    from filefilter_spark.config import normalize_delimiter
+
     p = _normalize_path(path)
     ext = Path(p).suffix.lower()
     if ext == ".parquet":
         df = spark.read.parquet(p)
     elif ext in _TEXT_EXTS:
+        delimiter = normalize_delimiter(delimiter)
         sep = delimiter if delimiter is not None else ("\t" if ext == ".tsv" else ",")
         reader = spark.read.options(header=True, sep=sep)
         if schema is not None:

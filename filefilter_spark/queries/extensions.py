@@ -193,6 +193,23 @@ def op_d3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D3-pairs-lsh",
+    oracle=None,  # probabilistic recall; precision exact (verified); tests
+    doc="sub-quadratic embedding near-dup: LSH-bucketed candidate pairs "
+        "+ exact cosine verification at 0.45 — the scale path for "
+        "OP-D3-pairs' O(n²) baseline; recall measured in tests.",
+)
+def op_d3_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.similarity import lsh_cosine_pairs
+
+    out = lsh_cosine_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.45, n_planes=4, n_tables=12,  # banding curve for loose threshold
+    )
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@query(
     "OP-D3-lsh",
     oracle=None,  # ANN: recall vs exact measured in tests
     doc="ANN top-10 via random-hyperplane LSH bucketing (4 tables × 8 "

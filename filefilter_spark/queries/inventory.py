@@ -23,6 +23,30 @@ from filefilter_spark.queries.registry import load_table, query, register_views,
 
 
 @query(
+    "OP-A1",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="CSV/TSV scan (Database.py:77-78): write nation as a TAB-delimited "
+        "file, read it back through read_input with the reference's TAB "
+        "delimiter alias (loaders.py:10,22) and an explicit schema (the "
+        "scale-correct path — inference costs an extra pass).",
+)
+def op_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from filefilter_spark.io import read_input, write_csv
+
+    out = tempfile.mkdtemp(prefix="ffspark_a1_") + "/nation.tsv"
+    write_csv(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        out, delimiter="\t", single_file=True,
+    )
+    return read_input(
+        spark, out, delimiter="TAB",
+        schema="n_nationkey bigint, n_name string, n_regionkey bigint",
+    )
+
+
+@query(
     "OP-A2",
     oracle="SELECT count(*) AS n FROM lineitem",
     doc="Parquet scan (Database.py:79-80) → count.",
@@ -389,18 +413,44 @@ def op_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(n).select("r_name", "n_name")
 
 
-sql_query(
+@query(
     "OP-B9",
-    """
+    oracle="""
     SELECT p_partkey, count(*) AS n_matches
     FROM part JOIN lineitem
       ON p_retailprice BETWEEN l_extendedprice * 0.99 AND l_extendedprice * 1.01
-    WHERE p_partkey <= 50
     GROUP BY p_partkey
     """,
-    doc="theta/range join → BroadcastNestedLoop; quadratic, bounded here; "
-        "the scalable variant is banded pre-bucketing (ops.asof notes).",
+    doc="theta/range join via BANDED bucketing — the scalable rewrite of "
+        "what Spark would otherwise plan as an O(n·m) BroadcastNestedLoop: "
+        "the point side lands in one price bucket, the interval side "
+        "explodes to the buckets its range overlaps, and the join becomes "
+        "an EQUI-join on bucket id + exact residual filter. Each true pair "
+        "matches in exactly one bucket (the one containing the point), so "
+        "no dedup pass is needed. One shuffle, full tables — no artificial "
+        "p_partkey bound required.",
 )
+def op_b9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    band = 100.0  # bucket width ~ interval width; tune to value range
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice",
+        F.floor(F.col("p_retailprice") / band).alias("bucket"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice",
+        (F.col("l_extendedprice") * 0.99).alias("lo"),
+        (F.col("l_extendedprice") * 1.01).alias("hi"),
+    )
+    li_banded = li.withColumn(
+        "bucket",
+        F.explode(F.sequence(F.floor(F.col("lo") / band), F.floor(F.col("hi") / band))),
+    )
+    return (
+        p.join(li_banded, "bucket")
+        .filter(F.col("p_retailprice").between(F.col("lo"), F.col("hi")))
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_matches"))
+    )
 
 
 @query(
@@ -843,15 +893,22 @@ def op_b33(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OP-B34",
     oracle="SELECT true AS in_range",
     doc="seeded Bernoulli sampling — engines sample different rows by design, "
-        "so the check validates the sampled fraction lands in ±40% of 10%.",
+        "so the check validates the sampled fraction lands in ±40% of 10%. "
+        "Total and sampled counts come from ONE scan (a Bernoulli indicator "
+        "column — df.sample's semantics — aggregated twice), not two jobs.",
 )
 def op_b34(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    total = li.count()
-    sampled = li.sample(fraction=0.1, seed=42).count()
-    return spark.createDataFrame(
-        [(bool(0.06 * total <= sampled <= 0.14 * total),)], "in_range boolean"
+    row = (
+        li.select((F.rand(seed=42) < 0.1).alias("in_sample"))
+        .agg(
+            F.count("*").alias("total"),
+            F.count_if(F.col("in_sample")).alias("sampled"),
+        )
+        .first()
     )
+    ok = 0.06 * row["total"] <= row["sampled"] <= 0.14 * row["total"]
+    return spark.createDataFrame([(bool(ok),)], "in_range boolean")
 
 
 @query(

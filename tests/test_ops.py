@@ -74,6 +74,22 @@ def test_lsh_ann_recall_vs_exact_topk(spark, embeddings):
     assert approx[0] == exact[0] == 0  # the query vector itself is its own top-1
 
 
+def test_lsh_cosine_pairs_recall_vs_exact(embeddings):
+    """Bucketed embedding near-dup: exact precision (verification step)
+    and high recall vs the O(n²) baseline at threshold 0.45."""
+    from filefilter_spark.ops.similarity import cosine_pairs, lsh_cosine_pairs
+
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(embeddings, 0.45).collect()}
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_cosine_pairs(embeddings, 0.45, n_planes=4, n_tables=12).collect()
+    }
+    assert approx <= exact
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.6, f"lsh pairs recall {recall:.2f} ({len(exact)} true pairs)"
+
+
 def test_asof_join_backward_inclusive(spark):
     from filefilter_spark.ops.asof import asof_join
 
