@@ -35,7 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="clear the checkpoint dir before running")
     p.add_argument("-v", "--verbose", action="store_true", help="DEBUG logging")
     p.add_argument("--checkpoint-dir", default=None,
-                   help="optional per-stage checkpoint dir (resume workspace analog)")
+                   help="per-stage materialization dir (resume workspace analog)")
+    p.add_argument("--resume", action="store_true",
+                   help="fast-forward past stages already materialized in "
+                        "--checkpoint-dir with unchanged config")
     return p
 
 
@@ -59,8 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     spark.sparkContext.setLogLevel("WARN")
     pipe = Pipeline.from_yaml(
         spark, args.config,
-        collect_metrics=args.interactive,
         checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
     )
     df = read_input(
         spark, args.input,
@@ -70,10 +73,12 @@ def main(argv: list[str] | None = None) -> int:
     result = pipe.run(df)
     write_csv_file(result.df, args.output, delimiter=pipe.config.out_delimiter)
     if args.interactive:
-        for m in result.metrics:
-            log.info("stage %-30s %-7s rows=%s errors=%s %s",
+        # observe()-based: counts were collected by the write action, no
+        # extra jobs (OP-A10/A14).
+        for m in result.harvest_metrics():
+            log.info("stage %-30s %-7s rows=%s errors=%s %s%s",
                      m.name, m.action_type, m.rows_out, m.errors,
-                     m.http_status or "")
+                     m.http_status or "", " [resumed]" if m.resumed else "")
     log.info("wrote %s in %.1fs", args.output, time.time() - t0)
     return 0
 

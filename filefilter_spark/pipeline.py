@@ -1,11 +1,15 @@
-"""Pipeline runner — OP-A8 stage composition.
+"""Pipeline runner — OP-A8 stage composition, OP-A10/11/14 metrics,
+resume workspace.
 
 Reference behavior (``filefilter.py:306-372``): iterate the YAML
 ``filters:`` list in order; skip ``disabled``; each enabled stage
 consumes the current dataset (view ``df``) and its output becomes the
 new dataset; after each stage the view is repointed (``:352``), the
 table is recounted (``:355``, OP-A10) and optionally sampled
-(``:361-368``, OP-A11); the final stage is exported to CSV.
+(``:361-368``, OP-A11); the final stage is exported to CSV. The DuckDB
+workspace ``data/<input>.db`` persists across runs (``Database.py:19-29``)
+— rerunning resumes from materialized ``filter<N>`` tables — and the
+``-d`` flag deletes it.
 
 Spark-first: the "current dataset" is just a DataFrame variable; stages
 fold over it lazily, so the whole pipeline is ONE logical plan and
@@ -13,20 +17,31 @@ Catalyst optimizes across stage boundaries (filter pushdown through
 earlier sql stages into the file scan — impossible in the reference,
 which materializes every stage into DuckDB).
 
-Divergences (documented, SURVEY.md §7 non-goals): per-stage recounts
-are opt-in (``collect_metrics=True``) because a count() per stage
-forces N extra jobs; per-row thread micro-management + config hot
-reload (OP-A13) are replaced by Spark parallelism; the persistent
-``data/*.db`` workspace is replaced by opt-in ``checkpoint_dir``.
+Metrics (OP-A10/A14) ride on ``df.observe``: per-stage row counts are
+collected by the SAME action that materializes the result — zero extra
+jobs — exactly what the reference's free-rolling counters wanted to be.
+``collect_metrics=True`` additionally forces an eager count per stage
+(the reference's literal behavior, N extra jobs; off by default).
+
+Resume (workspace analog): with ``checkpoint_dir`` set, each stage's
+output is materialized to ``<dir>/stage_<N>/`` parquet; a later run
+with ``resume=True`` fast-forwards past every stage whose config hash
+matches the materialized manifest — the Spark analog of the
+``filter<N>`` tables surviving in ``data/<input>.db``. ``-d`` (CLI)
+clears the dir, like the reference's delete flag.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import logging
 from dataclasses import dataclass, field
+from pathlib import Path
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from filefilter_spark.config import PipelineConfig, StageConfig, load_config
 from filefilter_spark.io import read_input, write_csv
@@ -42,12 +57,42 @@ class StageMetrics:
     rows_out: int | None = None
     errors: int | None = None
     http_status: dict[str, int] = field(default_factory=dict)
+    resumed: bool = False
+    _observation: Observation | None = None
+    _error_acc: Any = None
+    _status_accs: dict[str, Any] | None = None
+
+    def harvest(self) -> None:
+        """Pull observed/accumulated values after an action has run."""
+        if self._observation is not None and self.rows_out is None:
+            try:
+                self.rows_out = self._observation.get.get("rows")
+            except Exception:  # pragma: no cover - no action ran
+                pass
+        if self._error_acc is not None:
+            self.errors = self._error_acc.value
+        if self._status_accs:
+            self.http_status = {k: a.value for k, a in self._status_accs.items()}
 
 
 @dataclass
 class PipelineResult:
     df: DataFrame
     metrics: list[StageMetrics]
+
+    def harvest_metrics(self) -> list[StageMetrics]:
+        """Call after an action on ``df`` — fills observe()-based counts."""
+        for m in self.metrics:
+            m.harvest()
+        return self.metrics
+
+
+def _stage_fingerprint(cfg: StageConfig) -> str:
+    payload = json.dumps(
+        [cfg.index, cfg.action_type, cfg.code, sorted(cfg.action_config.items())],
+        default=str,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
 class Pipeline:
@@ -57,13 +102,13 @@ class Pipeline:
         config: PipelineConfig,
         collect_metrics: bool = False,
         checkpoint_dir: str | None = None,
+        resume: bool = False,
     ):
         self.spark = spark
         self.config = config
         self.collect_metrics = collect_metrics
         self.checkpoint_dir = checkpoint_dir
-        if checkpoint_dir:
-            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        self.resume = resume
 
     @classmethod
     def from_yaml(cls, spark: SparkSession, path: str, **kw: Any) -> "Pipeline":
@@ -72,21 +117,63 @@ class Pipeline:
     def _build_stage(self, cfg: StageConfig):
         return STAGE_TYPES[cfg.action_type](self.spark, cfg)
 
+    def _stage_path(self, cfg: StageConfig) -> Path:
+        return Path(self.checkpoint_dir) / f"stage_{cfg.index}"
+
+    def _try_resume(self, cfg: StageConfig) -> DataFrame | None:
+        """Load a stage's materialized output when its fingerprint
+        matches (config unchanged) — the reference's persisted
+        ``filter<N>`` semantics (``Database.py:19-29``)."""
+        if not (self.resume and self.checkpoint_dir):
+            return None
+        p = self._stage_path(cfg)
+        manifest = p / "_ffspark_manifest.json"
+        if not manifest.exists():
+            return None
+        try:
+            meta = json.loads(manifest.read_text())
+        except Exception:
+            return None
+        if meta.get("fingerprint") != _stage_fingerprint(cfg):
+            return None
+        return self.spark.read.parquet(str(p / "data"))
+
+    def _materialize(self, cfg: StageConfig, df: DataFrame) -> DataFrame:
+        p = self._stage_path(cfg)
+        df.write.mode("overwrite").parquet(str(p / "data"))
+        p.mkdir(parents=True, exist_ok=True)
+        (p / "_ffspark_manifest.json").write_text(
+            json.dumps({"fingerprint": _stage_fingerprint(cfg), "name": cfg.name})
+        )
+        return self.spark.read.parquet(str(p / "data"))
+
     def run(self, df: DataFrame) -> PipelineResult:
         """Fold the enabled stages over the input DataFrame (OP-A8)."""
         metrics: list[StageMetrics] = []
+        resuming = True  # leading prefix of resumable stages
         for cfg in self.config.enabled_stages:
-            stage = self._build_stage(cfg)
-            df = stage.apply(df)
             m = StageMetrics(cfg.name, cfg.action_type)
-            if self.collect_metrics:
-                m.rows_out = df.count()  # OP-A10 per-stage recount
-                acc = getattr(df, "_filefilter_error_acc", None)
-                if acc is not None:
-                    m.errors = acc.value
-                accs = getattr(df, "_filefilter_status_accs", None)
-                if accs is not None:
-                    m.http_status = {k: a.value for k, a in accs.items()}
+            resumed_df = self._try_resume(cfg) if resuming else None
+            if resumed_df is not None:
+                df = resumed_df
+                m.resumed = True
+                log.info("stage %s: resumed from %s", cfg.name, self._stage_path(cfg))
+            else:
+                resuming = False
+                stage = self._build_stage(cfg)
+                df = stage.apply(df)
+                m._error_acc = getattr(df, "_filefilter_error_acc", None)
+                m._status_accs = getattr(df, "_filefilter_status_accs", None)
+                # OP-A10/A14: row count observed for free on the next action.
+                obs = Observation(f"ffspark_{cfg.index}_{cfg.name[:20]}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                m._observation = obs
+                if self.checkpoint_dir:
+                    df = self._materialize(cfg, df)
+                    m.harvest()  # the write was an action; counts are in
+            if self.collect_metrics and m.rows_out is None:
+                m.rows_out = df.count()
+                m.harvest()
                 log.info("stage %s (%s): %s rows", cfg.name, cfg.action_type, m.rows_out)
             if cfg.show_sample or (self.collect_metrics and self.config.show_sample_on_finish):
                 df.show(5, truncate=False)  # OP-A11 head sample
@@ -109,4 +196,5 @@ class Pipeline:
         if output_path:
             write_csv(result.df, output_path, delimiter=self.config.out_delimiter,
                       single_file=True)
+            result.harvest_metrics()
         return result

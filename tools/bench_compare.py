@@ -1,0 +1,62 @@
+"""Side-by-side wall-clock: Spark headline queries vs their DuckDB
+oracles at a given SF dir. Usage: python tools/bench_compare.py [sf_dir]."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+HEADLINE = [
+    "OP-B12", "OP-B5", "OP-B11", "OP-B18", "OP-B22", "OP-B10", "OP-B9",
+    "OP-D1", "OP-D2", "OP-D2-minhash", "OP-D3", "OP-D4", "OP-D5",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import duckdb
+
+    import __spark_entry__ as E
+    from filefilter_spark.queries.registry import TABLES
+    from filefilter_spark.session import get_spark
+
+    spark = get_spark("bench_compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = E.queries(), E.oracle_sql()
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    # warm-up both engines
+    qs["OP-B12"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    con.execute(oracles["OP-B12"]).fetchall()
+
+    print(f"{'query':<16} {'spark':>8} {'duckdb':>8} {'ratio':>7}")
+    total_s = total_d = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ts = time.time() - t0
+        oracle = oracles.get(name)
+        if oracle:
+            t0 = time.time()
+            con.execute(oracle).fetchall()
+            td = time.time() - t0
+            print(f"{name:<16} {ts:>7.2f}s {td:>7.2f}s {ts/td:>6.1f}x")
+            total_s += ts
+            total_d += td
+        else:
+            print(f"{name:<16} {ts:>7.2f}s {'—':>8} {'—':>7}")
+    print(f"{'TOTAL(oracled)':<16} {total_s:>7.2f}s {total_d:>7.2f}s {total_s/total_d:>6.1f}x")
+
+
+if __name__ == "__main__":
+    main()
