@@ -91,6 +91,72 @@ def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, schema=_DECODE_SCHEMA)
 
 
+_AUDIO_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", LongType()),
+    StructField("mfcc_hash", StringType()),
+])
+
+
+def extract_audio_features_stub(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Audio feature-extraction plumbing (duration / sample-rate / MFCC
+    fingerprint). Same contract as the image path: Arrow-batched
+    mapInPandas, deterministic fake kernel (no audio codecs in this
+    container — a real impl swaps in soundfile/librosa in the kernel
+    body only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, clen in zip(pdf["media_id"], pdf["content"], pdf["content_len"]):
+                if not fake:
+                    raise NotImplementedError("audio decoding unavailable; fake=True only")
+                h = hashlib.sha256(bytes(content) if content is not None else b"").digest()
+                sr = 16000 if h[2] % 2 else 44100
+                n_samples = int(clen) * 100
+                rows.append({
+                    "media_id": int(mid),
+                    "duration_ms": n_samples * 1000 // sr,
+                    "sample_rate": sr,
+                    "n_samples": n_samples,
+                    "mfcc_hash": h.hex()[:16],
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in _AUDIO_SCHEMA.fields])
+
+    return media.select("media_id", "content", "content_len").mapInPandas(run, schema=_AUDIO_SCHEMA)
+
+
+def resize_images_stub(media: DataFrame, width: int = 224, height: int = 224,
+                       fake: bool = True) -> DataFrame:
+    """Payload-rewriting plumbing: binary in → binary out (the resize
+    shape every image pipeline needs). The fake kernel emits a
+    deterministic digest-derived payload so downstream schema/batch
+    behavior is real; a Pillow kernel drops in without plan changes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "content": [],
+                   "content_len": [], "sha256": []}
+            for mid, mtype, content in zip(pdf["media_id"], pdf["media_type"], pdf["content"]):
+                if not fake:
+                    raise NotImplementedError("image resize unavailable; fake=True only")
+                seed = hashlib.sha256(bytes(content) if content is not None else b"")
+                seed.update(f"{width}x{height}".encode())
+                resized = seed.digest() * 4  # deterministic fixed-size payload
+                out["media_id"].append(int(mid))
+                out["media_type"].append(mtype)
+                out["content"].append(resized)
+                out["content_len"].append(len(resized))
+                out["sha256"].append(hashlib.sha256(resized).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "media_type", "content").mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def frame_sample_stub(media: DataFrame, every_n: int = 30, fake: bool = True) -> DataFrame:
     """Video frame-sampling plumbing: fan one video row out to frame
     rows (1:N mapInPandas), deterministic fake frame ids."""

@@ -367,6 +367,79 @@ def op_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_counts_available_now(spark, f"{sf_dir}/events.parquet")
 
 
+@query(
+    "OP-D5-session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="session windows (30-min inactivity gap) via F.session_window — "
+        "dynamic data-driven windows with watermarked state; oracle is the "
+        "batch gaps-and-islands formulation of the same sessions.",
+)
+def op_d5_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.streaming.jobs import session_window_counts_available_now
+
+    return session_window_counts_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "OP-D5-dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="streaming stateful dedup (dropDuplicatesWithinWatermark) — "
+        "watermark-bounded state; emitting only the key columns makes the "
+        "result exactly DISTINCT keys, so the batch oracle is exact.",
+)
+def op_d5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.streaming.jobs import stateful_dedup_available_now
+
+    return stateful_dedup_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+_FB_YAML = """
+filters:
+  - name: clicks_only
+    actionType: sql
+    code: SELECT * FROM df WHERE event_type = 'click'
+  - name: double
+    actionType: python
+    code: |
+      row['value_x2'] = row['value'] * 2
+"""
+
+
+@query(
+    "OP-D5-pipeline",
+    oracle="""
+    SELECT event_id, user_id, value, value * 2 AS value_x2
+    FROM events WHERE event_type = 'click'
+    """,
+    doc="foreachBatch pipeline: the reference's chunked stage loop "
+        "(filefilter.py:195-276) re-expressed on a stream — each "
+        "micro-batch runs the same YAML sql+python stages; deterministic "
+        "stages make the batch oracle exact.",
+)
+def op_d5_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.streaming.jobs import pipeline_foreach_batch
+
+    out = pipeline_foreach_batch(spark, f"{sf_dir}/events.parquet", _FB_YAML)
+    return out.select("event_id", "user_id", "value", "value_x2")
+
+
 # ---------------------------------------------------------------------------
 # OP-D6 — multimodal binary-column plumbing
 # ---------------------------------------------------------------------------
@@ -404,3 +477,47 @@ def op_d6_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = to_media_table(d, "doc_id", "text", media_type="image")
     return extract_image_features(media, fake=True)
+
+
+@query(
+    "OP-D6-audio",
+    oracle=None,  # stub kernel (no audio codecs in container)
+    doc="audio feature plumbing (duration/sample-rate/MFCC fingerprint): "
+        "Arrow-batched mapInPandas, deterministic fake kernel.",
+)
+def op_d6_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.multimodal import extract_audio_features_stub, to_media_table
+
+    d = load_table(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text", media_type="audio")
+    return extract_audio_features_stub(media, fake=True)
+
+
+@query(
+    "OP-D6-frames",
+    oracle=None,  # stub kernel (no video codecs in container)
+    doc="video frame-sampling plumbing: 1:N mapInPandas fan-out from one "
+        "video row to frame rows; deterministic fake kernel.",
+)
+def op_d6_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.multimodal import frame_sample_stub, to_media_table
+
+    d = load_table(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text", media_type="video")
+    return frame_sample_stub(media, every_n=30, fake=True)
+
+
+@query(
+    "OP-D6-resize",
+    oracle=None,  # stub kernel (no image codecs in container)
+    doc="image resize plumbing: binary→binary mapInPandas rewrite keeping "
+        "the canonical media schema; deterministic fake kernel.",
+)
+def op_d6_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.multimodal import resize_images_stub, to_media_table
+
+    d = load_table(spark, sf_dir, "documents")
+    media = to_media_table(d, "doc_id", "text", media_type="image")
+    resized = resize_images_stub(media, fake=True)
+    # payload dropped for the rows-only check (stable metadata surface)
+    return resized.select("media_id", "media_type", "content_len", "sha256")

@@ -24,4 +24,7 @@ from filefilter_spark.stages.base import Stage
 class SqlStage(Stage):
     def apply(self, df: DataFrame) -> DataFrame:
         df.createOrReplaceTempView("df")
-        return self.spark.sql(translate(self.cfg.code))
+        # Use the DataFrame's OWN session: inside foreachBatch the batch
+        # DataFrame belongs to a micro-batch-cloned session whose temp
+        # views are isolated from the outer one.
+        return df.sparkSession.sql(translate(self.cfg.code))

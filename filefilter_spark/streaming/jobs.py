@@ -40,6 +40,39 @@ def _static_schema_and_ts_fix(spark: SparkSession, path: str):
     return schema, nanos_cols
 
 
+def _events_stream(spark: SparkSession, path: str, ts_col: str = "ts"):
+    schema, nanos_cols = _static_schema_and_ts_fix(spark, path)
+    import os
+
+    if path.endswith(".parquet"):
+        base, fname = os.path.dirname(path) or ".", os.path.basename(path)
+        stream = spark.readStream.schema(schema).option("pathGlobFilter", fname).parquet(base)
+    else:
+        stream = spark.readStream.schema(schema).parquet(path)
+    if ts_col in nanos_cols:
+        stream = stream.withColumn(
+            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
+        )
+    return stream
+
+
+def _run_to_memory(agg, output_mode: str, timeout_sec: int) -> tuple[str, object]:
+    qname = "ffspark_stream_" + uuid.uuid4().hex[:8]
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        if query.isActive:  # pragma: no cover - timeout safety
+            query.stop()
+    return qname, query
+
+
 def windowed_counts_available_now(
     spark: SparkSession,
     path: str,
@@ -53,22 +86,7 @@ def windowed_counts_available_now(
     Returns a static DataFrame (win_start, event_type, n, sum_value)
     read back from the finished in-memory sink.
     """
-    schema, nanos_cols = _static_schema_and_ts_fix(spark, path)
-    # File-stream sources require a directory basePath; a single-file
-    # input is expressed as its parent dir + a glob filter.
-    import os
-
-    if path.endswith(".parquet"):
-        base, fname = os.path.dirname(path) or ".", os.path.basename(path)
-        reader = spark.readStream.schema(schema).option("pathGlobFilter", fname)
-        stream = reader.parquet(base)
-    else:
-        stream = spark.readStream.schema(schema).parquet(path)
-    if ts_col in nanos_cols:
-        stream = stream.withColumn(
-            ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
-        )
-
+    stream = _events_stream(spark, path, ts_col)
     agg = (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window).alias("win"), "event_type")
@@ -78,18 +96,95 @@ def windowed_counts_available_now(
         )
         .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
     )
+    qname, _ = _run_to_memory(agg, "complete", timeout_sec)
+    return spark.table(qname)
 
-    qname = "ffspark_d5_" + uuid.uuid4().hex[:8]
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+
+def session_window_counts_available_now(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity (``F.session_window`` — dynamic, data-driven windows, the
+    canonical stateful-streaming shape). Batch-SQL oracle: classic
+    gaps-and-islands (lag > gap starts a new island).
+
+    Returns (user_id, session_start, n_events).
+    """
+    stream = _events_stream(spark, path, ts_col)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("win.start").alias("session_start"), "n_events")
     )
+    qname, _ = _run_to_memory(agg, "complete", timeout_sec)
+    return spark.table(qname)
+
+
+def stateful_dedup_available_now(
+    spark: SparkSession,
+    path: str,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Streaming dedup on ``keys`` with watermarked state
+    (``dropDuplicatesWithinWatermark`` — state is bounded by the
+    watermark horizon instead of growing forever, the production shape
+    for at-least-once sources). Emits the key columns only, so the
+    result is exactly DISTINCT keys regardless of which duplicate
+    arrived first.
+    """
+    keys = keys or ["user_id", "event_type"]
+    stream = _events_stream(spark, path, ts_col)
+    dedup = (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+    qname, _ = _run_to_memory(dedup, "append", timeout_sec)
+    return spark.table(qname)
+
+
+def pipeline_foreach_batch(
+    spark: SparkSession,
+    path: str,
+    config_yaml: str,
+    ts_col: str = "ts",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Run a batch Pipeline (sql/python/rest stages) per micro-batch via
+    ``foreachBatch`` — the streaming reincarnation of the reference's
+    chunked execution loop (``filefilter.py:195-276``): each micro-batch
+    plays the role of one chunk, and the same YAML stages the reference
+    applies per chunk are applied per batch (SURVEY.md §2.6).
+
+    Results accumulate in a memory table; on a real deployment the
+    writer would be delta/kafka and the config could be re-read per
+    batch (the reference's hot-reload intent).
+    """
+    import tempfile
+
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    stream = _events_stream(spark, path, ts_col)
+    out_dir = tempfile.mkdtemp(prefix="ffspark_fb_") + "/data"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        pipe = Pipeline(spark, load_config_str(config_yaml))
+        pipe.run(batch_df).df.write.mode("append").parquet(out_dir)
+
+    query = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     try:
         query.awaitTermination(timeout_sec)
     finally:
-        if query.isActive:  # pragma: no cover - timeout safety
+        if query.isActive:  # pragma: no cover
             query.stop()
-    return spark.table(qname)
+    return spark.read.parquet(out_dir)

@@ -118,6 +118,73 @@ def test_asof_left_keeps_unmatched(spark):
     assert len(out) == 1 and out[0]["v"] is None and out[0]["matched_ts"] is None
 
 
+def test_streaming_session_windows_match_gaps_and_islands(spark, sf_dir):
+    """session_window sessions == batch gaps-and-islands sessions."""
+    from pyspark.sql import Window
+    from filefilter_spark.queries.registry import load_table
+    from filefilter_spark.streaming.jobs import session_window_counts_available_now
+
+    out = session_window_counts_available_now(spark, f"{sf_dir}/events.parquet")
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("ts") >= F.col("prev") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sid", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    s = {(r["user_id"], r["session_start"]): r["n_events"] for r in out.collect()}
+    b = {(r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()}
+    assert s == b
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    """Media-table schema + each stub kernel's Spark-side plumbing:
+    decode (1:1), audio (1:1), resize (binary→binary), frames (1:N)."""
+    from filefilter_spark.ops.multimodal import (
+        extract_audio_features_stub,
+        extract_image_features,
+        frame_sample_stub,
+        resize_images_stub,
+        to_media_table,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = to_media_table(docs, "doc_id", "text", media_type="image")
+    n = media.count()
+    assert extract_image_features(media, fake=True).count() == n
+    assert extract_audio_features_stub(media, fake=True).count() == n
+    resized = resize_images_stub(media, fake=True)
+    assert resized.columns == media.columns
+    assert resized.select("content_len").distinct().count() == 1  # fixed-size fake
+    frames = frame_sample_stub(media, every_n=10, fake=True)
+    assert frames.count() >= n  # 1:N fan-out
+    # determinism: same payload → same feature hash
+    f1 = {r["media_id"]: r["feature_hash"]
+          for r in extract_image_features(media, fake=True).collect()}
+    f2 = {r["media_id"]: r["feature_hash"]
+          for r in extract_image_features(media, fake=True).collect()}
+    assert f1 == f2
+
+
+def test_multimodal_real_kernel_raises():
+    from filefilter_spark.ops.multimodal import decode_image_stub
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image_stub(b"xx", fake=False)
+
+
 def test_streaming_windowed_counts_matches_batch(spark, sf_dir):
     """OP-D5: the streaming windowed aggregate equals the same aggregate
     run as a plain batch query."""
