@@ -1,0 +1,102 @@
+"""Property-based differential testing (SURVEY.md §5.2 #4): random
+predicate trees over lineitem must agree between Spark SQL and DuckDB —
+sqllogictest-style fuzzing with DuckDB as the oracle, at sf0.001."""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from tests.conftest import SF_DIR
+
+# --- random predicate grammar over lineitem --------------------------------
+
+_num_atom = st.one_of(
+    st.tuples(
+        st.sampled_from(["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+        st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+        st.integers(min_value=0, max_value=60),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.tuples(
+        st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)
+    ).map(lambda t: f"l_quantity BETWEEN {min(t)} AND {max(t)}"),
+)
+
+_str_atom = st.one_of(
+    st.sampled_from(["A", "N", "R"]).map(lambda v: f"l_returnflag = '{v}'"),
+    st.lists(st.sampled_from(["O", "F"]), min_size=1, max_size=2, unique=True).map(
+        lambda vs: "l_linestatus IN (" + ", ".join(f"'{v}'" for v in vs) + ")"
+    ),
+    st.sampled_from(["1994", "1995", "1996"]).map(
+        lambda y: f"l_shipdate < TIMESTAMP '{y}-06-17 00:00:00'"
+    ),
+)
+
+_atom = st.one_of(_num_atom, _str_atom)
+
+
+def _combine(children):
+    pred = st.one_of(
+        st.tuples(children, children).map(lambda t: f"({t[0]} AND {t[1]})"),
+        st.tuples(children, children).map(lambda t: f"({t[0]} OR {t[1]})"),
+        children.map(lambda c: f"(NOT {c})"),
+    )
+    return pred
+
+
+predicates = st.recursive(_atom, _combine, max_leaves=6)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    return con
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicates)
+def test_random_predicates_agree(spark, duck, pred):
+    sql = (
+        "SELECT count(*) AS n, "
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s "
+        f"FROM lineitem WHERE {pred}"
+    )
+    s_row = spark.sql(sql).first()
+    d_row = duck.execute(sql).fetchone()
+    assert s_row["n"] == d_row[0], f"count mismatch for {pred}"
+    assert (s_row["s"] is None) == (d_row[1] is None)
+    if s_row["s"] is not None:
+        assert s_row["s"] == pytest.approx(d_row[1], abs=1e-6), f"sum mismatch for {pred}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+        min_size=1, max_size=2, unique=True,
+    )
+)
+def test_random_groupby_agree(spark, duck, keys):
+    cols = ", ".join(keys)
+    sql = f"SELECT {cols}, count(*) AS n FROM lineitem GROUP BY {cols}"
+    s = {tuple(r[k] for k in keys): r["n"] for r in spark.sql(sql).collect()}
+    d_rows = duck.execute(sql).fetchall()
+    d = {tuple(r[:-1]): r[-1] for r in d_rows}
+    assert s == d
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register_lineitem_view(spark):
+    from filefilter_spark.queries.registry import load_table
+
+    load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
