@@ -1,0 +1,70 @@
+"""Skew mitigation helpers — salting patterns for hot keys.
+
+AQE's skew-join splitting (on in ``session.py``) handles most runtime
+skew, but two shapes still need explicit salting at 100 TB:
+
+- ``salted_agg``: a groupBy whose hottest key holds a large fraction of
+  all rows. Spark's partial (map-side) aggregation already absorbs most
+  of this for algebraic aggregates; salting matters for holistic ones
+  (``collect_list``, exact percentiles) where every value must travel.
+  Two-phase: aggregate on (key, salt) — spreading one hot key over
+  ``n_salts`` reducers — then combine the partials per key.
+- ``salted_join``: a shuffle join with a hot key on the big side.
+  The big side gets a random salt in [0, n_salts); the SMALL side is
+  replicated ``n_salts``× (explode) so every salted big-side row still
+  finds its match. Total small-side inflation = n_salts× — chosen
+  per-key in production (salt only the measured-hot keys); uniform here
+  for clarity.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+SALT = "__salt"
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial: dict[str, Column],
+    combine: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``partial``: alias → aggregate expression for phase 1 (per key+salt).
+    ``combine``: alias → aggregate over the phase-1 columns for phase 2.
+
+    Example — skew-proof exact count + sum:
+        salted_agg(df, ["k"],
+                   partial={"c": F.count("*"), "s": F.sum("v")},
+                   combine={"c": F.sum("c"), "s": F.sum("s")})
+    """
+    salted = df.withColumn(SALT, (F.rand(seed=13) * n_salts).cast("int"))
+    phase1 = salted.groupBy(*keys, SALT).agg(
+        *[expr.alias(name) for name, expr in partial.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[expr.alias(name) for name, expr in combine.items()]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant shuffle join: salt the big side, replicate the
+    small side across all salts, join on keys+salt, drop the salt."""
+    keys = list(on)
+    big_s = big.withColumn(SALT, (F.rand(seed=13) * n_salts).cast("int"))
+    small_s = small.withColumn(
+        SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, keys + [SALT], how).drop(SALT)

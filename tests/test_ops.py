@@ -147,6 +147,38 @@ def test_streaming_session_windows_match_gaps_and_islands(spark, sf_dir):
     assert s == b
 
 
+def test_salted_agg_matches_plain(spark):
+    from filefilter_spark.ops.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(500)] + [("cold", 1.0), ("cold", 2.0)],
+        "k string, v double",
+    )
+    out = {
+        r["k"]: (r["c"], r["s"])
+        for r in salted_agg(
+            df, ["k"],
+            partial={"c": F.count("*"), "s": F.sum("v")},
+            combine={"c": F.sum("c"), "s": F.sum("s")},
+        ).collect()
+    }
+    assert out == {"hot": (500, sum(float(i) for i in range(500))), "cold": (2, 3.0)}
+
+
+def test_salted_join_matches_plain(spark):
+    from filefilter_spark.ops.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("x", 0)], "k string, v int"
+    )
+    small = spark.createDataFrame([("hot", "H"), ("y", "Y")], "k string, tag string")
+    salted = salted_join(big, small, on=["k"]).collect()
+    plain = big.join(small, "k").collect()
+    assert sorted((r["k"], r["v"], r["tag"]) for r in salted) == sorted(
+        (r["k"], r["v"], r["tag"]) for r in plain
+    )
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     """Media-table schema + each stub kernel's Spark-side plumbing:
     decode (1:1), audio (1:1), resize (binary→binary), frames (1:N)."""
