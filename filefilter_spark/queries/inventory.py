@@ -308,6 +308,84 @@ def op_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.run(load_table(spark, sf_dir, "lineitem")).df
 
 
+_C2_AGG_YAML = """
+filters:
+  - name: register_udaf
+    actionType: udf
+    actionConfig:
+      name: sum_sq
+      kind: grouped_agg
+      returnType: double
+      code: |
+        def fn(v):
+            return float((v * v).sum())
+  - name: use_udaf
+    actionType: sql
+    code: |
+      SELECT l_returnflag, CAST(sum_sq(l_quantity) AS DOUBLE) AS ssq
+      FROM df GROUP BY l_returnflag
+"""
+
+
+@query(
+    "OP-C2-agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ssq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="UDAF via grouped-agg pandas_udf (SURVEY §2.7): YAML-registered "
+        "aggregate callable from a later sql stage. l_quantity is integral"
+        "-valued so the float sum is exact.",
+)
+def op_c2_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_C2_AGG_YAML))
+    return pipe.run(load_table(spark, sf_dir, "lineitem")).df
+
+
+_C2_UDTF_YAML = """
+filters:
+  - name: register_udtf
+    actionType: udf
+    actionConfig:
+      name: seq_rows
+      kind: table
+      returnType: "i bigint"
+      code: |
+        class fn:
+            def eval(self, n: int):
+                for i in range(n):
+                    yield (i,)
+  - name: use_udtf
+    actionType: sql
+    code: |
+      SELECT l_orderkey, l_linenumber, t.i
+      FROM df, LATERAL seq_rows(l_linenumber) t
+      WHERE l_orderkey <= 64
+"""
+
+
+@query(
+    "OP-C2-udtf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, gs.i
+    FROM lineitem, LATERAL (
+      SELECT CAST(unnest(range(l_linenumber)) AS BIGINT) AS i
+    ) gs
+    WHERE l_orderkey <= 64
+    """,
+    doc="UDTF (SURVEY §2.7): YAML-registered python table function, "
+        "lateral-joined — one input row fans out to l_linenumber rows.",
+)
+def op_c2_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_C2_UDTF_YAML))
+    return pipe.run(load_table(spark, sf_dir, "lineitem")).df
+
+
 # ---------------------------------------------------------------------------
 # §2.B — relational surface (delegated via the sql stage in the reference,
 # native Spark SQL / DataFrame API here)

@@ -157,6 +157,50 @@ filters:
     assert {(r["x"], r["x2"]) for r in out.collect()} == {(2.0, 4.0), (3.0, 9.0)}
 
 
+def test_udaf_stage(spark):
+    df = spark.createDataFrame([("a", 2.0), ("a", 3.0), ("b", 4.0)], "k string, v double")
+    out = run_yaml(spark, df, """
+filters:
+  - name: reg
+    actionType: udf
+    actionConfig:
+      name: my_sum
+      kind: grouped_agg
+      returnType: double
+      code: |
+        def fn(v):
+            return float(v.sum())
+  - name: use
+    actionType: sql
+    code: SELECT k, my_sum(v) AS s FROM df GROUP BY k
+""")
+    assert {(r["k"], r["s"]) for r in out.collect()} == {("a", 5.0), ("b", 4.0)}
+
+
+def test_udtf_stage(spark):
+    df = spark.createDataFrame([(1, 3), (2, 1)], "id int, n int")
+    out = run_yaml(spark, df, """
+filters:
+  - name: reg
+    actionType: udf
+    actionConfig:
+      name: expand
+      kind: table
+      returnType: "i bigint"
+      code: |
+        class fn:
+            def eval(self, n: int):
+                for i in range(n):
+                    yield (i,)
+  - name: use
+    actionType: sql
+    code: SELECT id, t.i FROM df, LATERAL expand(n) t
+""")
+    assert sorted((r["id"], r["i"]) for r in out.collect()) == [
+        (1, 0), (1, 1), (1, 2), (2, 0)
+    ]
+
+
 # --- pipeline composition (OP-A8) ------------------------------------------
 
 
