@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "OP-B12",        # TPC-H Q1 aggregate
     "OP-B5",         # broadcast equi-join
+    "OP-B9",         # banded range join (full tables)
     "OP-B11",        # 4-way join + agg
     "OP-B18",        # ranking window
     "OP-B22",        # top-k
@@ -35,6 +36,7 @@ HEADLINE = [
     "OP-D3",         # cosine top-k
     "OP-D4",         # text stats battery
     "OP-D5",         # streaming windowed agg
+    "OP-D5-session", # streaming session windows
 ]
 
 

@@ -410,6 +410,24 @@ def op_d5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_dedup_available_now(spark, f"{sf_dir}/events.parquet")
 
 
+@query(
+    "OP-D5-state",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="arbitrary stateful streaming via applyInPandasWithState: "
+        "per-user running (count, cent-exact sum) kept in explicit "
+        "state across micro-batches; final state equals the batch "
+        "GROUP BY, which is the oracle.",
+)
+def op_d5_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.streaming.jobs import stateful_user_stats_available_now
+
+    return stateful_user_stats_available_now(spark, f"{sf_dir}/events.parquet")
+
+
 _FB_YAML = """
 filters:
   - name: clicks_only

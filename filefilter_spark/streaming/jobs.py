@@ -152,6 +152,65 @@ def stateful_dedup_available_now(
     return spark.table(qname)
 
 
+def stateful_user_stats_available_now(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Arbitrary stateful processing via ``applyInPandasWithState``
+    (SURVEY §2.6): per-user running aggregates kept in explicit state
+    across micro-batches — the escape hatch when built-in windows can't
+    express the operator (custom sessionization, CEP, counters with
+    business rules).
+
+    Emits one row per user at the end of input: (user_id, n_events,
+    total_value). With bounded input + availableNow the final state
+    equals the batch GROUP BY, which is the oracle.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, path, ts_col)
+    out_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total_cents bigint"
+
+    def update(key, pdfs, state: GroupState):
+        # Accumulate integer cents (values are exact 2-decimal doubles)
+        # so the running total is fold-order independent and matches the
+        # oracle's decimal SUM exactly.
+        n, total_cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total_cents += int(pdf["value"].mul(100).round().sum())
+        state.update((n, total_cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total_cents / 100.0],
+            }
+        )
+
+    result = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    qname, _ = _run_to_memory(result, "update", timeout_sec)
+    # "update" mode re-emits per batch; the last row per user is final.
+    snap = spark.table(qname)
+    return (
+        snap.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+    )
+
+
 def pipeline_foreach_batch(
     spark: SparkSession,
     path: str,

@@ -147,6 +147,34 @@ def test_streaming_session_windows_match_gaps_and_islands(spark, sf_dir):
     assert s == b
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key join with NO Exchange."""
+    from filefilter_spark.ops.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders, "b_orders", ["o_custkey"], n_buckets=8,
+                   sort_cols=["o_custkey"], path=str(tmp_path / "bo"))
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer", ["o_custkey"], n_buckets=8,
+        sort_cols=["o_custkey"], path=str(tmp_path / "bc"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed_join(spark, "b_orders", "b_customer", on=["o_custkey"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_salted_agg_matches_plain(spark):
     from filefilter_spark.ops.skew import salted_agg
 
