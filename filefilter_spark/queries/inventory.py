@@ -612,16 +612,18 @@ sql_query(
            max(o_totalprice) AS max_price,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_price,
-           sqrt(
+           round(sqrt(
              (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
               - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
              / (count(*) - 1)
-           ) AS stddev_price
+           ), 4) AS stddev_price
     FROM orders GROUP BY o_orderstatus
     """,
-    doc="aggregate-function battery; stddev from exact decimal moments so "
-        "both engines hit identical doubles (see registry.py docstring).",
+    doc="aggregate-function battery; stddev from exact decimal moments, "
+        "rounded to 4dp because the sum-of-squares exceeds 2^53 in "
+        "DECIMAL(30,4) units and the decimal→double conversion may round "
+        "a different way in each engine (1-ulp drift at large SF).",
 )
 
 @query(
@@ -630,15 +632,17 @@ sql_query(
     SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact, true AS within_tol
     FROM events
     """,
-    doc="approx_count_distinct (HLL) — oracle checks the exact count and that "
-        "the sketch lands within 5% (encoded as a boolean the oracle pins true).",
+    doc="approx_count_distinct (HLL, rsd=0.01) — oracle checks the exact "
+        "count and that the sketch lands within 5% (boolean pinned true). "
+        "Default rsd=0.05 drifted 6.7% at sf0.1; the tighter sketch keeps "
+        "a 5× margin.",
 )
 def op_b14(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.agg(
         F.countDistinct("user_id").alias("n_exact"),
         (
-            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            F.abs(F.approx_count_distinct("user_id", 0.01) - F.countDistinct("user_id"))
             <= 0.05 * F.countDistinct("user_id")
         ).alias("within_tol"),
     )
