@@ -73,6 +73,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long (ns since epoch) under ``legacy.parquet.nanosAsLong`` and we
     truncate to microseconds — exactly what DuckDB's TIMESTAMP (µs)
     does on the same file, so oracle comparisons agree."""
+    ensure_session_defaults(spark)
     path = f"{sf_dir}/{name}.parquet"
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
@@ -82,6 +83,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nanos_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     return df
+
+
+# Session confs the query semantics depend on, pinned at query time
+# because the DRIVER's SparkSession (not ours) runs these builders:
+# Spark 4 defaults ANSI on (the reference's DuckDB-delegated surface is
+# forgiving; oracles were validated non-ANSI), and timestamp rendering /
+# LTZ casts must be UTC to line up with DuckDB's naive timestamps.
+_SEMANTIC_CONF = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+_conf_pinned: set[int] = set()
+
+
+def ensure_session_defaults(spark: SparkSession) -> None:
+    key = id(spark.sparkContext)
+    if key in _conf_pinned:
+        return
+    for k, v in _SEMANTIC_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception as e:  # pragma: no cover - non-runtime conf
+            log.warning("could not set %s: %s", k, e)
+    _conf_pinned.add(key)
 
 
 # (spark JVM session id, sf_dir) pairs already registered — avoids
