@@ -25,9 +25,53 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    BooleanType,
+    DataType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from filefilter_spark.stages.base import SAMPLE_ROWS_FOR_SCHEMA, Stage, schema_from_rows
+
+_SPARK_TO_PANDAS = {
+    LongType: "int64", IntegerType: "int64",
+    DoubleType: "float64", FloatType: "float64",
+    BooleanType: "bool",
+    TimestampType: "datetime64[ns]", TimestampNTZType: "datetime64[ns]",
+}
+
+
+def _typed_empty_sample(df: DataFrame) -> pd.DataFrame:
+    """Empty pandas frame with dtypes matching the Spark schema, so user
+    code like ``df['a'] + 1`` infers correct output dtypes even with no
+    sample rows."""
+    data = {}
+    for f in df.schema.fields:
+        dtype = _SPARK_TO_PANDAS.get(type(f.dataType), "object")
+        data[f.name] = pd.Series([], dtype=dtype)
+    return pd.DataFrame(data)
+
+
+def _pandas_dtype_to_spark(dtype) -> DataType:
+    kind = getattr(dtype, "kind", "O")
+    if kind in ("i", "u"):
+        return LongType()
+    if kind == "f":
+        return DoubleType()
+    if kind == "b":
+        return BooleanType()
+    if kind == "M":
+        return TimestampNTZType()
+    return StringType()
 
 
 def _exec_on_pdf(code_obj, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -41,14 +85,26 @@ def _exec_on_pdf(code_obj, pdf: pd.DataFrame) -> pd.DataFrame:
 
 class PandasStage(Stage):
     def infer_schema(self, df: DataFrame) -> StructType:
-        sample = pd.DataFrame([r.asDict() for r in df.limit(SAMPLE_ROWS_FOR_SCHEMA).collect()],
-                              columns=list(df.columns))
+        rows_in = [r.asDict() for r in df.limit(SAMPLE_ROWS_FOR_SCHEMA).collect()]
+        sample = (
+            pd.DataFrame(rows_in, columns=list(df.columns))
+            if rows_in else _typed_empty_sample(df)
+        )
         code_obj = compile(self.cfg.code, f"<pandas-stage:{self.cfg.name}>", "exec")
         out = _exec_on_pdf(code_obj, sample)
         rows = out.to_dict(orient="records")
-        if not rows:
-            return df.schema
-        return schema_from_rows(rows, list(df.columns), base_schema=df.schema)
+        if rows:
+            return schema_from_rows(rows, list(df.columns), base_schema=df.schema)
+        # Empty input: the user code still declared the output columns —
+        # keep input types for surviving columns, map pandas dtypes for
+        # new ones (the reference never defines filterN on empty input;
+        # this is strictly more useful and exercised in tests).
+        base = {f.name: f for f in df.schema.fields}
+        fields = [
+            base[c] if c in base else StructField(c, _pandas_dtype_to_spark(out[c].dtype), True)
+            for c in out.columns
+        ]
+        return StructType(fields)
 
     def apply(self, df: DataFrame) -> DataFrame:
         schema = self.infer_schema(df)

@@ -1,0 +1,103 @@
+"""Edge cases: empty inputs through row stages (Arrow's classic crash
+vector), unusual CSV content round-trips, null handling in stages."""
+
+import pytest
+
+from filefilter_spark.config import load_config_str
+from filefilter_spark.pipeline import Pipeline
+
+
+def test_empty_input_through_python_stage(spark):
+    df = spark.createDataFrame([], "id int, s string")
+    out = Pipeline(spark, load_config_str("""
+filters:
+  - name: tag
+    actionType: python
+    code: |
+      row['t'] = row['id'] * 2
+""")).run(df).df
+    assert out.count() == 0
+    # No sample rows → no new columns discoverable; schema passes through
+    # (the reference's filterN schema comes from chunk 0, which never
+    # exists on empty input — same contract).
+    assert out.columns == ["id", "s"]
+
+
+def test_empty_input_through_pandas_and_sql(spark):
+    df = spark.createDataFrame([], "a int, b double")
+    out = Pipeline(spark, load_config_str("""
+filters:
+  - name: p
+    actionType: pandas
+    code: |
+      df = df.assign(c=df['a'] + 1)
+  - name: s
+    actionType: sql
+    code: SELECT a, c FROM df
+""")).run(df).df
+    assert out.count() == 0
+
+
+def test_all_rows_error_keeps_all_rows(spark):
+    """keep-on-error: even when user code fails on EVERY row, the
+    dataset passes through unchanged (reference filefilter.py:56-65)."""
+    df = spark.createDataFrame([(1,), (2,)], "id int")
+    out = Pipeline(spark, load_config_str("""
+filters:
+  - name: boom
+    actionType: python
+    code: |
+      raise RuntimeError('always')
+""")).run(df).df
+    assert sorted(r["id"] for r in out.collect()) == [1, 2]
+
+
+def test_csv_roundtrip_quotes_delimiters_newlines(spark, tmp_path):
+    """Strings containing the delimiter, quotes, and embedded newlines
+    survive a CSV write→read round trip (Spark quotes on write; the
+    reader needs multiLine for embedded newlines)."""
+    from filefilter_spark.io import write_csv_file
+
+    rows = [
+        (1, 'plain'),
+        (2, 'with;delimiter'),
+        (3, 'with "quotes"'),
+        (4, 'with\nnewline'),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, s string")
+    out = tmp_path / "round.csv"
+    write_csv_file(df, str(out), delimiter=";")
+    # Spark's writer backslash-escapes embedded quotes by default; the
+    # reader must use the matching default escape (multiLine for the
+    # embedded newline).
+    back = (
+        spark.read.options(header=True, sep=";", multiLine=True)
+        .schema("id int, s string")
+        .csv(str(out))
+    )
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got == {i: s for i, s in rows}
+
+
+def test_python_stage_nulls_in_new_column(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    out = Pipeline(spark, load_config_str("""
+filters:
+  - name: partial
+    actionType: python
+    code: |
+      row['maybe'] = float(row['id']) if row['id'] > 1 else None
+""")).run(df).df
+    vals = {r["id"]: r["maybe"] for r in out.collect()}
+    assert vals == {1: None, 2: 2.0, 3: 3.0}
+    assert dict(out.dtypes)["maybe"] == "double"
+
+
+def test_sample_lines_cap(spark, tmp_path):
+    from filefilter_spark.io import read_input
+
+    src = tmp_path / "x.csv"
+    src.write_text("a\n" + "\n".join(str(i) for i in range(100)))
+    df = read_input(spark, str(src), sample_lines=7)
+    assert df.count() == 7
