@@ -148,19 +148,33 @@ class Pipeline:
         return self.spark.read.parquet(str(p / "data"))
 
     def run(self, df: DataFrame) -> PipelineResult:
-        """Fold the enabled stages over the input DataFrame (OP-A8)."""
+        """Fold the enabled stages over the input DataFrame (OP-A8).
+
+        Two twin chains are threaded: the *observed* chain (returned,
+        carries one Observation per stage so the caller's action fills
+        the row counts) and an *observation-free* chain used only for
+        row-stage schema-inference sampling — PySpark Observations
+        capture the FIRST completed action, so the limit-sample job must
+        never run on the observed plan or it would record the sample
+        size as the stage's row count.
+        """
         metrics: list[StageMetrics] = []
         resuming = True  # leading prefix of resumable stages
+        plain = df  # observation-free twin
         for cfg in self.config.enabled_stages:
             m = StageMetrics(cfg.name, cfg.action_type)
             resumed_df = self._try_resume(cfg) if resuming else None
             if resumed_df is not None:
                 df = resumed_df
+                plain = resumed_df
                 m.resumed = True
                 log.info("stage %s: resumed from %s", cfg.name, self._stage_path(cfg))
             else:
                 resuming = False
                 stage = self._build_stage(cfg)
+                # Plain chain first: schema inference samples HERE (and
+                # caches), so the observed apply below is action-free.
+                plain = stage.apply(plain)
                 df = stage.apply(df)
                 m._error_acc = getattr(df, "_filefilter_error_acc", None)
                 m._status_accs = getattr(df, "_filefilter_status_accs", None)
@@ -170,6 +184,7 @@ class Pipeline:
                 m._observation = obs
                 if self.checkpoint_dir:
                     df = self._materialize(cfg, df)
+                    plain = df
                     m.harvest()  # the write was an action; counts are in
             if self.collect_metrics and m.rows_out is None:
                 m.rows_out = df.count()

@@ -247,6 +247,43 @@ def op_a16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_A14_YAML = """
+filters:
+  - name: keep_f
+    actionType: sql
+    code: SELECT * FROM df WHERE o_orderstatus = 'F'
+  - name: classify
+    actionType: python
+    code: |
+      row['big'] = row['o_totalprice'] > 100000
+"""
+
+
+@query(
+    "OP-A14",
+    oracle="""
+    SELECT 'keep_f' AS stage, (SELECT count(*) FROM orders WHERE o_orderstatus = 'F') AS rows_out, 0 AS errors
+    UNION ALL
+    SELECT 'classify', (SELECT count(*) FROM orders WHERE o_orderstatus = 'F'), 0
+    """,
+    doc="progress/stats (StatsManager.py:10-34, filefilter.py:116-141): "
+        "per-stage row counts + error counters collected via df.observe on "
+        "the materializing action — zero extra jobs; returned as a metrics "
+        "table the oracle pins exactly.",
+)
+def op_a14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_A14_YAML))
+    result = pipe.run(load_table(spark, sf_dir, "orders"))
+    result.df.write.format("noop").mode("overwrite").save()  # one action
+    rows = [
+        (m.name, m.rows_out, m.errors if m.errors is not None else 0)
+        for m in result.harvest_metrics()
+    ]
+    return spark.createDataFrame(rows, "stage string, rows_out bigint, errors bigint")
+
+
 _C1_YAML = """
 filters:
   - name: pandas_enrich

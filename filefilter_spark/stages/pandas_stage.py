@@ -84,7 +84,17 @@ def _exec_on_pdf(code_obj, pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 class PandasStage(Stage):
+    _schema_cache: StructType | None = None
+
     def infer_schema(self, df: DataFrame) -> StructType:
+        # Cached — see PythonStage.infer_schema for the Observation
+        # first-action rationale.
+        if self._schema_cache is not None:
+            return self._schema_cache
+        self._schema_cache = self._infer_schema_uncached(df)
+        return self._schema_cache
+
+    def _infer_schema_uncached(self, df: DataFrame) -> StructType:
         rows_in = [r.asDict() for r in df.limit(SAMPLE_ROWS_FOR_SCHEMA).collect()]
         sample = (
             pd.DataFrame(rows_in, columns=list(df.columns))

@@ -55,13 +55,25 @@ def _run_user_code(code_obj, row: dict[str, Any]) -> dict[str, Any]:
 
 
 class PythonStage(Stage):
+    _schema_cache: StructType | None = None
+
     def infer_schema(self, df: DataFrame) -> StructType:
+        # Cached so Pipeline can apply the stage to both its observed and
+        # observation-free chains with a single sampling action (the
+        # sample must never run on a plan carrying Observation nodes —
+        # PySpark observations capture the FIRST completed action, and a
+        # limit(100) sampling job would poison the per-stage row counts).
+        if self._schema_cache is not None:
+            return self._schema_cache
         sample = [r.asDict() for r in df.limit(SAMPLE_ROWS_FOR_SCHEMA).collect()]
         code_obj = compile(self.cfg.code, f"<python-stage:{self.cfg.name}>", "exec")
         out_rows = [_run_user_code(code_obj, dict(r)) for r in sample]
         if not out_rows:
-            return df.schema
-        return schema_from_rows(out_rows, list(df.columns), base_schema=df.schema)
+            schema = df.schema
+        else:
+            schema = schema_from_rows(out_rows, list(df.columns), base_schema=df.schema)
+        self._schema_cache = schema
+        return schema
 
     def apply(self, df: DataFrame) -> DataFrame:
         schema = self.infer_schema(df)

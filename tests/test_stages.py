@@ -231,6 +231,15 @@ def test_config_validation_errors():
         load_config_str("filters:\n  - name: x\n    actionType: rest")  # no actionConfig
 
 
+def test_s3_path_normalization():
+    """OP-A3: s3:// inputs map to the hadoop-aws s3a connector
+    (reference Database.py:72-75 used DuckDB httpfs)."""
+    from filefilter_spark.io import _normalize_path
+
+    assert _normalize_path("s3://bucket/k/file.parquet") == "s3a://bucket/k/file.parquet"
+    assert _normalize_path("/local/file.csv") == "/local/file.csv"
+
+
 def test_config_delimiter_aliases_and_reload_alias():
     cfg = load_config_str("inDelimiter: TAB\nreloadConfigEvery: 9\nfilters: []")
     assert cfg.in_delimiter == "\t"
