@@ -146,6 +146,70 @@ def lsh_cosine_pairs(
     )
 
 
+def build_ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+):
+    """IVF (inverted-file) coarse quantizer: KMeans the corpus into
+    ``n_lists`` centroid cells; every vector is assigned to its nearest
+    cell. Returns (assigned DataFrame with a ``cell`` column, centroid
+    list). At scale the assigned table is written partitioned by
+    ``cell`` so probes are partition-pruned reads — the same storage
+    trick as the LSH buckets, with data-adaptive cells instead of
+    random hyperplanes."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        F.col(id_col),
+        _as_double_array(vec_col).alias("__arr"),
+    ).withColumn("__vec", array_to_vector("__arr"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__vec", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, "__arr", "cell")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk_cosine(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN top-k: score the query against the (driver-side, tiny)
+    centroid table, probe the ``n_probe`` nearest cells, exact-rerank
+    only those vectors. Complements :func:`lsh_topk_cosine` — IVF cells
+    adapt to the data distribution, LSH needs no training pass."""
+    import math
+
+    assigned, centroids = build_ivf_index(df, n_lists, vec_col, id_col, seed)
+
+    def cos(a: Sequence[float], b: Sequence[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    probe_cells = sorted(
+        range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i])
+    )[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), cosine(F.col("__arr"), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     import random as _random
 

@@ -210,6 +210,21 @@ def op_d3_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D3-ivf",
+    oracle=None,  # ANN: recall vs exact measured in tests
+    doc="IVF ANN top-10: KMeans coarse quantizer (16 cells), probe the 4 "
+        "nearest cells, exact rerank — the data-adaptive counterpart to "
+        "the LSH path; at scale cells are partition-pruned reads.",
+)
+def op_d3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.similarity import ivf_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_topk_cosine(emb, _query_vec(spark, sf_dir), k=10)
+    return out.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@query(
     "OP-D3-lsh",
     oracle=None,  # ANN: recall vs exact measured in tests
     doc="ANN top-10 via random-hyperplane LSH bucketing (4 tables × 8 "

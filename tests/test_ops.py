@@ -74,6 +74,17 @@ def test_lsh_ann_recall_vs_exact_topk(spark, embeddings):
     assert approx[0] == exact[0] == 0  # the query vector itself is its own top-1
 
 
+def test_ivf_ann_recall_vs_exact_topk(spark, embeddings):
+    from filefilter_spark.ops.similarity import ivf_topk_cosine, topk_cosine
+
+    qv = [float(x) for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in topk_cosine(embeddings, qv, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk_cosine(embeddings, qv, k=10).collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"IVF recall@10 = {overlap}/10"
+    assert approx[0] == 0  # query vector is its own top-1
+
+
 def test_lsh_cosine_pairs_recall_vs_exact(embeddings):
     """Bucketed embedding near-dup: exact precision (verification step)
     and high recall vs the O(n²) baseline at threshold 0.45."""
