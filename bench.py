@@ -54,9 +54,15 @@ def main() -> None:
 
     qs = E.queries()
 
-    # Warm the JVM/codegen paths once so per-query numbers reflect the
-    # steady-state plan, not first-job classloading.
-    qs["OP-B12"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm pass: run every headline query once so the timed pass
+    # measures the steady-state plan (JIT'd codegen, loaded classes,
+    # page-cached input) rather than first-job classloading — the state
+    # a long-lived cluster session is actually in. The timed pass still
+    # builds each plan from scratch (no caching of data or results).
+    for name in HEADLINE:
+        builder = qs.get(name)
+        if builder is not None:
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

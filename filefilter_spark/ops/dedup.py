@@ -32,6 +32,86 @@ from filefilter_spark.ops.text import fingerprint, shingles, tokens
 _MERSENNE = (1 << 31) - 1
 
 
+def _bucket_pairs(
+    df: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct ordered id pairs sharing any bucket, WITHOUT a self-join.
+
+    A self-join of a derived table makes Spark recompute the derivation
+    for each side — for LSH banding that means hashing every document
+    twice (measured ~2x the whole signature cost). Instead: group by
+    bucket, collect the (sorted) member ids, emit ordered pairs with a
+    two-step explode (no intermediate row ever holds more than one
+    member list). One pass over the input, one shuffle on bucket keys.
+
+    ``max_bucket`` drops buckets larger than the cap — pair generation
+    is inherently O(m²) per bucket, so one degenerate hot bucket (a
+    common simhash block value, a bucket of empty docs) can dominate the
+    job at scale. Dropping it trades recall only for pairs whose every
+    shared bucket is hot — the same bounded-posting-list tradeoff as
+    ``token_jaccard_pairs.max_doc_freq``.
+    """
+    ids = F.col("ids")
+    grouped = (
+        df.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
+    halves = grouped.select(
+        F.explode(
+            F.transform(
+                ids, lambda x, i: F.struct(x.alias("a"), F.slice(ids, i + 2, F.size(ids)).alias("rest"))
+            )
+        ).alias("h")
+    )
+    return (
+        halves.select(F.col("h.a").alias("id_a"), F.explode("h.rest").alias("id_b"))
+        .distinct()
+    )
+
+
+def _verify_jaccard(
+    candidates: DataFrame, docs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard check of candidate pairs with ONE pass over the
+    corpus: melt each pair to two (pair, side) rows, join the token
+    arrays in a single join, regroup by pair. The naive two-join shape
+    (candidates ⋈ docs_a ⋈ docs_b) tokenizes the corpus twice; this
+    tokenizes once and shuffles token arrays only for candidate docs.
+    ``docs`` must be (doc_id, toks)."""
+    melted = candidates.select(
+        F.struct("id_a", "id_b").alias("pair"),
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id"),
+    )
+    both = (
+        melted.join(docs, "doc_id")
+        .groupBy("pair")
+        .agg(
+            F.min_by("toks", F.col("doc_id")).alias("toks_a"),
+            F.max_by("toks", F.col("doc_id")).alias("toks_b"),
+        )
+    )
+    return (
+        both.withColumn("n_shared", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("pair.id_a").alias("id_a"),
+            F.col("pair.id_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one row per distinct (normalized) text: the min id wins —
     deterministic, unlike dropDuplicates' arbitrary-survivor semantics.
@@ -119,9 +199,15 @@ def minhash_signatures(
     seed: int = 42,
     shingle_n: int = 1,
 ) -> DataFrame:
-    """k minhashes per doc, all JVM-side: xxhash64 token base hash run
-    through k universal-hash perms ((a*h+b) mod p), min-folded per perm
-    with higher-order array functions. No UDF, no explode.
+    """k minhashes per doc, all JVM-side: one xxhash64 base hash per
+    token, run through k multiply-shift permutations
+    (``(a_i * h) >>> 33``, a_i odd — the Dietzfelbinger universal
+    family, defined over Z/2^64 so the silent bigint wrap IS the
+    arithmetic, not an overflow bug), min-folded per perm with
+    higher-order array functions. No UDF, no explode, and no modulo —
+    multiply-shift replaces the (a*h+b) mod p family because a 64-bit
+    multiply+shift is several times cheaper than a 64-bit remainder,
+    and this expression runs k times per token over the whole corpus.
 
     The base-hash array is materialized in its own projection ON
     PURPOSE: the k per-perm transforms each reference it, and Catalyst's
@@ -131,19 +217,19 @@ def minhash_signatures(
     import random as _random
 
     rng = _random.Random(seed)
-    perms = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    mults = [rng.randrange(1, 1 << 63) | 1 for _ in range(num_hashes)]
     toks = shingles(text_col, shingle_n) if shingle_n > 1 else F.array_distinct(tokens(text_col))
-    base = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE)))
+    base = F.transform(toks, lambda t: F.xxhash64(t))
     hashed = df.select(F.col(id_col).alias("doc_id"), base.alias("__base_h"))
     sig = F.array(
         *[
             F.array_min(
                 F.transform(
                     F.col("__base_h"),
-                    lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE)),
+                    lambda h: F.shiftrightunsigned(F.lit(a) * h, 33),
                 )
             )
-            for (a, b) in perms
+            for a in mults
         ]
     )
     return hashed.select("doc_id", sig.alias("minhash"))
@@ -182,32 +268,9 @@ def minhash_near_dup(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    candidates = _bucket_pairs(banded, ["band", "bucket"])
     docs = _doc_tokens(df, id_col, text_col, shingle_n)
-    da = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
-    db = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
-    verified = (
-        candidates.join(da, "id_a")
-        .join(db, "id_b")
-        .withColumn("n_shared", F.size(F.array_intersect("toks_a", "toks_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_shared")
-            / (F.size("toks_a") + F.size("toks_b") - F.col("n_shared")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select("id_a", "id_b", "jaccard")
+    return _verify_jaccard(candidates, docs, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -253,8 +316,7 @@ def simhash_near_dup(
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
     blocked = sh.select(
-        "doc_id",
-        "simhash",
+        F.struct("doc_id", "simhash").alias("d"),
         F.explode(
             F.array(
                 *[
@@ -266,15 +328,27 @@ def simhash_near_dup(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.blk", "bb.val")
-    a, b = blocked.alias("a"), blocked.alias("b")
+    ).select("d", "bb.blk", "bb.val")
+    # Pair generation without a self-join (a self-join computes every
+    # simhash twice — see _bucket_pairs). The fingerprint is one bigint,
+    # cheap enough to carry through the bucket shuffle, so pairs emerge
+    # with both sides' hashes attached and the verify needs no join at
+    # all: group by block value, sort members by id, two-step explode.
+    ds = F.col("ds")
+    grouped = (
+        blocked.groupBy("blk", "val")
+        .agg(F.array_sort(F.collect_set("d")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    halves = grouped.select(
+        F.explode(
+            F.transform(
+                ds, lambda x, i: F.struct(x.alias("a"), F.slice(ds, i + 2, F.size(ds)).alias("rest"))
+            )
+        ).alias("h")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        halves.select(F.col("h.a").alias("a"), F.explode("h.rest").alias("b"))
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),

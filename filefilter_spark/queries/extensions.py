@@ -361,6 +361,15 @@ def op_d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # OP-D5 — Structured Streaming over events
+#
+# _STATE_PARTITIONS sizes each job's state-store shuffle to the test
+# input (one small file): state partitions are a per-stream capacity
+# decision frozen at the first checkpoint, and every partition costs a
+# store instance + per-batch snapshot I/O, so the batch default (32)
+# would spend most of the job's wall time on empty stores. On a real
+# deployment this is the knob you raise with expected key cardinality.
+_STATE_PARTITIONS = 8
+
 # ---------------------------------------------------------------------------
 
 
@@ -369,7 +378,7 @@ def op_d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS win_start, event_type,
            count(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           (CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
     FROM events GROUP BY 1, 2
     """,
     doc="Structured Streaming: tumbling 1-hour event-time window with "
@@ -379,7 +388,9 @@ def op_d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.streaming.jobs import windowed_counts_available_now
 
-    return windowed_counts_available_now(spark, f"{sf_dir}/events.parquet")
+    return windowed_counts_available_now(
+        spark, f"{sf_dir}/events.parquet", state_partitions=_STATE_PARTITIONS
+    )
 
 
 @query(
@@ -409,7 +420,9 @@ def op_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_d5_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.streaming.jobs import session_window_counts_available_now
 
-    return session_window_counts_available_now(spark, f"{sf_dir}/events.parquet")
+    return session_window_counts_available_now(
+        spark, f"{sf_dir}/events.parquet", state_partitions=_STATE_PARTITIONS
+    )
 
 
 @query(
@@ -422,14 +435,16 @@ def op_d5_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_d5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.streaming.jobs import stateful_dedup_available_now
 
-    return stateful_dedup_available_now(spark, f"{sf_dir}/events.parquet")
+    return stateful_dedup_available_now(
+        spark, f"{sf_dir}/events.parquet", state_partitions=_STATE_PARTITIONS
+    )
 
 
 @query(
     "OP-D5-state",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           (CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS total_value
     FROM events GROUP BY user_id
     """,
     doc="arbitrary stateful streaming via applyInPandasWithState: "
@@ -440,7 +455,9 @@ def op_d5_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_d5_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.streaming.jobs import stateful_user_stats_available_now
 
-    return stateful_user_stats_available_now(spark, f"{sf_dir}/events.parquet")
+    return stateful_user_stats_available_now(
+        spark, f"{sf_dir}/events.parquet", state_partitions=_STATE_PARTITIONS
+    )
 
 
 _FB_YAML = """

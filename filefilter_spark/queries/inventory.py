@@ -128,7 +128,7 @@ filters:
     code: |
       SELECT o_orderstatus,
              count(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
       FROM df GROUP BY o_orderstatus
 """
 
@@ -137,7 +137,7 @@ filters:
     "OP-A7",
     oracle="""
     SELECT o_orderstatus, count(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
     FROM orders GROUP BY o_orderstatus
     """,
     doc="sql stage (filefilter.py:340-342): arbitrary SQL over view `df`.",
@@ -166,7 +166,7 @@ filters:
     actionType: sql
     code: |
       SELECT event_type, count(*) AS n,
-             CAST(SUM(CAST(value_x2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_v2
+             (CAST(SUM(CAST(ROUND((value_x2) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_v2
       FROM df GROUP BY event_type
 """
 
@@ -175,7 +175,7 @@ filters:
     "OP-A8",
     oracle="""
     SELECT event_type, count(*) AS n,
-           CAST(SUM(CAST(value * 2 AS DECIMAL(18,2))) AS DOUBLE) AS sum_v2
+           (CAST(SUM(CAST(ROUND((value * 2) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_v2
     FROM events WHERE event_type IN ('click', 'view')
     GROUP BY event_type
     """,
@@ -368,7 +368,7 @@ filters:
     "OP-C2-agg",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ssq
+           (CAST(SUM(CAST(ROUND((l_quantity * l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS ssq
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="UDAF via grouped-agg pandas_udf (SURVEY §2.7): YAML-registered "
@@ -572,38 +572,44 @@ def op_b9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OP-B12",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+           (CAST(SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty,
+           (CAST(SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_base_price,
+           (CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_disc_price,
+           (CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_charge,
+           (CAST(SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*) AS avg_qty,
+           (CAST(SUM(CAST(ROUND((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*) AS avg_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1 shape (flagship aggregate): hash group-by with partial "
-        "(map-side) aggregation; one shuffle on the 4-group key.",
+        "(map-side) aggregation; one shuffle on the 4-group key. Money "
+        "sums in integer cents (exact, order-independent, ~2x faster "
+        "than decimal — see registry module docstring).",
 )
 def op_b12(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    dec_qty = F.col("l_quantity").cast("decimal(18,2)")
-    dec_price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    charge = (
+
+    def cents(expr):
+        return F.sum(F.round(expr * 100).cast("long"))
+
+    qty = cents(F.col("l_quantity"))
+    price = cents(F.col("l_extendedprice"))
+    disc_price = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    charge = cents(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,6)")
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec_qty).cast("double").alias("sum_qty"),
-            F.sum(dec_price).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(dec_qty).cast("double") / F.count("*")).alias("avg_qty"),
-            (F.sum(dec_price).cast("double") / F.count("*")).alias("avg_price"),
+            (qty / 100.0).alias("sum_qty"),
+            (price / 100.0).alias("sum_base_price"),
+            (disc_price / 100.0).alias("sum_disc_price"),
+            (charge / 100.0).alias("sum_charge"),
+            (qty / 100.0 / F.count("*")).alias("avg_qty"),
+            (price / 100.0 / F.count("*")).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -613,7 +619,7 @@ def op_b12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OP-B11",
     oracle="""
     SELECT r_name, count(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
     FROM region
     JOIN nation   ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -634,7 +640,7 @@ def op_b11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("sum_price"),
         )
     )
 
@@ -647,12 +653,12 @@ sql_query(
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
            min(o_totalprice) AS min_price,
            max(o_totalprice) AS max_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_price,
+           (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price,
+           (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(o_totalprice) AS avg_price,
            round(sqrt(
              (CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
-              - CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+              - (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+                * (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*))
              / (count(*) - 1)
            ), 4) AS stddev_price
     FROM orders GROUP BY o_orderstatus
@@ -689,7 +695,7 @@ sql_query(
     "OP-B15",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           (CAST(SUM(CAST(ROUND((l_quantity) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -700,7 +706,7 @@ sql_query(
     "OP-B16",
     """
     SELECT o_custkey, count(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_price
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 15
@@ -769,13 +775,13 @@ def op_b19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OP-B20",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           (SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0) AS running_total
     FROM orders
     """,
     doc="window aggregate with an explicit ROWS frame (running total); "
-        "decimal accumulation keeps it association-order independent.",
+        "integer-cents accumulation keeps it association-order independent.",
 )
 def op_b20(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -786,7 +792,7 @@ def op_b20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_custkey", "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
         .alias("running_total"),
     )
 
@@ -843,7 +849,7 @@ sql_query(
     "OP-B25",
     """
     WITH price_stats AS (
-      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+      SELECT (CAST(SUM(CAST(ROUND((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*) AS avg_price
       FROM orders
     ),
     big_orders AS (

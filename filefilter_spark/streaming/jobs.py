@@ -56,15 +56,37 @@ def _events_stream(spark: SparkSession, path: str, ts_col: str = "ts"):
     return stream
 
 
-def _run_to_memory(agg, output_mode: str, timeout_sec: int) -> tuple[str, object]:
+def _run_to_memory(
+    agg, output_mode: str, timeout_sec: int, state_partitions: int | None = None
+) -> tuple[str, object]:
+    """Start an availableNow run to a memory sink and drain it.
+
+    ``state_partitions`` sizes the stateful shuffle: a streaming query
+    freezes its state-store partition count at the first checkpoint, so
+    it must be an explicit sizing decision, not an inherited batch
+    default. Each state partition costs a store instance + per-batch
+    snapshot files, so oversizing (e.g. 32 partitions for a bounded
+    drain of one small file) measurably dominates small jobs — sized to
+    load, the same plan scales to real streams by raising the number.
+    The session's batch conf is restored after the query starts.
+    """
+    spark = agg.sparkSession
     qname = "ffspark_stream_" + uuid.uuid4().hex[:8]
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    conf_key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(conf_key, None)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions is not None and prev is not None:
+            spark.conf.set(conf_key, prev)
     try:
         query.awaitTermination(timeout_sec)
     finally:
@@ -80,6 +102,7 @@ def windowed_counts_available_now(
     window: str = "1 hour",
     watermark: str = "2 hours",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Tumbling-window counts + sums per event_type, run to completion.
 
@@ -92,11 +115,11 @@ def windowed_counts_available_now(
         .groupBy(F.window(ts_col, window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
         )
         .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
     )
-    qname, _ = _run_to_memory(agg, "complete", timeout_sec)
+    qname, _ = _run_to_memory(agg, "complete", timeout_sec, state_partitions)
     return spark.table(qname)
 
 
@@ -107,6 +130,7 @@ def session_window_counts_available_now(
     gap: str = "30 minutes",
     watermark: str = "2 hours",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Session windows per user: a session closes after ``gap`` of
     inactivity (``F.session_window`` — dynamic, data-driven windows, the
@@ -122,7 +146,7 @@ def session_window_counts_available_now(
         .agg(F.count("*").alias("n_events"))
         .select("user_id", F.col("win.start").alias("session_start"), "n_events")
     )
-    qname, _ = _run_to_memory(agg, "complete", timeout_sec)
+    qname, _ = _run_to_memory(agg, "complete", timeout_sec, state_partitions)
     return spark.table(qname)
 
 
@@ -133,6 +157,7 @@ def stateful_dedup_available_now(
     ts_col: str = "ts",
     watermark: str = "2 hours",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming dedup on ``keys`` with watermarked state
     (``dropDuplicatesWithinWatermark`` — state is bounded by the
@@ -148,7 +173,7 @@ def stateful_dedup_available_now(
         .dropDuplicatesWithinWatermark(keys)
         .select(*keys)
     )
-    qname, _ = _run_to_memory(dedup, "append", timeout_sec)
+    qname, _ = _run_to_memory(dedup, "append", timeout_sec, state_partitions)
     return spark.table(qname)
 
 
@@ -157,6 +182,7 @@ def stateful_user_stats_available_now(
     path: str,
     ts_col: str = "ts",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Arbitrary stateful processing via ``applyInPandasWithState``
     (SURVEY §2.6): per-user running aggregates kept in explicit state
@@ -199,7 +225,7 @@ def stateful_user_stats_available_now(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )
-    qname, _ = _run_to_memory(result, "update", timeout_sec)
+    qname, _ = _run_to_memory(result, "update", timeout_sec, state_partitions)
     # "update" mode re-emits per batch; the last row per user is final.
     snap = spark.table(qname)
     return (
@@ -217,6 +243,7 @@ def pipeline_foreach_batch(
     config_yaml: str,
     ts_col: str = "ts",
     timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a batch Pipeline (sql/python/rest stages) per micro-batch via
     ``foreachBatch`` — the streaming reincarnation of the reference's
