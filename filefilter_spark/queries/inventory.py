@@ -481,7 +481,12 @@ sql_query(
 def op_b5(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+    # No broadcast hint: customer grows with SF, so the side must be
+    # chosen by size statistics (static planner under the 64 MB
+    # threshold, AQE at runtime otherwise) — a hard hint would force an
+    # executor-OOM broadcast at production scale. Measured: the
+    # hint-free plan is also faster here (no eager broadcast-build job).
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
     )
 
@@ -634,9 +639,12 @@ def op_b11(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        # Size-based broadcast selection (see OP-B5 note): all three
+        # dims are picked as broadcast-hash sides automatically at this
+        # SF; at scale only the ones that still fit get broadcast.
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_orders"),
@@ -1052,7 +1060,7 @@ def op_b35(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)  # size-based broadcast, see OP-B5
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
