@@ -144,7 +144,11 @@ def resize_images_stub(media: DataFrame, width: int = 224, height: int = 224,
                     raise NotImplementedError("image resize unavailable; fake=True only")
                 seed = hashlib.sha256(bytes(content) if content is not None else b"")
                 seed.update(f"{width}x{height}".encode())
-                resized = seed.digest() * 4  # deterministic fixed-size payload
+                # Deterministic fixed-size fake payload. Hex-string bytes
+                # (not raw digest bytes) ON PURPOSE: the oracle engine's
+                # sha256 only hashes VARCHAR, so an ASCII payload keeps
+                # the downstream sha256 column SQL-checkable end-to-end.
+                resized = (seed.hexdigest() * 4).encode("ascii")
                 out["media_id"].append(int(mid))
                 out["media_type"].append(mtype)
                 out["content"].append(resized)
@@ -173,12 +177,14 @@ def frame_sample_stub(media: DataFrame, every_n: int = 30, fake: bool = True) ->
                 if not fake:
                     raise NotImplementedError("video decoding unavailable; fake=True only")
                 n_frames = max(1, int(clen) % 300)
-                h = hashlib.sha256(bytes(content) if content is not None else b"")
+                # Hex-string seed (not raw digest bytes) so the fake frame
+                # hash is reproducible by a VARCHAR-only sha256 oracle.
+                seed = hashlib.sha256(bytes(content) if content is not None else b"").hexdigest()
                 for i in range(0, n_frames, every_n):
                     out["media_id"].append(int(mid))
                     out["frame_idx"].append(i)
                     out["frame_hash"].append(
-                        hashlib.sha256(h.digest() + i.to_bytes(4, "big")).hexdigest()[:16]
+                        hashlib.sha256(f"{seed}-{i}".encode("ascii")).hexdigest()[:16]
                     )
             yield pd.DataFrame(out)
 

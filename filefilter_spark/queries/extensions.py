@@ -517,7 +517,18 @@ def op_d6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "OP-D6-decode",
-    oracle=None,  # decode kernel is stubbed (no codecs in container)
+    # The decode kernel is a stub (no codecs in container), but its fake
+    # output is a pure function of sha256(payload) — and the payload here
+    # is UTF-8 text, which DuckDB's VARCHAR sha256 hashes identically. So
+    # the plumbing gets a full value-hash oracle, not just rows-only.
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS INT) AS width,
+           CAST(64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS INT) AS height,
+           3 AS n_channels,
+           substr(sha256(text), 1, 16) AS feature_hash
+    FROM documents
+    """,
     doc="image decode/feature plumbing: Arrow-batched mapInPandas over the "
         "binary column; deterministic fake kernel (see ops.multimodal).",
 )
@@ -531,7 +542,18 @@ def op_d6_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "OP-D6-audio",
-    oracle=None,  # stub kernel (no audio codecs in container)
+    # Fake kernel is sha256-derived (see OP-D6-decode note) → full oracle.
+    oracle="""
+    SELECT doc_id AS media_id,
+           (octet_length(CAST(text AS BLOB)) * 100 * 1000)
+             // (CASE WHEN ('0x' || substr(sha256(text), 5, 2))::INT % 2 = 1
+                      THEN 16000 ELSE 44100 END) AS duration_ms,
+           CAST(CASE WHEN ('0x' || substr(sha256(text), 5, 2))::INT % 2 = 1
+                     THEN 16000 ELSE 44100 END AS INT) AS sample_rate,
+           octet_length(CAST(text AS BLOB)) * 100 AS n_samples,
+           substr(sha256(text), 1, 16) AS mfcc_hash
+    FROM documents
+    """,
     doc="audio feature plumbing (duration/sample-rate/MFCC fingerprint): "
         "Arrow-batched mapInPandas, deterministic fake kernel.",
 )
@@ -545,7 +567,20 @@ def op_d6_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "OP-D6-frames",
-    oracle=None,  # stub kernel (no video codecs in container)
+    # Fake kernel is sha256-derived (see OP-D6-decode note) → full oracle,
+    # including the 1:N fan-out cardinality via unnest(range(...)).
+    oracle="""
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           substr(sha256(sha256(text) || '-' || CAST(frame_idx AS VARCHAR)), 1, 16)
+             AS frame_hash
+    FROM (
+        SELECT doc_id AS media_id, text,
+               unnest(range(0, greatest(1, octet_length(CAST(text AS BLOB)) % 300), 30))
+                 AS frame_idx
+        FROM documents
+    )
+    """,
     doc="video frame-sampling plumbing: 1:N mapInPandas fan-out from one "
         "video row to frame rows; deterministic fake kernel.",
 )
@@ -559,7 +594,15 @@ def op_d6_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "OP-D6-resize",
-    oracle=None,  # stub kernel (no image codecs in container)
+    # Fake kernel emits an ASCII hex payload precisely so the rewritten
+    # payload's sha256 is reproducible by the VARCHAR-only oracle sha256
+    # (see ops.multimodal.resize_images_stub) → full oracle.
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(256 AS BIGINT) AS content_len,
+           sha256(repeat(sha256(text || '224x224'), 4)) AS sha256
+    FROM documents
+    """,
     doc="image resize plumbing: binary→binary mapInPandas rewrite keeping "
         "the canonical media schema; deterministic fake kernel.",
 )
@@ -569,5 +612,6 @@ def op_d6_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = to_media_table(d, "doc_id", "text", media_type="image")
     resized = resize_images_stub(media, fake=True)
-    # payload dropped for the rows-only check (stable metadata surface)
+    # payload column dropped for comparison (DuckDB can't hash blobs, but
+    # the sha256 column proves the payload bytes end-to-end)
     return resized.select("media_id", "media_type", "content_len", "sha256")
