@@ -1,0 +1,112 @@
+"""Plan-shape contracts for the scale-critical queries.
+
+These tests pin the *physical plan properties* that make the engine
+viable at 100 TB — filter pushdown reaching the parquet scan, column
+pruning, map-side partial aggregation, broadcast (not shuffle) joins
+for dimension tables, shuffle-free top-k, and the single-shuffle as-of
+join. A refactor that silently regresses one of these still returns
+correct rows at test SF, so value checks alone would never catch it;
+the plan string is the only observable.
+
+Each helper asserts on `explain("formatted")` output, the same surface
+a human would inspect.
+"""
+
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    jdf = df._jdf
+    mode = jdf.sparkSession().sparkContext()  # noqa: F841  (keep py4j refs alive)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _shuffle_count(plan: str) -> int:
+    """Shuffle exchanges only — BroadcastExchange is cheap by design."""
+    return len(re.findall(r"\n\s*(?:\+|:)- Exchange ", plan))
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as E
+
+    return E.queries()
+
+
+def test_q1_pushdown_pruning_partial_agg(spark, sf_dir, queries):
+    plan = _plan(queries["OP-B12"](spark, sf_dir))
+    # predicate reaches the parquet scan, not a post-scan Filter only
+    assert "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column table scans only the 7 needed
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert "l_comment" not in cols and len(cols) <= 7
+    # partial (map-side) + final aggregate around one shuffle
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert _shuffle_count(plan) == 1
+
+
+def test_topk_is_take_ordered_no_shuffle(spark, sf_dir, queries):
+    plan = _plan(queries["OP-B22"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffle_count(plan) == 0  # no global sort exchange
+
+
+def test_dim_join_is_broadcast(spark, sf_dir, queries):
+    plan = _plan(queries["OP-B5"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_multiway_join_all_broadcast_one_shuffle(spark, sf_dir, queries):
+    plan = _plan(queries["OP-B11"](spark, sf_dir))
+    tree = plan.split("\n\n")[0]  # operator tree, without the details section
+    assert len(re.findall(r"BroadcastHashJoin", tree)) == 3
+    assert _shuffle_count(plan) == 1  # only the final aggregate shuffles
+
+
+def test_range_join_is_banded_not_nested_loop(spark, sf_dir, queries):
+    plan = _plan(queries["OP-B9"](spark, sf_dir))
+    # the banded rewrite turns the theta join into an equi-join on band
+    # keys; a NestedLoop here is quadratic at scale
+    assert "NestedLoop" not in plan
+    assert "Generate" in plan  # band explode feeding the equi-join
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir, queries):
+    plan = _plan(queries["OP-B10"](spark, sf_dir))
+    # union + window strategy: one shuffle, zero join operators — the
+    # alternative (range join) explodes at scale
+    assert _shuffle_count(plan) == 1
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_exact_dedup_shuffles_keys_not_bodies(spark, sf_dir, queries):
+    plan = _plan(queries["OP-D1"](spark, sf_dir))
+    # partial+final agg: the shuffle carries fingerprints, and document
+    # bodies never cross the wire
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+    assert _shuffle_count(plan) == 1
+
+
+def test_cosine_topk_no_shuffle(spark, sf_dir, queries):
+    plan = _plan(queries["OP-D3"](spark, sf_dir))
+    # narrow map + per-partition top-k merged on the driver: zero
+    # shuffles regardless of corpus size
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffle_count(plan) == 0
+
+
+def test_projection_prunes_to_exact_columns(spark, sf_dir, queries):
+    plan = _plan(queries["OP-B1"](spark, sf_dir))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["l_extendedprice", "l_linenumber", "l_orderkey", "l_quantity"]
