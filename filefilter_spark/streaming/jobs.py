@@ -31,12 +31,19 @@ def _static_schema_and_ts_fix(spark: SparkSession, path: str):
     """Streaming file sources need an explicit schema. Derive it from a
     static read (which also handles the nanos-timestamp normalization
     contract — see queries.registry.load_table)."""
-    from filefilter_spark.queries.registry import _nanos_timestamp_columns
+    from filefilter_spark.queries.registry import (
+        _nanos_timestamp_columns,
+        _schema_cache,
+    )
 
     nanos_cols = _nanos_timestamp_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
+    key = (id(spark.sparkContext), path)
+    schema = _schema_cache.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _schema_cache[key] = schema
     return schema, nanos_cols
 
 
