@@ -85,15 +85,52 @@ def cosine_pairs(
     )
 
 
+def plan_lsh_pairs(
+    n_rows: int,
+    threshold: float,
+    target_bucket_size: int = 256,
+    recall: float = 0.9,
+    min_planes: int = 4,
+    max_planes: int = 24,
+    max_tables: int = 48,
+) -> tuple[int, int]:
+    """Size the (planes, tables) pair so LSH pair-mining stays linear.
+
+    With r planes there are 2^r buckets per table and an expected
+    occupancy of n/2^r, so the per-bucket self-join emits
+    ~n·occupancy/2 candidates per table: holding r fixed while n grows
+    makes candidate generation quadratic. Fixing the *occupancy*
+    instead — r = ceil(log2(n / target_bucket_size)) — keeps it linear,
+    and the table count is then re-derived from the banding curve
+    recall = 1-(1-a^r)^b (a = 1-θ/π the per-plane agreement at the
+    threshold) so the recall target survives the deeper hashes.
+    """
+    import math
+
+    a = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    r = min_planes
+    if n_rows > target_bucket_size:
+        r = max(min_planes, math.ceil(math.log2(n_rows / target_bucket_size)))
+    r = min(r, max_planes)
+    p_table = a**r
+    if p_table >= 1.0:
+        return r, 1
+    if p_table <= 0.0:
+        return r, max_tables
+    b = math.ceil(math.log(1.0 - recall) / math.log(1.0 - p_table))
+    return r, max(1, min(b, max_tables))
+
+
 def lsh_cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     n_tables: int = 8,
     seed: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup: candidate pairs share an LSH
     bucket in ≥1 of ``n_tables`` tables (union via explode + self-join
@@ -106,24 +143,42 @@ def lsh_cosine_pairs(
     Tuning is the classic r×b banding curve with per-plane agreement
     a = 1-θ/π: pair recall = 1-(1-a^r)^b. Defaults (r=6, b=8) give
     ~0.97 at cosine 0.9; for looser thresholds use fewer planes and
-    more tables (e.g. r=4, b=12 → ~0.9 recall at cosine 0.45)."""
+    more tables (e.g. r=4, b=12 → ~0.9 recall at cosine 0.45).
+
+    ``n_planes="auto"`` sizes (r, b) from the corpus count via
+    :func:`plan_lsh_pairs` — the plane count tracks log2(n) so expected
+    bucket occupancy stays constant and candidate generation stays
+    linear in n (a fixed r is quadratic; SCALING.md measures both).
+    ``max_bucket_size`` drops buckets larger than the cap before the
+    self-join: a skew guard against degenerate regions (zero vectors,
+    embedding-collapse clusters) that would otherwise contribute
+    O(bucket²) candidates; dropped buckets trade bounded recall loss in
+    those regions for a hard cost ceiling."""
     from filefilter_spark.ops.text import _bind
+
+    if n_planes == "auto":
+        n_planes, n_tables = plan_lsh_pairs(df.count(), threshold)
+        if max_bucket_size is None:
+            # The planner holds *expected* occupancy near 256; cap the
+            # tail at 16× expectation so a skewed region can't go wild.
+            max_bucket_size = 4096
 
     emb = _as_double_array(vec_col)
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     # Bucket membership carries only (id, table, bucket) — candidate
     # generation and dedup shuffle narrow id pairs, never vectors.
-    buckets = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("t"), lsh_signature(emb, planes).alias("b"))
-                    for t, planes in enumerate(tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("id", "tb.t", "tb.b")
+    buckets = _bucket_memberships(df, emb, id_col, tables)
+    if max_bucket_size is not None:
+        oversized = (
+            buckets.groupBy("t", "b")
+            .agg(F.count(F.lit(1)).alias("__sz"))
+            .filter(F.col("__sz") > max_bucket_size)
+            .drop("__sz")
+        )
+        # Oversized buckets are rare by construction — broadcast the
+        # blocklist so the guard costs one small agg, not a shuffle of
+        # the membership table.
+        buckets = buckets.join(F.broadcast(oversized), ["t", "b"], "left_anti")
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -144,6 +199,80 @@ def lsh_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def _bucket_memberships(
+    df: DataFrame, emb: Column, id_col: str, tables: list[list[list[float]]]
+) -> DataFrame:
+    """(id, table, bucket) membership rows for every hash table.
+
+    Hot path: one Arrow-batched numpy kernel — all ``b·r`` hyperplane
+    dots for a batch are a single (n×dim)·(dim×b·r) BLAS matmul,
+    replacing b·r interpreted ``aggregate(zip_with(...))`` higher-order
+    expressions per row (Spark evaluates those per-element outside
+    whole-stage codegen; same rationale and structure as the minhash
+    fold in ``ops/dedup.py:minhash_signatures``). mapInPandas rather
+    than a scalar pandas_udf on purpose — see the Spark 4.1 planner
+    note there. Pure-JVM explode formulation remains as fallback.
+
+    The two kernels may disagree on a bucket bit only when a dot
+    product is within float rounding of 0 (sign flip) — harmless here,
+    since candidates are always re-verified with exact cosine."""
+    n_tables, r = len(tables), len(tables[0])
+    dim = len(tables[0][0])
+    id_type = df.schema[id_col].dataType.simpleString()
+    try:
+        import numpy as np
+        import pandas as pd
+
+        planes = np.array(
+            [p for tbl in tables for p in tbl], dtype=np.float64
+        )  # (b·r, dim)
+        weights = np.uint64(1) << np.arange(r, dtype=np.uint64)
+        t_idx = np.arange(n_tables, dtype=np.int32)
+
+        def _kernel(batches):
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0:
+                    yield pd.DataFrame(
+                        {
+                            "id": pdf[id_col],
+                            "t": pd.Series([], dtype="int32"),
+                            "b": pd.Series([], dtype="int64"),
+                        }
+                    )
+                    continue
+                E = np.zeros((n, dim), dtype=np.float64)
+                for i, v in enumerate(pdf["__emb"]):
+                    if v is not None and len(v) == dim:
+                        E[i] = v
+                bits = (E @ planes.T > 0).reshape(n, n_tables, r)
+                B = (bits.astype(np.uint64) * weights).sum(axis=2).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col].repeat(n_tables).reset_index(drop=True),
+                        "t": np.tile(t_idx, n),
+                        "b": B.reshape(-1),
+                    }
+                )
+
+        src = df.select(F.col(id_col), emb.alias("__emb"))
+        return src.mapInPandas(_kernel, schema=f"id {id_type}, t int, b bigint")
+    except ImportError:  # pragma: no cover - numpy/pandas are baked in
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"), lsh_signature(emb, tbl).alias("b")
+                        )
+                        for t, tbl in enumerate(tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select("id", "tb.t", "tb.b")
 
 
 def build_ivf_index(

@@ -101,6 +101,42 @@ def test_lsh_cosine_pairs_recall_vs_exact(embeddings):
         assert recall >= 0.6, f"lsh pairs recall {recall:.2f} ({len(exact)} true pairs)"
 
 
+def test_plan_lsh_pairs_scales_planes_with_corpus():
+    """Auto-sizing must deepen the hash as n grows (constant expected
+    bucket occupancy ⇒ linear candidate generation) and re-derive the
+    table count from the banding curve so recall holds."""
+    import math
+
+    from filefilter_spark.ops.similarity import plan_lsh_pairs
+
+    r_small, b_small = plan_lsh_pairs(1_000, threshold=0.45)
+    r_big, b_big = plan_lsh_pairs(1_000_000, threshold=0.45)
+    assert r_big > r_small  # occupancy control
+    assert b_big >= b_small  # deeper hash ⇒ more tables for same recall
+    # banding curve holds the recall target when not capped
+    a = 1 - math.acos(0.45) / math.pi
+    recall = 1 - (1 - a**r_small) ** b_small
+    assert recall >= 0.9
+    # tight thresholds need few tables even at depth
+    r_t, b_t = plan_lsh_pairs(100_000, threshold=0.95)
+    assert b_t <= 6
+
+
+def test_lsh_cosine_pairs_auto_recall_vs_exact(embeddings):
+    """n_planes='auto' must keep exact precision and useful recall."""
+    from filefilter_spark.ops.similarity import cosine_pairs, lsh_cosine_pairs
+
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs(embeddings, 0.45).collect()}
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_cosine_pairs(embeddings, 0.45, n_planes="auto").collect()
+    }
+    assert approx <= exact
+    if exact:
+        recall = len(approx & exact) / len(exact)
+        assert recall >= 0.6, f"auto lsh recall {recall:.2f} ({len(exact)} true pairs)"
+
+
 def test_asof_join_backward_inclusive(spark):
     from filefilter_spark.ops.asof import asof_join
 

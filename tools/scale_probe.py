@@ -131,6 +131,10 @@ def main() -> None:
             "embed_lsh_pairs": lambda d=emb: noop_write(
                 lsh_cosine_pairs(d, threshold=0.45, n_planes=4, n_tables=12)
             ),
+            # auto: planes track log2(n) so bucket occupancy stays flat
+            "embed_lsh_auto": lambda d=emb: noop_write(
+                lsh_cosine_pairs(d, threshold=0.45, n_planes="auto")
+            ),
             "q1_aggregate": lambda d=line: noop_write(
                 d.filter(F.col("l_shipdate") <= "1998-09-02")
                 .groupBy("l_returnflag", "l_linestatus")
