@@ -94,7 +94,11 @@ def _verify_jaccard(
         .agg(
             F.min_by("toks", F.col("doc_id")).alias("toks_a"),
             F.max_by("toks", F.col("doc_id")).alias("toks_b"),
+            F.count("*").alias("n_sides"),
         )
+        # A pair whose doc_id is missing from ``docs`` joins only one
+        # side; min_by == max_by would fake jaccard = 1.0. Require both.
+        .filter(F.col("n_sides") == 2)
     )
     return (
         both.withColumn("n_shared", F.size(F.array_intersect("toks_a", "toks_b")))
@@ -285,6 +289,7 @@ def minhash_near_dup(
     bands: int = 16,
     seed: int = 42,
     shingle_n: int = 1,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -292,6 +297,17 @@ def minhash_near_dup(
     probability; verification removes false positives, so precision is
     exact and only recall is probabilistic (the scale/recall tradeoff
     every production near-dup pipeline makes).
+
+    ``max_bucket`` (default 4096) drops LSH buckets with more members
+    than the cap before pair generation. Pair emission is O(m²) per
+    bucket AND concentrates a bucket's pairs into one task, so a single
+    degenerate bucket — a mass-duplicated boilerplate page, millions of
+    empty docs sharing a band — would otherwise become an unsplittable
+    straggler/OOM at 100 TB. Recall is lost only for pairs whose EVERY
+    shared band is over the cap, i.e. corpora with >4096 mutual
+    near-dups of the same doc — and those are exactly the pairs exact
+    dedup or a doc-frequency pass should field instead. Pass ``None``
+    to disable (test/oracle use).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, seed, shingle_n)
@@ -309,7 +325,7 @@ def minhash_near_dup(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    candidates = _bucket_pairs(banded, ["band", "bucket"])
+    candidates = _bucket_pairs(banded, ["band", "bucket"], max_bucket=max_bucket)
     docs = _doc_tokens(df, id_col, text_col, shingle_n)
     return _verify_jaccard(candidates, docs, threshold)
 
@@ -349,10 +365,18 @@ def simhash_near_dup(
     max_hamming: int = 3,
     bits: int = 32,
     blocks: int = 4,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Hamming-ball pairs via the block trick (pigeonhole: two hashes
     within distance d share at least one of d+1 blocks verbatim) —
-    join on block value, verify with bit_count(xor)."""
+    join on block value, verify with bit_count(xor).
+
+    ``max_bucket`` caps per-block-value group size before O(m²) pair
+    emission, exactly as in :func:`minhash_near_dup` — an 8-bit block
+    has only 256 values, so hot blocks are GUARANTEED once the corpus
+    passes ~1M docs; without the cap one task would hold a
+    quadratic-sized array. Recall loss: only pairs whose every shared
+    block is hot. ``None`` disables."""
     sh = simhash(df, id_col, text_col, bits)
     block_bits = bits // blocks
     mask = (1 << block_bits) - 1
@@ -381,6 +405,8 @@ def simhash_near_dup(
         .agg(F.array_sort(F.collect_set("d")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("ds") <= max_bucket)
     halves = grouped.select(
         F.explode(
             F.transform(

@@ -950,13 +950,18 @@ sql_query(
     "OP-B30",
     """
     SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS STRING) AS price_dec,
            CAST(o_orderkey AS STRING) AS key_str,
            CAST(CAST(o_orderdate AS DATE) AS STRING) AS date_str,
            CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS is_even
     FROM orders
     """,
-    doc="cast battery (double→decimal, int→string, timestamp→date→string).",
+    doc="cast battery (double→decimal→string, int→string, "
+        "timestamp→date→string). The decimal is projected as its string "
+        "rendering on BOTH sides: r2's driver run proved the decimal "
+        "values identical row-by-row but hash-mismatched on the engines' "
+        "decimal canonicalization, so the compared representation is "
+        "pinned to text while the decimal cast still executes.",
 )
 
 

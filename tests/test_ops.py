@@ -61,6 +61,51 @@ def test_exact_dedup_min_id_survivor(spark):
     assert rows == {3: 2, 7: 1}
 
 
+def test_minhash_hot_bucket_capped(spark):
+    """A mass-duplicate corpus (10k copies of one doc) lands all copies
+    in one LSH bucket per band. With the default max_bucket=4096 those
+    buckets are dropped — the job completes without emitting the ~50M
+    quadratic pairs — while pairs among normal docs survive. The
+    distinct near-dup pair (100, 101) shares no band with the hot group
+    and must still be found."""
+    from filefilter_spark.ops.dedup import minhash_near_dup, simhash_near_dup
+
+    rows = [(i, "lorem ipsum dolor boilerplate page") for i in range(10_000)]
+    rows += [
+        (100_000, "the quick brown fox jumps over the lazy dog tonight"),
+        (100_001, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup(df, threshold=0.5).collect()
+    }
+    assert (100_000, 100_001) in pairs
+    # every hot-bucket pair (both ids < 10k) was dropped by the cap
+    assert not any(a < 10_000 and b < 10_000 for a, b in pairs)
+    sim = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup(df, max_hamming=3).collect()
+    }
+    assert not any(a < 10_000 and b < 10_000 for a, b in sim)
+
+
+def test_verify_jaccard_requires_both_sides(spark):
+    """A candidate pair whose doc is absent from the docs side must be
+    dropped, not scored 1.0 off a single-side join."""
+    from filefilter_spark.ops.dedup import _verify_jaccard
+
+    candidates = spark.createDataFrame(
+        [(1, 2), (1, 99)], "id_a int, id_b int"
+    )
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b"])],
+        "doc_id int, toks array<string>",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in _verify_jaccard(candidates, docs, 0.5).collect()}
+    assert got == {(1, 2)}
+
+
 def test_lsh_ann_recall_vs_exact_topk(spark, embeddings):
     from filefilter_spark.ops.similarity import lsh_topk_cosine, topk_cosine
 
