@@ -68,22 +68,46 @@ def _rewrite_exclude(sql: str) -> str:
 def _rewrite_strftime(sql: str) -> str:
     # strftime(expr, '%Y-%m-%d') → date_format(expr, 'yyyy-MM-dd').
     # DuckDB also accepts (fmt, expr) order; detect by which arg is the
-    # quoted literal containing %-codes.
-    def repl(m: re.Match) -> str:
-        inner = m.group(1)
+    # quoted literal containing %-codes. The arg list is found with an
+    # explicit depth scan, not a regex — args like
+    # date_trunc('day', CAST(s AS TIMESTAMP)) nest parens arbitrarily
+    # deep and a regex can only approximate one level.
+    call_re = re.compile(r"(?i)\bstrftime\s*\(")
+    out, pos = [], 0
+    while True:
+        m = call_re.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        depth, in_str, i = 1, False, m.end()
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        inner = sql[m.end() : i - 1]
         parts = _split_top_level(inner)
-        if len(parts) != 2:
-            return f"strftime({inner})"
-        a, b = (p.strip() for p in parts)
-        if a.startswith("'") and "%" in a:
-            fmt, expr = a, b
+        if len(parts) == 2:
+            a, b = (p.strip() for p in parts)
+            if a.startswith("'") and "%" in a:
+                fmt, expr = a, b
+            else:
+                fmt, expr = b, a
+            for code, jdk in _STRFTIME_CODES.items():
+                fmt = fmt.replace(code, jdk)
+            rewritten = f"date_format({expr}, {fmt})"
         else:
-            fmt, expr = b, a
-        for code, jdk in _STRFTIME_CODES.items():
-            fmt = fmt.replace(code, jdk)
-        return f"date_format({expr}, {fmt})"
-
-    return re.sub(r"(?is)\bstrftime\s*\(((?:[^()']|'[^']*'|\([^()]*\))*)\)", repl, sql)
+            rewritten = f"strftime({inner})"
+        out.append(sql[pos : m.start()])
+        out.append(rewritten)
+        pos = i
 
 
 def _rewrite_date_part(sql: str) -> str:
@@ -153,20 +177,57 @@ _FROM_RE = re.compile(r"(?is)\bFROM\b")
 _OVER_RE = re.compile(r"(?is)\bOVER\s*\(")
 
 
+def _rewrite_qualify_all(sql: str) -> str:
+    """Rewrite every ``QUALIFY`` at any nesting depth, innermost first.
+
+    A QUALIFY inside a CTE body or derived table sits at paren depth
+    > 0 where the top-level scanner can't see it; locate its enclosing
+    paren block and apply the statement-level rewrite to that
+    substatement, then repeat until none remain."""
+    for _ in range(32):  # progress-bounded, not load-bearing
+        depth, in_str, found = 0, False, None
+        i = 0
+        opens: list[int] = []
+        while i < len(sql):
+            ch = sql[i]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+                opens.append(i)
+            elif ch == ")":
+                depth -= 1
+                if opens:
+                    start = opens.pop()
+                    if found is not None and found > start:
+                        inner = sql[start + 1 : i]
+                        sql = sql[: start + 1] + _rewrite_qualify(inner) + sql[i:]
+                        break
+            elif depth > 0 and found is None and _QUALIFY_RE.match(sql, i):
+                found = i
+            i += 1
+        else:
+            return _rewrite_qualify(sql)
+    return sql  # pragma: no cover - rewrite loop bound
+
+
 def _rewrite_qualify(sql: str) -> str:
     """Rewrite DuckDB's ``QUALIFY`` (window-aware post-filter).
 
-    Two shapes (both scanned paren-depth-aware, OP-B36 round-trips
-    through ``spark.sql`` in tests/test_dialect.py):
-
-    - predicate references select-list aliases (``QUALIFY rn = 1``) →
-      wrap the QUALIFY-less statement as a subquery and filter outside:
-      ``SELECT * FROM (<stmt>) WHERE rn = 1 [tail]``.
-    - predicate contains its own window functions
-      (``QUALIFY row_number() OVER (...) = 1``) → inject the predicate
-      into the SELECT list (where window expressions are legal) and
-      filter + drop it one level up.
-    """
+    One shape covers every predicate form (scanned paren-depth-aware,
+    OP-B36 round-trips through ``spark.sql`` in tests/test_dialect.py):
+    inject ``(pred) AS __qualify__`` into the SELECT list — where window
+    expressions are legal, where Spark's lateral column alias resolution
+    covers predicates referencing select-list aliases (``QUALIFY rn =
+    1``), and where SOURCE columns outside the projection still resolve
+    (DuckDB's QUALIFY filters before projection: ``SELECT k FROM ranked
+    QUALIFY rn = 1`` sees ``ranked.rn``) — then filter and drop it one
+    level up. An earlier two-path version filtered alias-only
+    predicates OUTSIDE the wrapped statement, which broke exactly that
+    source-column case."""
     m = _scan_top_level(sql, _QUALIFY_RE)
     if not m:
         return sql
@@ -180,11 +241,6 @@ def _rewrite_qualify(sql: str) -> str:
     tail = tail.strip().rstrip(";")
     head = head.rstrip()
 
-    if not _OVER_RE.search(pred):
-        # Alias-only predicate: filter the wrapped statement.
-        return f"SELECT * FROM ({head}) WHERE {pred} {tail}".strip()
-
-    # Window predicate: compute it alongside the select list.
     from_m = _scan_top_level(head, _FROM_RE)
     if from_m is None:
         raise DialectError(f"QUALIFY rewrite: no top-level FROM in: {sql!r}")
@@ -227,7 +283,7 @@ def translate(sql: str) -> str:
         )
     out = _strip_sql(sql)
     out = _rewrite_exclude(out)
-    out = _rewrite_qualify(out)
+    out = _rewrite_qualify_all(out)
     out = _rewrite_strftime(out)
     out = _rewrite_fn_names(out)
     return out

@@ -5,12 +5,15 @@ Design per BASELINE.json's north star: media payloads travel as opaque
 run as Arrow-batched ``mapInPandas`` functions so bytes cross the
 JVM↔Python boundary once per batch, never per row.
 
-The decode kernels themselves are STUBBED (this container ships no
-image/audio codecs): ``decode_image_stub`` raises unless
-``fake=True``, in which case it derives deterministic pseudo-metadata
-from the bytes — making the Spark-side plumbing (schema, batch shape,
-partitioning) fully real and testable. Swapping in Pillow/ffmpeg later
-changes only the kernel body, not the plan.
+Image decode/resize are REAL for PNG and BMP via the pure-stdlib codec
+in ``ops/imagecodec.py`` (no Pillow in this container; zlib+struct
+suffice for those formats). Formats that genuinely need a codec
+library (JPEG/WebP, all audio/video) raise ``NotImplementedError``
+unless ``fake=True``, in which case deterministic pseudo-metadata is
+derived from the payload hash — keeping the Spark-side plumbing
+(schema, batch shape, partitioning) fully real and oracle-testable.
+Swapping in Pillow/ffmpeg later changes only the kernel body, not the
+plan.
 """
 
 from __future__ import annotations
@@ -58,14 +61,29 @@ _DECODE_SCHEMA = StructType([
 
 
 def decode_image_stub(content: bytes, fake: bool = False) -> dict:
-    """Decode kernel stub. Real impl would be Pillow/libvips; this
-    container has neither, so either raise (production signature) or
-    derive deterministic fake dims from the payload hash (test mode)."""
+    """Decode kernel. ``fake=False`` REALLY decodes PNG/BMP payloads
+    (pure-stdlib codec, ``ops/imagecodec.py``) — width/height/channels
+    from the actual pixel grid, ``feature_hash`` over the decoded pixel
+    bytes. Other formats need a codec library this container lacks and
+    raise. ``fake=True`` derives deterministic pseudo-metadata from the
+    payload hash instead — the oracle-checkable path for the synthetic
+    testdata payloads (which are not valid images)."""
     if not fake:
-        raise NotImplementedError(
-            "image decoding requires a codec library not present in this "
-            "environment; run with fake=True for plumbing tests"
-        )
+        from filefilter_spark.ops import imagecodec
+
+        try:
+            w, h_px, ch, pixels = imagecodec.decode(content or b"")
+        except imagecodec.ImageFormatError as e:
+            raise NotImplementedError(
+                f"cannot decode payload without a codec library: {e}; "
+                "run with fake=True for plumbing tests"
+            ) from e
+        return {
+            "width": w,
+            "height": h_px,
+            "n_channels": ch,
+            "feature_hash": hashlib.sha256(pixels).hexdigest()[:16],
+        }
     h = hashlib.sha256(content or b"").digest()
     return {
         "width": 64 + h[0] % 192,
@@ -131,17 +149,35 @@ def extract_audio_features_stub(media: DataFrame, fake: bool = True) -> DataFram
 def resize_images_stub(media: DataFrame, width: int = 224, height: int = 224,
                        fake: bool = True) -> DataFrame:
     """Payload-rewriting plumbing: binary in → binary out (the resize
-    shape every image pipeline needs). The fake kernel emits a
-    deterministic digest-derived payload so downstream schema/batch
-    behavior is real; a Pillow kernel drops in without plan changes."""
+    shape every image pipeline needs). ``fake=False`` really resizes
+    PNG/BMP payloads — decode, nearest-neighbor resample, re-encode as
+    PNG (``ops/imagecodec.py``); other formats raise. The fake kernel
+    emits a deterministic digest-derived payload so downstream
+    schema/batch behavior stays oracle-checkable on synthetic data."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from filefilter_spark.ops import imagecodec
         for pdf in batches:
             out = {"media_id": [], "media_type": [], "content": [],
                    "content_len": [], "sha256": []}
             for mid, mtype, content in zip(pdf["media_id"], pdf["media_type"], pdf["content"]):
                 if not fake:
-                    raise NotImplementedError("image resize unavailable; fake=True only")
+                    raw = bytes(content) if content is not None else b""
+                    try:
+                        w0, h0, ch, px = imagecodec.decode(raw)
+                    except imagecodec.ImageFormatError as e:
+                        raise NotImplementedError(
+                            f"cannot resize payload without a codec library: {e}"
+                        ) from e
+                    resized_px = imagecodec.resize_nearest(w0, h0, ch, px, width, height)
+                    resized = imagecodec.encode_png(width, height, ch, resized_px)
+                    out["media_id"].append(int(mid))
+                    out["media_type"].append(mtype)
+                    out["content"].append(resized)
+                    out["content_len"].append(len(resized))
+                    out["sha256"].append(hashlib.sha256(resized).hexdigest())
+                    continue
                 seed = hashlib.sha256(bytes(content) if content is not None else b"")
                 seed.update(f"{width}x{height}".encode())
                 # Deterministic fixed-size fake payload. Hex-string bytes

@@ -131,14 +131,14 @@ def lsh_cosine_pairs(
     n_tables: int = 8,
     seed: int = 7,
     max_bucket_size: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup: candidate pairs share an LSH
-    bucket in ≥1 of ``n_tables`` tables (union via explode + self-join
-    per bucket), then exact cosine verifies ≥ threshold — same
-    bucket-then-verify shape as MinHash LSH, so precision is exact and
-    only recall is probabilistic (measured vs :func:`cosine_pairs` in
-    tests). This is the scale path; ``cosine_pairs`` is the O(n²)
-    oracle baseline.
+    bucket in ≥1 of ``n_tables`` tables, then exact cosine verifies
+    ≥ threshold — same bucket-then-verify shape as MinHash LSH, so
+    precision is exact and only recall is probabilistic (measured vs
+    :func:`cosine_pairs` in tests). This is the scale path;
+    ``cosine_pairs`` is the O(n²) oracle baseline.
 
     Tuning is the classic r×b banding curve with per-plane agreement
     a = 1-θ/π: pair recall = 1-(1-a^r)^b. Defaults (r=6, b=8) give
@@ -149,15 +149,32 @@ def lsh_cosine_pairs(
     :func:`plan_lsh_pairs` — the plane count tracks log2(n) so expected
     bucket occupancy stays constant and candidate generation stays
     linear in n (a fixed r is quadratic; SCALING.md measures both).
-    ``max_bucket_size`` drops buckets larger than the cap before the
-    self-join: a skew guard against degenerate regions (zero vectors,
+    Auto mode needs the corpus count: pass ``n_rows`` when you know it
+    (or can estimate it from metadata) — otherwise an eager
+    ``df.count()`` runs here, a full extra pass over the input BEFORE
+    any LSH work, which doubles input cost when ``df`` is an expensive
+    derived frame.
+
+    ``max_bucket_size`` drops buckets larger than the cap before pair
+    emission: a skew guard against degenerate regions (zero vectors,
     embedding-collapse clusters) that would otherwise contribute
-    O(bucket²) candidates; dropped buckets trade bounded recall loss in
-    those regions for a hard cost ceiling."""
+    O(bucket²) candidates in one unsplittable task; dropped buckets
+    trade bounded recall loss in those regions for a hard cost ceiling.
+
+    Candidate generation is the shared self-join-free
+    ``_bucket_pairs`` shape (see ``ops/dedup.py``): the bucket
+    membership table — an Arrow/numpy kernel over every embedding — is
+    consumed exactly ONCE by the group-collect. The previous self-join
+    formulation evaluated that kernel twice (once per join side) plus a
+    third scan for the oversized-bucket blocklist; the cap now falls
+    out of the same aggregation for free."""
+    from filefilter_spark.ops.dedup import _bucket_pairs
     from filefilter_spark.ops.text import _bind
 
     if n_planes == "auto":
-        n_planes, n_tables = plan_lsh_pairs(df.count(), threshold)
+        n_planes, n_tables = plan_lsh_pairs(
+            df.count() if n_rows is None else n_rows, threshold
+        )
         if max_bucket_size is None:
             # The planner holds *expected* occupancy near 256; cap the
             # tail at 16× expectation so a skewed region can't go wild.
@@ -168,27 +185,8 @@ def lsh_cosine_pairs(
     # Bucket membership carries only (id, table, bucket) — candidate
     # generation and dedup shuffle narrow id pairs, never vectors.
     buckets = _bucket_memberships(df, emb, id_col, tables)
-    if max_bucket_size is not None:
-        oversized = (
-            buckets.groupBy("t", "b")
-            .agg(F.count(F.lit(1)).alias("__sz"))
-            .filter(F.col("__sz") > max_bucket_size)
-            .drop("__sz")
-        )
-        # Oversized buckets are rare by construction — broadcast the
-        # blocklist so the guard costs one small agg, not a shuffle of
-        # the membership table.
-        buckets = buckets.join(F.broadcast(oversized), ["t", "b"], "left_anti")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.t") == F.col("b.t"))
-            & (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    candidates = _bucket_pairs(
+        buckets, ["t", "b"], id_col="id", max_bucket=max_bucket_size
     )
     unit = _bind(norm(emb), lambda nn: F.transform(emb, lambda v: v / nn))
     units = df.select(F.col(id_col).alias("id"), unit.alias("unit"))

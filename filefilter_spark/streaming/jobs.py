@@ -92,8 +92,15 @@ def _run_to_memory(
             .start()
         )
     finally:
-        if state_partitions is not None and prev is not None:
-            spark.conf.set(conf_key, prev)
+        if state_partitions is not None:
+            if prev is not None:
+                spark.conf.set(conf_key, prev)
+            else:
+                # conf.get(key, None) returns None when the key was never
+                # EXPLICITLY set (it does not surface the SQLConf
+                # default) — unset rather than skip, or the streaming
+                # override would leak into the session's batch queries.
+                spark.conf.unset(conf_key)
     try:
         query.awaitTermination(timeout_sec)
     finally:

@@ -48,8 +48,9 @@ def test_qualify_order_by_inside_over_not_tail():
     sql = translate(
         "SELECT k, rank() OVER(ORDER BY x) AS r FROM df QUALIFY r <= 2"
     )
-    assert sql.startswith("SELECT * FROM (")
-    assert sql.rstrip().endswith("WHERE r <= 2")
+    assert sql.startswith("SELECT * EXCEPT(__qualify__) FROM (")
+    assert sql.rstrip().endswith("WHERE __qualify__")
+    assert "(r <= 2) AS __qualify__" in sql
 
 
 def test_strftime_both_arg_orders():
@@ -82,3 +83,99 @@ def test_triple_dash_comment(spark):
     spark.range(1).createOrReplaceTempView("df")
     sql = translate("--- a comment\nSELECT id FROM df")
     assert spark.sql(sql).count() == 1
+
+
+def test_qualify_multiple_windows_and_tail(spark):
+    """Two window functions in one QUALIFY predicate plus an ORDER BY /
+    LIMIT tail — the predicate must move into the select list whole and
+    the tail must stay outside the wrap."""
+    spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 9), (2, "c", 3), (2, "d", 7)],
+        "k int, v string, x int",
+    ).createOrReplaceTempView("df")
+    sql = translate(
+        "SELECT k, v, x FROM df "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY x DESC) = 1 "
+        "AND rank() OVER (ORDER BY x DESC) <= 3 "
+        "ORDER BY k LIMIT 5"
+    )
+    rows = [(r["k"], r["v"]) for r in spark.sql(sql).collect()]
+    assert rows == [(1, "b"), (2, "d")]
+
+
+def test_qualify_alias_defined_in_cte(spark):
+    """QUALIFY referencing a window alias computed inside a CTE — the
+    alias-only path must wrap the whole WITH statement."""
+    spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 9), (2, "c", 3)], "k int, v string, x int"
+    ).createOrReplaceTempView("df")
+    sql = translate(
+        "WITH ranked AS ("
+        "  SELECT k, v, x, row_number() OVER (PARTITION BY k ORDER BY x DESC) AS rn"
+        "  FROM df"
+        ") SELECT k, v FROM ranked QUALIFY rn = 1 ORDER BY k"
+    )
+    rows = [(r["k"], r["v"]) for r in spark.sql(sql).collect()]
+    assert rows == [(1, "b"), (2, "c")]
+
+
+def test_qualify_window_pred_after_cte(spark):
+    """Window-function QUALIFY on a statement that starts with WITH:
+    the top-level FROM scanner must skip the CTE body."""
+    spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 9), (2, "c", 3)], "k int, v string, x int"
+    ).createOrReplaceTempView("df")
+    sql = translate(
+        "WITH base AS (SELECT k, v, x FROM df WHERE x > 0) "
+        "SELECT k, v FROM base "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY x DESC) = 1"
+    )
+    rows = {(r["k"], r["v"]) for r in spark.sql(sql).collect()}
+    assert rows == {(1, "b"), (2, "c")}
+
+
+def test_qualify_inside_cte_body(spark):
+    """QUALIFY nested INSIDE a CTE body (paren depth > 0) — the
+    recursive rewriter must find and rewrite the inner statement."""
+    spark.createDataFrame(
+        [(1, "a", 5), (1, "b", 9), (2, "c", 3)], "k int, v string, x int"
+    ).createOrReplaceTempView("df")
+    sql = translate(
+        "WITH best AS ("
+        "  SELECT k, v, x, row_number() OVER (PARTITION BY k ORDER BY x DESC) AS rn "
+        "  FROM df QUALIFY rn = 1"
+        ") SELECT k, v FROM best ORDER BY k"
+    )
+    rows = [(r["k"], r["v"]) for r in spark.sql(sql).collect()]
+    assert rows == [(1, "b"), (2, "c")]
+
+
+def test_qualify_inside_derived_table(spark):
+    spark.createDataFrame(
+        [(1, 5), (1, 9), (2, 3)], "k int, x int"
+    ).createOrReplaceTempView("df")
+    sql = translate(
+        "SELECT sum(x) AS s FROM ("
+        "SELECT k, x FROM df "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY x DESC) = 1)"
+    )
+    assert spark.sql(sql).collect()[0]["s"] == 12
+
+
+def test_nested_exclude(spark):
+    spark.createDataFrame(
+        [(1, 2, 3, 4)], "a int, b int, c int, d int"
+    ).createOrReplaceTempView("df")
+    sql = translate("SELECT * EXCLUDE(a) FROM (SELECT * EXCLUDE (d) FROM df)")
+    assert spark.sql(sql).columns == ["b", "c"]
+
+
+def test_strftime_nested_expr_and_fmt_first(spark):
+    spark.createDataFrame([("2024-03-05 10:00:00",)], "s string").createOrReplaceTempView("df")
+    sql = translate(
+        "SELECT strftime(date_trunc('day', CAST(s AS TIMESTAMP)), '%Y/%m/%d') AS a, "
+        "strftime('%d.%m.%Y', CAST(s AS TIMESTAMP)) AS b FROM df"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert row["a"] == "2024/03/05"
+    assert row["b"] == "05.03.2024"

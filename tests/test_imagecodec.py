@@ -1,0 +1,171 @@
+"""Pure-stdlib PNG/BMP codec tests (ops/imagecodec.py) and the real
+(non-fake) multimodal decode/resize kernels built on it.
+
+The PNG filter paths (Sub/Up/Average/Paeth) are exercised by FORWARD
+filtering known pixels here in the test — an independent implementation
+of the spec's filter direction — so decoder bugs can't self-verify."""
+
+import struct
+import zlib
+
+import pytest
+
+from filefilter_spark.ops import imagecodec as ic
+
+
+def _px(w, h, ch, seed=0):
+    return bytes((seed + 7 * i) % 256 for i in range(w * h * ch))
+
+
+@pytest.mark.parametrize("ch", [1, 2, 3, 4])
+def test_png_roundtrip_all_channel_counts(ch):
+    w, h = 13, 7  # odd sizes: no accidental stride alignment
+    pixels = _px(w, h, ch)
+    data = ic.encode_png(w, h, ch, pixels)
+    assert ic.sniff(data) == "png"
+    got = ic.decode_png(data)
+    assert got == (w, h, ch, pixels)
+
+
+def _forward_filter(pixels, w, h, ch, filt):
+    """Spec-direction filtering (encoder side), independent of the
+    decoder's unfilter loop."""
+    stride = w * ch
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = pixels[y * stride : (y + 1) * stride]
+        out.append(filt)
+        for i in range(stride):
+            left = line[i - ch] if i >= ch else 0
+            up = prev[i]
+            ul = prev[i - ch] if i >= ch else 0
+            if filt == 1:
+                out.append((line[i] - left) & 0xFF)
+            elif filt == 2:
+                out.append((line[i] - up) & 0xFF)
+            elif filt == 3:
+                out.append((line[i] - ((left + up) >> 1)) & 0xFF)
+            elif filt == 4:
+                out.append((line[i] - ic._paeth(left, up, ul)) & 0xFF)
+        prev = line
+    return bytes(out)
+
+
+@pytest.mark.parametrize("filt", [1, 2, 3, 4])
+def test_png_unfilters_every_filter_type(filt):
+    w, h, ch = 9, 5, 3
+    pixels = _px(w, h, ch, seed=filt)
+    raw = _forward_filter(pixels, w, h, ch, filt)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert ic.decode_png(data) == (w, h, ch, pixels)
+
+
+def test_png_palette_expands_to_rgb():
+    w, h = 4, 2
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+    idx = bytes([0, 1, 2, 0, 2, 1, 0, 0])
+    raw = b"".join(b"\x00" + idx[y * w : (y + 1) * w] for y in range(h))
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got_w, got_h, got_ch, px = ic.decode_png(data)
+    assert (got_w, got_h, got_ch) == (w, h, 3)
+    assert px[:9] == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+
+
+def _make_bmp(w, h, rows_bgr, bottom_up=True):
+    """rows_bgr: top-down list of rows, each a list of (b, g, r)."""
+    row_bytes = (w * 3 + 3) & ~3
+    body = b""
+    order = reversed(rows_bgr) if bottom_up else rows_bgr
+    for row in order:
+        line = b"".join(bytes(p) for p in row)
+        body += line + b"\x00" * (row_bytes - len(line))
+    hdr = (
+        b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h if bottom_up else -h, 1, 24,
+                      0, len(body), 2835, 2835, 0, 0)
+    )
+    return hdr + body
+
+
+@pytest.mark.parametrize("bottom_up", [True, False])
+def test_bmp_decode_orientation_and_bgr_swap(bottom_up):
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],  # top row: blue,green,red in BGR
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    data = _make_bmp(3, 2, rows, bottom_up)
+    assert ic.sniff(data) == "bmp"
+    w, h, ch, px = ic.decode_bmp(data)
+    assert (w, h, ch) == (3, 2, 3)
+    # first decoded pixel is the TOP-left regardless of storage order,
+    # already swapped to RGB
+    assert px[:3] == bytes([0, 0, 255])
+    assert px[-3:] == bytes([90, 80, 70])
+
+
+def test_unsupported_payloads_raise():
+    with pytest.raises(ic.ImageFormatError):
+        ic.decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(ic.ImageFormatError):
+        ic.decode(b"")
+
+
+def test_resize_nearest_identity_and_downscale():
+    w, h, ch = 8, 8, 3
+    px = _px(w, h, ch)
+    assert ic.resize_nearest(w, h, ch, px, 8, 8) == px
+    small = ic.resize_nearest(w, h, ch, px, 4, 4)
+    assert len(small) == 4 * 4 * ch
+    assert small[:ch] == px[:ch]  # top-left pixel preserved
+
+
+def test_real_decode_and_resize_kernels_in_spark(spark):
+    """End-to-end on the real (fake=False) kernels: PNG payloads built
+    by the codec, decoded and resized through the mapInPandas plumbing."""
+    from filefilter_spark.ops.multimodal import (
+        extract_image_features, resize_images_stub, to_media_table,
+    )
+
+    rows = [
+        (1, ic.encode_png(16, 9, 3, _px(16, 9, 3, seed=1))),
+        (2, ic.encode_png(5, 5, 4, _px(5, 5, 4, seed=2))),
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    media = to_media_table(df, "id", "payload")
+
+    feats = {r["media_id"]: r for r in extract_image_features(media, fake=False).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["n_channels"]) == (16, 9, 3)
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["n_channels"]) == (5, 5, 4)
+
+    resized = {r["media_id"]: r for r in
+               resize_images_stub(media, width=4, height=4, fake=False).collect()}
+    w, h, ch, px = ic.decode_png(bytes(resized[1]["content"]))
+    assert (w, h, ch) == (4, 4, 3)
+    # nearest-neighbor: top-left pixel of the source survives
+    assert px[:3] == _px(16, 9, 3, seed=1)[:3]

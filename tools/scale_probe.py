@@ -161,16 +161,28 @@ def main() -> None:
         "size: 1.0 = perfectly linear, 2.0 = quadratic. Sub-linear slopes",
         "mean fixed per-job overhead still dominates at these sizes.",
         "",
-        "| op | " + " | ".join(f"×{m}" for m in mults) + " | slope |",
-        "|---|" + "---|" * (len(mults) + 1),
+        "The `pairwise` column lists the slope of each consecutive step",
+        "(×1→×2, ×2→×4, …): a superlinear TAIL (last step ≫ 1) flags an",
+        "operator whose cost curve is bending upward even when the",
+        "end-to-end fit looks linear — the end-to-end number averages the",
+        "overhead-dominated small sizes against the data-dominated large",
+        "ones and can hide exactly that bend.",
+        "",
+        "| op | " + " | ".join(f"×{m}" for m in mults) + " | slope | pairwise |",
+        "|---|" + "---|" * (len(mults) + 2),
     ]
     summary = {}
     for name, times in results.items():
         lo, hi = mults[0], mults[-1]
         slope = (math.log(times[hi] / times[lo]) / math.log(hi / lo)) if hi > lo else float("nan")
-        summary[name] = {"times": times, "slope": round(slope, 2)}
+        pairwise = {
+            str(b): round(math.log(times[b] / times[a]) / math.log(b / a), 2)
+            for a, b in zip(mults, mults[1:])
+        }
+        summary[name] = {"times": times, "slope": round(slope, 2), "pairwise": pairwise}
         cells = " | ".join(f"{times[m]:.2f}s" for m in mults)
-        lines.append(f"| {name} | {cells} | {slope:.2f} |")
+        pw = ", ".join(f"{v:.2f}" for v in pairwise.values())
+        lines.append(f"| {name} | {cells} | {slope:.2f} | {pw} |")
         print(json.dumps({"op": name, **summary[name]}), flush=True)
 
     lines += [
