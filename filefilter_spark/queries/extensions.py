@@ -121,8 +121,12 @@ def op_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_d2_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.dedup import minhash_near_dup
 
+    # spread=True: the shingle+minhash fold is the cost center; spread
+    # it over the cluster when the file layout can't (see load_table).
     return minhash_near_dup(
-        load_table(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
+        load_table(spark, sf_dir, "documents", spread=True),
+        threshold=0.5,
+        shingle_n=3,
     )
 
 
@@ -135,7 +139,9 @@ def op_d2_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.dedup import simhash_near_dup
 
-    return simhash_near_dup(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_dup(
+        load_table(spark, sf_dir, "documents", spread=True), max_hamming=3
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -368,7 +374,7 @@ def op_d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # store instance + per-batch snapshot I/O, so the batch default (32)
 # would spend most of the job's wall time on empty stores. On a real
 # deployment this is the knob you raise with expected key cardinality.
-_STATE_PARTITIONS = 8
+_STATE_PARTITIONS = 4
 
 # ---------------------------------------------------------------------------
 
