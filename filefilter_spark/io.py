@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 _TEXT_EXTS = {".csv", ".tsv", ".txt"}
+_JSON_EXTS = {".json", ".jsonl", ".ndjson"}
 
 
 def _normalize_path(path: str) -> str:
@@ -51,6 +52,16 @@ def read_input(
     ext = Path(p).suffix.lower()
     if ext == ".parquet":
         df = spark.read.parquet(p)
+    elif ext in _JSON_EXTS:
+        # JSON Lines (one object per line — the splittable layout;
+        # multiline JSON arrays are NOT splittable and are rejected by
+        # default). Beyond the reference's surface (Database.py:77-80
+        # handles csv/parquet only) but table stakes for LLM-corpus
+        # inputs, which ship overwhelmingly as .jsonl.
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.json(p)
     elif ext in _TEXT_EXTS:
         delimiter = normalize_delimiter(delimiter)
         sep = delimiter if delimiter is not None else ("\t" if ext == ".tsv" else ",")
@@ -115,3 +126,11 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(_normalize_path(path))
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """JSON Lines sink: one object per line, one part file per task —
+    the standard interchange layout for LLM-corpus pipelines. As with
+    :func:`write_csv`, ``single_file`` is a small-output convenience."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(_normalize_path(path))

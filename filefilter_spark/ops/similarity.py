@@ -130,7 +130,7 @@ def lsh_cosine_pairs(
     n_planes: int | str = 6,
     n_tables: int = 8,
     seed: int = 7,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 4096,
     n_rows: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup: candidate pairs share an LSH
@@ -155,11 +155,19 @@ def lsh_cosine_pairs(
     any LSH work, which doubles input cost when ``df`` is an expensive
     derived frame.
 
-    ``max_bucket_size`` drops buckets larger than the cap before pair
-    emission: a skew guard against degenerate regions (zero vectors,
-    embedding-collapse clusters) that would otherwise contribute
-    O(bucket²) candidates in one unsplittable task; dropped buckets
-    trade bounded recall loss in those regions for a hard cost ceiling.
+    ``max_bucket_size`` (default 4096, matching ``minhash_near_dup``)
+    drops buckets larger than the cap before pair emission: a skew
+    guard against degenerate regions (zero vectors, embedding-collapse
+    clusters) that would otherwise contribute O(bucket²) candidates in
+    one unsplittable task; dropped buckets trade bounded recall loss in
+    those regions for a hard cost ceiling. ``None`` disables.
+
+    Cost law (measured in SCALING.md): with auto sizing the candidate
+    count grows as n^(1+ρ) where ρ = ln(1/a)·r/ln(n)-ish from the
+    banding curve — near-linear at tight thresholds (θ≈0.9) and ~n^1.5
+    at loose ones (θ≈0.45), the standard LSH similarity-join tradeoff.
+    A FIXED r is quadratic once n outgrows 2^r·target_occupancy; the
+    probe keeps one fixed-r line as the contrast.
 
     Candidate generation is the shared self-join-free
     ``_bucket_pairs`` shape (see ``ops/dedup.py``): the bucket
@@ -188,10 +196,37 @@ def lsh_cosine_pairs(
     candidates = _bucket_pairs(
         buckets, ["t", "b"], id_col="id", max_bucket=max_bucket_size
     )
+    return _pair_cosine_verify(candidates, df, emb, id_col, threshold)
+
+
+def _pair_cosine_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    emb: Column,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-cosine verification of (id_a, id_b) candidate pairs.
+
+    The verify stays JVM-side ON PURPOSE. An Arrow-batched numpy
+    kernel (the shape that wins for ``_bucket_memberships``) was
+    measured and REJECTED here: candidate count ≫ corpus count, so a
+    per-pair kernel hauls (pairs × 2·dim) doubles across the Python
+    boundary — at the probe's ×4 corpus that was 2x SLOWER than the
+    interpreted ``zip_with`` dot (48s vs 26s), because serialization
+    scales with the pair count while the bucket kernel's transfer
+    scales only with the corpus. JVM higher-order eval is per-element
+    interpreted but stays in-process and pipelines inside the join
+    stage. Vectors are unit-normalized ONCE on the corpus side (n·dim
+    work) so the per-pair cost is a single dot."""
+    from filefilter_spark.ops.text import _bind
+
     unit = _bind(norm(emb), lambda nn: F.transform(emb, lambda v: v / nn))
     units = df.select(F.col(id_col).alias("id"), unit.alias("unit"))
     return (
-        candidates.join(units.select(F.col("id").alias("id_a"), F.col("unit").alias("ua")), "id_a")
+        candidates.join(
+            units.select(F.col("id").alias("id_a"), F.col("unit").alias("ua")), "id_a"
+        )
         .join(units.select(F.col("id").alias("id_b"), F.col("unit").alias("ub")), "id_b")
         .withColumn("cos_sim", dot(F.col("ua"), F.col("ub")))
         .filter(F.col("cos_sim") >= threshold)

@@ -127,6 +127,44 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
 
 
+def winnow_fingerprints(
+    col: str | Column, shingle_n: int = 3, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03): hash every word ``shingle_n``-gram IN ORDER, slide a
+    ``window`` over the hash sequence, keep each window's minimum —
+    the selected set is a position-robust fingerprint with guaranteed
+    coverage (any match of length ≥ window+shingle_n-1 tokens shares a
+    fingerprint). Returns a sorted distinct ``array<string>``.
+
+    All JVM array expressions (sequence/transform/slice/array_min),
+    one tokenize pass per row. Hashes are md5 hex strings so the
+    selected minima (lexicographic) agree bit-for-bit with the DuckDB
+    oracle — the rolling-min is O(len·window), the standard trade for
+    an engine-portable fingerprint."""
+
+    def build_hashes(tk: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - shingle_n, F.lit(0)))
+        seq = F.when(
+            F.size(tk) >= shingle_n,
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(tk, i + 1, shingle_n), " ")
+            ),
+        ).otherwise(F.array(F.array_join(tk, " ")))
+        return F.transform(seq, F.md5)
+
+    def select_mins(hs: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(hs) - window, F.lit(0)))
+        sel = F.when(
+            F.size(hs) >= window,
+            F.transform(idx, lambda i: F.array_min(F.slice(hs, i + 1, window))),
+        ).otherwise(F.array(F.array_min(hs)))
+        return F.array_sort(F.array_distinct(sel))
+
+    hashed = _bind(tokens(col), build_hashes)
+    return _bind(hashed, select_mins)
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat battery as columns."""
     return df.select(

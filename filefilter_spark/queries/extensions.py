@@ -365,6 +365,36 @@ def op_d4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint("text").alias("fp"))
 
 
+@query(
+    "OP-D4-winnow",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') tk
+      FROM documents
+    ),
+    seq AS (
+      SELECT doc_id, CASE WHEN len(tk) >= 3
+          THEN [md5(array_to_string(tk[i:i+2], ' ')) for i in range(1, len(tk) - 1)]
+          ELSE [md5(array_to_string(tk, ' '))] END AS hs
+      FROM toks
+    )
+    SELECT doc_id, list_sort(list_distinct(
+        CASE WHEN len(hs) >= 4
+          THEN [list_aggregate(hs[i:i+3], 'min') for i in range(1, len(hs) - 2)]
+          ELSE [list_aggregate(hs, 'min')] END)) AS fps
+    FROM seq
+    """,
+    doc="winnowing fingerprints (Schleimer et al. SIGMOD'03): windowed "
+        "minima over the ordered 3-gram hash sequence — position-robust "
+        "selective fingerprinting; md5-hex minima match DuckDB exactly.",
+)
+def op_d4_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import winnow_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", winnow_fingerprints("text").alias("fps"))
+
+
 # ---------------------------------------------------------------------------
 # OP-D5 — Structured Streaming over events
 #

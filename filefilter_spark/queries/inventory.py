@@ -211,6 +211,30 @@ def op_a9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "OP-A9-jsonl",
+    oracle="""
+    SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region
+    """,
+    doc="JSONL sink + re-read round-trip (beyond-reference source/sink: "
+        "the standard LLM-corpus interchange layout; io.py read_input/"
+        "write_jsonl).",
+)
+def op_a9_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from filefilter_spark.io import read_input, write_jsonl
+
+    out = tempfile.mkdtemp(prefix="ffspark_a9j_") + "/region.jsonl"
+    write_jsonl(
+        load_table(spark, sf_dir, "region").selectExpr(
+            "CAST(r_regionkey AS BIGINT) AS r_regionkey", "r_name"
+        ),
+        out,
+    )
+    return read_input(spark, out, schema="r_regionkey bigint, r_name string")
+
+
 sql_query(
     "OP-A10",
     "SELECT count(*) AS n FROM orders",

@@ -80,9 +80,18 @@ def _run_to_memory(
     spark = agg.sparkSession
     qname = "ffspark_stream_" + uuid.uuid4().hex[:8]
     conf_key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(conf_key, None)
+    # A bounded availableNow drain doesn't need the trailing no-data
+    # micro-batch (it only advances the watermark for append-mode
+    # window finalization; every job here emits in complete/update
+    # mode or on-arrival) — skipping it saves one full batch round per
+    # run. On an unbounded deployment leave the default on.
+    nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    overrides = {nodata_key: "false"}
     if state_partitions is not None:
-        spark.conf.set(conf_key, str(state_partitions))
+        overrides[conf_key] = str(state_partitions)
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
     try:
         query = (
             agg.writeStream.format("memory")
@@ -92,15 +101,15 @@ def _run_to_memory(
             .start()
         )
     finally:
-        if state_partitions is not None:
-            if prev is not None:
-                spark.conf.set(conf_key, prev)
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
             else:
                 # conf.get(key, None) returns None when the key was never
                 # EXPLICITLY set (it does not surface the SQLConf
                 # default) — unset rather than skip, or the streaming
                 # override would leak into the session's batch queries.
-                spark.conf.unset(conf_key)
+                spark.conf.unset(k)
     try:
         query.awaitTermination(timeout_sec)
     finally:

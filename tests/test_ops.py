@@ -352,3 +352,39 @@ def test_streaming_windowed_counts_matches_batch(spark, sf_dir):
     s = {(r["win_start"], r["event_type"]): r["n"] for r in stream_out.collect()}
     b = {(r["win_start"], r["event_type"]): r["n"] for r in batch.collect()}
     assert s == b
+
+
+def test_winnow_fingerprints_match_python_reference(documents):
+    """Winnowing (OP-D4-winnow): the JVM array-expression pipeline must
+    reproduce a direct Python implementation of Schleimer et al. —
+    ordered 3-gram md5 sequence, window-4 minima, distinct+sorted."""
+    import hashlib
+    import re
+
+    from filefilter_spark.ops.text import winnow_fingerprints
+
+    sample = documents.orderBy("doc_id").limit(20)
+    got = {
+        r["doc_id"]: r["fps"]
+        for r in sample.select(
+            "doc_id", winnow_fingerprints("text").alias("fps")
+        ).collect()
+    }
+
+    def ref(text: str) -> list[str]:
+        tk = [t for t in re.split(r"\s+", text) if t]
+        sh = (
+            [" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)]
+            if len(tk) >= 3
+            else [" ".join(tk)]
+        )
+        hs = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+        sel = (
+            [min(hs[i : i + 4]) for i in range(len(hs) - 3)]
+            if len(hs) >= 4
+            else [min(hs)]
+        )
+        return sorted(set(sel))
+
+    for row in sample.select("doc_id", "text").collect():
+        assert got[row["doc_id"]] == ref(row["text"]), row["doc_id"]
