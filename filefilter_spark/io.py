@@ -24,6 +24,12 @@ from pyspark.sql.types import StructType
 
 _TEXT_EXTS = {".csv", ".tsv", ".txt"}
 _JSON_EXTS = {".json", ".jsonl", ".ndjson"}
+# Compression suffixes are transparent: Spark's text-based sources
+# (csv/json) decompress by codec extension automatically, so dispatch
+# looks through them to the inner extension. Note gzip/bzip2 text files
+# are NOT splittable — one task per file regardless of size; at scale
+# prefer many modest files (or zstd/parquet) over one huge .gz.
+_COMPRESSION_EXTS = {".gz", ".bz2", ".zst", ".zstd", ".deflate"}
 
 
 def _normalize_path(path: str) -> str:
@@ -49,9 +55,14 @@ def read_input(
     from filefilter_spark.config import normalize_delimiter
 
     p = _normalize_path(path)
-    ext = Path(p).suffix.lower()
+    name = Path(p).name.lower()
+    ext = Path(name).suffix
+    if ext in _COMPRESSION_EXTS:
+        ext = Path(Path(name).stem).suffix
     if ext == ".parquet":
         df = spark.read.parquet(p)
+    elif ext == ".orc":
+        df = spark.read.orc(p)
     elif ext in _JSON_EXTS:
         # JSON Lines (one object per line — the splittable layout;
         # multiline JSON arrays are NOT splittable and are rejected by
@@ -83,20 +94,25 @@ def write_csv(
     path: str,
     delimiter: str = ",",
     single_file: bool = False,
+    compression: str | None = None,
 ) -> None:
     """CSV sink (OP-A9; reference ``filefilter.py:374-379``).
 
     ``single_file=True`` coalesces to 1 partition for byte-parity with
     the reference's single-file ``COPY`` — only for small outputs; at
     scale leave it off and let each task write its own part file.
+    ``compression`` ("gzip", "bzip2", "zstd", ...) trades CPU for
+    storage/network; remember gzip parts are not splittable on re-read.
     """
     out = df.coalesce(1) if single_file else df
-    (
+    w = (
         out.write.mode("overwrite")
         .option("header", True)
         .option("sep", delimiter)
-        .csv(_normalize_path(path))
     )
+    if compression:
+        w = w.option("compression", compression)
+    w.csv(_normalize_path(path))
 
 
 def write_csv_file(df: DataFrame, path: str, delimiter: str = ",") -> None:
@@ -126,6 +142,16 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(_normalize_path(path))
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — the other mainstream columnar interchange format
+    (Hive/Trino ecosystems); Spark's writer is built in, same predicate
+    pushdown + column pruning on re-read as parquet."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(_normalize_path(path))
 
 
 def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:

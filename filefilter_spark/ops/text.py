@@ -165,6 +165,30 @@ def winnow_fingerprints(
     return _bind(hashed, select_mins)
 
 
+# PII scrub patterns — deliberately conservative, expressible in both
+# Java regex (Spark) and RE2 (DuckDB oracle): no backrefs, no lookarounds.
+# Order matters: URLs first (they contain dots that could otherwise be
+# half-eaten by the email pattern), then emails, then phone-like runs.
+PII_PATTERNS = [
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+[0-9][0-9-]{6,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(col: str | Column) -> Column:
+    """PII redaction — the standard scrub step before LLM training-data
+    release: URLs, emails, and international-format phone numbers are
+    replaced with typed placeholder tokens. Chained ``regexp_replace``
+    stays entirely JVM-side (whole-stage codegen; zero Python in the
+    hot path) and each pattern replaces ALL matches per row — one pass
+    per pattern over the value, no explode/re-join."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stat battery as columns."""
     return df.select(

@@ -395,6 +395,46 @@ def op_d4_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", winnow_fingerprints("text").alias("fps"))
 
 
+@query(
+    "OP-D4-redact",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://example.com/u/'
+                  || CAST(doc_id AS VARCHAR) || '?ref=x call +1-555-01'
+                  || CAST(doc_id AS VARCHAR) AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM seeded
+    """,
+    doc="PII redaction — the standard pre-release scrub for LLM corpora: "
+        "URLs, emails, phone numbers replaced with typed placeholders via "
+        "chained JVM-side regexp_replace (whole-stage codegen; patterns "
+        "restricted to the Java/RE2 common subset). The synthetic corpus "
+        "carries no PII, so the query seeds deterministic PII from doc_id "
+        "on BOTH engines before scrubbing — the oracle verifies actual "
+        "replacements, not a no-op pass.",
+)
+def op_d4_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or https://example.com/u/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=x call +1-555-01"), F.col("doc_id").cast("string"),
+    )
+    return d.select("doc_id", redact_pii(seeded).alias("redacted"))
+
+
 # ---------------------------------------------------------------------------
 # OP-D5 — Structured Streaming over events
 #

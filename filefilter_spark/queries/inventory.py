@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from filefilter_spark.config import load_config_str
+from filefilter_spark.ops.money import sum_cents
 from filefilter_spark.queries.registry import load_table, query, register_views, sql_query
 
 # ---------------------------------------------------------------------------
@@ -233,6 +234,50 @@ def op_a9_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
     )
     return read_input(spark, out, schema="r_regionkey bigint, r_name string")
+
+
+@query(
+    "OP-A9-orc",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+    doc="ORC sink + re-read round-trip (beyond-reference source/sink: the "
+        "other mainstream columnar format, Hive/Trino ecosystems; Spark's "
+        "built-in reader keeps pushdown + pruning; io.py read_input/"
+        "write_orc).",
+)
+def op_a9_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from filefilter_spark.io import read_input, write_orc
+
+    out = tempfile.mkdtemp(prefix="ffspark_a9o_") + "/region.orc"
+    write_orc(load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"), out)
+    return read_input(spark, out)
+
+
+@query(
+    "OP-A9-gzip",
+    oracle="""
+    SELECT CAST(r_regionkey AS VARCHAR) AS r_regionkey, r_name FROM region
+    """,
+    doc="gzip-compressed CSV round-trip: written with codec gzip, re-read "
+        "through the compression-transparent extension dispatch (io.py). "
+        "Gzip text is NOT splittable — one task per file on re-read; the "
+        "scale guidance (many modest files, or zstd/parquet) is documented "
+        "on the reader.",
+)
+def op_a9_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from filefilter_spark.io import read_input, write_csv
+
+    out = tempfile.mkdtemp(prefix="ffspark_a9g_") + "/region.csv.gz"
+    write_csv(
+        load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"),
+        out, single_file=True, compression="gzip",
+    )
+    return read_input(spark, out, schema="r_regionkey string, r_name string")
 
 
 sql_query(
@@ -618,10 +663,9 @@ def op_b9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "than decimal — see registry module docstring).",
 )
 def op_b12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    from filefilter_spark.ops.money import sum_cents as cents
 
-    def cents(expr):
-        return F.sum(F.round(expr * 100).cast("long"))
+    li = load_table(spark, sf_dir, "lineitem")
 
     qty = cents(F.col("l_quantity"))
     price = cents(F.col("l_extendedprice"))
@@ -672,7 +716,7 @@ def op_b11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_orders"),
-            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("sum_price"),
+            (sum_cents(F.col("o_totalprice")) / 100.0).alias("sum_price"),
         )
     )
 
@@ -824,7 +868,7 @@ def op_b20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_custkey", "o_orderkey",
-        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w) / 100.0)
+        (sum_cents(F.col("o_totalprice")).over(w) / 100.0)
         .alias("running_total"),
     )
 

@@ -26,6 +26,8 @@ import uuid
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from filefilter_spark.ops.money import sum_cents
+
 
 def _static_schema_and_ts_fix(spark: SparkSession, path: str):
     """Streaming file sources need an explicit schema. Derive it from a
@@ -77,8 +79,20 @@ def _run_to_memory(
     load, the same plan scales to real streams by raising the number.
     The session's batch conf is restored after the query starts.
     """
+    import os
+    import shutil
+    import tempfile
+
     spark = agg.sparkSession
     qname = "ffspark_stream_" + uuid.uuid4().hex[:8]
+    # Checkpoint on tmpfs when available: a bounded drain to a memory
+    # sink is ephemeral by definition, so its state snapshots don't
+    # need to survive a crash — put them on RAM, not disk (~0.2 s per
+    # run of state-store file IO at 8 partitions). A real deployment
+    # with a durable sink MUST checkpoint to durable shared storage
+    # instead; this shortcut is coupled to the memory sink only.
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ckpt = os.path.join(ckpt_base, "ffspark_ckpt_" + qname)
     conf_key = "spark.sql.shuffle.partitions"
     # A bounded availableNow drain doesn't need the trailing no-data
     # micro-batch (it only advances the watermark for append-mode
@@ -97,6 +111,7 @@ def _run_to_memory(
             agg.writeStream.format("memory")
             .queryName(qname)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -115,6 +130,7 @@ def _run_to_memory(
     finally:
         if query.isActive:  # pragma: no cover - timeout safety
             query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return qname, query
 
 
@@ -138,7 +154,7 @@ def windowed_counts_available_now(
         .groupBy(F.window(ts_col, window).alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias("sum_value"),
+            (sum_cents(F.col("value")) / 100.0).alias("sum_value"),
         )
         .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
     )
@@ -290,10 +306,24 @@ def pipeline_foreach_batch(
         pipe = Pipeline(spark, load_config_str(config_yaml))
         pipe.run(batch_df).df.write.mode("append").parquet(out_dir)
 
-    query = stream.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    import os
+    import shutil
+    import uuid as _uuid
+
+    # Same tmpfs-checkpoint shortcut as _run_to_memory (bounded drain,
+    # ephemeral output — durable deployments checkpoint durably).
+    ckpt_base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    ckpt = os.path.join(ckpt_base, "ffspark_ckpt_fb_" + _uuid.uuid4().hex[:8])
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
     try:
         query.awaitTermination(timeout_sec)
     finally:
         if query.isActive:  # pragma: no cover
             query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(out_dir)

@@ -388,3 +388,64 @@ def test_winnow_fingerprints_match_python_reference(documents):
 
     for row in sample.select("doc_id", "text").collect():
         assert got[row["doc_id"]] == ref(row["text"]), row["doc_id"]
+
+
+def test_redact_pii_matches_python_reference(spark):
+    """PII redaction (OP-D4-redact): the chained JVM regexp_replace must
+    agree with a direct Python re.sub chain on adversarial cases —
+    multiple hits per row, adjacent PII, no-op rows, pattern order."""
+    import re
+
+    from filefilter_spark.ops.text import PII_PATTERNS, redact_pii
+
+    cases = [
+        "plain text, nothing to scrub",
+        "mail a@b.io and c.d+tag@e-f.org twice",
+        "see https://x.io/p?q=1#f and http://y.org/z then mail z@w.dev",
+        "call +1-555-0100 or +44-20-7946-0958 now",
+        "edge https://a.io/u?e=x@y.com packs a url-embedded email",
+        "",
+    ]
+
+    def ref(s: str) -> str:
+        for pat, repl in PII_PATTERNS:
+            s = re.sub(pat, repl, s)
+        return s
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i int, t string")
+    got = {r["i"]: r["red"] for r in df.select("i", redact_pii("t").alias("red")).collect()}
+    for i, s in enumerate(cases):
+        assert got[i] == ref(s), (i, s)
+
+
+def test_io_round_trips(spark, sf_dir, tmp_path):
+    """ORC, JSONL, and gzip-CSV round-trips preserve values; the
+    compressed path exercises the extension dispatch through .gz."""
+    from filefilter_spark.io import read_input, write_csv, write_jsonl, write_orc
+
+    src = spark.read.parquet(f"{sf_dir}/region.parquet").select("r_regionkey", "r_name")
+    want = sorted((r["r_regionkey"], r["r_name"]) for r in src.collect())
+
+    orc = str(tmp_path / "region.orc")
+    write_orc(src, orc)
+    got = sorted((r["r_regionkey"], r["r_name"]) for r in read_input(spark, orc).collect())
+    assert got == want
+
+    jl = str(tmp_path / "region.jsonl")
+    write_jsonl(src, jl)
+    got = sorted(
+        (r["r_regionkey"], r["r_name"])
+        for r in read_input(spark, jl, schema="r_regionkey bigint, r_name string").collect()
+    )
+    assert got == want
+
+    gz = str(tmp_path / "region.csv.gz")
+    write_csv(src, gz, single_file=True, compression="gzip")
+    import glob
+
+    assert glob.glob(gz + "/part-*.csv.gz"), "expected gzip part files"
+    got = sorted(
+        (int(r["r_regionkey"]), r["r_name"])
+        for r in read_input(spark, gz, schema="r_regionkey string, r_name string").collect()
+    )
+    assert got == want
