@@ -203,14 +203,23 @@ def op_d3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # probabilistic recall; precision exact (verified); tests
     doc="sub-quadratic embedding near-dup: LSH-bucketed candidate pairs "
         "+ exact cosine verification at 0.45 — the scale path for "
-        "OP-D3-pairs' O(n²) baseline; recall measured in tests.",
+        "OP-D3-pairs' O(n²) baseline; recall measured in tests. Uses "
+        "auto (planes, tables) sizing from the corpus count (read from "
+        "the parquet footer — zero extra scans) so candidate generation "
+        "stays near-linear as n grows; SCALING.md measures auto at slope "
+        "0.96-1.39 vs 1.88 (quadratic) for a fixed plane count.",
 )
 def op_d3_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import pyarrow.parquet as pq
+
     from filefilter_spark.ops.similarity import lsh_cosine_pairs
 
+    n_rows = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
     out = lsh_cosine_pairs(
         load_table(spark, sf_dir, "embeddings"),
-        threshold=0.45, n_planes=4, n_tables=12,  # banding curve for loose threshold
+        threshold=0.45, n_planes="auto", n_rows=n_rows,
     )
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 

@@ -580,13 +580,17 @@ def op_b6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OP-B7",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
     """,
     doc="left anti join = NOT EXISTS (Catalyst rewrites the subquery form "
-        "to the same physical anti join).",
+        "to the same physical anti join). The orders side is restricted to "
+        "o_orderstatus = 'P' so the result is non-empty at every test SF "
+        "(every customer has *some* order, so the unrestricted anti-join is "
+        "vacuously 0 rows and proves nothing).",
 )
 def op_b7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     c = load_table(spark, sf_dir, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
