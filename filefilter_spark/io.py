@@ -60,9 +60,17 @@ def read_input(
     if ext in _COMPRESSION_EXTS:
         ext = Path(Path(name).stem).suffix
     if ext == ".parquet":
-        df = spark.read.parquet(p)
+        # Self-describing format: an explicit schema still applies (it
+        # prunes/casts at scan time) rather than being silently ignored.
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(p)
     elif ext == ".orc":
-        df = spark.read.orc(p)
+        reader = spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.orc(p)
     elif ext in _JSON_EXTS:
         # JSON Lines (one object per line — the splittable layout;
         # multiline JSON arrays are NOT splittable and are rejected by

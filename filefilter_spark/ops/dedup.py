@@ -60,9 +60,11 @@ def _bucket_pairs(
     (~0.3s of driver latency per build for the transform/struct/slice
     tree — the parsed form is plan-identical).
     """
+    if "`" in id_col:
+        raise ValueError(f"id_col must not contain backticks: {id_col!r}")
     grouped = (
         df.groupBy(*bucket_cols)
-        .agg(F.expr(f"array_sort(collect_set({id_col}))").alias("ids"))
+        .agg(F.expr(f"array_sort(collect_set(`{id_col}`))").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     if max_bucket is not None:

@@ -18,6 +18,29 @@ from filefilter_spark.config import load_config_str
 from filefilter_spark.ops.money import sum_cents
 from filefilter_spark.queries.registry import load_table, query, register_views, sql_query
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(name: str) -> str:
+    """Per-process scratch path for sink round-trip queries.
+
+    One shared root (removed at interpreter exit), one fixed subpath per
+    query name: every write here is mode=overwrite, so repeated bench /
+    correctness runs reuse the same path instead of accumulating a fresh
+    mkdtemp per invocation. The path must outlive the returned lazy
+    DataFrame (the driver collects later), hence atexit, not a context
+    manager.
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="ffspark_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return f"{_SCRATCH_ROOT}/{name}"
+
 # ---------------------------------------------------------------------------
 # §2.A — native pipeline operators
 # ---------------------------------------------------------------------------
@@ -32,11 +55,9 @@ from filefilter_spark.queries.registry import load_table, query, register_views,
         "scale-correct path — inference costs an extra pass).",
 )
 def op_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from filefilter_spark.io import read_input, write_csv
 
-    out = tempfile.mkdtemp(prefix="ffspark_a1_") + "/nation.tsv"
+    out = _scratch("a1/nation.tsv")
     write_csv(
         load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
         out, delimiter="\t", single_file=True,
@@ -199,11 +220,9 @@ def op_a8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "header+delimiter, read back as strings.",
 )
 def op_a9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from filefilter_spark.io import write_csv
 
-    out = tempfile.mkdtemp(prefix="ffspark_a9_") + "/region_csv"
+    out = _scratch("a9/region_csv")
     write_csv(load_table(spark, sf_dir, "region"), out, delimiter=";", single_file=True)
     return (
         spark.read.options(header=True, sep=";")
@@ -222,11 +241,9 @@ def op_a9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "write_jsonl).",
 )
 def op_a9_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from filefilter_spark.io import read_input, write_jsonl
 
-    out = tempfile.mkdtemp(prefix="ffspark_a9j_") + "/region.jsonl"
+    out = _scratch("a9j/region.jsonl")
     write_jsonl(
         load_table(spark, sf_dir, "region").selectExpr(
             "CAST(r_regionkey AS BIGINT) AS r_regionkey", "r_name"
@@ -247,11 +264,9 @@ def op_a9_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "write_orc).",
 )
 def op_a9_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from filefilter_spark.io import read_input, write_orc
 
-    out = tempfile.mkdtemp(prefix="ffspark_a9o_") + "/region.orc"
+    out = _scratch("a9o/region.orc")
     write_orc(load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"), out)
     return read_input(spark, out)
 
@@ -268,11 +283,9 @@ def op_a9_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "on the reader.",
 )
 def op_a9_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from filefilter_spark.io import read_input, write_csv
 
-    out = tempfile.mkdtemp(prefix="ffspark_a9g_") + "/region.csv.gz"
+    out = _scratch("a9g/region.csv.gz")
     write_csv(
         load_table(spark, sf_dir, "region").select("r_regionkey", "r_name"),
         out, single_file=True, compression="gzip",

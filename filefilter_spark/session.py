@@ -36,16 +36,63 @@ _DEFAULT_CONF: dict[str, str] = {
 }
 
 
-def get_spark(app_name: str = "filefilter_spark", **extra_conf: str) -> SparkSession:
+# Short S3 option name -> hadoop-aws (s3a) conf key. Exposed through
+# ``get_spark(s3={...})`` so OP-A3 (reference ``Database.py:72-75``,
+# which reads httpfs credentials from DuckDB secrets) has a concrete
+# Spark equivalent: credentials land on the Hadoop conf the s3a
+# connector reads. Keys not listed here can always be passed in full
+# via ``extra_conf`` ("spark.hadoop.fs.s3a.xxx").
+_S3_KEYS: dict[str, str] = {
+    "access_key": "spark.hadoop.fs.s3a.access.key",
+    "secret_key": "spark.hadoop.fs.s3a.secret.key",
+    "session_token": "spark.hadoop.fs.s3a.session.token",
+    "endpoint": "spark.hadoop.fs.s3a.endpoint",
+    "region": "spark.hadoop.fs.s3a.endpoint.region",
+    "path_style": "spark.hadoop.fs.s3a.path.style.access",
+}
+
+
+def s3_conf(options: dict[str, str]) -> dict[str, str]:
+    """Map short S3 credential options to ``spark.hadoop.fs.s3a.*`` keys.
+
+    Unknown short names raise (a typo'd credential should not silently
+    fall back to the anonymous provider chain); full ``spark.hadoop.``
+    or ``fs.s3a.``-prefixed keys pass through untouched.
+    """
+    out: dict[str, str] = {}
+    for k, v in options.items():
+        if k.startswith("spark.hadoop."):
+            out[k] = v
+        elif k.startswith("fs.s3a."):
+            out["spark.hadoop." + k] = v
+        elif k in _S3_KEYS:
+            out[_S3_KEYS[k]] = v
+        else:
+            raise ValueError(
+                f"unknown s3 option {k!r}; expected one of {sorted(_S3_KEYS)} "
+                "or a full fs.s3a.* / spark.hadoop.* key"
+            )
+    return out
+
+
+def get_spark(
+    app_name: str = "filefilter_spark",
+    s3: dict[str, str] | None = None,
+    **extra_conf: str,
+) -> SparkSession:
     """Build (or get) a SparkSession with engine defaults.
 
     ``master`` honors ``SPARK_GRAFT_CPUS`` locally; on a cluster the
     caller submits with its own master and these conf keys still apply.
+    ``s3`` takes short credential options (see :func:`s3_conf`) for
+    ``s3://``/``s3a://`` inputs; requires the hadoop-aws + aws-sdk jars
+    on the classpath (not bundled here — add via ``spark.jars.packages``).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name)
     if "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
-    for k, v in {**_DEFAULT_CONF, **extra_conf}.items():
+    conf = {**_DEFAULT_CONF, **(s3_conf(s3) if s3 else {}), **extra_conf}
+    for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

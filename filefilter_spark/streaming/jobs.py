@@ -25,6 +25,7 @@ import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import TimestampNTZType
 
 from filefilter_spark.ops.money import sum_cents
 
@@ -62,6 +63,13 @@ def _events_stream(spark: SparkSession, path: str, ts_col: str = "ts"):
         stream = stream.withColumn(
             ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
         )
+    elif isinstance(stream.schema[ts_col].dataType, TimestampNTZType):
+        # Parquet timestamp[us] without timezone reads as TIMESTAMP_NTZ,
+        # which withWatermark rejects (event time must be TIMESTAMP).
+        # The session TZ is pinned to UTC, so this cast is wall-clock
+        # preserving — same values the batch oracle computes on the NTZ
+        # column.
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream
 
 
@@ -96,11 +104,14 @@ def _run_to_memory(
     conf_key = "spark.sql.shuffle.partitions"
     # A bounded availableNow drain doesn't need the trailing no-data
     # micro-batch (it only advances the watermark for append-mode
-    # window finalization; every job here emits in complete/update
-    # mode or on-arrival) — skipping it saves one full batch round per
-    # run. On an unbounded deployment leave the default on.
+    # window finalization) — skipping it saves one full batch round per
+    # run. Gated on output mode: an append-mode windowed aggregate
+    # NEEDS that batch to emit its final watermark-closed windows, so
+    # the skip applies only to complete/update/on-arrival jobs.
     nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    overrides = {nodata_key: "false"}
+    overrides = {}
+    if output_mode != "append":
+        overrides[nodata_key] = "false"
     if state_partitions is not None:
         overrides[conf_key] = str(state_partitions)
     prev = {k: spark.conf.get(k, None) for k in overrides}

@@ -101,3 +101,58 @@ def test_sample_lines_cap(spark, tmp_path):
     src.write_text("a\n" + "\n".join(str(i) for i in range(100)))
     df = read_input(spark, str(src), sample_lines=7)
     assert df.count() == 7
+
+
+def test_to_cents_sign_safe(spark):
+    """HALF_UP for both signs: -100.005 must round away from zero
+    (-10001 cents), matching DuckDB/BigDecimal ROUND on refunds."""
+    from filefilter_spark.ops.money import to_cents
+
+    df = spark.createDataFrame(
+        [(100.005,), (-100.005,), (-0.004,), (0.0,), (-2.5,), (2.5,)],
+        "x double",
+    )
+    got = {r[0] for r in df.select(to_cents(df.x).alias("c")).collect()}
+    # abs(±100.005)*100 lands exactly on 10000.5 in double arithmetic, a
+    # true tie: HALF_UP away from zero must give ±10001 (a bare
+    # floor(x*100+0.5) would give -10000 for the negative). -2.5 dollars
+    # is exactly representable and must give -250, not -249.
+    assert got == {10001, -10001, 0, -250, 250}
+
+
+def test_bucket_pairs_quotes_identifier(spark):
+    from filefilter_spark.ops.dedup import _bucket_pairs
+
+    df = spark.createDataFrame(
+        [(1, "b1"), (2, "b1"), (3, "b2")], "`doc id` int, bucket string"
+    )
+    pairs = _bucket_pairs(df, ["bucket"], id_col="doc id").collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    with pytest.raises(ValueError, match="backtick"):
+        _bucket_pairs(df, ["bucket"], id_col="doc`id")
+
+
+def test_read_input_applies_schema_to_parquet(spark, tmp_path):
+    from filefilter_spark.io import read_input
+
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a")], "id bigint, s string").write.parquet(p)
+    df = read_input(spark, p, schema="id int, s string")
+    assert dict(df.dtypes)["id"] == "int"
+
+
+def test_s3_conf_mapping():
+    from filefilter_spark.session import s3_conf
+
+    out = s3_conf({
+        "access_key": "AK", "secret_key": "SK", "endpoint": "http://minio:9000",
+        "fs.s3a.connection.maximum": "64",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+    })
+    assert out["spark.hadoop.fs.s3a.access.key"] == "AK"
+    assert out["spark.hadoop.fs.s3a.secret.key"] == "SK"
+    assert out["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    assert out["spark.hadoop.fs.s3a.connection.maximum"] == "64"
+    assert out["spark.hadoop.fs.s3a.fast.upload"] == "true"
+    with pytest.raises(ValueError, match="unknown s3 option"):
+        s3_conf({"acess_key": "typo"})
