@@ -29,7 +29,6 @@ _FN_RENAMES = {
     "list_distinct": "array_distinct",
     "list_contains": "array_contains",
     "list_sort": "array_sort",
-    "list_unique": "array_distinct",  # close enough: distinct count via size()
     "list_concat": "concat",
     "list_transform": "transform",
     "list_filter": "filter",
@@ -39,8 +38,13 @@ _FN_RENAMES = {
     "string_to_array": "split",
     "list_value": "array",
     "array_length": "size",
-    "len": "length",
+    # NOTE: no ``len`` rename — Spark evaluates ``len`` natively for
+    # string/binary (same as DuckDB's string case); DuckDB's *list*
+    # ``len(l)`` has no type-polymorphic Spark twin, so an explicit
+    # rename would only swap one analysis error for a more confusing
+    # one. List length: write ``array_length(l)`` (mapped to ``size``).
     "strlen": "length",
+    "regexp_matches": "rlike",  # both are partial-match boolean
     "date_part": "extract_part__",  # handled specially below
     "to_timestamp": "to_timestamp",
     "epoch_ms": "unix_millis",
@@ -65,14 +69,14 @@ def _rewrite_exclude(sql: str) -> str:
     return re.sub(r"(?i)(\*\s*)EXCLUDE(\s*\()", r"\1EXCEPT\2", sql)
 
 
-def _rewrite_strftime(sql: str) -> str:
-    # strftime(expr, '%Y-%m-%d') → date_format(expr, 'yyyy-MM-dd').
-    # DuckDB also accepts (fmt, expr) order; detect by which arg is the
-    # quoted literal containing %-codes. The arg list is found with an
-    # explicit depth scan, not a regex — args like
-    # date_trunc('day', CAST(s AS TIMESTAMP)) nest parens arbitrarily
-    # deep and a regex can only approximate one level.
-    call_re = re.compile(r"(?i)\bstrftime\s*\(")
+def _rewrite_call(sql: str, fname: str, rewrite) -> str:
+    """Rewrite every ``fname(args)`` call via ``rewrite(inner) -> str``.
+
+    The arg list is found with an explicit depth scan, not a regex —
+    args like ``date_trunc('day', CAST(s AS TIMESTAMP))`` nest parens
+    arbitrarily deep and a regex can only approximate one level.
+    """
+    call_re = re.compile(rf"(?i)\b{fname}\s*\(")
     out, pos = [], 0
     while True:
         m = call_re.search(sql, pos)
@@ -92,22 +96,39 @@ def _rewrite_strftime(sql: str) -> str:
             elif ch == ")":
                 depth -= 1
             i += 1
-        inner = sql[m.end() : i - 1]
-        parts = _split_top_level(inner)
-        if len(parts) == 2:
-            a, b = (p.strip() for p in parts)
-            if a.startswith("'") and "%" in a:
-                fmt, expr = a, b
-            else:
-                fmt, expr = b, a
-            for code, jdk in _STRFTIME_CODES.items():
-                fmt = fmt.replace(code, jdk)
-            rewritten = f"date_format({expr}, {fmt})"
-        else:
-            rewritten = f"strftime({inner})"
         out.append(sql[pos : m.start()])
-        out.append(rewritten)
+        out.append(rewrite(sql[m.end() : i - 1]))
         pos = i
+
+
+def _rewrite_strftime(sql: str) -> str:
+    # strftime(expr, '%Y-%m-%d') → date_format(expr, 'yyyy-MM-dd').
+    # DuckDB also accepts (fmt, expr) order; detect by which arg is the
+    # quoted literal containing %-codes.
+    def one(inner: str) -> str:
+        parts = _split_top_level(inner)
+        if len(parts) != 2:
+            return f"strftime({inner})"
+        a, b = (p.strip() for p in parts)
+        if a.startswith("'") and "%" in a:
+            fmt, expr = a, b
+        else:
+            fmt, expr = b, a
+        for code, jdk in _STRFTIME_CODES.items():
+            fmt = fmt.replace(code, jdk)
+        return f"date_format({expr}, {fmt})"
+
+    return _rewrite_call(sql, "strftime", one)
+
+
+def _rewrite_list_unique(sql: str) -> str:
+    # DuckDB list_unique(l) returns the COUNT of distinct elements
+    # (BIGINT), not the deduplicated list — the Spark shape is
+    # size(array_distinct(l)), an arg-wrapping rewrite rather than a
+    # name substitution.
+    return _rewrite_call(
+        sql, "list_unique", lambda inner: f"size(array_distinct({inner}))"
+    )
 
 
 def _rewrite_date_part(sql: str) -> str:
@@ -285,5 +306,6 @@ def translate(sql: str) -> str:
     out = _rewrite_exclude(out)
     out = _rewrite_qualify_all(out)
     out = _rewrite_strftime(out)
+    out = _rewrite_list_unique(out)
     out = _rewrite_fn_names(out)
     return out

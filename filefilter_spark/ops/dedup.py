@@ -125,6 +125,21 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def keep_survivors(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Materialize the deduplicated corpus: full original rows whose id
+    is an :func:`exact_dedup` survivor — the API shape a real corpus
+    pipeline calls (dedup, then keep processing rows, not fingerprints).
+
+    Left-semi join against the survivor ids: only ids cross the shuffle
+    (never bodies), and the semi side carries one id per distinct text
+    so AQE can pick broadcast when the distinct count is small.
+    """
+    keep = exact_dedup(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1) -> DataFrame:
     feat = shingles(text_col, shingle_n) if shingle_n > 1 else F.array_distinct(tokens(text_col))
     return df.select(F.col(id_col).alias("doc_id"), feat.alias("toks"))

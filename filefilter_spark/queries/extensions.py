@@ -71,6 +71,25 @@ def op_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "OP-D1-rows",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id IN (
+      SELECT min(doc_id) FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    )
+    """,
+    doc="exact-dedup survivor materialization: the deduplicated corpus "
+        "itself (full rows via left-semi join on survivor ids) — the "
+        "output a training-data pipeline feeds downstream.",
+)
+def op_d1_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import keep_survivors
+
+    return keep_survivors(load_table(spark, sf_dir, "documents"))
+
+
 _JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') tk

@@ -50,15 +50,26 @@ def _static_schema_and_ts_fix(spark: SparkSession, path: str):
     return schema, nanos_cols
 
 
-def _events_stream(spark: SparkSession, path: str, ts_col: str = "ts"):
+def _events_stream(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    max_files_per_trigger: int | None = None,
+):
     schema, nanos_cols = _static_schema_and_ts_fix(spark, path)
     import os
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # Bounds each micro-batch to N input files — the knob that makes
+        # an availableNow drain process a directory in several batches
+        # (and the hot-reload boundary observable in tests).
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path.endswith(".parquet"):
         base, fname = os.path.dirname(path) or ".", os.path.basename(path)
-        stream = spark.readStream.schema(schema).option("pathGlobFilter", fname).parquet(base)
+        stream = reader.option("pathGlobFilter", fname).parquet(base)
     else:
-        stream = spark.readStream.schema(schema).parquet(path)
+        stream = reader.parquet(path)
     if ts_col in nanos_cols:
         stream = stream.withColumn(
             ts_col, F.expr(f"timestamp_micros(`{ts_col}` div 1000)")
@@ -290,10 +301,12 @@ def stateful_user_stats_available_now(
 def pipeline_foreach_batch(
     spark: SparkSession,
     path: str,
-    config_yaml: str,
+    config_yaml: str | None = None,
     ts_col: str = "ts",
     timeout_sec: int = 300,
     state_partitions: int | None = None,
+    config_path: str | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run a batch Pipeline (sql/python/rest stages) per micro-batch via
     ``foreachBatch`` — the streaming reincarnation of the reference's
@@ -301,20 +314,36 @@ def pipeline_foreach_batch(
     plays the role of one chunk, and the same YAML stages the reference
     applies per chunk are applied per batch (SURVEY.md §2.6).
 
-    Results accumulate in a memory table; on a real deployment the
-    writer would be delta/kafka and the config could be re-read per
-    batch (the reference's hot-reload intent).
+    ``config_path`` (exclusive with ``config_yaml``) re-reads the YAML
+    file at the START of every micro-batch — the reference's
+    ``reloadConfigEverySeconds`` hot-reload semantics
+    (``filefilter.py:160-170``) on the one Spark surface where a
+    mid-job stage swap is expressible: edits to the file take effect on
+    the next batch, with the micro-batch as the consistency boundary
+    (a batch never sees half-old, half-new stages). ``config_yaml``
+    pins one config for the whole run.
+
+    Results accumulate in a parquet dir; on a real deployment the
+    writer would be delta/kafka.
     """
     import tempfile
 
     from filefilter_spark.config import load_config_str
     from filefilter_spark.pipeline import Pipeline
 
-    stream = _events_stream(spark, path, ts_col)
+    if (config_yaml is None) == (config_path is None):
+        raise ValueError("pass exactly one of config_yaml / config_path")
+
+    stream = _events_stream(spark, path, ts_col, max_files_per_trigger)
     out_dir = tempfile.mkdtemp(prefix="ffspark_fb_") + "/data"
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        pipe = Pipeline(spark, load_config_str(config_yaml))
+        if config_path is not None:
+            with open(config_path) as fh:
+                yaml_str = fh.read()
+        else:
+            yaml_str = config_yaml
+        pipe = Pipeline(spark, load_config_str(yaml_str))
         pipe.run(batch_df).df.write.mode("append").parquet(out_dir)
 
     import os

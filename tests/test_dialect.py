@@ -61,7 +61,7 @@ def test_strftime_both_arg_orders():
 
 
 def test_fn_renames():
-    out = translate("SELECT list_distinct(a), list_contains(a, 1), len(s) FROM df")
+    out = translate("SELECT list_distinct(a), list_contains(a, 1), strlen(s) FROM df")
     assert "array_distinct(a)" in out
     assert "array_contains(a, 1)" in out
     assert "length(s)" in out
@@ -179,3 +179,31 @@ def test_strftime_nested_expr_and_fmt_first(spark):
     row = spark.sql(sql).collect()[0]
     assert row["a"] == "2024/03/05"
     assert row["b"] == "05.03.2024"
+
+
+def test_regexp_matches_rename(spark):
+    spark.createDataFrame(
+        [("555-0100",), ("no phone",)], "s string"
+    ).createOrReplaceTempView("df")
+    sql = translate(r"SELECT s FROM df WHERE regexp_matches(s, '\\d{3}-\\d{4}')")
+    assert "rlike(" in sql and "regexp_matches" not in sql
+    assert [r.s for r in spark.sql(sql).collect()] == ["555-0100"]
+
+
+def test_list_unique_returns_count(spark):
+    # DuckDB list_unique is the COUNT of distinct elements (BIGINT);
+    # the rewrite must wrap, not just rename, or the type changes.
+    sql = translate("SELECT list_unique(array(1, 2, 2, 3)) AS n")
+    assert "size(array_distinct(array(1, 2, 2, 3)))" in sql
+    assert spark.sql(sql).collect()[0].n == 3
+    # nested args with commas and parens survive the depth scan
+    sql2 = translate("SELECT list_unique(list_concat(array(1), array(1, 2))) AS n")
+    assert spark.sql(sql2).collect()[0].n == 2
+
+
+def test_len_passthrough(spark):
+    # string len is evaluated natively by Spark — no rename needed; the
+    # old blanket len->length rename claimed (wrongly) to cover lists.
+    sql = translate("SELECT len('abcd') AS n")
+    assert "len('abcd')" in sql
+    assert spark.sql(sql).collect()[0].n == 4

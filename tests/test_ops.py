@@ -449,3 +449,72 @@ def test_io_round_trips(spark, sf_dir, tmp_path):
         for r in read_input(spark, gz, schema="r_regionkey string, r_name string").collect()
     )
     assert got == want
+
+
+def test_foreach_batch_hot_config_reload(spark, tmp_path):
+    """config_path is re-read at each micro-batch boundary (the
+    reference's reloadConfigEverySeconds intent, filefilter.py:160-170):
+    batch 1's stage swaps the config file, so batch 2 must tag rows with
+    the NEW stage list."""
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.streaming.jobs import pipeline_foreach_batch
+
+    src = str(tmp_path / "events_dir")
+    (
+        spark.range(10)
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit("2026-01-01 00:00:00").cast("timestamp").alias("ts"),
+        )
+        .repartition(2)  # two part files -> two micro-batches
+        .write.parquet(src)
+    )
+
+    cfg = tmp_path / "cfg.yml"
+    v2 = tmp_path / "cfg_v2.yml"
+    v2.write_text(
+        """
+filters:
+  - name: tag
+    actionType: python
+    code: |
+      row['ver'] = 2
+"""
+    )
+    # v1's stage swaps the active config from inside batch 1, so the
+    # interleaving is deterministic: by the time batch 2's handler
+    # re-reads the path, v2 is in place.
+    cfg.write_text(
+        f"""
+filters:
+  - name: tag
+    actionType: python
+    code: |
+      import shutil
+      shutil.copy({str(v2)!r}, {str(cfg)!r})
+      row['ver'] = 1
+"""
+    )
+
+    out = pipeline_foreach_batch(
+        spark, src, config_path=str(cfg), max_files_per_trigger=1
+    )
+    assert out.count() == 10
+    vers = sorted(r.ver for r in out.select("ver").distinct().collect())
+    assert vers == [1, 2]
+
+    with pytest.raises(ValueError, match="exactly one"):
+        pipeline_foreach_batch(spark, src)
+
+
+def test_keep_survivors_materializes_dedup(spark):
+    from filefilter_spark.ops.dedup import keep_survivors
+
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "hello world"), (3, "unique doc")],
+        "doc_id int, text string",
+    )
+    out = keep_survivors(df).orderBy("doc_id").collect()
+    # normalized-equal texts collapse to the min-id row, full row kept
+    assert [(r.doc_id, r.text) for r in out] == [(1, "Hello  world"), (3, "unique doc")]
