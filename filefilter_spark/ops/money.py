@@ -33,3 +33,20 @@ def to_cents(expr: Column) -> Column:
 def sum_cents(expr: Column) -> Column:
     """Exact long sum of cents; divide by 100.0 at the end for display."""
     return F.sum(to_cents(expr))
+
+
+def to_cents_sql(expr: str) -> str:
+    """SQL-string twin of :func:`to_cents` for ``F.expr`` callers.
+
+    Plan-identical to the Column form, but the whole expression tree is
+    parsed JVM-side in ONE Py4J round trip instead of one per node —
+    measured ~0.1 s of driver latency per six-aggregate build (same
+    motivation as dedup._bucket_pairs)."""
+    return f"CAST(signum({expr}) * floor(abs({expr}) * 100 + 0.5d) AS BIGINT)"
+
+
+def sum_money_sql(expr: str) -> str:
+    """``SUM`` of integer cents, rescaled to a double for display —
+    the standard money-aggregate shape as a single SQL string (append
+    your own ``AS alias``)."""
+    return f"CAST(SUM({to_cents_sql(expr)}) AS DOUBLE) / 100.0"
