@@ -1,0 +1,145 @@
+"""Corpus-assembly operators for LLM training-data pipelines.
+
+Beyond-reference tier (same rationale as ops/dedup and ops/text): the
+operations that turn a cleaned document corpus into training-ready
+data — deterministic dataset splitting, fixed-budget sequence packing,
+benchmark-contamination measurement. All JVM-side expressions; each has
+an oracle-checked registry entry in ``queries/extensions.py``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from filefilter_spark.ops.text import shingles
+
+_HASH_SPACE = 16 ** 8  # first 8 hex chars of md5 = 32-bit prefix
+
+
+def split_cutoffs(weights: dict[str, float]) -> list[tuple[str, str | None]]:
+    """Normalize split weights to cumulative hex cutoffs over the
+    32-bit md5-prefix space: ``[(name, cutoff_hex)...]``, last cutoff
+    ``None`` (the catch-all). Shared by the Spark expression and the
+    SQL oracle so both compare against identical constants."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    total = float(sum(weights.values()))
+    names = list(weights)
+    out: list[tuple[str, str | None]] = []
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        out.append((name, format(min(_HASH_SPACE - 1, int(cum * _HASH_SPACE)), "08x")))
+    out.append((names[-1], None))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash.
+
+    The first 8 hex chars of ``md5(id || ':' || seed)`` are compared
+    against precomputed cumulative cutoffs (:func:`split_cutoffs`).
+    Unlike ``randomSplit`` — whose assignment depends on partitioning
+    and row order — this is a pure per-row projection: stable across
+    engines, reruns, cluster sizes, and repartitioning, which is what
+    makes a split reproducible (and auditable) on a 100 TB corpus. No
+    shuffle, no state; Catalyst keeps it inside the scan's project.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    prefix = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 8
+    )
+    case: Column | None = None
+    for name, cutoff in split_cutoffs(weights):
+        if cutoff is None:
+            expr = F.lit(name) if case is None else case.otherwise(name)
+        else:
+            case = (
+                F.when(prefix < cutoff, name)
+                if case is None
+                else case.when(prefix < cutoff, name)
+            )
+    return df.withColumn(split_col, expr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    cost_col: str | Column,
+    budget: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Assign documents to fixed-budget bins by running token total —
+    the streaming formulation of context-window packing: doc d goes to
+    bin ``floor(prev_cumulative_cost / budget)`` within its shard, so
+    each bin holds ~budget tokens (the straddling doc is the standard
+    truncate-or-carry decision left to the consumer).
+
+    Deterministic given (part_col, order_col). The window is PER SHARD
+    on purpose: a single global ordering would serialize the whole
+    corpus through one partition; per-shard packing shuffles once on
+    the shard key and scales with shard count. Returns df + bin_col
+    (bin ids are per-shard; pair with part_col for a global key).
+    """
+    cost = F.col(cost_col) if isinstance(cost_col, str) else cost_col
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(cost).over(w), F.lit(0))
+    return df.withColumn(bin_col, F.floor(prev / F.lit(budget)))
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document benchmark-contamination fraction: the share of the
+    doc's distinct word n-grams that appear anywhere in the benchmark
+    set (the standard train/test-leakage check before training).
+
+    Shape: the benchmark side collapses to DISTINCT shingles (tiny —
+    eval sets are KBs against a 100 TB corpus, so the semi-join build
+    side broadcasts); the corpus side explodes to (doc, shingle)
+    postings and left-semi joins. Two narrow shuffles + one broadcast;
+    document bodies never move. Returns
+    (id_col, n_shingles, n_contaminated, contamination).
+    """
+    d = docs.select(
+        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+    )
+    bench = (
+        benchmark.select(F.explode(shingles(text_col, shingle_n)).alias("__t"))
+        .distinct()
+    )
+    posting = d.select(id_col, F.explode("__sh").alias("__t"))
+    hits = (
+        posting.join(bench, "__t", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    base = d.select(F.col(id_col), F.size("__sh").alias("n_shingles"))
+    return (
+        base.join(hits, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn(
+            # Raw IEEE quotient of two ints — cross-engine exact (see
+            # text.repetition_score note on why no explicit round).
+            "contamination",
+            F.col("n_contaminated") / F.col("n_shingles"),
+        )
+    )

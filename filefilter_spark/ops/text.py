@@ -72,6 +72,28 @@ def shingles(col: str | Column, n: int = 3) -> Column:
     return _bind(tokens(col), build)
 
 
+def repetition_score(col: str | Column, n: int = 3) -> Column:
+    """Duplicated-n-gram fraction — the Gopher-style repetition signal
+    (``1 - distinct/total`` over the word n-gram MULTISET; 0 for
+    repetition-free text, →1 for loops/boilerplate). Shares the
+    let-bound single-tokenization shape with :func:`shingles`, but
+    keeps duplicates: the whole point is counting them."""
+
+    def build(tk: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+        all_sh = F.when(
+            F.size(tk) >= n,
+            F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, n), " ")),
+        ).otherwise(F.array(F.array_join(tk, " ")))
+        # No explicit round: both engines do the same IEEE-754 division
+        # on the same integers, and engine round() half-way behavior on
+        # doubles differs — the raw quotient is the cross-engine-stable
+        # form (the oracle canonicalizer compares at 1e-10).
+        return 1 - F.size(F.array_distinct(all_sh)) / F.size(all_sh)
+
+    return _bind(tokens(col), build)
+
+
 def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
     toks = tokens(col)
     sw = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
@@ -198,4 +220,53 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         detect_language(text_col).alias("lang_detected"),
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fp"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    k: int = 5,
+    min_len: int = 2,
+) -> DataFrame:
+    """Top-k characteristic terms per group by tf-idf — the standard
+    corpus-profiling pass (what distinguishes each source/domain).
+
+    Shape: explode to (group, token) postings, ONE aggregation to term
+    frequencies; group-frequency per token is a window over the tf rows
+    (bounded by groups x vocabulary, far smaller than the corpus —
+    no second shuffle of postings); the distinct-group count joins in
+    as a broadcast scalar. Scores are rounded to 6dp BEFORE ranking so
+    both engines rank identical keys (ln differs at ulp level across
+    libm implementations).
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .filter(F.length("tok") >= min_len)
+    )
+    tf = tok.groupBy("grp", "tok").agg(F.count("*").alias("tf"))
+    n_grp = tf.select(F.count_distinct("grp").alias("n_groups"))
+    scored = (
+        tf.withColumn("df_groups", F.count("*").over(Window.partitionBy("tok")))
+        .crossJoin(F.broadcast(n_grp))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_groups") / F.col("df_groups")), 6),
+        )
+    )
+    w_rank = Window.partitionBy("grp").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "tok", "tf", "df_groups", "tfidf",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

@@ -734,3 +734,169 @@ def op_d6_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # payload column dropped for comparison (DuckDB can't hash blobs, but
     # the sha256 column proves the payload bytes end-to-end)
     return resized.select("media_id", "media_type", "content_len", "sha256")
+
+
+# ---------------------------------------------------------------------------
+# OP-D7 — corpus assembly (split / pack / contamination)
+# ---------------------------------------------------------------------------
+
+def _split_case_sql(id_expr: str, seed: int = 42) -> str:
+    """CASE expression mirroring ops.corpus.hash_split — built from the
+    SAME split_cutoffs() constants, so the oracle is the definition."""
+    from filefilter_spark.ops.corpus import split_cutoffs
+
+    prefix = f"substr(md5(CAST({id_expr} AS VARCHAR) || ':{seed}'), 1, 8)"
+    arms = []
+    for name, cutoff in split_cutoffs({"train": 0.9, "val": 0.05, "test": 0.05}):
+        if cutoff is None:
+            arms.append(f"ELSE '{name}'")
+        else:
+            arms.append(f"WHEN {prefix} < '{cutoff}' THEN '{name}'")
+    return "CASE " + " ".join(arms) + " END"
+
+
+@query(
+    "OP-D7-split",
+    oracle=f"""
+    SELECT doc_id, {_split_case_sql('doc_id')} AS split FROM documents
+    """,
+    doc="deterministic hash-based train/val/test split (90/5/5): pure "
+        "per-row md5-prefix projection — reproducible across engines, "
+        "reruns, and cluster sizes, unlike randomSplit (ops/corpus.py).",
+)
+def op_d7_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import hash_split
+
+    return hash_split(load_table(spark, sf_dir, "documents")).select("doc_id", "split")
+
+
+@query(
+    "OP-D7-pack",
+    oracle="""
+    SELECT doc_id, source, n_chars,
+           CAST(floor(COALESCE(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 4096.0) AS BIGINT) AS bin_id
+    FROM documents
+    """,
+    doc="fixed-budget sequence packing: per-shard running-cost binning "
+        "(floor(prev_cumsum/budget)) — the streaming formulation of "
+        "context-window packing; per-shard windows avoid a global "
+        "ordering bottleneck (ops/corpus.py pack_sequences).",
+)
+def op_d7_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(d, "n_chars", 4096).select(
+        "doc_id", "source", "n_chars", "bin_id"
+    )
+
+
+_CONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+      THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+      ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS t FROM sh WHERE doc_id % 50 = 0
+),
+posting AS (SELECT doc_id, unnest(sh) AS t FROM sh),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM posting WHERE t IN (SELECT t FROM bench)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, len(s.sh) AS n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / len(s.sh) AS contamination
+FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id
+"""
+
+
+@query(
+    "OP-D7-contamination",
+    oracle=_CONTAM_ORACLE,
+    doc="benchmark-contamination check (train/test leakage): share of each "
+        "doc's distinct 3-gram shingles present anywhere in the benchmark "
+        "set (here: every 50th doc); benchmark shingles broadcast, corpus "
+        "bodies never shuffle (ops/corpus.py contamination).",
+)
+def op_d7_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return contamination(d, bench)
+
+
+@query(
+    "OP-D4-repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, CASE WHEN len(tk) >= 3
+          THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+          ELSE [array_to_string(tk, ' ')] END AS sh
+      FROM toks
+    )
+    SELECT doc_id,
+           1 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS repetition
+    FROM sh
+    """,
+    doc="Gopher-style repetition signal: duplicated-3-gram fraction over "
+        "the n-gram multiset (1 - distinct/total), all JVM expressions "
+        "with single tokenization (ops/text.py repetition_score).",
+)
+def op_d4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import repetition_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", repetition_score("text").alias("repetition"))
+
+
+@query(
+    "OP-D4-tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT source AS grp,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT grp, tok, count(*) AS tf FROM tok
+      WHERE length(tok) >= 2 GROUP BY 1, 2
+    ),
+    stats AS (SELECT tok, count(*) AS df_groups FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT grp) AS n_groups FROM tf),
+    scored AS (
+      SELECT tf.grp, tf.tok, tf.tf, s.df_groups,
+             round(tf.tf * ln(CAST(n.n_groups AS DOUBLE) / s.df_groups), 6) AS tfidf
+      FROM tf JOIN stats s USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY grp ORDER BY tfidf DESC, tok) AS rank
+      FROM scored
+    )
+    SELECT grp AS source, tok, tf, df_groups, tfidf, rank
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="corpus profiling: top-5 tf-idf terms per source — one postings "
+        "aggregation, doc-frequency as a window over the tf rows, scalar "
+        "group count broadcast; scores rounded before ranking so both "
+        "engines rank identical keys (ops/text.py tfidf_top_terms).",
+)
+def op_d4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))

@@ -518,3 +518,78 @@ def test_keep_survivors_materializes_dedup(spark):
     out = keep_survivors(df).orderBy("doc_id").collect()
     # normalized-equal texts collapse to the min-id row, full row kept
     assert [(r.doc_id, r.text) for r in out] == [(1, "Hello  world"), (3, "unique doc")]
+
+
+def test_hash_split_deterministic_and_shuffle_free(spark):
+    from filefilter_spark.ops.corpus import hash_split, split_cutoffs
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df)
+    # pure projection: no Exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 2000 - 0.9) < 0.03
+    assert abs(counts["val"] / 2000 - 0.05) < 0.02
+    assert abs(counts["test"] / 2000 - 0.05) < 0.02
+    # same ids -> same assignment regardless of partitioning
+    again = {r.doc_id: r.split for r in hash_split(df.repartition(7)).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+    with pytest.raises(ValueError, match="positive"):
+        split_cutoffs({"a": -1.0})
+
+
+def test_pack_sequences_respects_budget(spark):
+    from filefilter_spark.ops.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "s", 100) for i in range(10)], "doc_id int, source string, cost int"
+    )
+    out = pack_sequences(df, "cost", 250, part_col="source").collect()
+    bins = {}
+    for r in out:
+        bins.setdefault(r.bin_id, []).append(r.doc_id)
+    # prev-cumsum binning: bin 0 gets docs 0-2 (prev 0,100,200), bin 1
+    # docs 3-4 (prev 300,400), ... — first doc of each bin starts below
+    # the budget boundary
+    assert bins[0] == [0, 1, 2]
+    assert bins[1] == [3, 4]
+
+
+def test_contamination_fractions(spark):
+    from filefilter_spark.ops.corpus import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),        # 3 shingles, some shared
+            (2, "totally different words here now"),  # disjoint
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "the quick brown fox")], "doc_id int, text string"
+    )
+    got = {r.doc_id: (r.n_shingles, r.n_contaminated) for r in contamination(docs, bench).collect()}
+    # doc 1: shingles {the quick brown, quick brown fox, brown fox jumps};
+    # bench has the first two -> 2/3 contaminated
+    assert got[1] == (3, 2)
+    assert got[2] == (3, 0)
+
+
+def test_repetition_score_values(spark):
+    from filefilter_spark.ops.text import repetition_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # heavy 3-gram repetition
+            (2, "one two three four"),  # no repetition
+            (3, "x y"),                 # shorter than n -> single shingle, 0
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.rep for r in df.select("doc_id", repetition_score("text").alias("rep")).collect()}
+    # doc 1: 7 shingles, 3 distinct -> 1 - 3/7
+    assert abs(got[1] - (1 - 3 / 7)) < 1e-9
+    assert got[2] == 0.0
+    assert got[3] == 0.0
