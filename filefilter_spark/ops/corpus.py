@@ -143,3 +143,43 @@ def contamination(
             F.col("n_contaminated") / F.col("n_shingles"),
         )
     )
+
+
+def rate_cutoff_hex(rate: float) -> str | None:
+    """Keep-rate -> md5-prefix cutoff hex (None = keep everything).
+    Shared with the SQL oracle so both engines compare identical
+    constants."""
+    if rate < 0 or rate > 1:
+        raise ValueError(f"rate must be in [0, 1]: {rate}")
+    if rate >= 1.0:
+        return None
+    return format(int(rate * _HASH_SPACE), "08x")
+
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group rate sampling — the data-mixing step of
+    corpus assembly (down-weight web crawl, keep all books, ...).
+
+    Keep a row iff ``md5(id || '#mix' || seed)`` prefix < its group's
+    cutoff — the same engine-portable hash trick as :func:`hash_split`
+    with an INDEPENDENT salt, so mixing and split decisions are
+    uncorrelated. Pure projection + filter: no shuffle, no RNG state,
+    bit-reproducible across engines/reruns/partitionings, and changing
+    one group's rate only touches that group's rows (sample/randomSplit
+    give neither property). Unlisted groups get ``default_rate``.
+    """
+    prefix = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#mix{seed}"))), 1, 8
+    )
+    cutoff: Column = F.lit(rate_cutoff_hex(default_rate) or "g")  # 'g' > any hex
+    for name, rate in rates.items():
+        c = rate_cutoff_hex(rate)
+        cutoff = F.when(F.col(group_col) == name, F.lit(c if c is not None else "g")).otherwise(cutoff)
+    return df.filter(prefix < cutoff)

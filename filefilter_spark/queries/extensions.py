@@ -900,3 +900,77 @@ def op_d4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.text import tfidf_top_terms
 
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def _mix_case_sql(rates: dict[str, float], default_rate: float, seed: int = 42) -> str:
+    """Filter predicate mirroring ops.corpus.weighted_sample — built
+    from the SAME rate_cutoff_hex constants as the Spark side."""
+    from filefilter_spark.ops.corpus import rate_cutoff_hex
+
+    arms = []
+    for name, rate in rates.items():
+        c = rate_cutoff_hex(rate)
+        arms.append(f"WHEN '{name}' THEN '{c if c is not None else 'g'}'")
+    dflt = rate_cutoff_hex(default_rate)
+    case = f"CASE source {' '.join(arms)} ELSE '{dflt if dflt is not None else 'g'}' END"
+    return f"substr(md5(CAST(doc_id AS VARCHAR) || '#mix{seed}'), 1, 8) < {case}"
+
+
+_MIX_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.0}
+
+
+@query(
+    "OP-D7-mix",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE {_mix_case_sql(_MIX_RATES, 1.0)}
+    """,
+    doc="data-mixing weighted sample: per-source deterministic keep-rates "
+        "(here src0 50%, src1 25%, src2 dropped, rest kept) via md5-prefix "
+        "cutoffs — reproducible across engines/partitionings, no RNG state "
+        "(ops/corpus.py weighted_sample).",
+)
+def op_d7_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import weighted_sample
+
+    return weighted_sample(load_table(spark, sf_dir, "documents"), _MIX_RATES)
+
+
+@query(
+    "OP-D7-clean",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             CASE WHEN len(tk) >= 3
+                 THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+                 ELSE [array_to_string(tk, ' ')] END AS sh
+      FROM toks
+    ),
+    scored AS (
+      SELECT doc_id, n_tokens,
+             1 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS repetition
+      FROM sh
+    )
+    SELECT d.doc_id, d.source, s.n_tokens, s.repetition
+    FROM documents d JOIN scored s USING (doc_id)
+    WHERE s.n_tokens >= 30 AND s.repetition <= 0.02
+    """,
+    doc="composite cleaning filter (the C4/Gopher-style gate): keep docs "
+        "with >= 30 tokens AND duplicated-3-gram fraction <= 0.02 — one "
+        "pass, single tokenization feeding both signals, pure projection "
+        "+ filter before any shuffle.",
+)
+def op_d7_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import repetition_score, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source",
+        token_count("text").cast("long").alias("n_tokens"),
+        repetition_score("text").alias("repetition"),
+    )
+    return scored.filter((F.col("n_tokens") >= 30) & (F.col("repetition") <= 0.02))

@@ -593,3 +593,21 @@ def test_repetition_score_values(spark):
     assert abs(got[1] - (1 - 3 / 7)) < 1e-9
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_weighted_sample_rates_and_determinism(spark):
+    from filefilter_spark.ops.corpus import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(4000)], "doc_id int, source string"
+    )
+    out = weighted_sample(df, {"a": 0.5, "b": 0.0})
+    rows = out.collect()
+    # b fully dropped, a kept at ~50%
+    assert all(r.source == "a" for r in rows)
+    assert abs(len(rows) / 2000 - 0.5) < 0.05
+    # deterministic under repartitioning
+    again = sorted(r.doc_id for r in weighted_sample(df.repartition(9), {"a": 0.5, "b": 0.0}).collect())
+    assert sorted(r.doc_id for r in rows) == again
+    with pytest.raises(ValueError, match="rate"):
+        weighted_sample(df, {"a": 1.5})
