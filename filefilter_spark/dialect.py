@@ -28,14 +28,23 @@ import re
 _FN_RENAMES = {
     "list_distinct": "array_distinct",
     "list_contains": "array_contains",
+    "list_has": "array_contains",
     "list_sort": "array_sort",
     "list_concat": "concat",
     "list_transform": "transform",
     "list_filter": "filter",
     "list_aggregate": "aggregate",
+    "list_append": "array_append",
+    "list_prepend": "array_prepend",
+    "list_min": "array_min",
+    "list_max": "array_max",
+    "array_to_string": "array_join",
     "string_split": "split",
     "str_split": "split",
     "string_to_array": "split",
+    "regexp_split_to_array": "split",
+    "strpos": "instr",
+    "epoch": "unix_timestamp",
     "list_value": "array",
     "array_length": "size",
     # NOTE: no ``len`` rename — Spark evaluates ``len`` natively for
@@ -65,8 +74,13 @@ class DialectError(ValueError):
 
 
 def _rewrite_exclude(sql: str) -> str:
-    # SELECT * EXCLUDE (a, b)  /  tbl.* EXCLUDE(a)  → Spark's EXCEPT
-    return re.sub(r"(?i)(\*\s*)EXCLUDE(\s*\()", r"\1EXCEPT\2", sql)
+    # SELECT * EXCLUDE (a, b)  /  tbl.* EXCLUDE(a)  → Spark's EXCEPT.
+    # DuckDB also allows the bare single-column form `* EXCLUDE col`;
+    # Spark's EXCEPT requires parens, so wrap it.
+    out = re.sub(r"(?i)(\*\s*)EXCLUDE(\s*\()", r"\1EXCEPT\2", sql)
+    return re.sub(
+        r'(?i)(\*\s*)EXCLUDE\s+("?[A-Za-z_][\w$]*"?)', r"\1EXCEPT(\2)", out
+    )
 
 
 def _rewrite_call(sql: str, fname: str, rewrite) -> str:
@@ -128,6 +142,14 @@ def _rewrite_list_unique(sql: str) -> str:
     # name substitution.
     return _rewrite_call(
         sql, "list_unique", lambda inner: f"size(array_distinct({inner}))"
+    )
+
+
+def _rewrite_list_reverse_sort(sql: str) -> str:
+    # DuckDB list_reverse_sort(l) — Spark spells the direction as a
+    # second argument: sort_array(l, false).
+    return _rewrite_call(
+        sql, "list_reverse_sort", lambda inner: f"sort_array({inner}, false)"
     )
 
 
@@ -307,5 +329,6 @@ def translate(sql: str) -> str:
     out = _rewrite_qualify_all(out)
     out = _rewrite_strftime(out)
     out = _rewrite_list_unique(out)
+    out = _rewrite_list_reverse_sort(out)
     out = _rewrite_fn_names(out)
     return out

@@ -974,3 +974,33 @@ def op_d7_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_score("text").alias("repetition"),
     )
     return scored.filter((F.col("n_tokens") >= 30) & (F.col("repetition") <= 0.02))
+
+
+@query(
+    "OP-D5-sliding",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+                 THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS b
+      FROM events
+    ),
+    expanded AS (
+      SELECT event_type, b AS win_start FROM ev
+      UNION ALL
+      SELECT event_type, b - INTERVAL 30 MINUTE AS win_start FROM ev
+    )
+    SELECT win_start, event_type, count(*) AS n
+    FROM expanded GROUP BY 1, 2
+    """,
+    doc="sliding (hopping) event-time windows, 1h window / 30m slide: each "
+        "event lands in exactly 2 overlapping windows; batch oracle "
+        "expands each event to both window starts and re-aggregates "
+        "(streaming/jobs.py sliding_window_counts_available_now).",
+)
+def op_d5_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.streaming.jobs import sliding_window_counts_available_now
+
+    return sliding_window_counts_available_now(
+        spark, f"{sf_dir}/events.parquet", state_partitions=_STATE_PARTITIONS
+    )

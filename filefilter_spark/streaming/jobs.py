@@ -184,6 +184,36 @@ def windowed_counts_available_now(
     return spark.table(qname)
 
 
+def sliding_window_counts_available_now(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+    timeout_sec: int = 300,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    window/slide overlapping windows (2 here), the standard shape for
+    smoothed rolling metrics. Same watermark/state mechanics as the
+    tumbling job — state is bounded by windows-in-watermark x key
+    cardinality x overlap factor.
+
+    Returns (win_start, event_type, n) read back from the drained
+    in-memory sink.
+    """
+    stream = _events_stream(spark, path, ts_col)
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+    qname, _ = _run_to_memory(agg, "complete", timeout_sec, state_partitions)
+    return spark.table(qname)
+
+
 def session_window_counts_available_now(
     spark: SparkSession,
     path: str,

@@ -207,3 +207,32 @@ def test_len_passthrough(spark):
     sql = translate("SELECT len('abcd') AS n")
     assert "len('abcd')" in sql
     assert spark.sql(sql).collect()[0].n == 4
+
+
+def test_extended_list_and_string_renames(spark):
+    sql = translate(
+        "SELECT list_has(array(1, 2), 2) AS a, list_min(array(3, 1)) AS b, "
+        "list_max(array(3, 1)) AS c, array_to_string(array('x', 'y'), '-') AS d, "
+        "list_append(array(1), 2) AS e, strpos('hello', 'll') AS f"
+    )
+    row = spark.sql(sql).collect()[0]
+    assert (row.a, row.b, row.c, row.d, row.e, row.f) == (True, 1, 3, "x-y", [1, 2], 3)
+
+
+def test_list_reverse_sort_wrap(spark):
+    sql = translate("SELECT list_reverse_sort(array(1, 3, 2)) AS a")
+    assert "sort_array(array(1, 3, 2), false)" in sql
+    assert spark.sql(sql).collect()[0].a == [3, 2, 1]
+
+
+def test_epoch_rename(spark):
+    sql = translate("SELECT epoch(TIMESTAMP '1970-01-01 00:01:00') AS s")
+    assert "unix_timestamp(" in sql
+    assert spark.sql(sql).collect()[0].s == 60
+
+
+def test_exclude_bare_single_column(spark):
+    spark.createDataFrame([(1, 2, 3)], "a int, b int, c int").createOrReplaceTempView("df")
+    sql = translate("SELECT * EXCLUDE b FROM df")
+    assert "EXCEPT(b)" in sql
+    assert spark.sql(sql).columns == ["a", "c"]

@@ -110,3 +110,26 @@ def test_projection_prunes_to_exact_columns(spark, sf_dir, queries):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
     assert cols == ["l_extendedprice", "l_linenumber", "l_orderkey", "l_quantity"]
+
+
+def test_hash_split_and_mix_no_shuffle(spark, sf_dir, queries):
+    """Split and mixing are pure projections/filters — any Exchange in
+    their plan means the reproducibility story (partition-independent
+    assignment) silently became a shuffle cost."""
+    for op in ("OP-D7-split", "OP-D7-mix"):
+        plan = _plan(queries[op](spark, sf_dir))
+        assert _shuffle_count(plan) == 0, op
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir, queries):
+    plan = _plan(queries["OP-D7-pack"](spark, sf_dir))
+    # one Exchange on the shard key feeding the running-total window
+    assert _shuffle_count(plan) == 1
+    assert "hashpartitioning(source" in plan
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_dir, queries):
+    plan = _plan(queries["OP-D7-contamination"](spark, sf_dir))
+    # the benchmark shingle set must arrive via broadcast, not shuffle
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan

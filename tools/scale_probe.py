@@ -95,12 +95,14 @@ def main() -> None:
     max_mult = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     mults = [m for m in (1, 2, 4, 8, 16) if m <= max_mult]
 
+    from filefilter_spark.ops.corpus import contamination, pack_sequences
     from filefilter_spark.ops.dedup import (
         exact_dedup,
         minhash_near_dup,
         token_jaccard_pairs,
     )
     from filefilter_spark.ops.similarity import lsh_cosine_pairs
+    from filefilter_spark.ops.text import tfidf_top_terms
     from filefilter_spark.session import get_spark
 
     spark = get_spark("scale_probe")
@@ -159,6 +161,18 @@ def main() -> None:
                     F.count("*").alias("cnt"),
                 )
             ),
+            # corpus-assembly tier: contamination is a postings
+            # broadcast-semi-join (benchmark side constant-size);
+            # tf-idf shuffles postings once then windows over the
+            # (groups x vocab)-bounded tf rows; packing is one
+            # per-shard window shuffle. All expected ~linear.
+            "contamination": lambda d=docs: noop_write(
+                contamination(d, d.filter(F.col("doc_id") % 50 == 0))
+            ),
+            "tfidf_top_terms": lambda d=docs: noop_write(tfidf_top_terms(d)),
+            "pack_sequences": lambda d=docs: noop_write(
+                pack_sequences(d, "n_chars", 4096)
+            ),
         }
         for name, fn in ops.items():
             sec = timed(fn)
@@ -212,6 +226,15 @@ def main() -> None:
         "near-dup threshold (0.85). The text/minhash operators are",
         "inverted-index / banded-bucket joins with bounded posting",
         "lists — linear by construction, confirmed above.",
+        "",
+        "Corpus-assembly tier: `contamination` explodes corpus shingles",
+        "against a CONSTANT-size broadcast benchmark set (the benchmark",
+        "here grows with the corpus only as a probe artifact — in",
+        "production it is a fixed eval suite, so the true law is the",
+        "posting-explode, linear). `tfidf_top_terms` shuffles postings",
+        "once; its window runs over tf rows bounded by groups × vocab,",
+        "which saturates. `pack_sequences` is one per-shard window",
+        "shuffle — linear with shard-count parallelism.",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "SCALING.md"), "w") as f:
