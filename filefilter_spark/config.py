@@ -11,7 +11,8 @@ Top-level keys: ``inDelimiter``, ``outDelimiter``, ``sampleLines``,
 its code the long form, so hot reload never fired; we accept both, see
 SURVEY.md §2.A quirk 3), and ``filters:`` — an ordered stage list.
 
-Per stage: ``name``, ``actionType`` (python|rest|sql|pandas|udf),
+Per stage: ``name``, ``actionType``
+(python|rest|sql|pandas|udf|dedup|split|sample),
 ``disabled``, ``filterThreads``, ``chunkSize``, ``code``,
 ``actionConfig``, ``showSampleOnFinish``.
 """
@@ -24,7 +25,11 @@ from typing import Any
 
 import yaml
 
-VALID_ACTION_TYPES = {"python", "rest", "sql", "pandas", "udf"}
+VALID_ACTION_TYPES = {
+    "python", "rest", "sql", "pandas", "udf",
+    # zero-code corpus-assembly stages (stages/corpus_stage.py)
+    "dedup", "split", "sample",
+}
 
 # Delimiter aliases accepted by the reference loaders (loaders.py:10,22).
 _DELIM_ALIASES = {"TAB": "\t", "tab": "\t", "\\t": "\t"}

@@ -1004,3 +1004,41 @@ def op_d5_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_window_counts_available_now(
         spark, f"{sf_dir}/events.parquet", state_partitions=_STATE_PARTITIONS
     )
+
+
+_CORPUS_PIPE_YAML = """
+filters:
+  - name: drop_dupes
+    actionType: dedup
+  - name: assign_split
+    actionType: split
+  - name: mix
+    actionType: sample
+    actionConfig:
+      rates: {src0: 0.5, src2: 0.0}
+"""
+
+
+@query(
+    "OP-A8-corpus",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars,
+           {_split_case_sql('doc_id')} AS split
+    FROM documents
+    WHERE doc_id IN (
+      SELECT min(doc_id) FROM documents
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    )
+    AND {_mix_case_sql({"src0": 0.5, "src2": 0.0}, 1.0)}
+    """,
+    doc="zero-code corpus pipeline: dedup -> split -> sample as YAML "
+        "actionTypes (stages/corpus_stage.py) folded into ONE lazy plan — "
+        "the reference's stage-composition surface carrying the "
+        "corpus-assembly tier.",
+)
+def op_a8_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_CORPUS_PIPE_YAML))
+    return pipe.run(load_table(spark, sf_dir, "documents")).df

@@ -10,6 +10,7 @@ from filefilter_spark.stages.python_stage import PythonStage
 from filefilter_spark.stages.rest_stage import RestStage
 from filefilter_spark.stages.pandas_stage import PandasStage
 from filefilter_spark.stages.udf_stage import UdfStage
+from filefilter_spark.stages.corpus_stage import DedupStage, SampleStage, SplitStage
 
 STAGE_TYPES = {
     "sql": SqlStage,
@@ -17,6 +18,13 @@ STAGE_TYPES = {
     "rest": RestStage,
     "pandas": PandasStage,
     "udf": UdfStage,
+    # zero-code corpus-assembly stages (beyond-reference surface)
+    "dedup": DedupStage,
+    "split": SplitStage,
+    "sample": SampleStage,
 }
 
-__all__ = ["SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage", "STAGE_TYPES"]
+__all__ = [
+    "SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage",
+    "DedupStage", "SplitStage", "SampleStage", "STAGE_TYPES",
+]

@@ -244,3 +244,51 @@ def test_config_delimiter_aliases_and_reload_alias():
     cfg = load_config_str("inDelimiter: TAB\nreloadConfigEvery: 9\nfilters: []")
     assert cfg.in_delimiter == "\t"
     assert cfg.reload_config_every_seconds == 9
+
+
+def test_corpus_stages_in_pipeline(spark):
+    """dedup -> split -> sample as zero-code YAML stages, one lazy plan."""
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "a"), (2, "hello  WORLD", "a"), (3, "other text", "b")],
+        "doc_id int, text string, source string",
+    )
+    out = Pipeline(spark, load_config_str("""
+filters:
+  - name: drop_dupes
+    actionType: dedup
+  - name: assign_split
+    actionType: split
+    actionConfig:
+      weights: {train: 0.5, test: 0.5}
+  - name: keep_all
+    actionType: sample
+    actionConfig:
+      rates: {b: 1.0}
+""")).run(df).df
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 2 is a normalized duplicate of doc 1 -> dropped; others keep
+    # their full row plus the split column
+    assert set(rows) == {1, 3}
+    assert all(r.split in ("train", "test") for r in rows.values())
+
+
+def test_sample_stage_drops_group(spark):
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(i, "t", "keep" if i % 2 else "drop") for i in range(100)],
+        "doc_id int, text string, source string",
+    )
+    out = Pipeline(spark, load_config_str("""
+filters:
+  - name: mix
+    actionType: sample
+    actionConfig:
+      rates: {drop: 0.0}
+""")).run(df).df
+    assert out.filter("source = 'drop'").count() == 0
+    assert out.filter("source = 'keep'").count() == 50
