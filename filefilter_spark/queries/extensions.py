@@ -1042,3 +1042,29 @@ def op_a8_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pipe = Pipeline(spark, load_config_str(_CORPUS_PIPE_YAML))
     return pipe.run(load_table(spark, sf_dir, "documents")).df
+
+
+@query(
+    "OP-D4-quantiles",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS q25,
+           quantile_cont(n_chars, 0.50) AS q50,
+           quantile_cont(n_chars, 0.75) AS q75
+    FROM documents GROUP BY lang
+    """,
+    doc="corpus length profile: exact interpolated quartiles of doc size "
+        "per language (both engines use the type-7 linear-interpolation "
+        "definition, so values match bit-for-bit). At 100 TB swap "
+        "percentile for approx_percentile — same plan shape, sketch "
+        "merge instead of exact sort.",
+)
+def op_d4_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.expr("count(*) AS n_docs"),
+        F.expr("percentile(n_chars, 0.25D) AS q25"),
+        F.expr("percentile(n_chars, 0.50D) AS q50"),
+        F.expr("percentile(n_chars, 0.75D) AS q75"),
+    )
