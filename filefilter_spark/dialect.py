@@ -153,6 +153,21 @@ def _rewrite_list_reverse_sort(sql: str) -> str:
     )
 
 
+def _rewrite_list_slice(sql: str) -> str:
+    # DuckDB list_slice(l, b, e) is 1-based INCLUSIVE [b, e]; Spark
+    # slice(l, start, length) takes a length — translate symbolically
+    # as length = e - b + 1 (negative/step forms are not supported and
+    # pass through to fail loudly rather than silently mis-slice).
+    def one(inner: str) -> str:
+        parts = [p.strip() for p in _split_top_level(inner)]
+        if len(parts) != 3:
+            return f"list_slice({inner})"
+        l, b, e = parts
+        return f"slice({l}, {b}, ({e}) - ({b}) + 1)"
+
+    return _rewrite_call(sql, "list_slice", one)
+
+
 def _rewrite_date_part(sql: str) -> str:
     # date_part('year', x) → extract(year FROM x)  (Spark also has
     # date_part built-in with same signature in 3.0+ — keep it if so).
@@ -330,5 +345,6 @@ def translate(sql: str) -> str:
     out = _rewrite_strftime(out)
     out = _rewrite_list_unique(out)
     out = _rewrite_list_reverse_sort(out)
+    out = _rewrite_list_slice(out)
     out = _rewrite_fn_names(out)
     return out

@@ -57,6 +57,41 @@ def topk_cosine(
     )
 
 
+def batch_topk_cosine(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for EACH of a batch of query vectors
+    in one corpus pass — the retrieval-evaluation shape (N eval queries
+    against the full corpus).
+
+    Plan: the query set is tiny (eval batches are KBs) so it joins in as
+    a BROADCAST nested-loop — every corpus partition scores all queries
+    locally, vectors never shuffle; only (q_id, vec_id, cos_sim)
+    candidate rows reach the per-query top-k window, whose partition
+    count equals the query count. Returns (q_id, vec_id, cos_sim, rank).
+    """
+    emb = _as_double_array(vec_col)
+    qv = _as_double_array(query_vec_col)
+    scored = df.crossJoin(
+        F.broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(emb, qv).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.9,

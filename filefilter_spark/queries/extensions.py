@@ -1068,3 +1068,38 @@ def op_d4_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(n_chars, 0.50D) AS q50"),
         F.expr("percentile(n_chars, 0.75D) AS q75"),
     )
+
+
+@query(
+    "OP-D3-batch",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS raw
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, round(raw, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    doc="batch retrieval: exact top-5 cosine neighbors for each of 5 query "
+        "vectors in ONE corpus pass — queries broadcast (nested-loop on the "
+        "tiny side), corpus vectors never shuffle, per-query top-k window "
+        "(ops/similarity.py batch_topk_cosine).",
+)
+def op_d3_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.similarity import batch_topk_cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = batch_topk_cosine(emb, queries, k=5)
+    return out.select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")

@@ -236,3 +236,9 @@ def test_exclude_bare_single_column(spark):
     sql = translate("SELECT * EXCLUDE b FROM df")
     assert "EXCEPT(b)" in sql
     assert spark.sql(sql).columns == ["a", "c"]
+
+
+def test_list_slice_inclusive_to_length(spark):
+    sql = translate("SELECT list_slice(array(10, 20, 30, 40), 2, 3) AS a")
+    assert "slice(array(10, 20, 30, 40), 2, (3) - (2) + 1)" in sql
+    assert spark.sql(sql).collect()[0].a == [20, 30]
