@@ -940,6 +940,39 @@ sql_query(
 )
 
 sql_query(
+    "OP-B24-except",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="EXCEPT set operation (customers with finished but no open orders).",
+)
+
+sql_query(
+    "OP-B15-cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets (all subtotal combinations).",
+)
+
+sql_query(
+    "OP-B20-range",
+    """
+    SELECT o_orderkey, o_totalprice,
+           count(*) OVER (
+             ORDER BY o_totalprice
+             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
+           ) AS n_in_band
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="RANGE window frame (value-based band, vs OP-B20's ROWS frame).",
+)
+
+sql_query(
     "OP-B25",
     """
     WITH price_stats AS (
