@@ -940,6 +940,20 @@ sql_query(
 )
 
 sql_query(
+    "OP-B25-lateral",
+    """
+    SELECT c_custkey, t.max_price
+    FROM customer, LATERAL (
+      SELECT max(o_totalprice) AS max_price FROM orders WHERE o_custkey = c_custkey
+    ) t
+    WHERE c_custkey <= 500
+    """,
+    doc="correlated LATERAL subquery (per-row dependent subselect) — "
+        "Catalyst decorrelates it into a join; identical SQL runs on both "
+        "engines.",
+)
+
+sql_query(
     "OP-B24-except",
     """
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -948,6 +962,31 @@ sql_query(
     """,
     doc="EXCEPT set operation (customers with finished but no open orders).",
 )
+
+@query(
+    "OP-B35-unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey <= 100
+    """,
+    doc="UNPIVOT / melt: wide measure columns to (measure, value) rows — "
+        "DataFrame df.unpivot (Spark's native melt); oracle is the "
+        "engine-portable UNION ALL formulation.",
+)
+def op_b35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure", "val",
+    )
+
 
 sql_query(
     "OP-B15-cube",
