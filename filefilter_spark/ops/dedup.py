@@ -140,6 +140,33 @@ def keep_survivors(
     return df.join(keep, id_col, "left_semi")
 
 
+def dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup — the daily-ingest shape: drop rows of
+    ``new`` whose normalized fingerprint already exists in ``seen`` (the
+    running corpus), then keep the min-id survivor within the batch.
+
+    Both sides reduce to 16-byte fingerprints before the anti-join, so
+    the shuffle moves hashes, never bodies; in production ``seen`` is
+    the persisted fingerprint table (parquet/Delta) appended after each
+    batch — at 100 TB the anti-join shuffles new-batch + fingerprint
+    keys only, and stays incremental instead of re-deduping the corpus.
+    """
+    new_fp = new.withColumn("__fp", fingerprint(text_col))
+    seen_fp = seen.select(fingerprint(text_col).alias("__fp")).distinct()
+    fresh = new_fp.join(seen_fp, "__fp", "left_anti")
+    keep = (
+        fresh.groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return fresh.join(keep, id_col, "left_semi").drop("__fp")
+
+
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1) -> DataFrame:
     feat = shingles(text_col, shingle_n) if shingle_n > 1 else F.array_distinct(tokens(text_col))
     return df.select(F.col(id_col).alias("doc_id"), feat.alias("toks"))

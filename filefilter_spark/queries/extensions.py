@@ -55,39 +55,65 @@ def op_b10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# The synthetic corpus has ZERO exact-duplicate texts (500 docs, 500
+# distinct fingerprints at sf0.01), so a dedup entry over the raw table
+# proves only that fingerprints match — never that a survivor decision
+# was made. Every OP-D1* entry therefore augments the corpus with a
+# deterministic case/whitespace-mangled copy of the first 50 docs
+# (fingerprint-normalization collapses the mangling), making drops and
+# n_dups > 1 REAL on both engines.
+_DUPS_SQL = """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, upper(text) || '  ', lang, source, n_chars
+    FROM documents WHERE doc_id < 50
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    mangled = d.filter(F.col("doc_id") < 50).selectExpr(
+        "doc_id + 10000 AS doc_id", "upper(text) || '  ' AS text",
+        "lang", "source", "n_chars",
+    )
+    return d.unionByName(mangled)
+
+
 @query(
     "OP-D1",
-    oracle="""
+    oracle=f"""
     SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
            min(doc_id) AS keep_id, count(*) AS n_dups
-    FROM documents GROUP BY 1
+    FROM ({_DUPS_SQL}) GROUP BY 1
     """,
     doc="exact dedup: md5 fingerprint of normalized text, min-id survivor — "
-        "shuffles 16-byte keys instead of document bodies.",
+        "shuffles 16-byte keys instead of document bodies; corpus augmented "
+        "with 50 mangled duplicates so n_dups=2 groups are real.",
 )
 def op_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.dedup import exact_dedup
 
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(_docs_with_dups(spark, sf_dir))
 
 
 @query(
     "OP-D1-rows",
-    oracle="""
-    SELECT doc_id, text, lang, source, n_chars FROM documents
+    oracle=f"""
+    WITH corpus AS ({_DUPS_SQL})
+    SELECT doc_id, text, lang, source, n_chars FROM corpus
     WHERE doc_id IN (
-      SELECT min(doc_id) FROM documents
+      SELECT min(doc_id) FROM corpus
       GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
     )
     """,
     doc="exact-dedup survivor materialization: the deduplicated corpus "
-        "itself (full rows via left-semi join on survivor ids) — the "
-        "output a training-data pipeline feeds downstream.",
+        "itself (full rows via left-semi join on survivor ids) — drops the "
+        "50 mangled duplicates, keeps the 500 originals.",
 )
 def op_d1_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.dedup import keep_survivors
 
-    return keep_survivors(load_table(spark, sf_dir, "documents"))
+    return keep_survivors(_docs_with_dups(spark, sf_dir))
 
 
 _JACCARD_ORACLE = """
@@ -1103,3 +1129,58 @@ def op_d3_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = batch_topk_cosine(emb, queries, k=5)
     return out.select("q_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+@query(
+    "OP-D1-incremental",
+    oracle="""
+    WITH seen AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    new_batch AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL  -- cross-batch dups: re-ingested copies of seen docs
+      SELECT doc_id + 10000, upper(text) || '  ', lang, source, n_chars
+      FROM documents WHERE doc_id % 2 = 0 AND doc_id < 100
+      UNION ALL  -- within-batch dups: a mangled copy of new docs
+      SELECT doc_id + 20000, upper(text), lang, source, n_chars
+      FROM documents WHERE doc_id % 2 = 1 AND doc_id < 40
+    ),
+    fp AS (
+      SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM new_batch
+    ),
+    fresh AS (
+      SELECT * FROM fp WHERE f NOT IN (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) FROM seen
+      )
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM fresh
+    WHERE doc_id IN (SELECT min(doc_id) FROM fresh GROUP BY f)
+    """,
+    doc="incremental exact dedup (daily-ingest shape): new batch anti-joined "
+        "against the running corpus' fingerprints (drops 50 re-ingested "
+        "copies), then min-id survivor within the batch (drops 20 "
+        "within-batch copies) — hashes shuffle, bodies never do "
+        "(ops/dedup.py dedup_against).",
+)
+def op_d1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import dedup_against
+
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    new = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)).selectExpr(
+                "doc_id + 10000 AS doc_id", "upper(text) || '  ' AS text",
+                "lang", "source", "n_chars",
+            )
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 40)).selectExpr(
+                "doc_id + 20000 AS doc_id", "upper(text) AS text",
+                "lang", "source", "n_chars",
+            )
+        )
+    )
+    return dedup_against(new, seen)

@@ -100,3 +100,34 @@ def _register_lineitem_view(spark):
     from filefilter_spark.queries.registry import load_table
 
     load_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+
+
+# --- money rounding vs exact Decimal HALF_UP -------------------------------
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=50,
+))
+def test_to_cents_matches_decimal_half_up(spark, xs):
+    """to_cents must equal quantize(ROUND_HALF_UP) applied to the DOUBLE
+    PRODUCT x*100 for any sign — the codegen-friendly signum/floor form
+    may not drift from the reference semantics it claims.
+
+    The reference point is Decimal(x * 100) (the double product, which
+    is what floor(abs(x)*100 + 0.5) actually sees), not
+    Decimal(x) * 100 exactly: double multiplication rounds once, and
+    both formulations live downstream of that same rounding.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from filefilter_spark.ops.money import to_cents
+
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got = [r.c for r in df.select(to_cents(df.x).alias("c")).collect()]
+    want = [
+        int(Decimal(x * 100).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+        for x in xs
+    ]
+    assert got == want
