@@ -577,12 +577,18 @@ def op_b5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OP-B6",
     oracle="""
     SELECT c_custkey, c_name, o_orderkey, o_totalprice
-    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    FROM customer LEFT JOIN (
+      SELECT * FROM orders WHERE o_orderstatus = 'P'
+    ) o ON o_custkey = c_custkey
     """,
-    doc="left outer join (null-extended for order-less customers).",
+    doc="left outer join, null-extended for real: the right side is "
+        "restricted to o_orderstatus = 'P' (same reasoning as OP-B7 — "
+        "every customer has SOME order, so the unrestricted form never "
+        "exercises the outer semantics and is indistinguishable from an "
+        "inner join on this data).",
 )
 def op_b6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     c = load_table(spark, sf_dir, "customer")
     return c.join(o, c.c_custkey == o.o_custkey, "left").select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice"
