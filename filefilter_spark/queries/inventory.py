@@ -596,6 +596,27 @@ def op_b6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-B6-full",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM (SELECT * FROM customer WHERE c_custkey < 500) c
+    FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON o_custkey = c_custkey
+    """,
+    doc="full outer join: both sides restricted so null extension happens "
+        "in BOTH directions (customers >= 500 with pending orders appear "
+        "order-side-only; customers < 500 without pending orders appear "
+        "customer-side-only).",
+)
+def op_b6_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
     "OP-B7",
     oracle="""
     SELECT c_custkey, c_name FROM customer
@@ -993,6 +1014,30 @@ def op_b35_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure", "val",
     )
 
+
+sql_query(
+    "OP-B15-gs",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="explicit GROUPING SETS (beyond the ROLLUP/CUBE shorthands).",
+)
+
+sql_query(
+    "OP-B18-dist",
+    """
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM orders WHERE o_orderkey <= 1000
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="distribution window functions (ntile / percent_rank / cume_dist) "
+        "with a unique tiebreak so both engines rank identically.",
+)
 
 sql_query(
     "OP-B15-cube",
