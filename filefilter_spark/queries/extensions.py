@@ -1184,3 +1184,25 @@ def op_d1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup_against(new, seen)
+
+
+@query(
+    "OP-D5-join",
+    oracle="""
+    SELECT c_mktsegment, event_type, count(*) AS n,
+           (CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="stream-static dimension join: the event stream enriched against "
+        "the broadcast customer dim per micro-batch, then aggregated — "
+        "no join state, only aggregation state "
+        "(streaming/jobs.py stream_static_join_available_now).",
+)
+def op_d5_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.streaming.jobs import stream_static_join_available_now
+
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return stream_static_join_available_now(
+        spark, f"{sf_dir}/events.parquet", dim, state_partitions=_STATE_PARTITIONS
+    )

@@ -981,6 +981,20 @@ sql_query(
 )
 
 sql_query(
+    "OP-B25-recursive",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT m, count(o_orderkey) AS n
+    FROM months LEFT JOIN orders ON month(o_orderdate) = m
+    GROUP BY m
+    """,
+    doc="recursive CTE (month spine) + outer join + aggregate — identical "
+        "SQL on both engines (Spark 4 WITH RECURSIVE).",
+)
+
+sql_query(
     "OP-B24-except",
     """
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

@@ -184,6 +184,38 @@ def windowed_counts_available_now(
     return spark.table(qname)
 
 
+def stream_static_join_available_now(
+    spark: SparkSession,
+    events_path: str,
+    dim: DataFrame,
+    join_key: tuple[str, str] = ("user_id", "c_custkey"),
+    group_cols: tuple[str, str] = ("c_mktsegment", "event_type"),
+    ts_col: str = "ts",
+    timeout_sec: int = 300,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Stream-static (dimension-enrichment) join: the unbounded event
+    stream joins a static dimension table, then aggregates — the
+    canonical streaming-enrichment shape. The static side re-resolves
+    per micro-batch (Spark's stream-static contract), and being a
+    dimension it broadcasts: no state is kept for the join itself, only
+    for the downstream aggregation.
+
+    Returns (group_cols..., n, sum_value) from the drained memory sink.
+    """
+    stream = _events_stream(spark, events_path, ts_col)
+    left_key, right_key = join_key
+    joined = stream.join(
+        F.broadcast(dim), stream[left_key] == dim[right_key], "inner"
+    )
+    agg = joined.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        (sum_cents(F.col("value")) / 100.0).alias("sum_value"),
+    )
+    qname, _ = _run_to_memory(agg, "complete", timeout_sec, state_partitions)
+    return spark.table(qname)
+
+
 def sliding_window_counts_available_now(
     spark: SparkSession,
     path: str,
