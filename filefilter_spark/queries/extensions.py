@@ -1206,3 +1206,26 @@ def op_d5_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_join_available_now(
         spark, f"{sf_dir}/events.parquet", dim, state_partitions=_STATE_PARTITIONS
     )
+
+
+@query(
+    "OP-D5-ssjoin",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id,
+           c.user_id, c.ts AS click_ts, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts BETWEEN c.ts - INTERVAL 2 HOUR AND c.ts
+    """,
+    doc="stream-stream watermarked join (attribution shape): clicks join "
+        "same-user views within a 2h lookback; the event-time range bound "
+        "is what lets Spark evict join state "
+        "(streaming/jobs.py stream_stream_join_available_now).",
+)
+def op_d5_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.streaming.jobs import stream_stream_join_available_now
+
+    return stream_stream_join_available_now(
+        spark, f"{sf_dir}/events.parquet", state_partitions=_STATE_PARTITIONS
+    )

@@ -216,6 +216,52 @@ def stream_static_join_available_now(
     return spark.table(qname)
 
 
+def stream_stream_join_available_now(
+    spark: SparkSession,
+    path: str,
+    ts_col: str = "ts",
+    lookback: str = "2 hours",
+    watermark: str = "4 hours",
+    timeout_sec: int = 300,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Stream-stream inner join with watermarks + an event-time range
+    condition: each click joins the same user's views in the preceding
+    ``lookback`` — the attribution-join shape. BOTH sides carry
+    watermarks and the join condition bounds event-time distance, which
+    is exactly what lets Spark evict join state (without it, state
+    grows forever); state is bounded by events-in-(watermark+lookback)
+    per user.
+
+    Returns (click_id, view_id, user_id, click_ts, view_ts).
+    """
+    clicks = (
+        _events_stream(spark, path, ts_col)
+        .filter(F.col("event_type") == "click")
+        .selectExpr("event_id AS click_id", "user_id", f"{ts_col} AS click_ts")
+        .withWatermark("click_ts", watermark)
+    )
+    views = (
+        _events_stream(spark, path, ts_col)
+        .filter(F.col("event_type") == "view")
+        .selectExpr("event_id AS view_id", "user_id AS v_user", f"{ts_col} AS view_ts")
+        .withWatermark("view_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            "user_id = v_user AND "
+            f"view_ts BETWEEN click_ts - INTERVAL {lookback} AND click_ts"
+        ),
+        "inner",
+    ).select("click_id", "view_id", "user_id", "click_ts", "view_ts")
+    # Stream-stream joins emit in append mode only; the trailing
+    # no-data micro-batch stays ON here (see _run_to_memory's gate) so
+    # the final watermark advance flushes any held rows.
+    qname, _ = _run_to_memory(joined, "append", timeout_sec, state_partitions)
+    return spark.table(qname)
+
+
 def sliding_window_counts_available_now(
     spark: SparkSession,
     path: str,
