@@ -140,6 +140,70 @@ def keep_survivors(
     return df.join(keep, id_col, "left_semi")
 
 
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    with cluster_id = the MIN doc id reachable through any chain of
+    pairs — the step between pair detection and survivor selection
+    (near-dups are transitive in effect: if A~B and B~C, keeping A and
+    C double-counts the cluster).
+
+    Iterative min-label propagation (the standard large-graph CC shape,
+    same contraction as GraphFrames/GraphX CC): every node starts
+    labeled with itself; each round every node takes the min of its own
+    and its neighbors' labels; stop when no label changes. Rounds
+    needed = graph diameter (near-dup clusters are shallow — a handful),
+    each round one join + one aggregation on narrow (node, label) rows.
+    ``localCheckpoint`` truncates lineage per round so the plan does not
+    grow with iterations. The convergence `.count()` is a driver-side
+    scalar per round — O(diameter) actions, not per-row work.
+    """
+    edges = (
+        pairs.selectExpr(f"{id_a} AS a", f"{id_b} AS b")
+        .unionByName(pairs.selectExpr(f"{id_b} AS a", f"{id_a} AS b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter("n.label != o.label")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def dedup_against(
     new: DataFrame,
     seen: DataFrame,

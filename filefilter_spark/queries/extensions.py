@@ -1229,3 +1229,36 @@ def op_d5_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_join_available_now(
         spark, f"{sf_dir}/events.parquet", state_partitions=_STATE_PARTITIONS
     )
+
+
+@query(
+    "OP-D2-clusters",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jp
+      UNION
+      SELECT id_b, id_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    )
+    SELECT src AS doc_id, min(node) AS cluster_id FROM reach GROUP BY src
+    """,
+    doc="near-dup clustering: connected components over the Jaccard>=0.5 "
+        "pair graph via iterative min-label propagation (the GraphX CC "
+        "shape, O(diameter) rounds of narrow join+agg) — the step between "
+        "pair detection and survivor selection; oracle is the recursive-"
+        "CTE transitive closure over the same pairs "
+        "(ops/dedup.py cluster_pairs).",
+)
+def op_d2_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import cluster_pairs, token_jaccard_pairs
+
+    pairs = token_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
+    )
+    return cluster_pairs(pairs)

@@ -611,3 +611,16 @@ def test_weighted_sample_rates_and_determinism(spark):
     assert sorted(r.doc_id for r in rows) == again
     with pytest.raises(ValueError, match="rate"):
         weighted_sample(df, {"a": 1.5})
+
+
+def test_cluster_pairs_transitive_chain(spark):
+    from filefilter_spark.ops.dedup import cluster_pairs
+
+    # chain 1-2-3-4 (diameter 3) plus a separate pair 10-11: labels must
+    # propagate the chain's min to every member, not just direct
+    # neighbors
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a int, id_b int"
+    )
+    got = {r.doc_id: r.cluster_id for r in cluster_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
