@@ -204,6 +204,26 @@ def cluster_pairs(
     )
 
 
+def keep_neardup_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Materialize the near-dup-deduplicated corpus: cluster the pair
+    graph (:func:`cluster_pairs`), then drop every cluster member except
+    the min-id representative. Documents in no pair pass through
+    untouched — so the anti-join's right side is only the (small) set of
+    non-representative cluster members, never the corpus.
+    """
+    clusters = cluster_pairs(pairs, id_a, id_b)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def dedup_against(
     new: DataFrame,
     seen: DataFrame,

@@ -1262,3 +1262,38 @@ def op_d2_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), threshold=0.5, shingle_n=3
     )
     return cluster_pairs(pairs)
+
+
+@query(
+    "OP-D2-rows",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jp
+      UNION
+      SELECT id_b, id_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    losers AS (
+      SELECT src AS doc_id FROM reach GROUP BY src
+      HAVING src != min(node)
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    doc="near-dup survivor materialization: the corpus minus every "
+        "non-representative cluster member (anti-join against the small "
+        "loser set, corpus bodies never shuffle) — the end-to-end output "
+        "of detect -> cluster -> dedup (ops/dedup.py keep_neardup_survivors).",
+)
+def op_d2_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import keep_neardup_survivors, token_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = token_jaccard_pairs(d, threshold=0.5, shingle_n=3)
+    return keep_neardup_survivors(d, pairs)
