@@ -406,6 +406,25 @@ def stateful_user_stats_available_now(
     )
 
 
+_FB_SCRATCH_ROOT: str | None = None
+
+
+def _fb_scratch() -> str:
+    """Fresh per-invocation output dir under one atexit-cleaned root."""
+    global _FB_SCRATCH_ROOT
+    if _FB_SCRATCH_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _FB_SCRATCH_ROOT = tempfile.mkdtemp(prefix="ffspark_fb_")
+        atexit.register(shutil.rmtree, _FB_SCRATCH_ROOT, ignore_errors=True)
+    import uuid as _uuid
+
+    out = f"{_FB_SCRATCH_ROOT}/{_uuid.uuid4().hex[:8]}"
+    return out
+
+
 def pipeline_foreach_batch(
     spark: SparkSession,
     path: str,
@@ -434,8 +453,6 @@ def pipeline_foreach_batch(
     Results accumulate in a parquet dir; on a real deployment the
     writer would be delta/kafka.
     """
-    import tempfile
-
     from filefilter_spark.config import load_config_str
     from filefilter_spark.pipeline import Pipeline
 
@@ -443,7 +460,12 @@ def pipeline_foreach_batch(
         raise ValueError("pass exactly one of config_yaml / config_path")
 
     stream = _events_stream(spark, path, ts_col, max_files_per_trigger)
-    out_dir = tempfile.mkdtemp(prefix="ffspark_fb_") + "/data"
+    # Unique dir per invocation (append-mode batches within ONE run must
+    # not mix with a previous run's rows), under a shared root removed
+    # at interpreter exit — repeated bench/correctness runs no longer
+    # accumulate orphan temp dirs. The dir must outlive the returned
+    # lazy DataFrame, hence atexit, not per-call cleanup.
+    out_dir = _fb_scratch() + "/data"
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if config_path is not None:
