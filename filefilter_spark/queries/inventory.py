@@ -1320,3 +1320,35 @@ def op_b36(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUALIFY rn = 1
     """
     return spark.sql(translate(duck_sql))
+
+
+@query(
+    "OP-A2-evolve",
+    oracle="""
+    SELECT r_regionkey,
+           CAST(NULL AS VARCHAR) AS r_name, 'old' AS batch
+    FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, 'new' AS batch FROM region
+    """,
+    doc="schema evolution on read: two parquet batches written months "
+        "apart with different column sets (the 100 TB reality — corpora "
+        "accrete columns) read as ONE dataset via mergeSchema, missing "
+        "columns null-filled. Oracle is the explicit union_by_name "
+        "formulation.",
+)
+def op_a2_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _scratch("a2e/evolving")
+    r = load_table(spark, sf_dir, "region")
+    # batch 1: narrow schema; batch 2: adds r_name
+    r.selectExpr("r_regionkey", "'old' AS batch").write.mode("overwrite").parquet(
+        f"{base}/b=1"
+    )
+    r.selectExpr("r_regionkey", "r_name", "'new' AS batch").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/b=2")
+    return (
+        spark.read.option("mergeSchema", True)
+        .parquet(f"{base}/b=1", f"{base}/b=2")
+        .select("r_regionkey", "r_name", "batch")
+    )
