@@ -1352,3 +1352,29 @@ def op_a2_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{base}/b=1", f"{base}/b=2")
         .select("r_regionkey", "r_name", "batch")
     )
+
+
+@query(
+    "OP-A9-partitioned",
+    oracle="""
+    SELECT event_id, user_id, value, 'click' AS event_type
+    FROM events WHERE event_type = 'click'
+    """,
+    doc="hive-partitioned sink + partition-pruned scan: events written "
+        "partitionBy(event_type), then read with an event_type filter — "
+        "the layout that turns a 100 TB scan into a one-partition read "
+        "(PartitionFilters asserted in tests/test_plans.py).",
+)
+def op_a9_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.io import write_parquet
+
+    out = _scratch("a9p/events_by_type")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    write_parquet(ev, out, partition_by=["event_type"])
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value", "event_type")
+    )

@@ -133,3 +133,12 @@ def test_contamination_benchmark_broadcasts(spark, sf_dir, queries):
     # the benchmark shingle set must arrive via broadcast, not shuffle
     assert "BroadcastExchange" in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir, queries):
+    """The event_type filter must become a PartitionFilter on the scan
+    (directory pruning), not a post-scan row filter — the difference
+    between reading one partition and reading 100 TB."""
+    plan = _plan(queries["OP-A9-partitioned"](spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1)
