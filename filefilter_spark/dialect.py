@@ -44,7 +44,6 @@ _FN_RENAMES = {
     "string_to_array": "split",
     "regexp_split_to_array": "split",
     "strpos": "instr",
-    "epoch": "unix_timestamp",
     "list_value": "array",
     "array_length": "size",
     # NOTE: no ``len`` rename — Spark evaluates ``len`` natively for
@@ -150,6 +149,16 @@ def _rewrite_list_reverse_sort(sql: str) -> str:
     # second argument: sort_array(l, false).
     return _rewrite_call(
         sql, "list_reverse_sort", lambda inner: f"sort_array({inner}, false)"
+    )
+
+
+def _rewrite_epoch(sql: str) -> str:
+    # DuckDB epoch(ts) returns DOUBLE seconds WITH the fraction; Spark's
+    # unix_timestamp truncates to whole seconds — wrap through
+    # unix_micros to preserve sub-second precision. (epoch_ms stays a
+    # plain rename to unix_millis; longer names match first there.)
+    return _rewrite_call(
+        sql, "epoch", lambda inner: f"(unix_micros({inner}) / 1000000.0)"
     )
 
 
@@ -346,5 +355,6 @@ def translate(sql: str) -> str:
     out = _rewrite_list_unique(out)
     out = _rewrite_list_reverse_sort(out)
     out = _rewrite_list_slice(out)
+    out = _rewrite_epoch(out)
     out = _rewrite_fn_names(out)
     return out

@@ -32,6 +32,27 @@ _JSON_EXTS = {".json", ".jsonl", ".ndjson"}
 _COMPRESSION_EXTS = {".gz", ".bz2", ".zst", ".zstd", ".deflate"}
 
 
+_SCRATCH_ROOTS: dict[str, str] = {}
+
+
+def scratch_root(prefix: str) -> str:
+    """One lazily-created temp root per prefix, removed at interpreter
+    exit — the shared cleanup policy for sink outputs that must outlive
+    the lazy DataFrames reading them (callers: sink round-trip queries,
+    the foreachBatch runner). Per-call uniqueness, when needed, is the
+    caller's job via a subpath."""
+    root = _SCRATCH_ROOTS.get(prefix)
+    if root is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix=prefix)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _SCRATCH_ROOTS[prefix] = root
+    return root
+
+
 def _normalize_path(path: str) -> str:
     if path.startswith("s3://"):
         return "s3a://" + path[len("s3://"):]

@@ -119,23 +119,25 @@ def contamination(
     document bodies never move. Returns
     (id_col, n_shingles, n_contaminated, contamination).
     """
-    d = docs.select(
-        F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
-    )
     bench = (
         benchmark.select(F.explode(shingles(text_col, shingle_n)).alias("__t"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
-    posting = d.select(id_col, F.explode("__sh").alias("__t"))
-    hits = (
-        posting.join(bench, "__t", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_contaminated"))
+    # ONE tokenize+shingle pass: since per-doc shingles are distinct,
+    # n_shingles is just the posting count, so the broadcast LEFT join
+    # marks hits and a single aggregation yields both counts — no second
+    # corpus scan for array sizes.
+    posting = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__t")
     )
-    base = d.select(F.col(id_col), F.size("__sh").alias("n_shingles"))
     return (
-        base.join(hits, id_col, "left")
-        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        posting.join(F.broadcast(bench), "__t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("__hit").alias("n_contaminated"),
+        )
         .withColumn(
             # Raw IEEE quotient of two ints — cross-engine exact (see
             # text.repetition_score note on why no explicit round).

@@ -174,6 +174,7 @@ def cluster_pairs(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -198,7 +199,16 @@ def cluster_pairs(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Partially-propagated labels would silently split one real
+        # cluster into several "clusters" and under-deduplicate — a
+        # wrong answer, not a degraded one. Fail loudly instead.
+        raise RuntimeError(
+            f"cluster_pairs did not converge in {max_iter} rounds "
+            "(pair-graph diameter exceeds max_iter); raise max_iter"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

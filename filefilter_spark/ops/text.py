@@ -55,21 +55,22 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_RE))
 
 
+def _all_shingles(tk: Column, n: int) -> Column:
+    """Word n-gram MULTISET over a token array (duplicates kept; short
+    texts collapse to one whole-text shingle) — the single definition
+    both :func:`shingles` and :func:`repetition_score` build on."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+    return F.when(
+        F.size(tk) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, n), " ")),
+    ).otherwise(F.array(F.array_join(tk, " ")))
+
+
 def shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (distinct), built with
     higher-order functions — no UDF, no explode round-trip. The token
     array is let-bound so the tokenizing regex runs once per row."""
-
-    def build(tk: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
-        return F.array_distinct(
-            F.when(
-                F.size(tk) >= n,
-                F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, n), " ")),
-            ).otherwise(F.array(F.array_join(tk, " ")))
-        )
-
-    return _bind(tokens(col), build)
+    return _bind(tokens(col), lambda tk: F.array_distinct(_all_shingles(tk, n)))
 
 
 def repetition_score(col: str | Column, n: int = 3) -> Column:
@@ -80,11 +81,7 @@ def repetition_score(col: str | Column, n: int = 3) -> Column:
     keeps duplicates: the whole point is counting them."""
 
     def build(tk: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
-        all_sh = F.when(
-            F.size(tk) >= n,
-            F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, n), " ")),
-        ).otherwise(F.array(F.array_join(tk, " ")))
+        all_sh = _all_shingles(tk, n)
         # No explicit round: both engines do the same IEEE-754 division
         # on the same integers, and engine round() half-way behavior on
         # doubles differs — the raw quotient is the cross-engine-stable

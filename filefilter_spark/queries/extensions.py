@@ -270,13 +270,20 @@ def op_d3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "0.96-1.39 vs 1.88 (quadratic) for a fixed plane count.",
 )
 def op_d3_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    import pyarrow.parquet as pq
-
     from filefilter_spark.ops.similarity import lsh_cosine_pairs
 
-    n_rows = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    try:
+        import os
+
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).metadata.num_rows
+    except Exception:
+        # Stores pyarrow can't open (s3a-only creds, multi-file layouts):
+        # lsh_cosine_pairs(n_rows=None) falls back to a df.count().
+        n_rows = None
     out = lsh_cosine_pairs(
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.45, n_planes="auto", n_rows=n_rows,

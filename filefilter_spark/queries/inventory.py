@@ -18,28 +18,15 @@ from filefilter_spark.config import load_config_str
 from filefilter_spark.ops.money import sum_cents
 from filefilter_spark.queries.registry import load_table, query, register_views, sql_query
 
-_SCRATCH_ROOT: str | None = None
-
-
 def _scratch(name: str) -> str:
-    """Per-process scratch path for sink round-trip queries.
+    """Per-process scratch path for sink round-trip queries: one fixed
+    subpath per query name under the shared atexit-cleaned root
+    (:func:`filefilter_spark.io.scratch_root`) — every write here is
+    mode=overwrite, so repeated bench / correctness runs reuse the same
+    path instead of accumulating a fresh mkdtemp per invocation."""
+    from filefilter_spark.io import scratch_root
 
-    One shared root (removed at interpreter exit), one fixed subpath per
-    query name: every write here is mode=overwrite, so repeated bench /
-    correctness runs reuse the same path instead of accumulating a fresh
-    mkdtemp per invocation. The path must outlive the returned lazy
-    DataFrame (the driver collects later), hence atexit, not a context
-    manager.
-    """
-    global _SCRATCH_ROOT
-    if _SCRATCH_ROOT is None:
-        import atexit
-        import shutil
-        import tempfile
-
-        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="ffspark_scratch_")
-        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
-    return f"{_SCRATCH_ROOT}/{name}"
+    return f"{scratch_root('ffspark_scratch_')}/{name}"
 
 # ---------------------------------------------------------------------------
 # §2.A — native pipeline operators

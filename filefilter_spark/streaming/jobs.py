@@ -406,23 +406,12 @@ def stateful_user_stats_available_now(
     )
 
 
-_FB_SCRATCH_ROOT: str | None = None
-
-
 def _fb_scratch() -> str:
-    """Fresh per-invocation output dir under one atexit-cleaned root."""
-    global _FB_SCRATCH_ROOT
-    if _FB_SCRATCH_ROOT is None:
-        import atexit
-        import shutil
-        import tempfile
+    """Fresh per-invocation output dir under the shared atexit-cleaned
+    root (:func:`filefilter_spark.io.scratch_root`)."""
+    from filefilter_spark.io import scratch_root
 
-        _FB_SCRATCH_ROOT = tempfile.mkdtemp(prefix="ffspark_fb_")
-        atexit.register(shutil.rmtree, _FB_SCRATCH_ROOT, ignore_errors=True)
-    import uuid as _uuid
-
-    out = f"{_FB_SCRATCH_ROOT}/{_uuid.uuid4().hex[:8]}"
-    return out
+    return f"{scratch_root('ffspark_fb_')}/{uuid.uuid4().hex[:8]}"
 
 
 def pipeline_foreach_batch(

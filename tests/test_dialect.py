@@ -225,10 +225,12 @@ def test_list_reverse_sort_wrap(spark):
     assert spark.sql(sql).collect()[0].a == [3, 2, 1]
 
 
-def test_epoch_rename(spark):
-    sql = translate("SELECT epoch(TIMESTAMP '1970-01-01 00:01:00') AS s")
-    assert "unix_timestamp(" in sql
-    assert spark.sql(sql).collect()[0].s == 60
+def test_epoch_keeps_fraction(spark):
+    # DuckDB epoch() returns DOUBLE seconds including the fraction; a
+    # plain unix_timestamp rename would silently truncate 60.5 -> 60
+    sql = translate("SELECT epoch(TIMESTAMP '1970-01-01 00:01:00.500') AS s")
+    assert "unix_micros(" in sql
+    assert spark.sql(sql).collect()[0].s == 60.5
 
 
 def test_exclude_bare_single_column(spark):

@@ -130,9 +130,11 @@ def test_pack_sequences_single_shard_shuffle(spark, sf_dir, queries):
 
 def test_contamination_benchmark_broadcasts(spark, sf_dir, queries):
     plan = _plan(queries["OP-D7-contamination"](spark, sf_dir))
-    # the benchmark shingle set must arrive via broadcast, not shuffle
+    # the benchmark shingle set must arrive via broadcast, not shuffle;
+    # the hit-marking join is a broadcast LEFT OUTER so one aggregation
+    # yields both the posting count and the hit count (single corpus pass)
     assert "BroadcastExchange" in plan
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
 
 
 def test_partitioned_read_prunes_partitions(spark, sf_dir, queries):
