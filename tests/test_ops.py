@@ -624,3 +624,16 @@ def test_cluster_pairs_transitive_chain(spark):
     )
     got = {r.doc_id: r.cluster_id for r in cluster_pairs(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_pairs_raises_when_not_converged(spark):
+    from filefilter_spark.ops.dedup import cluster_pairs
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "id_a int, id_b int"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_pairs(chain, max_iter=1)
+    # and converges fine when allowed enough rounds
+    got = {r.doc_id: r.cluster_id for r in cluster_pairs(chain).collect()}
+    assert set(got.values()) == {1}
