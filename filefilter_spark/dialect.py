@@ -110,7 +110,10 @@ def _rewrite_call(sql: str, fname: str, rewrite) -> str:
                 depth -= 1
             i += 1
         out.append(sql[pos : m.start()])
-        out.append(rewrite(sql[m.end() : i - 1]))
+        # Recurse into the arg text first: a nested same-name call
+        # (list_reverse_sort(list_reverse_sort(x))) sits inside the span
+        # this match consumes and would otherwise never be rewritten.
+        out.append(rewrite(_rewrite_call(sql[m.end() : i - 1], fname, rewrite)))
         pos = i
 
 

@@ -244,3 +244,11 @@ def test_list_slice_inclusive_to_length(spark):
     sql = translate("SELECT list_slice(array(10, 20, 30, 40), 2, 3) AS a")
     assert "slice(array(10, 20, 30, 40), 2, (3) - (2) + 1)" in sql
     assert spark.sql(sql).collect()[0].a == [20, 30]
+
+
+def test_nested_wrapped_calls_rewrite_inner_too(spark):
+    # the arg-wrapping scanner must recurse: a nested same-name call sits
+    # inside the span the outer match consumes
+    sql = translate("SELECT list_unique(list_reverse_sort(list_reverse_sort(list_value(2, 1)))) AS n")
+    assert "list_reverse_sort" not in sql
+    assert spark.sql(sql).collect()[0].n == 2

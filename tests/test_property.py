@@ -131,3 +131,62 @@ def test_to_cents_matches_decimal_half_up(spark, xs):
         for x in xs
     ]
     assert got == want
+
+
+# --- dialect-translation fuzzing -------------------------------------------
+# Random DuckDB-dialect scalar expressions (list/string/time functions,
+# nested arbitrarily) must translate to Spark SQL that returns the same
+# values DuckDB returns for the original. Catches arg-wrapping and
+# rename bugs under composition that the hand-written cases miss.
+
+_arr_expr = st.recursive(
+    st.sampled_from(["arr", "list_value(1, 2, 2, 3)", "list_value(7)"]),
+    lambda inner: st.one_of(
+        inner.map(lambda a: f"list_distinct({a})"),
+        inner.map(lambda a: f"list_sort({a})"),
+        inner.map(lambda a: f"list_reverse_sort({a})"),
+        st.tuples(inner, st.integers(1, 3)).map(
+            lambda t: f"list_append({t[0]}, {t[1]})"
+        ),
+    ),
+    max_leaves=3,
+)
+
+_scalar_expr = st.one_of(
+    _arr_expr.map(lambda a: f"list_unique({a})"),
+    _arr_expr.map(lambda a: f"list_min({a})"),
+    _arr_expr.map(lambda a: f"list_max({a})"),
+    st.tuples(_arr_expr, st.integers(1, 3)).map(
+        lambda t: f"list_contains({t[0]}, {t[1]})"
+    ),
+    # DuckDB's list_distinct result ORDER is unspecified (differs from
+    # Spark's first-occurrence order), so the one order-sensitive
+    # consumer sorts first — set semantics are what the rename promises.
+    _arr_expr.map(lambda a: f"array_to_string(list_sort({a}), '-')"),
+    st.sampled_from(["%Y-%m-%d", "%H:%M", "%Y/%m"]).map(
+        lambda f: f"strftime(ts, '{f}')"
+    ),
+    st.sampled_from(["ll", "o", "zz"]).map(lambda sub: f"strpos(s, '{sub}')"),
+)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_scalar_expr)
+def test_dialect_translation_differential(spark, expr):
+    from filefilter_spark.dialect import translate
+
+    duck_sql = f"SELECT {expr} AS e FROM t"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT [3, 1, 2, 1] AS arr, 'hello' AS s, "
+        "TIMESTAMP '2026-03-04 05:06:07' AS ts"
+    )
+    want = con.execute(duck_sql).fetchall()[0][0]
+
+    spark.sql(
+        "SELECT array(3, 1, 2, 1) AS arr, 'hello' AS s, "
+        "TIMESTAMP '2026-03-04 05:06:07' AS ts"
+    ).createOrReplaceTempView("t")
+    got = spark.sql(translate(duck_sql)).collect()[0][0]
+    assert got == want, f"{expr!r}: spark={got!r} duckdb={want!r}"
