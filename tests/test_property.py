@@ -166,7 +166,15 @@ _scalar_expr = st.one_of(
     st.sampled_from(["%Y-%m-%d", "%H:%M", "%Y/%m"]).map(
         lambda f: f"strftime(ts, '{f}')"
     ),
+    # DuckDB also accepts (fmt, expr) order
+    st.sampled_from(["%Y-%m-%d", "%H:%M"]).map(lambda f: f"strftime('{f}', ts)"),
     st.sampled_from(["ll", "o", "zz"]).map(lambda sub: f"strpos(s, '{sub}')"),
+    st.tuples(_arr_expr.map(lambda a: f"list_sort({a})"),
+              st.integers(1, 2), st.integers(2, 4)).map(
+        lambda t: f"list_min(list_slice({t[0]}, {min(t[1], t[2])}, {max(t[1], t[2])}))"
+    ),
+    st.just("epoch(ts)"),
+    st.just("epoch(ts + INTERVAL 1 SECOND)"),
 )
 
 
