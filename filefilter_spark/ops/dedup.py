@@ -140,6 +140,39 @@ def keep_survivors(
     return df.join(keep, id_col, "left_semi")
 
 
+def winnow_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    window: int = 4,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Near-dup pairs via winnowing fingerprints (the MOSS approach:
+    Schleimer et al. SIGMOD'03): docs sharing ANY selected fingerprint
+    become candidates, then exact-Jaccard verification keeps precision.
+
+    Winnowing's guarantee complements MinHash: any shared run of at
+    least ``window + shingle_n - 1`` tokens is CERTAIN to share a
+    fingerprint (no per-pair probability), so recall on long verbatim
+    overlaps — the plagiarism/boilerplate case — is structural, not
+    probabilistic. Same scale shape as the other near-dup tiers: bucket
+    on fingerprints with the shared no-self-join pair kernel
+    (:func:`_bucket_pairs`), hot buckets capped, verify with the
+    one-pass melt (:func:`_verify_jaccard`).
+    """
+    from filefilter_spark.ops.text import winnow_fingerprints
+
+    fps = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_fingerprints(text_col, shingle_n, window)).alias("fp"),
+    )
+    candidates = _bucket_pairs(fps, ["fp"], max_bucket=max_bucket)
+    docs = _doc_tokens(df, id_col, text_col, shingle_n)
+    return _verify_jaccard(candidates, docs, threshold)
+
+
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",

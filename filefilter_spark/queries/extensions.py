@@ -1304,3 +1304,21 @@ def op_d2_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = token_jaccard_pairs(d, threshold=0.5, shingle_n=3)
     return keep_neardup_survivors(d, pairs)
+
+
+@query(
+    "OP-D2-winnow",
+    oracle=None,  # candidate generation is winnow-selected; precision
+    # exact via Jaccard verify; recall vs the exact baseline in tests
+    doc="near-dup via winnowing fingerprints (MOSS / Schleimer et al.): "
+        "any shared >= window+n-1 token run structurally shares a "
+        "fingerprint (deterministic recall on long verbatim overlap, "
+        "complementing MinHash's probabilistic recall); bucket-join on "
+        "fingerprints + exact-Jaccard verify (ops/dedup.py winnow_near_dup).",
+)
+def op_d2_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import winnow_near_dup
+
+    return winnow_near_dup(
+        load_table(spark, sf_dir, "documents", spread=True), threshold=0.5
+    )

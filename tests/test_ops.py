@@ -637,3 +637,24 @@ def test_cluster_pairs_raises_when_not_converged(spark):
     # and converges fine when allowed enough rounds
     got = {r.doc_id: r.cluster_id for r in cluster_pairs(chain).collect()}
     assert set(got.values()) == {1}
+
+
+def test_winnow_near_dup_recall_vs_exact(documents):
+    """Winnow-bucketed near-dup must recover the exact Jaccard pairs on
+    this corpus — shared runs here are long, inside winnowing's
+    structural-recall guarantee."""
+    from filefilter_spark.ops.dedup import token_jaccard_pairs, winnow_near_dup
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in token_jaccard_pairs(documents, threshold=0.5, shingle_n=3).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in winnow_near_dup(documents, threshold=0.5).collect()
+    }
+    assert exact, "baseline must be non-empty"
+    # precision is exact (verified); recall measured
+    assert got <= exact or not exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"recall {recall}"

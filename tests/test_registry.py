@@ -42,7 +42,7 @@ def test_oracles_cover_queries(entry):
     # baseline in tests/test_ops.py. Anything else must carry an oracle.
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
-        "OP-D2-minhash", "OP-D2-simhash",
+        "OP-D2-minhash", "OP-D2-simhash", "OP-D2-winnow",
         "OP-D3-lsh", "OP-D3-ivf", "OP-D3-pairs-lsh",
     }, f"entries silently missing oracles: {sorted(rows_only)}"
 
