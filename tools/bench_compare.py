@@ -11,7 +11,8 @@ sys.path.insert(0, ".")
 
 HEADLINE = [
     "OP-B12", "OP-B5", "OP-B11", "OP-B18", "OP-B22", "OP-B10", "OP-B9",
-    "OP-D1", "OP-D2", "OP-D2-minhash", "OP-D3", "OP-D4", "OP-D5",
+    "OP-D1", "OP-D2", "OP-D2-minhash", "OP-D2-clusters", "OP-D3", "OP-D4",
+    "OP-D4-repetition", "OP-D4-tfidf", "OP-D5", "OP-D7-contamination",
 ]
 
 
