@@ -88,6 +88,11 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # Self-describing timing methodology so round-over-round
+        # comparisons are honest: warm pass first, then min of 2 timed
+        # reps (each building + executing the full plan from scratch).
+        # r1-r3 used single_shot_warm; the series changed at r4.
+        "estimator": "min_of_2_warm",
     }))
 
 

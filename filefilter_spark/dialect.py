@@ -168,14 +168,26 @@ def _rewrite_epoch(sql: str) -> str:
 def _rewrite_list_slice(sql: str) -> str:
     # DuckDB list_slice(l, b, e) is 1-based INCLUSIVE [b, e]; Spark
     # slice(l, start, length) takes a length — translate symbolically
-    # as length = e - b + 1 (negative/step forms are not supported and
-    # pass through to fail loudly rather than silently mis-slice).
+    # as length = e - b + 1. Negative integer LITERALS are DuckDB
+    # from-the-end indices (-1 = last) and are resolved against
+    # size(l): index = size(l) + n + 1. An empty DuckDB range (e < b)
+    # maps to length 0 via greatest(). Non-literal arguments are
+    # translated assuming non-negative values (sign is unknowable at
+    # translation time); the 4-arg step form stays untranslated and
+    # fails loudly rather than silently mis-slicing.
     def one(inner: str) -> str:
         parts = [p.strip() for p in _split_top_level(inner)]
         if len(parts) != 3:
             return f"list_slice({inner})"
         l, b, e = parts
-        return f"slice({l}, {b}, ({e}) - ({b}) + 1)"
+
+        def idx(x: str) -> str:
+            if re.fullmatch(r"-\s*\d+", x):
+                return f"(size({l}) + ({x}) + 1)"
+            return f"({x})"
+
+        bi, ei = idx(b), idx(e)
+        return f"slice({l}, {bi}, greatest({ei} - {bi} + 1, 0))"
 
     return _rewrite_call(sql, "list_slice", one)
 

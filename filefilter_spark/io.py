@@ -59,6 +59,36 @@ def _normalize_path(path: str) -> str:
     return path
 
 
+def _apply_schema_select(df: DataFrame, schema: StructType | str) -> DataFrame:
+    """Apply an explicit schema to a self-describing source via
+    ``select`` + ``cast`` — NOT ``reader.schema()``.
+
+    Spark's vectorized parquet/ORC readers do not cast mismatched
+    physical types: reading a bigint column with a declared ``int``
+    schema fails at execution (FAILED_READ_FILE.PARQUET_COLUMN_DATA_
+    TYPE_MISMATCH), and the failure is invisible until an action runs.
+    Casting after the read is always safe, and column pruning still
+    reaches the scan because Catalyst prunes through the projection
+    (the ReadSchema in the plan lists only the selected columns).
+    Columns requested but absent from the file come back as typed
+    nulls — the mergeSchema-style semantics a schema-evolution caller
+    expects.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    if isinstance(schema, str):
+        schema = _parse_datatype_string(schema)
+    have = {f.lower() for f in df.columns}
+    cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name.lower() in have
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in schema.fields
+    ]
+    return df.select(*cols)
+
+
 def read_input(
     spark: SparkSession,
     path: str,
@@ -81,17 +111,16 @@ def read_input(
     if ext in _COMPRESSION_EXTS:
         ext = Path(Path(name).stem).suffix
     if ext == ".parquet":
-        # Self-describing format: an explicit schema still applies (it
-        # prunes/casts at scan time) rather than being silently ignored.
-        reader = spark.read
+        # Self-describing format: an explicit schema still applies —
+        # via select+cast after the read (see _apply_schema_select for
+        # why reader.schema() would crash on mismatched types).
+        df = spark.read.parquet(p)
         if schema is not None:
-            reader = reader.schema(schema)
-        df = reader.parquet(p)
+            df = _apply_schema_select(df, schema)
     elif ext == ".orc":
-        reader = spark.read
+        df = spark.read.orc(p)
         if schema is not None:
-            reader = reader.schema(schema)
-        df = reader.orc(p)
+            df = _apply_schema_select(df, schema)
     elif ext in _JSON_EXTS:
         # JSON Lines (one object per line — the splittable layout;
         # multiline JSON arrays are NOT splittable and are rejected by

@@ -12,6 +12,15 @@ for both signs (away-from-zero ties, e.g. -100.005 -> -10001 cents,
 where a bare ``floor(x*100+0.5)`` would give -10000) and stays in pure
 double arithmetic inside whole-stage codegen, ~2.3x faster end-to-end
 on the Q1 aggregate than the BigDecimal route.
+
+Known FP-carry edge (diagnosability note): ``floor(v + 0.5)`` deviates
+from true decimal HALF_UP when the ``+ 0.5`` addition itself rounds up
+in binary — the classic ``v = 0.49999999999999994`` gives
+``floor(v + 0.5) = 1`` but ``HALF_UP(v) = 0``. Such values cannot arise
+from money columns written as ``cents/100`` doubles (the domain here),
+but if an oracle ever feeds an adversarial raw double and a 1-cent
+mismatch appears against DuckDB ``round()``, this is the first place to
+look.
 """
 
 from __future__ import annotations

@@ -59,12 +59,26 @@ def salted_join(
     on: Sequence[str],
     how: str = "inner",
     n_salts: int = 16,
+    strategy: str | None = None,
 ) -> DataFrame:
     """Skew-resistant shuffle join: salt the big side, replicate the
-    small side across all salts, join on keys+salt, drop the salt."""
+    small side across all salts, join on keys+salt, drop the salt.
+
+    The salt only matters when the join actually SHUFFLES on the keys
+    — if Catalyst broadcasts the (replicated) small side the hot key
+    never concentrates in one task and the salt is a harmless no-op.
+    Pass ``strategy="shuffle_hash"`` (or ``"merge"``) to pin the
+    shuffle plan, as a caller with a just-above-broadcast-threshold
+    small side would; output rows are identical either way (inner/
+    outer equality on keys+salt reproduces the unsalted join exactly,
+    since each big row carries one salt and the small side covers all
+    of them).
+    """
     keys = list(on)
     big_s = big.withColumn(SALT, (F.rand(seed=13) * n_salts).cast("int"))
     small_s = small.withColumn(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
+    if strategy:
+        big_s = big_s.hint(strategy)
     return big_s.join(small_s, keys + [SALT], how).drop(SALT)

@@ -3,9 +3,12 @@ search, text analysis, streaming, multimodal plumbing.
 
 Oracle notes: integer-arithmetic similarity (Jaccard) is exact
 cross-engine; cosine similarities are rounded to 6dp to absorb fold
-order; probabilistic ops (MinHash/SimHash/LSH) are declared rows-only
-(no oracle) and their recall is measured against the exact baselines in
-``tests/test_ops.py``.
+order; probabilistic candidate-generation ops (MinHash/SimHash/winnow/
+pair-LSH) carry a ``RecallSpec`` — the local harness checks that they
+recover >= min_recall of the DuckDB-computed exact set, and (where the
+op exact-verifies its candidates) emit nothing outside it. Only the two
+pure-ANN top-k entries (OP-D3-ivf / OP-D3-lsh) remain rows-only to the
+driver; their recall@10 is measured in ``tests/test_ops.py``.
 """
 
 from __future__ import annotations
@@ -13,7 +16,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from filefilter_spark.queries.registry import load_table, query, register_views
+from filefilter_spark.queries.registry import (
+    RecallSpec,
+    load_table,
+    query,
+    register_views,
+)
 
 # ---------------------------------------------------------------------------
 # OP-B10 — as-of join (DuckDB-native operator, library pattern in Spark)
@@ -157,11 +165,17 @@ def op_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JACCARD_PAIRS_ONLY = f"SELECT id_a, id_b FROM ({_JACCARD_ORACLE}) t"
+
+
 @query(
     "OP-D2-minhash",
-    oracle=None,  # probabilistic recall; precision exact (verified); tests
+    oracle=None,  # probabilistic recall → RecallSpec, not a value hash
     doc="MinHash(64)+LSH(16 bands) candidate pairs, exact-Jaccard verified "
-        "at 0.5 — sub-quadratic near-dup; recall vs OP-D2 measured in tests.",
+        "at 0.5 — sub-quadratic near-dup; recall-oracled against OP-D2's "
+        "exact pair set (banding curve predicts ~97% per-pair at J=0.5; "
+        "precision exact by construction).",
+    recall=RecallSpec(_JACCARD_PAIRS_ONLY, ("id_a", "id_b"), 0.9),
 )
 def op_d2_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.dedup import minhash_near_dup
@@ -179,7 +193,29 @@ def op_d2_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OP-D2-simhash",
     oracle=None,
     doc="SimHash(32-bit) near-dup pairs within Hamming distance 3 via the "
-        "pigeonhole block join.",
+        "pigeonhole block join; recall-oracled at 1.0 against the "
+        "identical-token-set pair set (identical distinct-token sets -> "
+        "identical simhash -> Hamming 0, a structural guarantee).",
+    recall=RecallSpec(
+        # Docs with identical DISTINCT token sets have identical simhash
+        # (the fingerprint folds over array_distinct(tokens)), hence
+        # Hamming 0 <= 3 and a shared block in every position — the
+        # deterministic core of the otherwise-heuristic Hamming ball.
+        """
+        WITH k AS (
+          SELECT doc_id,
+                 md5(array_to_string(list_sort(list_distinct(
+                   list_filter(string_split_regex(text, '\\s+'), x -> x != ''))),
+                   chr(10))) AS h
+          FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+        """,
+        ("id_a", "id_b"),
+        1.0,
+        exact_precision=False,  # Hamming<=3 legitimately finds more
+    ),
 )
 def op_d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.dedup import simhash_near_dup
@@ -260,7 +296,17 @@ def op_d3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "OP-D3-pairs-lsh",
-    oracle=None,  # probabilistic recall; precision exact (verified); tests
+    oracle=None,  # probabilistic recall → RecallSpec, not a value hash
+    recall=RecallSpec(
+        """
+        WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+        """,
+        ("id_a", "id_b"),
+        0.6,  # matches tests/test_ops.py auto-LSH recall floor
+    ),
     doc="sub-quadratic embedding near-dup: LSH-bucketed candidate pairs "
         "+ exact cosine verification at 0.45 — the scale path for "
         "OP-D3-pairs' O(n²) baseline; recall measured in tests. Uses "
@@ -1308,8 +1354,8 @@ def op_d2_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "OP-D2-winnow",
-    oracle=None,  # candidate generation is winnow-selected; precision
-    # exact via Jaccard verify; recall vs the exact baseline in tests
+    oracle=None,  # winnow-selected candidates → RecallSpec, not a hash
+    recall=RecallSpec(_JACCARD_PAIRS_ONLY, ("id_a", "id_b"), 0.9),
     doc="near-dup via winnowing fingerprints (MOSS / Schleimer et al.): "
         "any shared >= window+n-1 token run structurally shares a "
         "fingerprint (deterministic recall on long verbatim overlap, "

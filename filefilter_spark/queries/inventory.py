@@ -560,6 +560,73 @@ def op_b5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Zipf-ish derived key for the skew entries: 3 of every 4 lineitem rows
+# land on key 0, the rest spread over nation's 25 keys — the "one hot
+# key ≫ others" shape that makes an unsalted shuffle concentrate ~75%
+# of the big side in a single reducer task at 100 TB.
+_SKEW_KEY = "CASE WHEN l_orderkey % 4 != 0 THEN 0 ELSE l_orderkey % 25 END"
+
+
+@query(
+    "OP-B5-skew",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_quantity, n_name
+    FROM (SELECT *, {_SKEW_KEY} AS skew_key FROM lineitem) l
+    JOIN nation ON n_nationkey = skew_key
+    """,
+    doc="skew-resistant salted join (ops/skew.py salted_join): the hot "
+        "key is spread over 8 salts so no reducer holds 75% of the big "
+        "side; strategy pinned to shuffle_hash (a broadcast would hide "
+        "the skew — this entry models the just-above-threshold dim). "
+        "Output provably identical to the unsalted join; exact oracle.",
+)
+def op_b5_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "skew_key", F.expr(_SKEW_KEY)
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("skew_key"), "n_name"
+    )
+    out = salted_join(l, n, on=["skew_key"], n_salts=8, strategy="shuffle_hash")
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "n_name")
+
+
+@query(
+    "OP-B12-skew",
+    oracle=f"""
+    SELECT skew_key, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
+    FROM (SELECT *, {_SKEW_KEY} AS skew_key FROM lineitem) l
+    GROUP BY skew_key
+    """,
+    doc="skew-resistant salted aggregation (ops/skew.py salted_agg) for a "
+        "HOLISTIC aggregate — exact distinct count via per-salt "
+        "collect_set then a cross-salt union — where map-side partial "
+        "aggregation can't absorb the hot key (every distinct value must "
+        "reach the reducer; 75% of rows share one key). Two-phase: "
+        "(key, salt) spreads the hot key over 8 reducers, phase 2 merges "
+        "8 small sets per key. Exact oracle.",
+)
+def op_b12_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.skew import salted_agg
+
+    l = load_table(spark, sf_dir, "lineitem").withColumn(
+        "skew_key", F.expr(_SKEW_KEY)
+    )
+    return salted_agg(
+        l,
+        ["skew_key"],
+        partial={"supps": F.collect_set("l_suppkey"), "cnt": F.count(F.lit(1))},
+        combine={
+            "n_supp": F.size(F.array_distinct(F.flatten(F.collect_list("supps"))))
+            .cast("long"),
+            "n_rows": F.sum("cnt"),
+        },
+        n_salts=8,
+    ).select("skew_key", "n_supp", "n_rows")
+
+
 @query(
     "OP-B6",
     oracle="""

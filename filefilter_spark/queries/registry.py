@@ -43,11 +43,31 @@ TABLES = (
 
 
 @dataclass
+class RecallSpec:
+    """Oracle contract for probabilistic candidate-generation operators.
+
+    ``sql`` is DuckDB SQL producing the EXACT reference set; ``keys``
+    are the columns whose tuples identify a result (e.g. a near-dup
+    pair). The operator passes when it recovers at least ``min_recall``
+    of the exact set, and — when ``exact_precision`` — emits nothing
+    outside it (the verify-after-candidates design makes precision
+    exact even though recall is probabilistic). This is strictly
+    stronger evidence than the rows-only check the driver applies to
+    oracle-less entries."""
+
+    sql: str
+    keys: tuple[str, ...]
+    min_recall: float
+    exact_precision: bool = True
+
+
+@dataclass
 class QuerySpec:
     name: str
     builder: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None → driver does rows-only check
     doc: str = ""
+    recall: RecallSpec | None = None  # recall oracle for oracle-less ops
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -188,11 +208,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     _registered.add(key)
 
 
-def query(name: str, oracle: str | None = None, doc: str = ""):
+def query(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    recall: RecallSpec | None = None,
+):
     """Decorator: register a DataFrame-API query builder."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""))
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or ""), recall)
         return fn
 
     return deco
@@ -217,6 +242,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def all_oracles() -> dict[str, str]:
     _ensure_loaded()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Full specs, including recall oracles — the local harness
+    (``tools/oracle_check.py``) uses these; the driver sees only
+    ``queries()``/``oracle_sql()``."""
+    _ensure_loaded()
+    return dict(REGISTRY)
 
 
 _loaded = False

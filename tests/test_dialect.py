@@ -242,8 +242,25 @@ def test_exclude_bare_single_column(spark):
 
 def test_list_slice_inclusive_to_length(spark):
     sql = translate("SELECT list_slice(array(10, 20, 30, 40), 2, 3) AS a")
-    assert "slice(array(10, 20, 30, 40), 2, (3) - (2) + 1)" in sql
     assert spark.sql(sql).collect()[0].a == [20, 30]
+
+
+def test_list_slice_negative_literals_resolve_from_end(spark):
+    # DuckDB from-the-end indices: -1 is the last element. Verified
+    # against duckdb in the same test so the oracle contract stays
+    # honest if either engine changes.
+    import duckdb
+
+    cases = [
+        "list_slice(array(10, 20, 30, 40), 2, -1)",   # slice to end
+        "list_slice(array(10, 20, 30, 40), -3, -1)",  # last three
+        "list_slice(array(10, 20, 30, 40), -1, -3)",  # empty (e < b)
+        "list_slice(array(10, 20, 30, 40), 1, -2)",   # drop last
+    ]
+    for expr in cases:
+        got = spark.sql(translate(f"SELECT {expr} AS a")).collect()[0].a
+        want = duckdb.sql(f"SELECT {expr.replace('array', 'list_value')} AS a").fetchone()[0]
+        assert got == want, expr
 
 
 def test_nested_wrapped_calls_rewrite_inner_too(spark):

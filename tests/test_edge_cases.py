@@ -137,8 +137,18 @@ def test_read_input_applies_schema_to_parquet(spark, tmp_path):
 
     p = str(tmp_path / "t.parquet")
     spark.createDataFrame([(1, "a")], "id bigint, s string").write.parquet(p)
+    # Narrowing cast (bigint file -> int schema): reader.schema() would
+    # crash at scan time on Spark's vectorized reader; the select+cast
+    # path must both retype AND execute.
     df = read_input(spark, p, schema="id int, s string")
     assert dict(df.dtypes)["id"] == "int"
+    assert [(r.id, r.s) for r in df.collect()] == [(1, "a")]
+    # Schema-evolution shape: a column absent from the file comes back
+    # as a typed null instead of erroring; pruning drops the rest.
+    df2 = read_input(spark, p, schema="id int, extra double")
+    rows = df2.collect()
+    assert df2.columns == ["id", "extra"]
+    assert [(r.id, r.extra) for r in rows] == [(1, None)]
 
 
 def test_s3_conf_mapping():

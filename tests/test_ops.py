@@ -299,6 +299,35 @@ def test_salted_join_matches_plain(spark):
     )
 
 
+def test_op_b5_skew_plan_salts_the_shuffle(spark):
+    """The OP-B5-skew plan must actually spread the hot key: a pinned
+    shuffle_hash join whose exchange hash-partitions on (key, salt) —
+    without the salt, one reducer would hold 75% of the big side."""
+    from filefilter_spark.queries.registry import all_queries
+
+    df = all_queries()["OP-B5-skew"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "__salt" in plan, plan[:2000]
+    # salt must be part of the join keys, not just a carried column
+    import re
+
+    m = re.search(r"ShuffledHashJoin \[([^\]]*)\]", plan)
+    assert m and "__salt" in m.group(1), m.group(0) if m else plan[:500]
+
+
+def test_op_b12_skew_plan_two_phase(spark):
+    """OP-B12-skew's phase-1 aggregate must group by (key, salt) so the
+    holistic collect_set of the hot key spreads across reducers."""
+    from filefilter_spark.queries.registry import all_queries
+
+    df = all_queries()["OP-B12-skew"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, plan[:2000]
+    # two aggregation layers: (key, salt) then (key)
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     """Media-table schema + each stub kernel's Spark-side plumbing:
     decode (1:1), audio (1:1), resize (binary→binary), frames (1:N)."""

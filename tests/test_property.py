@@ -4,7 +4,7 @@ sqllogictest-style fuzzing with DuckDB as the oracle, at sf0.001."""
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
 
 from tests.conftest import SF_DIR
 
@@ -68,7 +68,15 @@ def test_random_predicates_agree(spark, duck, pred):
         f"FROM lineitem WHERE {pred}"
     )
     s_row = spark.sql(sql).first()
-    d_row = duck.execute(sql).fetchone()
+    try:
+        d_row = duck.execute(sql).fetchone()
+    except duckdb.InternalException:
+        # DuckDB 1.0.0 assertion failure in ITS optimizer on degenerate
+        # redundant-BETWEEN predicates pushed into a parquet scan (e.g.
+        # "(x BETWEEN 0 AND 0 AND x BETWEEN 0 AND 1) OR (same)") — the
+        # oracle engine crashed, so the example proves nothing about
+        # parity; reject it and let hypothesis draw another.
+        assume(False)
     assert s_row["n"] == d_row[0], f"count mismatch for {pred}"
     assert (s_row["s"] is None) == (d_row[1] is None)
     if s_row["s"] is not None:
