@@ -708,33 +708,27 @@ def op_b8(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON p_retailprice BETWEEN l_extendedprice * 0.99 AND l_extendedprice * 1.01
     GROUP BY p_partkey
     """,
-    doc="theta/range join via BANDED bucketing — the scalable rewrite of "
-        "what Spark would otherwise plan as an O(n·m) BroadcastNestedLoop: "
-        "the point side lands in one price bucket, the interval side "
-        "explodes to the buckets its range overlaps, and the join becomes "
-        "an EQUI-join on bucket id + exact residual filter. Each true pair "
-        "matches in exactly one bucket (the one containing the point), so "
-        "no dedup pass is needed. One shuffle, full tables — no artificial "
-        "p_partkey bound required.",
+    doc="theta/range join via BANDED bucketing (ops/rangejoin.py) — the "
+        "scalable rewrite of what Spark would otherwise plan as an O(n·m) "
+        "BroadcastNestedLoop: the point side lands in one price bucket, "
+        "the interval side explodes to the buckets its range overlaps, and "
+        "the join becomes an EQUI-join on bucket id + exact residual "
+        "filter. Each true pair matches in exactly one bucket (the one "
+        "containing the point), so no dedup pass is needed. One shuffle, "
+        "full tables. Band width is measured from the data (median "
+        "interval width over a bounded sample) — a hardcoded width breaks "
+        "on a value-scale change; see test_auto_band_tracks_value_scale.",
 )
 def op_b9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    band = 100.0  # bucket width ~ interval width; tune to value range
-    p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_retailprice",
-        F.floor(F.col("p_retailprice") / band).alias("bucket"),
-    )
+    from filefilter_spark.ops.rangejoin import banded_range_join
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_extendedprice",
         (F.col("l_extendedprice") * 0.99).alias("lo"),
         (F.col("l_extendedprice") * 1.01).alias("hi"),
     )
-    li_banded = li.withColumn(
-        "bucket",
-        F.explode(F.sequence(F.floor(F.col("lo") / band), F.floor(F.col("hi") / band))),
-    )
     return (
-        p.join(li_banded, "bucket")
-        .filter(F.col("p_retailprice").between(F.col("lo"), F.col("hi")))
+        banded_range_join(p, li, "p_retailprice", "lo", "hi")
         .groupBy("p_partkey")
         .agg(F.count("*").alias("n_matches"))
     )

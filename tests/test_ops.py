@@ -687,3 +687,49 @@ def test_winnow_near_dup_recall_vs_exact(documents):
     assert got <= exact or not exact
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"recall {recall}"
+
+
+def test_auto_band_tracks_value_scale(spark):
+    """The measured band width must scale WITH the data so per-interval
+    bucket explosion stays bounded when the value scale changes 100x —
+    the failure mode of a hardcoded width."""
+    from filefilter_spark.ops.rangejoin import auto_band
+
+    base = spark.range(1000).selectExpr(
+        "cast(id * 97 + 1000 as double) AS price"
+    )
+    for scale in (1.0, 100.0):
+        iv = base.selectExpr(
+            f"price * {scale} * 0.99 AS lo", f"price * {scale} * 1.01 AS hi"
+        )
+        band = auto_band(iv, "lo", "hi")
+        # avg buckets per interval = width/band + 1; median-width band
+        # keeps it small at ANY scale
+        explosion = iv.selectExpr(
+            f"avg(floor(hi / {band}) - floor(lo / {band}) + 1) AS e"
+        ).first()["e"]
+        assert explosion <= 4, f"scale {scale}: {explosion} buckets/interval"
+
+
+def test_banded_range_join_matches_naive(spark):
+    from filefilter_spark.ops.rangejoin import banded_range_join
+
+    pts = spark.createDataFrame([(i, float(i * 7 % 50)) for i in range(40)],
+                                "pid int, v double")
+    ivs = spark.createDataFrame(
+        [(j, float(j * 3 % 40), float(j * 3 % 40 + 5)) for j in range(30)],
+        "iid int, lo double, hi double",
+    )
+    got = {(r.pid, r.iid) for r in banded_range_join(pts, ivs, "v", "lo", "hi").collect()}
+    naive = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(ivs).filter("v BETWEEN lo AND hi").collect()
+    }
+    assert got == naive and got
+
+
+def test_auto_band_degenerate_zero_width(spark):
+    from filefilter_spark.ops.rangejoin import auto_band
+
+    iv = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "lo double, hi double")
+    assert auto_band(iv, "lo", "hi") == 1.0
