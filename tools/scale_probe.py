@@ -237,9 +237,12 @@ def main() -> None:
         "shuffle — linear with shard-count parallelism.",
     ]
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "SCALING.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
-    print("wrote SCALING.md")
+    from tools.mdsect import replace_section
+
+    replace_section(
+        os.path.join(repo, "SCALING.md"), "scale_probe", "\n".join(lines)
+    )
+    print("wrote SCALING.md (scale_probe section)")
 
 
 if __name__ == "__main__":
