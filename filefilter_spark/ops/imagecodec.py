@@ -1,21 +1,33 @@
-"""Pure-stdlib image codec (PNG + BMP) backing the multimodal kernels.
+"""Pure-stdlib image codec (PNG + BMP + baseline JPEG) backing the
+multimodal kernels.
 
 This container ships no Pillow/libvips/ffmpeg, so the real (non-fake)
-decode path is implemented directly on ``zlib`` + ``struct``: PNG
-(8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced — the
-formats a training-data scrape overwhelmingly contains) and BMP
-(24/32-bit uncompressed). That keeps the kernels honest — real pixels
-in, real pixels out — while staying inside the no-new-dependency rule.
-JPEG/WebP/video remain NotImplementedError: entropy-coded formats
-genuinely need a codec library, and faking them would be worse than
+decode path is implemented directly on ``zlib`` + ``struct`` + numpy:
+PNG (8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced),
+BMP (24/32-bit uncompressed), and baseline JFIF JPEG (SOF0/SOF1
+sequential DCT, Huffman-coded, grayscale or YCbCr at any sampling
+factors incl. 4:2:0/4:2:2/4:4:4, restart markers) — the formats a
+training-data scrape overwhelmingly contains. That keeps the kernels
+honest — real pixels in, real pixels out — while staying inside the
+no-new-dependency rule. Progressive JPEG, arithmetic coding, WebP and
+video remain NotImplementedError: faking them would be worse than
 refusing.
+
+The JPEG decoder follows ITU-T T.81 §F.2 (baseline sequential
+decoding): per-block Huffman entropy decode in Python, dequantize /
+dezigzag / IDCT as 8x8 numpy matrix products, chroma upsample by
+pixel replication, BT.601 YCbCr→RGB. Decoded pixels are validated in
+tests against an independent decoder (Java ImageIO) within the usual
+inter-decoder IDCT tolerance — JPEG decoding is not bit-exact across
+implementations by design (T.81 Annex A allows IDCT variance).
 
 Scope note: these kernels run inside Arrow-batched ``mapInPandas``
 (see ``ops/multimodal.py``), so per-image Python cost is the budget.
-The unfilter loop is per-scanline numpy where the filter allows
-(None/Sub/Up) and per-byte only for Average/Paeth; fine for the
-thumbnail/metadata sizes this tier targets. A production swap-in of a
-C codec changes only these functions, never the Spark plan.
+The PNG unfilter loop is per-scanline numpy where the filter allows
+(None/Sub/Up) and per-byte only for Average/Paeth; the JPEG entropy
+loop is per-symbol Python — fine for the thumbnail/metadata sizes
+this tier targets. A production swap-in of a C codec changes only
+these functions, never the Spark plan.
 """
 
 from __future__ import annotations
@@ -38,6 +50,8 @@ def sniff(data: bytes) -> str | None:
         return "png"
     if data[:2] == b"BM" and len(data) >= 26:
         return "bmp"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
     return None
 
 
@@ -161,6 +175,275 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     return w, h, ch, bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT, Huffman)
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: position k in the entropy stream -> natural 8x8 index
+_ZIGZAG = [
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_IDCT_BASIS = None  # lazy 8x8 DCT-III basis (numpy)
+
+
+def _idct_basis():
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        import numpy as np
+
+        k = np.arange(8)
+        # C[u, x] = c(u)/2 * cos((2x+1) u pi / 16); IDCT: C.T @ F @ C
+        c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+        c[0] /= np.sqrt(2)
+        _IDCT_BASIS = c
+    return _IDCT_BASIS
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded JPEG data.
+
+    Handles byte stuffing (0xFF 0x00 -> literal 0xFF). At any real
+    marker (restart or EOI) it stops producing data and pads with
+    zeros; callers resynchronize across restart markers explicitly via
+    :meth:`restart` (T.81 §F.2.2.5: byte-align, consume RSTn).
+    """
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+        self.at_marker = False
+
+    def _fill(self) -> None:
+        d, p = self.data, self.pos
+        if self.at_marker or p >= len(d):
+            self.buf = (self.buf << 8) & 0xFFFFFFFF
+            self.nbits += 8
+            return
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos = p + 2
+            else:  # real marker: stop here, caller decides
+                self.at_marker = True
+                self.buf = (self.buf << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                return
+        else:
+            self.pos = p + 1
+        self.buf = ((self.buf << 8) | b) & 0xFFFFFFFF
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.buf >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        if p + 1 >= len(d):
+            raise ImageFormatError("expected JPEG restart marker")
+        self.pos = p + 2
+        self.at_marker = False
+
+
+def _build_huffman(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """(code_length, code) -> symbol, per T.81 Annex C code assignment."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ImageFormatError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, n: int) -> int:
+    # T.81 F.12: map an n-bit magnitude to its signed value
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline (SOF0/SOF1) JFIF payload → (width, height,
+    channels, interleaved pixel bytes): 1 channel for grayscale, 3
+    (RGB, BT.601 from YCbCr) otherwise."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ImageFormatError("not a JPEG")
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None  # (w, h, comps) with comps = [(cid, hs, vs, tq)]
+    restart_interval = 0
+    i = 2
+    scan = None
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise ImageFormatError("bad JPEG marker stream")
+        m = data[i + 1]
+        if m == 0xD9:
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + seg_len]
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise ImageFormatError("16-bit JPEG quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                for k in range(64):
+                    tbl[_ZIGZAG[k]] = seg[p + 1 + k]
+                qt[tq] = tbl
+                p += 65
+        elif m == 0xC4:  # DHT (possibly several)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = seg[p + 1 : p + 17]
+                n = sum(counts)
+                huff[(tc, th)] = _build_huffman(counts, seg[p + 17 : p + 17 + n])
+                p += 17 + n
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            h_px, w_px = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            frame = (w_px, h_px, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ImageFormatError(
+                f"non-baseline JPEG (SOF{m - 0xC0}) unsupported"
+            )
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS: component->table mapping, then entropy data
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)]
+            entropy_start = i + 2 + seg_len
+            break
+        i += 2 + seg_len
+    if frame is None or scan is None:
+        raise ImageFormatError("truncated JPEG (missing SOF/SOS)")
+
+    w_px, h_px, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w_px + mcu_w - 1) // mcu_w
+    mcus_y = (h_px + mcu_h - 1) // mcu_h
+
+    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    planes = {}
+    tables = {}
+    for cid, td, ta in scan:
+        hs, vs, tq = by_id[cid]
+        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+        dc_t, ac_t = huff.get((0, td)), huff.get((1, ta))
+        if dc_t is None or ac_t is None or tq not in qt:
+            raise ImageFormatError("JPEG scan references a missing table")
+        tables[cid] = (dc_t, ac_t, qt[tq])
+
+    basis = _idct_basis()
+    r = _BitReader(data, entropy_start)
+    pred = {cid: 0 for cid, _, _ in scan}
+    zz = np.array(_ZIGZAG)
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            r.restart()
+            pred = {cid: 0 for cid in pred}
+        my, mx = divmod(mcu, mcus_x)
+        for cid, _td, _ta in scan:
+            hs, vs, _tq = by_id[cid]
+            dc_t, ac_t, qtbl = tables[cid]
+            for by in range(vs):
+                for bx in range(hs):
+                    coef = np.zeros(64, dtype=np.float64)
+                    s = _huff_decode(r, dc_t)
+                    pred[cid] += _extend(r.receive(s), s)
+                    coef[0] = pred[cid] * qtbl[0]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(r, ac_t)
+                        run, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if run == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ImageFormatError("JPEG AC index overflow")
+                        nat = zz[k]
+                        coef[nat] = _extend(r.receive(size), size) * qtbl[nat]
+                        k += 1
+                    block = basis.T @ coef.reshape(8, 8) @ basis + 128.0
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    # upsample to full geometry (pixel replication) and crop
+    full = []
+    for cid, _td, _ta in scan:
+        hs, vs, _tq = by_id[cid]
+        p = planes[cid]
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:h_px, :w_px])
+
+    if len(full) == 1:
+        gray = np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
+        return w_px, h_px, 1, gray.tobytes()
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return w_px, h_px, 3, np.clip(rgb + 0.5, 0, 255).astype(np.uint8).tobytes()
+
+
 def decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode any supported payload; raises ImageFormatError otherwise."""
     kind = sniff(data)
@@ -168,7 +451,9 @@ def decode(data: bytes) -> tuple[int, int, int, bytes]:
         return decode_png(data)
     if kind == "bmp":
         return decode_bmp(data)
-    raise ImageFormatError("unrecognized image payload (PNG/BMP supported)")
+    if kind == "jpeg":
+        return decode_jpeg(data)
+    raise ImageFormatError("unrecognized image payload (PNG/BMP/JPEG supported)")
 
 
 def encode_png(w: int, h: int, channels: int, pixels: bytes) -> bytes:

@@ -5,15 +5,16 @@ Design per BASELINE.json's north star: media payloads travel as opaque
 run as Arrow-batched ``mapInPandas`` functions so bytes cross the
 JVM↔Python boundary once per batch, never per row.
 
-Image decode/resize are REAL for PNG and BMP via the pure-stdlib codec
-in ``ops/imagecodec.py`` (no Pillow in this container; zlib+struct
-suffice for those formats). Formats that genuinely need a codec
-library (JPEG/WebP, all audio/video) raise ``NotImplementedError``
-unless ``fake=True``, in which case deterministic pseudo-metadata is
-derived from the payload hash — keeping the Spark-side plumbing
-(schema, batch shape, partitioning) fully real and oracle-testable.
-Swapping in Pillow/ffmpeg later changes only the kernel body, not the
-plan.
+Image decode/resize are REAL for PNG, BMP, and baseline JPEG via the
+pure-stdlib codec in ``ops/imagecodec.py`` (no Pillow in this
+container; zlib+struct+numpy suffice, incl. a from-spec T.81 baseline
+JFIF decoder). Formats that genuinely need a codec library
+(progressive JPEG, WebP, all audio/video) raise
+``NotImplementedError`` unless ``fake=True``, in which case
+deterministic pseudo-metadata is derived from the payload hash —
+keeping the Spark-side plumbing (schema, batch shape, partitioning)
+fully real and oracle-testable. Swapping in Pillow/ffmpeg later
+changes only the kernel body, not the plan.
 """
 
 from __future__ import annotations
@@ -61,13 +62,14 @@ _DECODE_SCHEMA = StructType([
 
 
 def decode_image_stub(content: bytes, fake: bool = False) -> dict:
-    """Decode kernel. ``fake=False`` REALLY decodes PNG/BMP payloads
-    (pure-stdlib codec, ``ops/imagecodec.py``) — width/height/channels
-    from the actual pixel grid, ``feature_hash`` over the decoded pixel
-    bytes. Other formats need a codec library this container lacks and
-    raise. ``fake=True`` derives deterministic pseudo-metadata from the
-    payload hash instead — the oracle-checkable path for the synthetic
-    testdata payloads (which are not valid images)."""
+    """Decode kernel. ``fake=False`` REALLY decodes PNG/BMP/baseline-JPEG
+    payloads (pure-stdlib codec, ``ops/imagecodec.py``) — width/height/
+    channels from the actual pixel grid, ``feature_hash`` over the
+    decoded pixel bytes. Other formats need a codec library this
+    container lacks and raise. ``fake=True`` derives deterministic
+    pseudo-metadata from the payload hash instead — the oracle-checkable
+    path for the synthetic testdata payloads (which are not valid
+    images)."""
     if not fake:
         from filefilter_spark.ops import imagecodec
 

@@ -739,6 +739,49 @@ def op_d6_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D6-decode-jpeg",
+    # The REAL decode path on real baseline-JFIF payloads (the from-spec
+    # T.81 decoder in ops/imagecodec.py, fake=False) — no codec library
+    # involved. Width/height/channels are ground truth from the frame
+    # header; feature_hash pins the decoder's deterministic pixel output
+    # (pixel CORRECTNESS vs an independent decoder — Java ImageIO — is
+    # asserted with tolerance in tests/test_imagecodec.py; the hash here
+    # turns any decoder regression into an oracle failure).
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(37 AS INT), CAST(23 AS INT), CAST(3 AS INT),
+       'c21610790cfc8b89'),
+      (CAST(1 AS BIGINT), CAST(64 AS INT), CAST(48 AS INT), CAST(3 AS INT),
+       '49c4f8d836695a0d'),
+      (CAST(2 AS BIGINT), CAST(32 AS INT), CAST(32 AS INT), CAST(1 AS INT),
+       'bf3379b61b2ea923')
+    ) AS t(media_id, width, height, n_channels, feature_hash)
+    """,
+    doc="REAL JPEG decode: baseline JFIF fixtures (4:2:0 color with "
+        "non-MCU-aligned dims, 4:2:0 high quality, grayscale) through the "
+        "from-spec T.81 Huffman+IDCT decoder inside the Arrow-batched "
+        "mapInPandas kernel — the same plumbing OP-D6-decode runs in fake "
+        "mode, now with honest pixels.",
+)
+def op_d6_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from filefilter_spark.ops.multimodal import extract_image_features, to_media_table
+
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests", "fixtures", "jpeg",
+    )
+    payloads = [
+        (i, open(os.path.join(fix, f"{n}.jpg"), "rb").read())
+        for i, n in enumerate(("rgb_q85", "rgb_q95", "gray_q90"))
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    media = to_media_table(df, "media_id", "payload", media_type="image")
+    return extract_image_features(media, fake=False)
+
+
+@query(
     "OP-D6-audio",
     # Fake kernel is sha256-derived (see OP-D6-decode note) → full oracle.
     oracle="""

@@ -169,3 +169,79 @@ def test_real_decode_and_resize_kernels_in_spark(spark):
     assert (w, h, ch) == (4, 4, 3)
     # nearest-neighbor: top-left pixel of the source survives
     assert px[:3] == _px(16, 9, 3, seed=1)[:3]
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (fixtures generated by tests/fixtures/jpeg/MakeJpeg.java;
+# .rgb files are Java ImageIO's decoded samples — an INDEPENDENT decoder,
+# so ours can't self-verify)
+# ---------------------------------------------------------------------------
+
+import os
+
+_JPEG_FIX = os.path.join(os.path.dirname(__file__), "fixtures", "jpeg")
+
+
+def _jpeg_case(name):
+    with open(os.path.join(_JPEG_FIX, f"{name}.jpg"), "rb") as f:
+        data = f.read()
+    with open(os.path.join(_JPEG_FIX, f"{name}.rgb"), "rb") as f:
+        ref = f.read()
+    return data, ref
+
+
+@pytest.mark.parametrize(
+    "name,w,h,ch,mean_tol,p99_tol",
+    [
+        # 4:2:0, non-MCU-aligned dims: replication vs ImageIO's smooth
+        # chroma upsampling differs most at color edges
+        ("rgb_q85", 37, 23, 3, 3.5, 10),
+        ("rgb_q95", 64, 48, 3, 2.0, 6),
+        # single-component: no chroma path, near-exact (IDCT rounding only)
+        ("gray_q90", 32, 32, 1, 0.5, 1),
+    ],
+)
+def test_jpeg_decode_vs_independent_decoder(name, w, h, ch, mean_tol, p99_tol):
+    import numpy as np
+
+    data, ref = _jpeg_case(name)
+    assert ic.sniff(data) == "jpeg"
+    got_w, got_h, got_ch, px = ic.decode(data)
+    assert (got_w, got_h, got_ch) == (w, h, ch)
+    got = np.frombuffer(px, np.uint8).astype(np.int16)
+    want = np.frombuffer(ref, np.uint8).astype(np.int16)
+    assert got.shape == want.shape
+    diff = np.abs(got - want)
+    assert diff.mean() <= mean_tol, f"mean {diff.mean():.2f}"
+    assert np.percentile(diff, 99) <= p99_tol, f"p99 {np.percentile(diff, 99)}"
+
+
+def test_jpeg_progressive_rejected():
+    data, _ = _jpeg_case("gray_q90")
+    # flip SOF0 -> SOF2 (progressive); decoder must refuse, not mis-decode
+    i = data.find(b"\xff\xc0")
+    assert i > 0
+    mangled = data[:i] + b"\xff\xc2" + data[i + 2:]
+    with pytest.raises(ic.ImageFormatError, match="non-baseline"):
+        ic.decode_jpeg(mangled)
+
+
+def test_jpeg_truncated_rejected():
+    data, _ = _jpeg_case("gray_q90")
+    with pytest.raises(ic.ImageFormatError):
+        ic.decode_jpeg(data[:20])
+
+
+def test_jpeg_through_real_decode_kernel(spark):
+    """End-to-end through the mapInPandas kernel with fake=False —
+    the exact path OP-D6-decode-jpeg registers."""
+    from filefilter_spark.ops.multimodal import extract_image_features, to_media_table
+
+    data, _ = _jpeg_case("rgb_q85")
+    df = spark.createDataFrame([(1, data)], "media_id long, payload binary")
+    rows = extract_image_features(
+        to_media_table(df, "media_id", "payload"), fake=False
+    ).collect()
+    assert [(r.media_id, r.width, r.height, r.n_channels) for r in rows] == [
+        (1, 37, 23, 3)
+    ]
