@@ -106,6 +106,10 @@ def read_input(
     from filefilter_spark.config import normalize_delimiter
 
     p = _normalize_path(path)
+    if p.startswith("s3a://"):
+        from filefilter_spark.session import require_s3a
+
+        require_s3a(spark, p)  # fail fast, not deep in the first action
     name = Path(p).name.lower()
     ext = Path(name).suffix
     if ext in _COMPRESSION_EXTS:

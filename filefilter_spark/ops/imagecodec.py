@@ -303,7 +303,22 @@ def _extend(v: int, n: int) -> int:
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline (SOF0/SOF1) JFIF payload → (width, height,
     channels, interleaved pixel bytes): 1 channel for grayscale, 3
-    (RGB, BT.601 from YCbCr) otherwise."""
+    (RGB, BT.601 from YCbCr) otherwise.
+
+    Corrupt payloads raise :class:`ImageFormatError` — never a raw
+    IndexError/struct.error — so the mapInPandas kernels can route any
+    bad row to their documented keep/drop policy instead of killing
+    the task (a 100 TB scrape WILL contain truncated files).
+    """
+    try:
+        return _decode_jpeg(data)
+    except ImageFormatError:
+        raise
+    except (IndexError, struct.error, ValueError, KeyError) as e:
+        raise ImageFormatError(f"corrupt JPEG payload: {e!r}") from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     import numpy as np
 
     if data[:2] != b"\xff\xd8":
@@ -369,6 +384,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ImageFormatError("truncated JPEG (missing SOF/SOS)")
 
     w_px, h_px, comps = frame
+    if not comps or w_px == 0 or h_px == 0 or w_px * h_px > (1 << 28):
+        # zero or >268M-pixel geometry: almost certainly a corrupt
+        # header — refuse before allocating planes for it
+        raise ImageFormatError(f"implausible JPEG geometry {w_px}x{h_px}")
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax

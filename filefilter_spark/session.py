@@ -75,6 +75,31 @@ def s3_conf(options: dict[str, str]) -> dict[str, str]:
     return out
 
 
+def s3a_available(spark: SparkSession) -> bool:
+    """True when the s3a connector (hadoop-aws + SDK jars) is loadable
+    in the driver JVM. Cheap reflection probe, no I/O."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem")
+        return True
+    except Exception:
+        return False
+
+
+def require_s3a(spark: SparkSession, path: str) -> None:
+    """Fail FAST with an actionable message when an s3a path is about
+    to hit a classpath without the connector. Without this the first
+    action on the DataFrame dies deep inside Py4J with
+    ``ClassNotFoundException: org.apache.hadoop.fs.s3a.S3AFileSystem``
+    — minutes into a job, with no hint at the fix."""
+    if not s3a_available(spark):
+        raise RuntimeError(
+            f"cannot read {path!r}: the s3a connector is not on the JVM "
+            "classpath. Add hadoop-aws + its matching aws-sdk bundle, e.g. "
+            "spark.jars.packages=org.apache.hadoop:hadoop-aws:<hadoop "
+            "version>, then pass credentials via get_spark(s3={...})."
+        )
+
+
 def get_spark(
     app_name: str = "filefilter_spark",
     s3: dict[str, str] | None = None,

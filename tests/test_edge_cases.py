@@ -166,3 +166,16 @@ def test_s3_conf_mapping():
     assert out["spark.hadoop.fs.s3a.fast.upload"] == "true"
     with pytest.raises(ValueError, match="unknown s3 option"):
         s3_conf({"acess_key": "typo"})
+
+
+def test_s3a_missing_connector_fails_fast(spark):
+    """This container ships no hadoop-aws jar, so an s3 path must fail
+    at read_input time with an actionable message — not minutes later
+    inside Py4J at the first action."""
+    from filefilter_spark.io import read_input
+    from filefilter_spark.session import s3a_available
+
+    if s3a_available(spark):  # pragma: no cover - env with jars
+        pytest.skip("hadoop-aws present; fail-fast path not reachable")
+    with pytest.raises(RuntimeError, match="hadoop-aws"):
+        read_input(spark, "s3://bucket/key.parquet")

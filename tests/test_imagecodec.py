@@ -245,3 +245,26 @@ def test_jpeg_through_real_decode_kernel(spark):
     assert [(r.media_id, r.width, r.height, r.n_channels) for r in rows] == [
         (1, 37, 23, 3)
     ]
+
+
+def test_jpeg_corrupt_payloads_raise_format_error_only():
+    """Single-byte mutations and truncations of a real JPEG must either
+    decode (entropy streams tolerate some flips) or raise
+    ImageFormatError — never IndexError/struct.error — so the kernel's
+    bad-row policy stays reachable on a dirty 100 TB scrape."""
+    import random
+
+    data, _ = _jpeg_case("rgb_q85")
+    rng = random.Random(7)
+    cases = [data[:n] for n in (0, 1, 2, 3, 19, 150, len(data) - 1)]
+    for _ in range(200):
+        b = bytearray(data)
+        pos = rng.randrange(len(b))
+        b[pos] ^= 1 << rng.randrange(8)
+        cases.append(bytes(b))
+    for payload in cases:
+        try:
+            w, h, ch, px = ic.decode_jpeg(payload)
+            assert len(px) == w * h * ch
+        except ic.ImageFormatError:
+            pass
