@@ -807,6 +807,47 @@ def op_d6_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D6-audio-wav",
+    # REAL audio decode on real RIFF/WAVE payloads (stdlib parser +
+    # numpy MFCC, ops/audiocodec.py, fake=False). Geometry columns are
+    # ground truth from the generator parameters; mfcc_hash pins the
+    # deterministic fingerprint (MFCC math is validated at the signal
+    # level in tests/test_audiocodec.py — tone frequency recovery,
+    # distinct tones fingerprinting apart).
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(250 AS BIGINT), CAST(8000 AS INT),
+       CAST(2000 AS BIGINT), 'a5f8150fd45ad86b'),
+      (CAST(1 AS BIGINT), CAST(100 AS BIGINT), CAST(44100 AS INT),
+       CAST(4410 AS BIGINT), 'd164cbc3b8ee27a9'),
+      (CAST(2 AS BIGINT), CAST(250 AS BIGINT), CAST(8000 AS INT),
+       CAST(2000 AS BIGINT), '0588e31853e2a742')
+    ) AS t(media_id, duration_ms, sample_rate, n_samples, mfcc_hash)
+    """,
+    doc="REAL WAV audio decode: PCM test tones (16-bit mono, 16-bit "
+        "stereo, 8-bit mono; stdlib wave-module generator) through the "
+        "from-spec RIFF parser and frame-averaged MFCC fingerprint inside "
+        "the Arrow-batched mapInPandas kernel — the honest-pixels "
+        "counterpart of OP-D6-decode-jpeg for the audio tier.",
+)
+def op_d6_audio_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.audiocodec import synth_wav
+    from filefilter_spark.ops.multimodal import (
+        extract_audio_features_stub,
+        to_media_table,
+    )
+
+    payloads = [
+        (0, synth_wav(8000, 1, 2, 0.25, [440.0])),
+        (1, synth_wav(44100, 2, 2, 0.1, [440.0, 880.0])),
+        (2, synth_wav(8000, 1, 1, 0.25, [440.0])),
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    media = to_media_table(df, "media_id", "payload", media_type="audio")
+    return extract_audio_features_stub(media, fake=False)
+
+
+@query(
     "OP-D6-frames",
     # Fake kernel is sha256-derived (see OP-D6-decode note) → full oracle,
     # including the 1:N fan-out cardinality via unnest(range(...)).
@@ -831,6 +872,38 @@ def op_d6_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = to_media_table(d, "doc_id", "text", media_type="video")
     return frame_sample_stub(media, every_n=30, fake=True)
+
+
+@query(
+    "OP-D6-frames-y4m",
+    # REAL video frame sampling on a real YUV4MPEG2 clip (pure-stdlib
+    # reader, ops/videocodec.py, fake=False): a 95-frame 32x18 4:2:0
+    # test clip, every 30th frame hashed. Frame indices are ground
+    # truth from the sampling arithmetic; hashes pin the deterministic
+    # frame bytes (format offsets are spec-pinned in
+    # tests/test_videocodec.py, so writer and reader can't co-drift).
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(7 AS BIGINT), CAST(0 AS INT),  'baf27306a9593f61'),
+      (CAST(7 AS BIGINT), CAST(30 AS INT), 'f5978319e24fa6b4'),
+      (CAST(7 AS BIGINT), CAST(60 AS INT), '56d1223b022778d4'),
+      (CAST(7 AS BIGINT), CAST(90 AS INT), '023d90c6ce9ccba2')
+    ) AS t(media_id, frame_idx, frame_hash)
+    """,
+    doc="REAL video frame sampling: an uncompressed y4m clip through the "
+        "from-spec YUV4MPEG2 reader inside the 1:N mapInPandas fan-out — "
+        "the honest-pixels counterpart of OP-D6-decode-jpeg for the video "
+        "tier (compressed containers still refuse loudly).",
+)
+def op_d6_frames_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.multimodal import frame_sample_stub, to_media_table
+    from filefilter_spark.ops.videocodec import synth_y4m
+
+    df = spark.createDataFrame(
+        [(7, synth_y4m(32, 18, 95, fps=30))], "media_id long, payload binary"
+    )
+    media = to_media_table(df, "media_id", "payload", media_type="video")
+    return frame_sample_stub(media, every_n=30, fake=False)
 
 
 @query(

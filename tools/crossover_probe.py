@@ -48,9 +48,13 @@ SCRATCH = "/tmp/spark_graft_xover"
 
 # Flagships: the headline relational set from the round-4 review plus
 # the extension-tier entries whose sf0.1 ratios were overhead-dominated.
+# OP-D2/OP-D4 put the LLM-pipeline tier on the same footing: their
+# oracles are real DuckDB implementations of the same algorithm
+# (inverted-index Jaccard join / regex+list token stats), so the ratio
+# compares engines, not algorithms.
 QUERIES = [
     "OP-B5", "OP-B9", "OP-B10", "OP-B11", "OP-B12",
-    "OP-B18", "OP-B22", "OP-D1", "OP-D3",
+    "OP-B18", "OP-B22", "OP-D1", "OP-D2", "OP-D3", "OP-D4",
 ]
 
 # Per-table columns that must be offset per copy so each copy is a
