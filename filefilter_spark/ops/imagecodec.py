@@ -52,6 +52,8 @@ def sniff(data: bytes) -> str | None:
         return "bmp"
     if data[:2] == b"\xff\xd8":
         return "jpeg"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -463,6 +465,146 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     return w_px, h_px, 3, np.clip(rgb + 0.5, 0, 255).astype(np.uint8).tobytes()
 
 
+# ---------------------------------------------------------------------------
+# GIF (87a/89a, LZW)
+# ---------------------------------------------------------------------------
+
+
+def decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the FIRST frame of a GIF87a/89a payload → (width, height,
+    3 or 4, RGB(A) bytes). Palette lookup is lossless, so output is
+    exact. Animations: only frame 1 is decoded (the thumbnail/metadata
+    contract of this tier); transparency (GIF89a GCE) yields RGBA.
+    Corrupt payloads raise :class:`ImageFormatError`."""
+    try:
+        return _decode_gif(data)
+    except ImageFormatError:
+        raise
+    except (IndexError, struct.error, ValueError, KeyError) as e:
+        raise ImageFormatError(f"corrupt GIF payload: {e!r}") from e
+
+
+def _decode_gif(data: bytes) -> tuple[int, int, int, bytes]:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageFormatError("not a GIF")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                flags, _delay, tidx = struct.unpack("<BHB", data[pos + 1 : pos + 5])
+                if flags & 1:
+                    transparent = tidx
+            while data[pos]:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ImageFormatError(f"unexpected GIF block 0x{b:02x}")
+        # image descriptor
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        pos += 10
+        table = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            table = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if table is None:
+            raise ImageFormatError("GIF image without a color table")
+        interlaced = bool(ipacked & 0x40)
+        min_code = data[pos]
+        pos += 1
+        chunks = []
+        while data[pos]:
+            ln = data[pos]
+            chunks.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        indices = _lzw_decode(b"".join(chunks), min_code, w * h)
+        if interlaced:
+            rows = []
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                rows.extend(range(start, h, step))
+            de = bytearray(w * h)
+            for src_y, dst_y in enumerate(rows):
+                de[dst_y * w : (dst_y + 1) * w] = indices[src_y * w : (src_y + 1) * w]
+            indices = bytes(de)
+        ch = 4 if transparent is not None else 3
+        out = bytearray(w * h * ch)
+        for i, idx in enumerate(indices):
+            if 3 * idx + 3 > len(table):
+                raise ImageFormatError(f"GIF index {idx} outside color table")
+            out[i * ch : i * ch + 3] = table[3 * idx : 3 * idx + 3]
+            if ch == 4:
+                out[i * ch + 3] = 0 if idx == transparent else 255
+        # first frame only; ignore sub-rectangle placement for frame 1
+        # (encoders emit frame 1 at full logical-screen size; if not,
+        # report the frame's own geometry honestly)
+        del left, top, sw, sh
+        return w, h, ch, bytes(out)
+    raise ImageFormatError("GIF contains no image block")
+
+
+def _lzw_decode(data: bytes, min_code: int, expect: int) -> bytes:
+    """GIF-variant LZW: variable-width codes (min+1 .. 12 bits), clear
+    and end codes, LSB-first bit packing."""
+    if not 2 <= min_code <= 11:
+        raise ImageFormatError(f"bad LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    out = bytearray()
+    buf = nbits = 0
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    for byte in data:
+        buf |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = buf & ((1 << width) - 1)
+            buf >>= width
+            nbits -= width
+            if code == clear:
+                table = table[: clear + 2]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                if len(out) < expect:
+                    raise ImageFormatError("LZW ended before all pixels")
+                return bytes(out[:expect])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ImageFormatError("LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expect:
+                return bytes(out[:expect])
+    if len(out) < expect:
+        raise ImageFormatError("LZW stream exhausted before all pixels")
+    return bytes(out[:expect])
+
+
 def decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode any supported payload; raises ImageFormatError otherwise."""
     kind = sniff(data)
@@ -472,7 +614,11 @@ def decode(data: bytes) -> tuple[int, int, int, bytes]:
         return decode_bmp(data)
     if kind == "jpeg":
         return decode_jpeg(data)
-    raise ImageFormatError("unrecognized image payload (PNG/BMP/JPEG supported)")
+    if kind == "gif":
+        return decode_gif(data)
+    raise ImageFormatError(
+        "unrecognized image payload (PNG/BMP/JPEG/GIF supported)"
+    )
 
 
 def encode_png(w: int, h: int, channels: int, pixels: bytes) -> bytes:

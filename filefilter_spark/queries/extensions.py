@@ -807,6 +807,43 @@ def op_d6_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D6-decode-gif",
+    # REAL GIF decode (LZW from spec, ops/imagecodec.py, fake=False).
+    # Unlike JPEG, palette lookup is lossless, so the pinned hashes are
+    # BYTE-EXACT vs the independent decoder (Java ImageIO) — asserted
+    # in tests/test_imagecodec.py, which also covers interlace and the
+    # variable-width LZW path via a forward-implemented writer.
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(41 AS INT), CAST(27 AS INT), CAST(3 AS INT),
+       'b2f4731194daca14'),
+      (CAST(1 AS BIGINT), CAST(64 AS INT), CAST(64 AS INT), CAST(3 AS INT),
+       'eb164e956a3b1197')
+    ) AS t(media_id, width, height, n_channels, feature_hash)
+    """,
+    doc="REAL GIF decode: LZW fixtures through the from-spec decoder "
+        "inside the Arrow-batched mapInPandas kernel; output byte-exact "
+        "vs an independent decoder (palette lookup is lossless).",
+)
+def op_d6_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from filefilter_spark.ops.multimodal import extract_image_features, to_media_table
+
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests", "fixtures", "gif",
+    )
+    payloads = [
+        (i, open(os.path.join(fix, f"{n}.gif"), "rb").read())
+        for i, n in enumerate(("grad_41x27", "grad_64x64"))
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    media = to_media_table(df, "media_id", "payload", media_type="image")
+    return extract_image_features(media, fake=False)
+
+
+@query(
     "OP-D6-audio-wav",
     # REAL audio decode on real RIFF/WAVE payloads (stdlib parser +
     # numpy MFCC, ops/audiocodec.py, fake=False). Geometry columns are

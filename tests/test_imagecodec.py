@@ -268,3 +268,96 @@ def test_jpeg_corrupt_payloads_raise_format_error_only():
             assert len(px) == w * h * ch
         except ic.ImageFormatError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# GIF (fixtures from tests/fixtures/gif/MakeGif.java; palette lookup is
+# lossless so the comparison vs Java ImageIO is byte-EXACT)
+# ---------------------------------------------------------------------------
+
+_GIF_FIX = os.path.join(os.path.dirname(__file__), "fixtures", "gif")
+
+
+@pytest.mark.parametrize("name,w,h", [("grad_41x27", 41, 27), ("grad_64x64", 64, 64)])
+def test_gif_decode_exact_vs_independent_decoder(name, w, h):
+    with open(os.path.join(_GIF_FIX, f"{name}.gif"), "rb") as f:
+        data = f.read()
+    with open(os.path.join(_GIF_FIX, f"{name}.rgb"), "rb") as f:
+        ref = f.read()
+    assert ic.sniff(data) == "gif"
+    got_w, got_h, ch, px = ic.decode(data)
+    assert (got_w, got_h, ch) == (w, h, 3)
+    assert px == ref  # palette lookup is lossless: byte-exact
+
+
+def _encode_gif_uncompressed(w, h, indices, palette_bits, interlaced):
+    """Minimal valid GIF writer for decoder tests: the classic
+    'uncompressed LZW' trick — emit CLEAR often enough that the code
+    table never grows, so every index is a literal code. An independent
+    forward implementation of the bit packing + interlace reorder."""
+    import struct as st
+
+    n = 2 << (palette_bits - 1)
+    palette = bytes(b for i in range(n) for b in ((i * 3) % 256, (i * 5) % 256, (i * 7) % 256))
+    out = bytearray(b"GIF89a")
+    out += st.pack("<HHBBB", w, h, 0x80 | (palette_bits - 1), 0, 0)
+    out += palette
+    out += st.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlaced else 0)
+    min_code = max(2, palette_bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    width = min_code + 1
+    if interlaced:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, h, step))
+        seq = [indices[y * w + x] for y in order for x in range(w)]
+    else:
+        seq = list(indices)
+    codes = [clear]
+    for i, c in enumerate(seq):
+        codes.append(c)
+        # table grows by one per emitted code; clear before width bump
+        if i % ((1 << width) - clear - 3) == ((1 << width) - clear - 4):
+            codes.append(clear)
+    codes.append(end)
+    buf = nbits = 0
+    stream = bytearray()
+    for c in codes:
+        buf |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(buf & 0xFF)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("interlaced", [False, True])
+def test_gif_interlace_and_lzw_width_handling(interlaced):
+    w, h = 19, 13
+    indices = bytes((x + y * 3) % 8 for y in range(h) for x in range(w))
+    data = _encode_gif_uncompressed(w, h, indices, palette_bits=3, interlaced=interlaced)
+    got_w, got_h, ch, px = ic.decode_gif(data)
+    assert (got_w, got_h, ch) == (w, h, 3)
+    # reconstruct expected RGB from the test palette
+    want = bytes(
+        b for i in indices for b in ((i * 3) % 256, (i * 5) % 256, (i * 7) % 256)
+    )
+    assert px == want
+
+
+def test_gif_corrupt_rejected():
+    with open(os.path.join(_GIF_FIX, "grad_41x27.gif"), "rb") as f:
+        data = f.read()
+    with pytest.raises(ic.ImageFormatError):
+        ic.decode_gif(data[:40])  # truncated mid-stream
+    with pytest.raises(ic.ImageFormatError):
+        ic.decode_gif(b"GIF89a" + b"\x00" * 20)  # no image block
