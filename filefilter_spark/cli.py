@@ -5,8 +5,10 @@
 Run as ``python -m filefilter_spark IN CONFIG.yml OUT``.
 
 Flag mapping (documented divergences, SURVEY.md §7):
-- ``-i/--interactive``: reference shows a rich live status line; here it
-  prints per-stage metrics + a 5-row sample (Spark has its own UI).
+- ``-i/--interactive``: live single-line status with rolling avg task
+  time, ETA and memory (``progress.StatusLine``, the Spark-native
+  analog of the reference's ``printStatus``/``StatsManager`` display),
+  plus per-stage metrics after the run.
 - ``-d/--delete``: reference deletes the persistent ``data/<input>.db``
   workspace; our analog clears the checkpoint dir when one is set.
 - ``-v/--verbose``: DEBUG logging.
@@ -70,8 +72,20 @@ def main(argv: list[str] | None = None) -> int:
         delimiter=pipe.config.in_delimiter,
         sample_lines=pipe.config.sample_lines,
     )
-    result = pipe.run(df)
-    write_csv_file(result.df, args.output, delimiter=pipe.config.out_delimiter)
+    if args.interactive:
+        from contextlib import ExitStack
+
+        from filefilter_spark.progress import StatusLine
+
+        stack = ExitStack()
+        stack.enter_context(StatusLine(spark))
+    else:
+        from contextlib import nullcontext
+
+        stack = nullcontext()
+    with stack:
+        result = pipe.run(df)
+        write_csv_file(result.df, args.output, delimiter=pipe.config.out_delimiter)
     if args.interactive:
         # observe()-based: counts were collected by the write action, no
         # extra jobs (OP-A10/A14).
