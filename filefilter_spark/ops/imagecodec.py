@@ -54,6 +54,8 @@ def sniff(data: bytes) -> str | None:
         return "jpeg"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     return None
 
 
@@ -605,6 +607,187 @@ def _lzw_decode(data: bytes, min_code: int, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+# ---------------------------------------------------------------------------
+# TIFF (baseline rev 6.0: uncompressed / LZW / Deflate / PackBits, 8-bit)
+# ---------------------------------------------------------------------------
+
+
+def decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode the first IFD of a TIFF payload → (width, height,
+    channels, interleaved bytes). Supports both byte orders, 8-bit
+    chunky gray/RGB(A)/palette, strip layout, compression none (1),
+    LZW (5, with EarlyChange + horizontal predictor), Deflate (8 /
+    32946) and PackBits (32773). Tiled, planar, and exotic-depth
+    TIFFs refuse loudly."""
+    try:
+        return _decode_tiff(data)
+    except ImageFormatError:
+        raise
+    except (IndexError, struct.error, ValueError, KeyError, zlib.error) as e:
+        raise ImageFormatError(f"corrupt TIFF payload: {e!r}") from e
+
+
+def _decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ImageFormatError("not a TIFF")
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    (n_entries,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(e + "HHI", data[off : off + 8])
+        if typ not in _TYPE_SIZE:
+            continue  # rationals/etc. — not needed for geometry/pixels
+        size = _TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            raw = data[off + 8 : off + 8 + size]
+        else:
+            (voff,) = struct.unpack(e + "I", data[off + 8 : off + 12])
+            raw = data[voff : voff + size]
+        fmt = {1: "B", 2: "B", 3: "H", 4: "I"}[typ]
+        tags[tag] = list(struct.unpack(e + fmt * cnt, raw))
+
+    def one(tag: int, default: int | None = None) -> int:
+        v = tags.get(tag)
+        if v is None:
+            if default is None:
+                raise ImageFormatError(f"TIFF missing required tag {tag}")
+            return default
+        return v[0]
+
+    w, h = one(256), one(257)
+    if w == 0 or h == 0 or w * h > (1 << 28):
+        raise ImageFormatError(f"implausible TIFF geometry {w}x{h}")
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise ImageFormatError(f"unsupported TIFF bit depths {bits}")
+    comp = one(259, 1)
+    photo = one(262, 1)
+    planar = one(284, 1)
+    predictor = one(317, 1)
+    if planar != 1:
+        raise ImageFormatError("planar TIFF unsupported (chunky only)")
+    if 322 in tags or 323 in tags:
+        raise ImageFormatError("tiled TIFF unsupported (strips only)")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ImageFormatError("TIFF missing strip offsets/byte counts")
+    rows_per_strip = one(278, h)
+
+    raw = bytearray()
+    row_bytes = w * spp
+    for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+        strip = data[soff : soff + scnt]
+        if len(strip) < scnt:
+            raise ImageFormatError(f"truncated TIFF strip {si}")
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        want = n_rows * row_bytes
+        if comp == 1:
+            out = strip[:want]
+        elif comp in (8, 32946):  # Deflate / old Deflate
+            out = zlib.decompress(strip)[:want]
+        elif comp == 5:
+            out = _tiff_lzw_decode(strip, want)
+        elif comp == 32773:
+            out = _packbits_decode(strip, want)
+        else:
+            raise ImageFormatError(
+                f"TIFF compression {comp} needs a codec library"
+            )
+        if len(out) < want:
+            raise ImageFormatError(f"TIFF strip {si} shorter than geometry")
+        raw += out
+    if predictor == 2:  # horizontal differencing per row, per sample
+        for y in range(h):
+            base = y * row_bytes
+            for i in range(spp, row_bytes):
+                raw[base + i] = (raw[base + i] + raw[base + i - spp]) & 0xFF
+    elif predictor != 1:
+        raise ImageFormatError(f"TIFF predictor {predictor} unsupported")
+
+    if photo == 3:  # palette: ColorMap is 3 planes of 16-bit values
+        cmap = tags.get(320)
+        if not cmap or spp != 1:
+            raise ImageFormatError("palette TIFF missing ColorMap")
+        n = len(cmap) // 3
+        out = bytearray(w * h * 3)
+        for i, idx in enumerate(raw[: w * h]):
+            if idx >= n:
+                raise ImageFormatError("TIFF palette index out of range")
+            out[3 * i] = cmap[idx] >> 8
+            out[3 * i + 1] = cmap[n + idx] >> 8
+            out[3 * i + 2] = cmap[2 * n + idx] >> 8
+        return w, h, 3, bytes(out)
+    if photo == 0:  # WhiteIsZero → invert to the usual BlackIsZero
+        raw = bytearray(255 - b for b in raw)
+    return w, h, spp, bytes(raw[: w * h * spp])
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, 9-bit initial codes,
+    CLEAR=256 / EOI=257, and the spec's EarlyChange: code width bumps
+    when the table reaches 2^w - 1 (one entry EARLIER than GIF)."""
+    CLEAR, EOI = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    buf = nbits = 0
+    width = 9
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (buf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out[:expect])
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ImageFormatError("TIFF LZW code out of range")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange
+                width += 1
+            if len(out) >= expect:
+                return bytes(out[:expect])
+    return bytes(out[:expect])
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expect])
+
+
 def decode(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode any supported payload; raises ImageFormatError otherwise."""
     kind = sniff(data)
@@ -616,8 +799,10 @@ def decode(data: bytes) -> tuple[int, int, int, bytes]:
         return decode_jpeg(data)
     if kind == "gif":
         return decode_gif(data)
+    if kind == "tiff":
+        return decode_tiff(data)
     raise ImageFormatError(
-        "unrecognized image payload (PNG/BMP/JPEG/GIF supported)"
+        "unrecognized image payload (PNG/BMP/JPEG/GIF/TIFF supported)"
     )
 
 

@@ -844,6 +844,50 @@ def op_d6_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D6-decode-tiff",
+    # REAL TIFF decode (IFD/strips/LZW/Deflate/PackBits from spec,
+    # ops/imagecodec.py, fake=False); all supported compressions are
+    # lossless so the pinned hashes are byte-exact vs Java ImageIO
+    # (tests/test_imagecodec.py). none and LZW fixtures share content
+    # → identical feature_hash, which is itself a cross-compression
+    # consistency check the oracle enforces.
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(33 AS INT), CAST(21 AS INT), CAST(3 AS INT),
+       '3103099ba183bac6'),
+      (CAST(1 AS BIGINT), CAST(33 AS INT), CAST(21 AS INT), CAST(3 AS INT),
+       '3103099ba183bac6'),
+      (CAST(2 AS BIGINT), CAST(40 AS INT), CAST(30 AS INT), CAST(3 AS INT),
+       '7ce0dfa6a22da9e4'),
+      (CAST(3 AS BIGINT), CAST(24 AS INT), CAST(24 AS INT), CAST(1 AS INT),
+       '45d04194b896f2f7')
+    ) AS t(media_id, width, height, n_channels, feature_hash)
+    """,
+    doc="REAL TIFF decode: uncompressed / TIFF-LZW / Deflate / PackBits "
+        "fixtures through the from-spec reader inside the Arrow-batched "
+        "mapInPandas kernel; byte-exact vs an independent decoder.",
+)
+def op_d6_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from filefilter_spark.ops.multimodal import extract_image_features, to_media_table
+
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests", "fixtures", "tiff",
+    )
+    payloads = [
+        (i, open(os.path.join(fix, f"{n}.tif"), "rb").read())
+        for i, n in enumerate(
+            ("rgb_none", "rgb_lzw", "rgb_deflate", "gray_packbits")
+        )
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    media = to_media_table(df, "media_id", "payload", media_type="image")
+    return extract_image_features(media, fake=False)
+
+
+@query(
     "OP-D6-audio-wav",
     # REAL audio decode on real RIFF/WAVE payloads (stdlib parser +
     # numpy MFCC, ops/audiocodec.py, fake=False). Geometry columns are

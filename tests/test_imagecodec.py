@@ -361,3 +361,58 @@ def test_gif_corrupt_rejected():
         ic.decode_gif(data[:40])  # truncated mid-stream
     with pytest.raises(ic.ImageFormatError):
         ic.decode_gif(b"GIF89a" + b"\x00" * 20)  # no image block
+
+
+# ---------------------------------------------------------------------------
+# TIFF (fixtures from tests/fixtures/tiff/MakeTiff.java; all supported
+# compressions are lossless so comparisons are byte-EXACT)
+# ---------------------------------------------------------------------------
+
+_TIFF_FIX = os.path.join(os.path.dirname(__file__), "fixtures", "tiff")
+
+
+@pytest.mark.parametrize(
+    "name,w,h,ch",
+    [
+        ("rgb_none", 33, 21, 3),       # uncompressed
+        ("rgb_lzw", 33, 21, 3),        # TIFF LZW (MSB-first, EarlyChange)
+        ("rgb_deflate", 40, 30, 3),    # zlib strips
+        ("gray_packbits", 24, 24, 1),  # RLE
+    ],
+)
+def test_tiff_decode_exact_vs_independent_decoder(name, w, h, ch):
+    with open(os.path.join(_TIFF_FIX, f"{name}.tif"), "rb") as f:
+        data = f.read()
+    with open(os.path.join(_TIFF_FIX, f"{name}.rgb"), "rb") as f:
+        ref = f.read()
+    assert ic.sniff(data) == "tiff"
+    got_w, got_h, got_ch, px = ic.decode(data)
+    assert (got_w, got_h, got_ch) == (w, h, ch)
+    assert px == ref
+
+
+def test_tiff_identical_content_across_compressions():
+    """none and LZW fixtures encode the same pattern — decoded bytes
+    must agree with each other, not just each with its own reference."""
+    a = ic.decode(open(os.path.join(_TIFF_FIX, "rgb_none.tif"), "rb").read())
+    b = ic.decode(open(os.path.join(_TIFF_FIX, "rgb_lzw.tif"), "rb").read())
+    assert a == b
+
+
+def test_packbits_spec_cases():
+    from filefilter_spark.ops.imagecodec import _packbits_decode
+
+    # literal run: n=2 -> 3 literal bytes; repeat: n=254 -> 3 copies
+    assert _packbits_decode(bytes([2, 10, 20, 30, 254, 7]), 6) == bytes(
+        [10, 20, 30, 7, 7, 7]
+    )
+    assert _packbits_decode(bytes([128, 0, 65]), 1) == b"A"  # 128 = no-op
+
+
+def test_tiff_corrupt_rejected():
+    with open(os.path.join(_TIFF_FIX, "rgb_lzw.tif"), "rb") as f:
+        data = f.read()
+    with pytest.raises(ic.ImageFormatError):
+        ic.decode_tiff(data[:60])
+    with pytest.raises(ic.ImageFormatError):
+        ic.decode_tiff(b"II*\x00\x08\x00\x00\x00" + b"\x00" * 4)  # empty IFD
