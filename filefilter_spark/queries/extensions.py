@@ -844,6 +844,52 @@ def op_d6_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D6-resize-real",
+    # The REAL binary→binary resize path on a MIXED-format batch
+    # (JPEG 4:2:0, GIF, TIFF-LZW, grayscale JPEG): decode via the
+    # from-spec codecs, nearest-neighbor resample to 16x16, re-encode
+    # as PNG. content_len and sha256 pin the full output payload —
+    # end-to-end byte determinism of decode+resample+encode across
+    # four different input codecs in one kernel run.
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'image', CAST(852 AS BIGINT),
+       '355c87721fea8b0f02a506f0532d2649b4d88c768d79482c496a85ac9b6ef147'),
+      (CAST(1 AS BIGINT), 'image', CAST(501 AS BIGINT),
+       '58da550fe7ac56a1fe2c97a3282e9c984fe99298c2d8029dfb8db7878a9d5957'),
+      (CAST(2 AS BIGINT), 'image', CAST(557 AS BIGINT),
+       '3e0f2f0168826e703d04044f0b5a01a73a8379513b0deab3a22e3971c004bf31'),
+      (CAST(3 AS BIGINT), 'image', CAST(274 AS BIGINT),
+       '652ffc1571bf73dbe063e2d416e3739868820c9d19b58e3fce3de385e9b7bd73')
+    ) AS t(media_id, media_type, content_len, sha256)
+    """,
+    doc="REAL mixed-format image resize: JPEG/GIF/TIFF payloads decoded, "
+        "resampled to 16x16 and re-encoded as PNG inside one mapInPandas "
+        "kernel run; output payload bytes pinned end-to-end.",
+)
+def op_d6_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from filefilter_spark.ops.multimodal import resize_images_stub, to_media_table
+
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests", "fixtures",
+    )
+    names = [
+        "jpeg/rgb_q85.jpg", "gif/grad_41x27.gif",
+        "tiff/rgb_lzw.tif", "jpeg/gray_q90.jpg",
+    ]
+    payloads = [
+        (i, open(os.path.join(fix, n), "rb").read()) for i, n in enumerate(names)
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    media = to_media_table(df, "media_id", "payload", media_type="image")
+    resized = resize_images_stub(media, width=16, height=16, fake=False)
+    return resized.select("media_id", "media_type", "content_len", "sha256")
+
+
+@query(
     "OP-D6-decode-tiff",
     # REAL TIFF decode (IFD/strips/LZW/Deflate/PackBits from spec,
     # ops/imagecodec.py, fake=False); all supported compressions are
