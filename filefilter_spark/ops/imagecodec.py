@@ -305,9 +305,17 @@ def _extend(v: int, n: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline (SOF0/SOF1) JFIF payload → (width, height,
-    channels, interleaved pixel bytes): 1 channel for grayscale, 3
-    (RGB, BT.601 from YCbCr) otherwise.
+    """Decode a sequential (SOF0/SOF1) or progressive (SOF2) JFIF
+    payload → (width, height, channels, interleaved pixel bytes): 1
+    channel for grayscale, 3 (RGB, BT.601 from YCbCr) otherwise.
+
+    Both modes share one architecture: every scan Huffman-decodes into
+    per-component RAW quantized coefficient buffers (sequential = one
+    full-band interleaved scan; progressive = the T.81 G.2 scan
+    scripts — DC first/refine, AC spectral bands first/refine with
+    EOB runs), and a single reconstruction pass dequantizes, IDCTs
+    (batched 8x8 matrix products), upsamples chroma and converts
+    color. Arithmetic coding and hierarchical mode refuse loudly.
 
     Corrupt payloads raise :class:`ImageFormatError` — never a raw
     IndexError/struct.error — so the mapInPandas kernels can route any
@@ -318,8 +326,198 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         return _decode_jpeg(data)
     except ImageFormatError:
         raise
-    except (IndexError, struct.error, ValueError, KeyError) as e:
+    except (IndexError, struct.error, ValueError, KeyError, OverflowError) as e:
         raise ImageFormatError(f"corrupt JPEG payload: {e!r}") from e
+
+
+def _huff_or_raise(huff, key):
+    t = huff.get(key)
+    if t is None:
+        raise ImageFormatError(f"JPEG scan references missing Huffman table {key}")
+    return t
+
+
+class _ScanDecoder:
+    """Entropy decode of one scan into raw-coefficient buffers.
+
+    ``coefs[cid]`` is an int32 array (blocks_y, blocks_x, 64) in
+    NATURAL (dezigzagged) order, sized to the interleaved MCU grid.
+    Sequential scans are the special case Ss=0, Se=63, Ah=Al=0 with
+    DC and AC decoded per block — the EOB/ZRL codes of baseline AC
+    coding are exactly the Al=0 instance of the progressive AC-first
+    algorithm, so one implementation serves both.
+    """
+
+    def __init__(self, data, pos, frame, coefs, huff, restart_interval):
+        self.r = _BitReader(data, pos)
+        self.frame = frame
+        self.coefs = coefs
+        self.huff = huff
+        self.ri = restart_interval
+        self.eob_run = 0
+        self.pred: dict[int, int] = {}
+
+    def _restart(self):
+        self.r.restart()
+        self.pred = {cid: 0 for cid in self.pred}
+        self.eob_run = 0
+
+    # -- per-block primitives (T.81 F.2.2 / G.2) ------------------------
+
+    def _dc_first(self, coef, cid, dc_t, al):
+        if dc_t is None:  # inconsistent scan header (e.g. refine flags)
+            raise ImageFormatError("JPEG scan lacks a DC table where one is needed")
+        s = _huff_decode(self.r, dc_t)
+        if s > 15:  # valid DC magnitude categories are 0..15 (T.81 F.1.2.1)
+            raise ImageFormatError(f"invalid JPEG DC magnitude category {s}")
+        self.pred[cid] += _extend(self.r.receive(s), s)
+        coef[0] = self.pred[cid] << al
+
+    def _dc_refine(self, coef, al):
+        if self.r.bit():
+            coef[0] |= 1 << al
+
+    def _ac_first(self, coef, ac_t, ss, se, al):
+        if ac_t is None:
+            raise ImageFormatError("JPEG scan lacks an AC table where one is needed")
+        if self.eob_run > 0:
+            self.eob_run -= 1
+            return
+        k = ss
+        r = self.r
+        while k <= se:
+            rs = _huff_decode(r, ac_t)
+            run, size = rs >> 4, rs & 15
+            if size == 0:
+                if run != 15:
+                    self.eob_run = (1 << run) - 1
+                    if run:
+                        self.eob_run += r.receive(run)
+                    break
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                raise ImageFormatError("JPEG AC index overflow")
+            coef[_ZIGZAG[k]] = _extend(r.receive(size), size) << al
+            k += 1
+
+    def _ac_refine(self, coef, ac_t, ss, se, al):
+        # T.81 G.2.2 successive-approximation AC refinement (the
+        # libjpeg decode_mcu_AC_refine control flow).
+        p1, m1 = 1 << al, -(1 << al)
+        r = self.r
+        k = ss
+        if self.eob_run == 0:
+            while k <= se:
+                rs = _huff_decode(r, ac_t)
+                run, size = rs >> 4, rs & 15
+                s_val = 0
+                if size == 0:
+                    if run != 15:
+                        self.eob_run = 1 << run
+                        if run:
+                            self.eob_run += r.receive(run)
+                        break
+                    # run==15: sixteen zero-history coefficients
+                else:
+                    if size != 1:
+                        raise ImageFormatError("JPEG AC refine size != 1")
+                    s_val = p1 if r.bit() else m1
+                while k <= se:
+                    z = _ZIGZAG[k]
+                    if coef[z] != 0:
+                        if r.bit() and (coef[z] & p1) == 0:
+                            coef[z] += p1 if coef[z] >= 0 else m1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if s_val and k <= se:
+                    coef[_ZIGZAG[k]] = s_val
+                k += 1
+        if self.eob_run > 0:
+            while k <= se:
+                z = _ZIGZAG[k]
+                if coef[z] != 0:
+                    if r.bit() and (coef[z] & p1) == 0:
+                        coef[z] += p1 if coef[z] >= 0 else m1
+                k += 1
+            self.eob_run -= 1
+
+    # -- whole-scan drivers ---------------------------------------------
+
+    def run(self, scan, ss, se, ah, al):
+        self.pred = {cid: 0 for cid, _, _ in scan}
+        if len(scan) > 1:
+            self._run_interleaved(scan, ss, se, ah, al)
+        else:
+            self._run_single(scan[0], ss, se, ah, al)
+
+    def _run_interleaved(self, scan, ss, se, ah, al):
+        if ss != 0:
+            raise ImageFormatError("interleaved JPEG AC scan is invalid")
+        w, h, comps, mcus_x, mcus_y, hmax, vmax = self.frame
+        by_id = {cid: (hs, vs) for cid, hs, vs, _tq in comps}
+        tables = {}
+        for cid, td, ta in scan:
+            dc_t = _huff_or_raise(self.huff, (0, td)) if ah == 0 else None
+            ac_t = _huff_or_raise(self.huff, (1, ta)) if se != 0 else None
+            tables[cid] = (dc_t, ac_t)
+        for mcu in range(mcus_x * mcus_y):
+            if self.ri and mcu and mcu % self.ri == 0:
+                self._restart()
+            my, mx = divmod(mcu, mcus_x)
+            for cid, _td, _ta in scan:
+                hs, vs = by_id[cid]
+                arr = self.coefs[cid]
+                dc_t, ac_t = tables[cid]
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = arr[my * vs + by, mx * hs + bx]
+                        if se == 0:  # DC-only progressive scan
+                            if ah == 0:
+                                self._dc_first(coef, cid, dc_t, al)
+                            else:
+                                self._dc_refine(coef, al)
+                        else:  # sequential full band
+                            self._dc_first(coef, cid, dc_t, al)
+                            self._ac_first(coef, ac_t, 1, se, al)
+
+    def _run_single(self, comp_scan, ss, se, ah, al):
+        cid, td, ta = comp_scan
+        w, h, comps, mcus_x, mcus_y, hmax, vmax = self.frame
+        match = [(c[1], c[2]) for c in comps if c[0] == cid]
+        if not match:
+            raise ImageFormatError(f"JPEG scan references unknown component {cid}")
+        hs, vs = match[0]
+        # non-interleaved scans raster the COMPONENT's own block grid
+        cw = -(-(w * hs) // hmax)  # ceil
+        chh = -(-(h * vs) // vmax)
+        bw, bh = -(-cw // 8), -(-chh // 8)
+        arr = self.coefs[cid]
+        dc_t = _huff_or_raise(self.huff, (0, td)) if ss == 0 and ah == 0 else None
+        ac_t = _huff_or_raise(self.huff, (1, ta)) if se != 0 else None
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if self.ri and n and n % self.ri == 0:
+                    self._restart()
+                n += 1
+                coef = arr[by, bx]
+                if ss == 0 and se == 0:
+                    if ah == 0:
+                        self._dc_first(coef, cid, dc_t, al)
+                    else:
+                        self._dc_refine(coef, al)
+                elif ss == 0:  # sequential single-component scan
+                    self._dc_first(coef, cid, dc_t, al)
+                    self._ac_first(coef, ac_t, 1, se, al)
+                elif ah == 0:
+                    self._ac_first(coef, ac_t, ss, se, al)
+                else:
+                    self._ac_refine(coef, ac_t, ss, se, al)
 
 
 def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
@@ -329,10 +527,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         raise ImageFormatError("not a JPEG")
     qt: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
-    frame = None  # (w, h, comps) with comps = [(cid, hs, vs, tq)]
+    sof = None  # (w, h, comps) with comps = [(cid, hs, vs, tq)]
     restart_interval = 0
+    frame = None
+    coefs: dict[int, "np.ndarray"] = {}
     i = 2
-    scan = None
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             raise ImageFormatError("bad JPEG marker stream")
@@ -363,103 +562,87 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 n = sum(counts)
                 huff[(tc, th)] = _build_huffman(counts, seg[p + 17 : p + 17 + n])
                 p += 17 + n
-        elif m in (0xC0, 0xC1):  # baseline / extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / extended / progressive
             h_px, w_px = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 15, tq))
-            frame = (w_px, h_px, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            sof = (w_px, h_px, comps)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageFormatError(
-                f"non-baseline JPEG (SOF{m - 0xC0}) unsupported"
+                f"unsupported JPEG coding process (SOF{m - 0xC0})"
             )
         elif m == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif m == 0xDA:  # SOS: component->table mapping, then entropy data
+        elif m == 0xDA:  # SOS
+            if sof is None:
+                raise ImageFormatError("JPEG SOS before SOF")
+            if frame is None:
+                w_px, h_px, comps = sof
+                if not comps or w_px == 0 or h_px == 0 or w_px * h_px > (1 << 28):
+                    raise ImageFormatError(
+                        f"implausible JPEG geometry {w_px}x{h_px}"
+                    )
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if hmax == 0 or vmax == 0:
+                    raise ImageFormatError("zero JPEG sampling factor")
+                mcus_x = (w_px + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h_px + 8 * vmax - 1) // (8 * vmax)
+                frame = (w_px, h_px, comps, mcus_x, mcus_y, hmax, vmax)
+                for cid, hs, vs, _tq in comps:
+                    coefs[cid] = np.zeros(
+                        (mcus_y * vs, mcus_x * hs, 64), dtype=np.int32
+                    )
             ns = seg[0]
-            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-                    for c in range(ns)]
-            entropy_start = i + 2 + seg_len
-            break
+            scan = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            dec = _ScanDecoder(data, i + 2 + seg_len, frame, coefs, huff,
+                               restart_interval)
+            dec.run(scan, ss, se, ahal >> 4, ahal & 15)
+            # resync: the entropy stream ends at the next real marker
+            j = max(dec.r.pos, i + 2 + seg_len)
+            while j + 1 < len(data) and not (
+                data[j] == 0xFF
+                and data[j + 1] != 0x00
+                and not (0xD0 <= data[j + 1] <= 0xD7)
+            ):
+                j += 1
+            i = j
+            continue
         i += 2 + seg_len
-    if frame is None or scan is None:
+    if frame is None:
         raise ImageFormatError("truncated JPEG (missing SOF/SOS)")
 
-    w_px, h_px, comps = frame
-    if not comps or w_px == 0 or h_px == 0 or w_px * h_px > (1 << 28):
-        # zero or >268M-pixel geometry: almost certainly a corrupt
-        # header — refuse before allocating planes for it
-        raise ImageFormatError(f"implausible JPEG geometry {w_px}x{h_px}")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w_px + mcu_w - 1) // mcu_w
-    mcus_y = (h_px + mcu_h - 1) // mcu_h
-
-    by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
-    planes = {}
-    tables = {}
-    for cid, td, ta in scan:
-        hs, vs, tq = by_id[cid]
-        planes[cid] = np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
-        dc_t, ac_t = huff.get((0, td)), huff.get((1, ta))
-        if dc_t is None or ac_t is None or tq not in qt:
-            raise ImageFormatError("JPEG scan references a missing table")
-        tables[cid] = (dc_t, ac_t, qt[tq])
-
+    # ---- reconstruction: dequantize, batched IDCT, upsample, color ----
+    w_px, h_px, comps, mcus_x, mcus_y, hmax, vmax = frame
     basis = _idct_basis()
-    r = _BitReader(data, entropy_start)
-    pred = {cid: 0 for cid, _, _ in scan}
-    zz = np.array(_ZIGZAG)
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            r.restart()
-            pred = {cid: 0 for cid in pred}
-        my, mx = divmod(mcu, mcus_x)
-        for cid, _td, _ta in scan:
-            hs, vs, _tq = by_id[cid]
-            dc_t, ac_t, qtbl = tables[cid]
-            for by in range(vs):
-                for bx in range(hs):
-                    coef = np.zeros(64, dtype=np.float64)
-                    s = _huff_decode(r, dc_t)
-                    pred[cid] += _extend(r.receive(s), s)
-                    coef[0] = pred[cid] * qtbl[0]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(r, ac_t)
-                        run, size = rs >> 4, rs & 15
-                        if size == 0:
-                            if run == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise ImageFormatError("JPEG AC index overflow")
-                        nat = zz[k]
-                        coef[nat] = _extend(r.receive(size), size) * qtbl[nat]
-                        k += 1
-                    block = basis.T @ coef.reshape(8, 8) @ basis + 128.0
-                    y0 = (my * vs + by) * 8
-                    x0 = (mx * hs + bx) * 8
-                    planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
-
-    # upsample to full geometry (pixel replication) and crop
-    full = []
-    for cid, _td, _ta in scan:
-        hs, vs, _tq = by_id[cid]
-        p = planes[cid]
+    planes = []
+    for cid, hs, vs, tq in comps:
+        if tq not in qt:
+            raise ImageFormatError("JPEG component references missing quant table")
+        arr = coefs[cid].astype(np.float64) * qt[tq][None, None, :]
+        bh, bw = arr.shape[0], arr.shape[1]
+        blocks = arr.reshape(bh * bw, 8, 8)
+        px = np.matmul(np.matmul(basis.T, blocks), basis) + 128.0
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
         if hs < hmax or vs < vmax:
-            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        full.append(p[:h_px, :w_px])
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        planes.append(plane[:h_px, :w_px])
 
-    if len(full) == 1:
-        gray = np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
+    if len(planes) == 1:
+        gray = np.clip(planes[0] + 0.5, 0, 255).astype(np.uint8)
         return w_px, h_px, 1, gray.tobytes()
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    if len(planes) != 3:
+        raise ImageFormatError(f"unsupported JPEG component count {len(planes)}")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     rgb = np.stack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
         axis=-1,

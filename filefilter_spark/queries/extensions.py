@@ -754,14 +754,21 @@ def op_d6_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       (CAST(1 AS BIGINT), CAST(64 AS INT), CAST(48 AS INT), CAST(3 AS INT),
        '49c4f8d836695a0d'),
       (CAST(2 AS BIGINT), CAST(32 AS INT), CAST(32 AS INT), CAST(1 AS INT),
+       'bf3379b61b2ea923'),
+      (CAST(3 AS BIGINT), CAST(45 AS INT), CAST(29 AS INT), CAST(3 AS INT),
+       'bc8319c6d3f1fe55'),
+      -- media 4 (progressive gray) hashes IDENTICALLY to media 2 (the
+      -- sequential encoding of the same pattern): the oracle itself
+      -- enforces cross-mode reconstruction equality.
+      (CAST(4 AS BIGINT), CAST(32 AS INT), CAST(32 AS INT), CAST(1 AS INT),
        'bf3379b61b2ea923')
     ) AS t(media_id, width, height, n_channels, feature_hash)
     """,
-    doc="REAL JPEG decode: baseline JFIF fixtures (4:2:0 color with "
-        "non-MCU-aligned dims, 4:2:0 high quality, grayscale) through the "
-        "from-spec T.81 Huffman+IDCT decoder inside the Arrow-batched "
-        "mapInPandas kernel — the same plumbing OP-D6-decode runs in fake "
-        "mode, now with honest pixels.",
+    doc="REAL JPEG decode: baseline AND progressive (SOF2) JFIF fixtures "
+        "(4:2:0 color with non-MCU-aligned dims, high quality, grayscale, "
+        "progressive color + gray) through the from-spec T.81 decoder "
+        "inside the Arrow-batched mapInPandas kernel — the same plumbing "
+        "OP-D6-decode runs in fake mode, now with honest pixels.",
 )
 def op_d6_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -774,7 +781,9 @@ def op_d6_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = [
         (i, open(os.path.join(fix, f"{n}.jpg"), "rb").read())
-        for i, n in enumerate(("rgb_q85", "rgb_q95", "gray_q90"))
+        for i, n in enumerate(
+            ("rgb_q85", "rgb_q95", "gray_q90", "prog_rgb_q85", "prog_gray_q90")
+        )
     ]
     df = spark.createDataFrame(payloads, "media_id long, payload binary")
     media = to_media_table(df, "media_id", "payload", media_type="image")

@@ -199,6 +199,10 @@ def _jpeg_case(name):
         ("rgb_q95", 64, 48, 3, 2.0, 6),
         # single-component: no chroma path, near-exact (IDCT rounding only)
         ("gray_q90", 32, 32, 1, 0.5, 1),
+        # progressive (SOF2): DC first/refine + AC spectral bands with
+        # successive approximation and EOB runs
+        ("prog_rgb_q85", 45, 29, 3, 3.5, 10),
+        ("prog_gray_q90", 32, 32, 1, 0.5, 1),
     ],
 )
 def test_jpeg_decode_vs_independent_decoder(name, w, h, ch, mean_tol, p99_tol):
@@ -216,13 +220,23 @@ def test_jpeg_decode_vs_independent_decoder(name, w, h, ch, mean_tol, p99_tol):
     assert np.percentile(diff, 99) <= p99_tol, f"p99 {np.percentile(diff, 99)}"
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_progressive_matches_sequential_exactly():
+    """The same 32x32 gray pattern encoded sequentially and
+    progressively must decode to IDENTICAL pixels — the two entropy
+    paths (baseline full-band vs DC/AC bands + successive
+    approximation) reconstruct the same coefficients."""
+    seq, _ = _jpeg_case("gray_q90")
+    prog, _ = _jpeg_case("prog_gray_q90")
+    assert ic.decode_jpeg(seq) == ic.decode_jpeg(prog)
+
+
+def test_jpeg_arithmetic_rejected():
     data, _ = _jpeg_case("gray_q90")
-    # flip SOF0 -> SOF2 (progressive); decoder must refuse, not mis-decode
+    # flip SOF0 -> SOF9 (arithmetic sequential): genuinely unsupported
     i = data.find(b"\xff\xc0")
     assert i > 0
-    mangled = data[:i] + b"\xff\xc2" + data[i + 2:]
-    with pytest.raises(ic.ImageFormatError, match="non-baseline"):
+    mangled = data[:i] + b"\xff\xc9" + data[i + 2:]
+    with pytest.raises(ic.ImageFormatError, match="coding process"):
         ic.decode_jpeg(mangled)
 
 
@@ -254,14 +268,16 @@ def test_jpeg_corrupt_payloads_raise_format_error_only():
     bad-row policy stays reachable on a dirty 100 TB scrape."""
     import random
 
-    data, _ = _jpeg_case("rgb_q85")
-    rng = random.Random(7)
-    cases = [data[:n] for n in (0, 1, 2, 3, 19, 150, len(data) - 1)]
-    for _ in range(200):
-        b = bytearray(data)
-        pos = rng.randrange(len(b))
-        b[pos] ^= 1 << rng.randrange(8)
-        cases.append(bytes(b))
+    cases = []
+    for fixture in ("rgb_q85", "prog_rgb_q85"):
+        data, _ = _jpeg_case(fixture)
+        rng = random.Random(7)
+        cases += [data[:n] for n in (0, 1, 2, 3, 19, 150, len(data) - 1)]
+        for _ in range(200):
+            b = bytearray(data)
+            pos = rng.randrange(len(b))
+            b[pos] ^= 1 << rng.randrange(8)
+            cases.append(bytes(b))
     for payload in cases:
         try:
             w, h, ch, px = ic.decode_jpeg(payload)
