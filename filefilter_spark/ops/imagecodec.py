@@ -989,6 +989,173 @@ def decode(data: bytes) -> tuple[int, int, int, bytes]:
     )
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG encoder (4:4:4 / grayscale) — primarily the test rig
+# that exercises decode paths no public encoder emits by default
+# (restart markers / DRI), and the re-encode half of a JPEG resize.
+# ---------------------------------------------------------------------------
+
+# Flat-depth Huffman tables: every symbol at one code length (12 DC
+# magnitude categories at 4 bits; the 162 standard AC (run,size)
+# symbols at 8 bits). Deliberately non-optimal — ~15% larger files —
+# but trivially valid per T.81 Annex C (count < 2^len - 1, so the
+# all-ones code stays unused) and decodable by any conformant reader.
+_ENC_DC_SYMBOLS = bytes(range(12))
+_ENC_AC_SYMBOLS = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+
+
+def _enc_huff_codes(depth: int, symbols: bytes) -> dict[int, tuple[int, int]]:
+    return {sym: (depth, code) for code, sym in enumerate(symbols)}
+
+
+class _BitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.buf >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.buf &= (1 << self.nbits) - 1
+
+    def pad_align(self) -> None:
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-fill
+
+    def marker(self, m: int) -> None:
+        self.pad_align()
+        self.out += bytes([0xFF, m])
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size category, magnitude bits) per T.81 F.1.2.1/F.1.2.2."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def encode_jpeg(
+    w: int,
+    h: int,
+    channels: int,
+    pixels: bytes,
+    quant: int = 8,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 8-bit gray or RGB pixels as a baseline JFIF payload
+    (4:4:4, flat quantization ``quant`` for every coefficient, flat
+    Huffman tables, optional DRI/RSTn restart markers)."""
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 (gray) or 3 (RGB) channels")
+    if not 1 <= quant <= 255:
+        raise ValueError("quant must be in 1..255")
+    arr = np.frombuffer(pixels, np.uint8).reshape(h, w, channels).astype(np.float64)
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [arr[..., 0]]
+
+    bw, bh = -(-w // 8), -(-h // 8)
+    basis = _idct_basis()  # FDCT is the transpose pair: C @ f @ C.T
+    dc_codes = _enc_huff_codes(4, _ENC_DC_SYMBOLS)
+    ac_codes = _enc_huff_codes(8, _ENC_AC_SYMBOLS)
+    zz = _ZIGZAG
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: one flat table, id 0
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([quant]) * 64
+    # SOF0
+    nc = channels
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x11, 0])  # 1x1 sampling, quant table 0
+    # DHT: DC table 0 (12 syms @ 4 bits), AC table 0 (162 syms @ 8 bits)
+    dc_counts = bytes(12 if i == 4 else 0 for i in range(1, 17))
+    ac_counts = bytes(162 if i == 8 else 0 for i in range(1, 17))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 12) + b"\x00" + dc_counts + _ENC_DC_SYMBOLS
+    out += b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 162) + b"\x10" + ac_counts + _ENC_AC_SYMBOLS
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        out += bytes([c + 1, 0x00])
+    out += bytes([0, 63, 0])
+
+    wtr = _BitWriter()
+    pred = [0] * nc
+    n_mcu = bw * bh
+    rst = 0
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wtr.marker(0xD0 + rst)
+            rst = (rst + 1) % 8
+            pred = [0] * nc
+        by, bx = divmod(mcu, bw)
+        for ci, plane in enumerate(planes):
+            block = np.full((8, 8), 128.0)
+            ys, xs = min(8, h - by * 8), min(8, w - bx * 8)
+            block[:ys, :xs] = plane[by * 8 : by * 8 + ys, bx * 8 : bx * 8 + xs]
+            coef = basis @ (block - 128.0) @ basis.T
+            q = np.round(coef / quant).astype(int)
+            # DC
+            diff = int(q[0, 0]) - pred[ci]
+            pred[ci] = int(q[0, 0])
+            s, bits = _magnitude(diff)
+            d, code = dc_codes[s]
+            wtr.write(code, d)
+            if s:
+                wtr.write(bits, s)
+            # AC with ZRL/EOB
+            flat = q.reshape(64)
+            run = 0
+            for k in range(1, 64):
+                v = int(flat[zz[k]])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    d, code = ac_codes[0xF0]
+                    wtr.write(code, d)
+                    run -= 16
+                s, bits = _magnitude(v)
+                if s > 10:
+                    raise ValueError("coefficient magnitude beyond baseline range")
+                d, code = ac_codes[(run << 4) | s]
+                wtr.write(code, d)
+                wtr.write(bits, s)
+                run = 0
+            if run:
+                d, code = ac_codes[0x00]  # EOB
+                wtr.write(code, d)
+    wtr.pad_align()
+    out += wtr.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def encode_png(w: int, h: int, channels: int, pixels: bytes) -> bytes:
     """Minimal PNG writer (filter 0 rows, one IDAT) — the re-encode
     side of the real resize kernel."""

@@ -432,3 +432,101 @@ def test_tiff_corrupt_rejected():
         ic.decode_tiff(data[:60])
     with pytest.raises(ic.ImageFormatError):
         ic.decode_tiff(b"II*\x00\x08\x00\x00\x00" + b"\x00" * 4)  # empty IFD
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG ENCODER — the test rig for decode paths no public
+# encoder emits by default (restart markers), cross-validated both ways
+# ---------------------------------------------------------------------------
+
+
+def _grad(w, h, ch):
+    out = bytearray()
+    for y in range(h):
+        for x in range(w):
+            r = (x * 255) // max(1, w - 1)
+            g = (y * 255) // max(1, h - 1)
+            b = 200 if (x + y) % 2 == 0 else 40
+            out += bytes([r, g, b][:ch] if ch == 3 else [(r + g) // 2])
+    return bytes(out)
+
+
+@pytest.mark.parametrize(
+    "w,h,ch,ri,max_err",
+    [
+        (24, 16, 3, 0, 6),   # no restarts
+        (24, 16, 3, 2, 6),   # RSTn every 2 MCUs
+        (37, 23, 3, 3, 6),   # restarts + non-MCU-aligned dims
+        (32, 32, 1, 4, 2),   # grayscale + restarts
+    ],
+)
+def test_jpeg_encode_decode_roundtrip(w, h, ch, ri, max_err):
+    import numpy as np
+
+    px = _grad(w, h, ch)
+    data = ic.encode_jpeg(w, h, ch, px, quant=4, restart_interval=ri)
+    assert ic.sniff(data) == "jpeg"
+    if ri:
+        assert b"\xff\xdd" in data  # DRI segment
+        assert b"\xff\xd0" in data  # at least one RST0
+    gw, gh, gch, got = ic.decode_jpeg(data)
+    assert (gw, gh, gch) == (w, h, ch)
+    d = np.abs(
+        np.frombuffer(got, np.uint8).astype(int)
+        - np.frombuffer(px, np.uint8).astype(int)
+    )
+    assert d.max() <= max_err, f"max {d.max()}"
+
+
+def test_jpeg_encode_restart_equivalence():
+    """Restart markers only re-sync the entropy stream — with or
+    without them the decoded pixels must be IDENTICAL (same
+    coefficients, byte-aligned differently)."""
+    px = _grad(24, 16, 3)
+    plain = ic.encode_jpeg(24, 16, 3, px, quant=4, restart_interval=0)
+    rst = ic.encode_jpeg(24, 16, 3, px, quant=4, restart_interval=2)
+    assert ic.decode_jpeg(plain) == ic.decode_jpeg(rst)
+
+
+def test_jpeg_encoder_output_accepted_by_independent_decoder(tmp_path):
+    """ImageIO must decode our encoder's output — including a
+    DRI/RSTn stream — and agree with our decoder within IDCT
+    tolerance. Skipped when no JDK is available."""
+    import shutil
+    import subprocess
+
+    import numpy as np
+
+    if not (shutil.which("java") and shutil.which("javac")):
+        pytest.skip("no JDK in environment")
+    src = tmp_path / "Dump.java"
+    src.write_text(
+        'import javax.imageio.ImageIO;import java.awt.image.BufferedImage;'
+        'import java.io.*;public class Dump{public static void main(String[] a)'
+        'throws Exception{BufferedImage i=ImageIO.read(new File(a[0]));'
+        'DataOutputStream o=new DataOutputStream(new FileOutputStream(a[1]));'
+        'for(int y=0;y<i.getHeight();y++)for(int x=0;x<i.getWidth();x++)'
+        'for(int c=0;c<i.getRaster().getNumBands();c++)'
+        'o.writeByte(i.getRaster().getSample(x,y,c));o.close();}}'
+    )
+    subprocess.run(["javac", str(src)], check=True, cwd=tmp_path)
+    px = _grad(24, 16, 3)
+    jpg = tmp_path / "t.jpg"
+    jpg.write_bytes(ic.encode_jpeg(24, 16, 3, px, quant=4, restart_interval=2))
+    ref = tmp_path / "t.ref"
+    subprocess.run(
+        ["java", "Dump", str(jpg), str(ref)], check=True, cwd=tmp_path
+    )
+    _, _, _, ours = ic.decode_jpeg(jpg.read_bytes())
+    d = np.abs(
+        np.frombuffer(ours, np.uint8).astype(int)
+        - np.frombuffer(ref.read_bytes(), np.uint8).astype(int)
+    )
+    assert d.max() <= 2, f"max {d.max()}"
+
+
+def test_jpeg_encode_validation():
+    with pytest.raises(ValueError):
+        ic.encode_jpeg(4, 4, 2, bytes(32))  # 2 channels unsupported
+    with pytest.raises(ValueError):
+        ic.encode_jpeg(4, 4, 1, bytes(16), quant=0)
