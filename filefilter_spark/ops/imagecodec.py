@@ -69,7 +69,18 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a non-interlaced 8-bit PNG → (width, height, channels,
-    raw interleaved pixel bytes). Palette images are expanded to RGB."""
+    raw interleaved pixel bytes). Palette images are expanded to RGB.
+    Corrupt payloads raise :class:`ImageFormatError` (see decode_jpeg
+    for why that contract matters at kernel level)."""
+    try:
+        return _decode_png(data)
+    except ImageFormatError:
+        raise
+    except (IndexError, struct.error, ValueError, zlib.error, OverflowError) as e:
+        raise ImageFormatError(f"corrupt PNG payload: {e!r}") from e
+
+
+def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if not data.startswith(_PNG_SIG):
         raise ImageFormatError("not a PNG")
     pos, ihdr, idat, plte = len(_PNG_SIG), None, [], None
@@ -151,7 +162,16 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
 
 def decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode an uncompressed 24/32-bit BMP → (w, h, channels, RGB(A)
-    bytes, top-down)."""
+    bytes, top-down). Corrupt payloads raise ImageFormatError."""
+    try:
+        return _decode_bmp(data)
+    except ImageFormatError:
+        raise
+    except (IndexError, struct.error, ValueError, OverflowError) as e:
+        raise ImageFormatError(f"corrupt BMP payload: {e!r}") from e
+
+
+def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     if data[:2] != b"BM":
         raise ImageFormatError("not a BMP")
     pixel_off = struct.unpack("<I", data[10:14])[0]
@@ -910,6 +930,10 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
         return w, h, 3, bytes(out)
     if photo == 0:  # WhiteIsZero → invert to the usual BlackIsZero
         raw = bytearray(255 - b for b in raw)
+    if len(raw) < w * h * spp:
+        # strips covered less than the declared geometry (corrupt
+        # ImageLength/RowsPerStrip combination)
+        raise ImageFormatError("TIFF pixel data shorter than geometry")
     return w, h, spp, bytes(raw[: w * h * spp])
 
 
