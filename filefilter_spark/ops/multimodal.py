@@ -169,13 +169,18 @@ def extract_audio_features_stub(media: DataFrame, fake: bool = True) -> DataFram
 
 
 def resize_images_stub(media: DataFrame, width: int = 224, height: int = 224,
-                       fake: bool = True) -> DataFrame:
+                       fake: bool = True, out_format: str = "png") -> DataFrame:
     """Payload-rewriting plumbing: binary in → binary out (the resize
     shape every image pipeline needs). ``fake=False`` really resizes
-    PNG/BMP payloads — decode, nearest-neighbor resample, re-encode as
-    PNG (``ops/imagecodec.py``); other formats raise. The fake kernel
-    emits a deterministic digest-derived payload so downstream
-    schema/batch behavior stays oracle-checkable on synthetic data."""
+    any decodable payload (PNG/BMP/JPEG/GIF/TIFF) — decode,
+    nearest-neighbor resample, re-encode as ``out_format`` ("png"
+    lossless, or "jpeg" via the baseline encoder — the thumbnail
+    format a web-scale pipeline actually ships; gray+alpha/RGBA
+    collapse to gray/RGB for JPEG). The fake kernel emits a
+    deterministic digest-derived payload so downstream schema/batch
+    behavior stays oracle-checkable on synthetic data."""
+    if out_format not in ("png", "jpeg"):
+        raise ValueError(f"unsupported resize out_format {out_format!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
@@ -193,7 +198,19 @@ def resize_images_stub(media: DataFrame, width: int = 224, height: int = 224,
                             f"cannot resize payload without a codec library: {e}"
                         ) from e
                     resized_px = imagecodec.resize_nearest(w0, h0, ch, px, width, height)
-                    resized = imagecodec.encode_png(width, height, ch, resized_px)
+                    if out_format == "jpeg":
+                        if ch in (2, 4):  # drop alpha: JPEG has none
+                            step = ch
+                            resized_px = bytes(
+                                b for i, b in enumerate(resized_px)
+                                if i % step != step - 1
+                            )
+                            ch -= 1
+                        resized = imagecodec.encode_jpeg(
+                            width, height, ch, resized_px
+                        )
+                    else:
+                        resized = imagecodec.encode_png(width, height, ch, resized_px)
                     out["media_id"].append(int(mid))
                     out["media_type"].append(mtype)
                     out["content"].append(resized)

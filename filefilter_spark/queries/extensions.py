@@ -899,6 +899,48 @@ def op_d6_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D6-resize-jpeg",
+    # Decode (JPEG/GIF/TIFF) -> resample -> re-encode as JPEG via the
+    # from-spec baseline ENCODER — the thumbnail shape a web-scale
+    # pipeline ships. Output payload bytes pinned end-to-end; the
+    # encoder's own validity is cross-checked against ImageIO in
+    # tests/test_imagecodec.py.
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), 'image', CAST(592 AS BIGINT),
+       '039abda384ef4bbcdebda06246835f1828429e9de9ba757a4b5aae8198488d50'),
+      (CAST(1 AS BIGINT), 'image', CAST(673 AS BIGINT),
+       '18f5136188425d69d394de36169d0a1cb2f62797d18d75f1b47bd473aeb55878'),
+      (CAST(2 AS BIGINT), 'image', CAST(711 AS BIGINT),
+       '9e33f564587468d4b94c80243cb751c615464afae994cd58106abcab50d01d22')
+    ) AS t(media_id, media_type, content_len, sha256)
+    """,
+    doc="REAL mixed-format resize with JPEG output: decode via the "
+        "from-spec codecs, resample to 16x16, re-encode with the "
+        "baseline JPEG encoder inside the mapInPandas kernel.",
+)
+def op_d6_resize_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from filefilter_spark.ops.multimodal import resize_images_stub, to_media_table
+
+    fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tests", "fixtures",
+    )
+    names = ["jpeg/rgb_q85.jpg", "gif/grad_41x27.gif", "tiff/rgb_lzw.tif"]
+    payloads = [
+        (i, open(os.path.join(fix, n), "rb").read()) for i, n in enumerate(names)
+    ]
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+    media = to_media_table(df, "media_id", "payload", media_type="image")
+    resized = resize_images_stub(
+        media, width=16, height=16, fake=False, out_format="jpeg"
+    )
+    return resized.select("media_id", "media_type", "content_len", "sha256")
+
+
+@query(
     "OP-D6-decode-tiff",
     # REAL TIFF decode (IFD/strips/LZW/Deflate/PackBits from spec,
     # ops/imagecodec.py, fake=False); all supported compressions are

@@ -530,3 +530,24 @@ def test_jpeg_encode_validation():
         ic.encode_jpeg(4, 4, 2, bytes(32))  # 2 channels unsupported
     with pytest.raises(ValueError):
         ic.encode_jpeg(4, 4, 1, bytes(16), quant=0)
+
+
+def test_resize_to_jpeg_kernel(spark):
+    """Real resize with JPEG output: decode any format, resample,
+    re-encode via the baseline encoder; RGBA input drops alpha."""
+    from filefilter_spark.ops.multimodal import resize_images_stub, to_media_table
+
+    rows = [
+        (1, ic.encode_png(16, 9, 3, _px(16, 9, 3, seed=1))),
+        (2, ic.encode_png(5, 5, 4, _px(5, 5, 4, seed=2))),  # RGBA
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    media = to_media_table(df, "id", "payload")
+    out = {r["media_id"]: r for r in resize_images_stub(
+        media, width=8, height=8, fake=False, out_format="jpeg"
+    ).collect()}
+    for mid in (1, 2):
+        w, h, ch, px = ic.decode_jpeg(bytes(out[mid]["content"]))
+        assert (w, h, ch) == (8, 8, 3)
+    with pytest.raises(ValueError, match="out_format"):
+        resize_images_stub(media, fake=False, out_format="webp")
