@@ -29,6 +29,8 @@ VALID_ACTION_TYPES = {
     "python", "rest", "sql", "pandas", "udf",
     # zero-code corpus-assembly stages (stages/corpus_stage.py)
     "dedup", "split", "sample",
+    # zero-code multimodal stage (stages/media_stage.py)
+    "media",
 }
 
 # Delimiter aliases accepted by the reference loaders (loaders.py:10,22).

@@ -899,6 +899,41 @@ def op_d6_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-A8-media",
+    # Same deterministic fake-decode contract as OP-D6-decode, but
+    # reached through the YAML pipeline surface (actionType: media) —
+    # proving the zero-code stage wires the kernel identically.
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192 AS INT) AS width,
+           CAST(64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192 AS INT) AS height,
+           3 AS n_channels,
+           substr(sha256(text), 1, 16) AS feature_hash
+    FROM documents
+    """,
+    doc="zero-code media pipeline stage: actionType media / op decode "
+        "from YAML, dispatching into the same mapInPandas kernel as "
+        "OP-D6-decode (stages/media_stage.py).",
+)
+def op_a8_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    pipe = Pipeline(spark, load_config_str(
+        """
+filters:
+  - name: meta
+    actionType: media
+    actionConfig: {op: decode, fake: true}
+"""
+    ))
+    return pipe.run(d).df
+
+
+@query(
     "OP-D6-resize-jpeg",
     # Decode (JPEG/GIF/TIFF) -> resample -> re-encode as JPEG via the
     # from-spec baseline ENCODER — the thumbnail shape a web-scale

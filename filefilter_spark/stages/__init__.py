@@ -11,6 +11,7 @@ from filefilter_spark.stages.rest_stage import RestStage
 from filefilter_spark.stages.pandas_stage import PandasStage
 from filefilter_spark.stages.udf_stage import UdfStage
 from filefilter_spark.stages.corpus_stage import DedupStage, SampleStage, SplitStage
+from filefilter_spark.stages.media_stage import MediaStage
 
 STAGE_TYPES = {
     "sql": SqlStage,
@@ -22,9 +23,11 @@ STAGE_TYPES = {
     "dedup": DedupStage,
     "split": SplitStage,
     "sample": SampleStage,
+    # zero-code multimodal stage (decode/resize/audio/frames kernels)
+    "media": MediaStage,
 }
 
 __all__ = [
     "SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage",
-    "DedupStage", "SplitStage", "SampleStage", "STAGE_TYPES",
+    "DedupStage", "SplitStage", "SampleStage", "MediaStage", "STAGE_TYPES",
 ]

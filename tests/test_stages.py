@@ -292,3 +292,45 @@ filters:
 """)).run(df).df
     assert out.filter("source = 'drop'").count() == 0
     assert out.filter("source = 'keep'").count() == 50
+
+
+def test_media_stage_decode_and_resize(spark):
+    """Zero-code media actionType: real decode + JPEG thumbnail through
+    the YAML pipeline surface."""
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.ops import imagecodec as ic
+    from filefilter_spark.pipeline import Pipeline
+
+    png = ic.encode_png(12, 10, 3, bytes((5 * i) % 256 for i in range(12 * 10 * 3)))
+    df = spark.createDataFrame([(1, png)], "doc_id long, content binary")
+
+    meta = Pipeline(spark, load_config_str("""
+filters:
+  - name: m
+    actionType: media
+    actionConfig: {op: decode}
+""")).run(df).df.collect()
+    assert [(r.media_id, r.width, r.height, r.n_channels) for r in meta] == [(1, 12, 10, 3)]
+
+    thumbs = Pipeline(spark, load_config_str("""
+filters:
+  - name: t
+    actionType: media
+    actionConfig: {op: resize, width: 6, height: 6, format: jpeg}
+""")).run(df).df.collect()
+    w, h, ch, _px = ic.decode_jpeg(bytes(thumbs[0]["content"]))
+    assert (w, h, ch) == (6, 6, 3)
+
+
+def test_media_stage_bad_op(spark):
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame([(1, b"x")], "doc_id long, content binary")
+    with pytest.raises(ValueError, match="media stage op"):
+        Pipeline(spark, load_config_str("""
+filters:
+  - name: bad
+    actionType: media
+    actionConfig: {op: transcode}
+""")).run(df).df.collect()
