@@ -77,6 +77,18 @@ def test_random_predicates_agree(spark, duck, pred):
         # oracle engine crashed, so the example proves nothing about
         # parity; reject it and let hypothesis draw another.
         assume(False)
+    except duckdb.Error:
+        # Transient error from the long-lived module-scoped connection
+        # (observed once as an I/O-class exception mid full-suite run).
+        # Retry on a fresh connection: a genuine oracle failure or SQL
+        # error reproduces and still fails the test; a transient one
+        # doesn't flake the suite.
+        with duckdb.connect() as con2:
+            con2.execute(
+                "CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/lineitem.parquet')"
+            )
+            d_row = con2.execute(sql).fetchone()
     assert s_row["n"] == d_row[0], f"count mismatch for {pred}"
     assert (s_row["s"] is None) == (d_row[1] is None)
     if s_row["s"] is not None:
