@@ -185,3 +185,37 @@ def weighted_sample(
         c = rate_cutoff_hex(rate)
         cutoff = F.when(F.col(group_col) == name, F.lit(c if c is not None else "g")).otherwise(cutoff)
     return df.filter(prefix < cutoff)
+
+
+def quota_sample(
+    df: DataFrame,
+    quota: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-group QUOTA sampling — cap every source at
+    ``quota`` rows (rate sampling caps a FRACTION; corpora with one
+    giant crawl source need an absolute cap per source).
+
+    Rows rank within their group by ``md5(id || '#quota' || seed)`` —
+    a uniform, reproducible shuffle order, independent of the split
+    and mix salts — and the first ``quota`` survive. Id tiebreak makes
+    the ordering total even under (improbable) hash collisions.
+
+    Scale shape: one shuffle on ``group_col``; the rank-filter compiles
+    to Spark's WindowGroupLimit, which prunes each group to the top
+    ``quota`` rows BEFORE the sort buffer grows, so a billion-row group
+    costs O(group) scan + O(quota) memory — not a full per-group sort.
+    A pathological single-source corpus degrades to one task scanning
+    that source; if that is the shape, pre-aggregate with a two-pass
+    hash-threshold (approx_percentile of the rank hash at
+    quota/group_count) instead.
+    """
+    rank = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#quota{seed}")))
+    w = Window.partitionBy(group_col).orderBy(rank.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )

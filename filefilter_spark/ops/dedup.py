@@ -19,6 +19,7 @@ Four escalating strategies, each the standard scalable Spark shape:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
@@ -291,6 +292,190 @@ def dedup_against(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
+    return fresh.join(keep, id_col, "left_semi").drop("__fp")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 30,
+) -> DataFrame:
+    """Line-level exact dedup across the whole corpus — the C4 / CCNet
+    boilerplate-removal shape (reference has no analog; this is the
+    training-pipeline tier): every normalized line that appears in more
+    than one place survives only at its FIRST occurrence (min
+    ``(doc_id, position)``); documents are reassembled from their
+    surviving lines in original order. Lines whose normalized form is
+    shorter than ``min_len`` chars never participate (nav crumbs,
+    headings — deduping those would shred unrelated documents), and a
+    document whose every line is dropped disappears entirely.
+
+    Returns ``(doc_id, text, n_kept, n_dropped)``.
+
+    Scale shape: two shuffles over LINE-granularity rows — one on the
+    16-byte line hash (rank occurrences; the line body rides along so
+    no join-back is needed, and lines are short by construction), one
+    on doc_id (reassembly). Nothing is quadratic and no document body
+    crosses a shuffle twice.
+    """
+    from pyspark.sql import Window
+
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn(
+            "__norm",
+            F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " ")),
+        )
+        .withColumn("__short", F.length("__norm") < min_len)
+    )
+    # Short lines never enter the window — a shared catch-all partition
+    # key would funnel every short line in the corpus onto one task;
+    # split the frame instead.
+    keep_always = lines.filter(F.col("__short")).select("doc_id", "pos", "line")
+    w = Window.partitionBy("__key").orderBy("doc_id", "pos")
+    first_only = (
+        lines.filter(~F.col("__short"))
+        .withColumn("__key", F.md5("__norm"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "pos", "line")
+    )
+    kept = keep_always.unionByName(first_only)
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\n")).alias("__n_total"),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_kept"),
+        )
+        .join(totals, "doc_id")
+        .withColumn("n_dropped", F.col("__n_total") - F.col("n_kept"))
+        .drop("__n_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter-accelerated incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m bits, k hashes for n items at the target
+    false-positive rate. m is rounded up to a byte multiple."""
+    import math
+
+    n = max(n, 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(col: Column, m: int, k: int) -> Column:
+    """k bit positions per value — xxhash64 with k seeds, all JVM-side."""
+    return F.array(*[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)])
+
+
+def _build_bloom(fps: DataFrame, fp_col: str, m: int, k: int):
+    """OR-fold a corpus of fingerprints into one m-bit Bloom bitmap.
+
+    Per-partition numpy bitmaps via mapInPandas (insertion is
+    idempotent, so no distinct — the seen side never shuffles AT ALL),
+    then a driver-side OR of the partition bitmaps. Driver traffic is
+    ``n_partitions x m/8`` bytes — for bitmaps that outgrow that (1 B
+    docs @ 1% fpp ~ 1.2 GB), coalesce the fingerprint scan first or
+    tree-reduce the partials; the per-partition fold is unchanged.
+    """
+    import numpy as np
+
+    pos_df = fps.select(_bloom_positions(F.col(fp_col), m, k).alias("pos"))
+
+    def fold(batches):
+        import pandas as pd
+
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        any_rows = False
+        for b in batches:
+            if len(b) == 0:
+                continue
+            any_rows = True
+            flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in b["pos"]])
+            np.bitwise_or.at(bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+        if any_rows:
+            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+    partials = pos_df.mapInPandas(fold, "bitmap binary").collect()
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for row in partials:
+        bits |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return bits
+
+
+def bloom_dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 0.01,
+    n_seen: int | None = None,
+) -> DataFrame:
+    """Incremental exact dedup with a broadcast Bloom pre-filter —
+    byte-identical output to :func:`dedup_against`, different physics.
+
+    ``dedup_against`` anti-joins every new fingerprint against the
+    history: both sides shuffle. Here the history is folded ONCE into an
+    m-bit Bloom bitmap (~1.2 GB per billion seen docs at 1% fpp) and
+    broadcast; rows whose k bloom probes miss are definitively fresh
+    and never shuffle. Only bloom HITS — true cross-batch dups plus an
+    fpp-sized false-positive sliver — proceed to the exact anti-join
+    that restores exactness. At 100 TB with a low daily dup rate this
+    cuts the anti-join's left side by ~(1 - dup_rate - fpp), i.e. ~99%.
+
+    The bloom probes (xxhash64 x k) are computed JVM-side; membership
+    testing is one vectorized Arrow-batched numpy kernel against the
+    broadcast bitmap.
+    """
+    import numpy as np
+    import pandas as pd
+
+    seen_fp = seen.select(fingerprint(text_col).alias("__fp"))
+    if n_seen is None:
+        n_seen = seen_fp.count()
+    m, k = _bloom_params(n_seen, fpp)
+    bits = _build_bloom(seen_fp, "__fp", m, k)
+    bc = new.sparkSession.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        b = bc.value
+        if len(pos) == 0:
+            return pd.Series([], dtype=bool)
+        arr = np.stack([np.asarray(p, dtype=np.int64) for p in pos])
+        hit = (b[arr >> 3] & (1 << (arr & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    new_fp = new.withColumn("__fp", fingerprint(text_col)).withColumn(
+        "__maybe", might_contain(_bloom_positions(F.col("__fp"), m, k))
+    )
+    definitely_fresh = new_fp.filter(~F.col("__maybe"))
+    resolved = new_fp.filter(F.col("__maybe")).join(
+        seen_fp.distinct(), "__fp", "left_anti"
+    )
+    fresh = definitely_fresh.unionByName(resolved).drop("__maybe")
+    keep = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
     return fresh.join(keep, id_col, "left_semi").drop("__fp")
 
 

@@ -484,3 +484,60 @@ def lsh_topk_cosine(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_lists: int = 16,
+    n_assign: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    arXiv:2303.09540): KMeans the embeddings into ``n_lists`` cells,
+    assign every vector to its ``n_assign`` NEAREST cells (multi-probe
+    against boundary effects — single assignment measured recall 0.43
+    on the synthetic corpus, top-2 raises it by catching pairs that
+    straddle a cell edge), and exact-cosine-verify only pairs sharing a
+    cell — the O(n²) all-pairs collapses to sum over cells of
+    O(|cell|²).
+
+    Returns ``(id_a, id_b, cos_sim)``. Precision is exact (every
+    emitted pair is cosine-verified); recall misses only pairs whose
+    assigned cell sets are disjoint, measured against the exact pair
+    set by the registry's recall oracle. Complements the
+    data-independent LSH path (:func:`lsh_cosine_pairs`): cells adapt
+    to density, at the cost of a training pass.
+
+    Scale shape: KMeans is Spark ML's distributed Lloyd's; cell
+    assignment is a JVM expression against the (tiny, literal) centroid
+    table — zero shuffle; candidate generation is the shared
+    self-join-free ``_bucket_pairs`` (narrow id pairs only); the verify
+    joins unit vectors once. ``n_lists`` should grow with n (the
+    SemDeDup paper uses k ~ sqrt(n): 110k clusters for 1.3 B
+    embeddings) — beyond a few hundred cells, swap the centroid
+    literal for a broadcast-join distance + groupBy-top-n (same
+    semantics, plan-friendly for large k).
+    """
+    from filefilter_spark.ops.dedup import _bucket_pairs
+
+    assigned, centroids = build_ivf_index(df, n_lists, vec_col, id_col, seed)
+    cent_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
+    ) + ")"
+    # Top-n_assign nearest centroids by squared euclidean (KMeans'
+    # metric), index tiebreak via array_sort's struct ordering.
+    cells_expr = (
+        f"transform(slice(array_sort(transform({cent_sql}, (c, i) -> "
+        "struct(aggregate(zip_with(__arr, c, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (a, v) -> a + v) AS d, i AS i))), 1, {n_assign}), s -> s.i)"
+    )
+    memberships = assigned.select(
+        F.col(id_col).alias("id"), F.explode(F.expr(cells_expr)).alias("cell")
+    )
+    candidates = _bucket_pairs(memberships, ["cell"], id_col="id")
+    return _pair_cosine_verify(
+        candidates, df, _as_double_array(vec_col), id_col, threshold
+    )

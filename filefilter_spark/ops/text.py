@@ -267,3 +267,65 @@ def tfidf_top_terms(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram language-model score — the CCNet/KenLM-style
+    "perplexity filter" of LLM data pipelines, as pure Spark SQL: train
+    an add-alpha-smoothed bigram model ON the corpus itself, score each
+    document by mean negative log-probability of its bigrams (low =
+    fluent/typical, high = gibberish/outlier). Documents with fewer
+    than two tokens have no bigrams and drop out.
+
+    Returns ``(doc_id, n_bigrams, nll)`` with nll rounded to 6dp (the
+    same cross-engine double-fold tolerance as the cosine operators).
+
+    Scale shape: counts are two map-side-combining aggregations over
+    narrow (w1, w2) rows; the model is re-joined to the corpus bigrams
+    on (w1, w2) — bounded by observed-bigram count, so Spark/AQE
+    broadcasts it for natural-language vocabularies and falls back to a
+    shuffle join for web-scale ones. Nothing is quadratic, no UDFs.
+    """
+    tk = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    # size(t) < 2 must be filtered BEFORE sequence(): Spark's
+    # sequence(0, -1) infers a DESCENDING step and would emit a
+    # null-index bigram instead of an empty list.
+    bi = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))) AS b"
+            ),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = tk.select(F.explode("t").alias("tok")).agg(
+        F.count_distinct("tok").alias("vocab")
+    )
+    model = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "p",
+            (F.col("n12") + F.lit(alpha))
+            / (F.col("n1") + F.lit(alpha) * F.col("vocab")),
+        )
+        .select("w1", "w2", "p")
+    )
+    return (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(F.log("p")), 6).alias("nll"),
+        )
+    )

@@ -1697,3 +1697,214 @@ def op_d2_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_near_dup(
         load_table(spark, sf_dir, "documents", spread=True), threshold=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 training-pipeline additions: line-level dedup (C4/CCNet),
+# bloom-accelerated incremental dedup, bigram-LM perplexity scoring,
+# per-source quota sampling, SemDeDup semantic dedup.
+# ---------------------------------------------------------------------------
+
+from filefilter_spark.queries.registry import REGISTRY as _REGISTRY
+
+# The synthetic documents are single-line; build a deterministic
+# multi-line corpus IN BOTH ENGINES: two 80-char body chunks plus a
+# newsletter line shared by every doc and a rights line shared by every
+# third doc — so line-level dedup makes real global first-occurrence
+# decisions. (doc#N is < 30 normalized chars: exercises the
+# short-line-never-deduped rule.)
+_MULTILINE_CORPUS_SQL = """
+    SELECT doc_id, concat_ws(chr(10),
+      substr(text, 1, 80),
+      'Subscribe to our newsletter for updates and special offers',
+      substr(text, 81, 80),
+      CASE WHEN doc_id % 3 = 0 THEN 'All rights reserved - Example Corp'
+           ELSE 'doc#' || doc_id END) AS text
+    FROM documents
+"""
+
+
+def _multiline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.expr("substr(text, 1, 80)"),
+            F.lit("Subscribe to our newsletter for updates and special offers"),
+            F.expr("substr(text, 81, 80)"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("All rights reserved - Example Corp"),
+            ).otherwise(F.concat(F.lit("doc#"), F.col("doc_id").cast("string"))),
+        ).alias("text"),
+    )
+
+
+@query(
+    "OP-D2-lines",
+    oracle=f"""
+    WITH corpus AS ({_MULTILINE_CORPUS_SQL}),
+    lin AS (
+      SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, unnest(l) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM corpus)
+    ),
+    keyed AS (
+      SELECT doc_id, pos, line,
+             trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS nrm
+      FROM lin
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM keyed WHERE length(nrm) < 30
+      UNION ALL
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY md5(nrm) ORDER BY doc_id, pos) AS rn
+        FROM keyed WHERE length(nrm) >= 30) WHERE rn = 1
+    ),
+    tot AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_total FROM corpus)
+    SELECT k.doc_id,
+           string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+           count(*) AS n_kept,
+           any_value(t.n_total) - count(*) AS n_dropped
+    FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+    GROUP BY k.doc_id
+    """,
+    doc="line-level exact dedup across the corpus (C4/CCNet boilerplate "
+        "removal): every normalized line >= 30 chars survives only at its "
+        "first (doc_id, pos) occurrence; docs reassembled from surviving "
+        "lines in order. Two line-granularity shuffles — hash rank, then "
+        "doc_id reassembly (ops/dedup.py line_dedup).",
+)
+def op_d2_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import line_dedup
+
+    return line_dedup(_multiline_corpus(spark, sf_dir))
+
+
+def _incr_seen_new(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The OP-D1-incremental daily-ingest fixture: evens are the running
+    corpus; the new batch is odds + 50 re-ingested mangled evens + 20
+    mangled odds (within-batch dups)."""
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    new = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)).selectExpr(
+                "doc_id + 10000 AS doc_id", "upper(text) || '  ' AS text",
+                "lang", "source", "n_chars",
+            )
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 40)).selectExpr(
+                "doc_id + 20000 AS doc_id", "upper(text) AS text",
+                "lang", "source", "n_chars",
+            )
+        )
+    )
+    return seen, new
+
+
+@query(
+    "OP-D1-bloom",
+    # Byte-identical oracle to OP-D1-incremental: the bloom pre-filter is
+    # an EXECUTION strategy, not a semantics change — false positives are
+    # resolved by the exact anti-join, so output must be exactly equal.
+    oracle=_REGISTRY["OP-D1-incremental"].oracle,
+    doc="incremental exact dedup with a broadcast Bloom pre-filter: the "
+        "seen corpus folds into an m-bit bitmap WITHOUT shuffling (per-"
+        "partition numpy OR-fold), new rows whose k xxhash64 probes miss "
+        "skip the anti-join entirely; bloom hits (true dups + ~1% false "
+        "positives) are resolved exactly. Same output as OP-D1-"
+        "incremental, ~99% less anti-join input at low daily dup rates "
+        "(ops/dedup.py bloom_dedup_against).",
+)
+def op_d1_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import bloom_dedup_against
+
+    seen, new = _incr_seen_new(spark, sf_dir)
+    return bloom_dedup_against(new, seen)
+
+
+@query(
+    "OP-D4-perplexity",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM tk WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(t) AS tok FROM tk)),
+    model AS (
+      SELECT w1, w2, (n12 + 0.5) / (n1 + 0.5 * vocab) AS p
+      FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams, round(-avg(ln(p)), 6) AS nll
+    FROM bi JOIN model USING (w1, w2)
+    GROUP BY doc_id
+    """,
+    doc="bigram-LM perplexity scoring (CCNet/KenLM-style quality filter): "
+        "add-0.5-smoothed bigram model trained on the corpus, each doc "
+        "scored by mean negative log-prob — two map-combining count aggs "
+        "+ one model join, no UDFs; 6dp round absorbs double fold order "
+        "(ops/text.py bigram_nll).",
+)
+def op_d4_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import bigram_nll
+
+    return bigram_nll(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "OP-D7-quota",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(doc_id || '#quota42'), doc_id) AS rn
+      FROM documents) WHERE rn <= 30
+    """,
+    doc="per-source quota sampling: cap every source at 30 docs chosen by "
+        "salted-hash rank — deterministic, engine-portable, uncorrelated "
+        "with the split/mix salts; compiles to WindowGroupLimit so memory "
+        "is O(quota) per group (ops/corpus.py quota_sample).",
+)
+def op_d7_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import quota_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return quota_sample(d, quota=30)
+
+
+@query(
+    "OP-D3-semdedup",
+    oracle=None,  # clustering-dependent recall → RecallSpec, not a hash
+    recall=RecallSpec(
+        """
+        WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+        """,
+        ("id_a", "id_b"),
+        0.8,  # measured 0.93 at sf0.01 with top-2 cell assignment
+    ),
+    doc="SemDeDup semantic near-dup (Abbas et al. 2023): KMeans cells + "
+        "within-cell exact cosine at 0.45 — the data-adaptive complement "
+        "to the LSH path; precision exact (candidates cosine-verified), "
+        "recall misses only cell-boundary pairs, measured by the recall "
+        "oracle (ops/similarity.py semantic_dedup).",
+)
+def op_d3_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.similarity import semantic_dedup
+
+    out = semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+    return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))

@@ -733,3 +733,138 @@ def test_auto_band_degenerate_zero_width(spark):
 
     iv = spark.createDataFrame([(1.0, 1.0), (2.0, 2.0)], "lo double, hi double")
     assert auto_band(iv, "lo", "hi") == 1.0
+
+
+# --- round-5 training-pipeline ops -----------------------------------------
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from filefilter_spark.ops.dedup import line_dedup
+
+    boiler = "this boilerplate footer line is well over thirty characters"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique first body line that is quite long indeed\n" + boiler),
+            (2, "another unique body line that is also long enough\n" + boiler),
+            (3, boiler + "\nshort tail"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    # doc 1 keeps both lines (first occurrence of the boilerplate)
+    assert out[1]["n_dropped"] == 0 and boiler in out[1]["text"]
+    # docs 2 and 3 lose the boilerplate
+    assert out[2]["n_dropped"] == 1 and boiler not in out[2]["text"]
+    assert out[3]["n_dropped"] == 1
+    # short lines never dedup: 'short tail' survives even if repeated
+    assert out[3]["text"] == "short tail"
+
+
+def test_line_dedup_short_lines_never_dedup(spark):
+    from filefilter_spark.ops.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "ok\nok"), (2, "ok")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert out[1]["text"] == "ok\nok" and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "ok"
+
+
+def test_line_dedup_drops_fully_duplicated_doc(spark):
+    from filefilter_spark.ops.dedup import line_dedup
+
+    long_line = "a duplicated line of text that clears the minimum length bar"
+    docs = spark.createDataFrame(
+        [(1, long_line), (2, long_line)], "doc_id int, text string"
+    )
+    rows = line_dedup(docs).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+
+
+def test_bloom_dedup_matches_plain_anti_join(spark):
+    from filefilter_spark.ops.dedup import bloom_dedup_against, dedup_against
+
+    seen = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(100)], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        # 30 re-ingested dups (mangled), 40 fresh, 2 within-batch copies
+        [(1000 + i, f"DOC NUMBER {i}  ") for i in range(30)]
+        + [(2000 + i, f"fresh doc {i}") for i in range(40)]
+        + [(3000, "fresh doc 0"), (3001, "fresh doc 1")],
+        "doc_id int, text string",
+    )
+    expect = sorted(r["doc_id"] for r in dedup_against(new, seen).collect())
+    got = sorted(r["doc_id"] for r in bloom_dedup_against(new, seen).collect())
+    assert got == expect
+    assert len(got) == 40  # only the fresh docs, min-id survivors
+
+
+def test_bloom_dedup_empty_seen(spark):
+    from filefilter_spark.ops.dedup import bloom_dedup_against
+
+    seen = spark.createDataFrame([], "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id int, text string"
+    )
+    got = sorted(r["doc_id"] for r in bloom_dedup_against(new, seen).collect())
+    assert got == [1, 2]
+
+
+def test_bigram_nll_matches_hand_computation(spark):
+    import math
+
+    from filefilter_spark.ops.text import bigram_nll
+
+    # corpus: "a b a b" and "a b" -> bigrams: (a,b)x3, (b,a)x1; vocab=2
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")], "doc_id int, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_nll(docs, alpha=0.5).collect()}
+    vocab = 3  # a, b, solo
+    p_ab = (3 + 0.5) / (3 + 0.5 * vocab)  # c1(a)=3
+    p_ba = (1 + 0.5) / (1 + 0.5 * vocab)  # c1(b)=1... c1 counts bigram starts
+    # c1 counts occurrences AS w1: a appears 3x as w1, b 1x
+    nll_1 = -(2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert rows[1]["n_bigrams"] == 3
+    assert abs(rows[1]["nll"] - round(nll_1, 6)) < 1e-9
+    assert rows[2]["n_bigrams"] == 1
+    assert 3 not in rows  # single-token doc has no bigrams
+
+
+def test_quota_sample_caps_each_group(spark):
+    from filefilter_spark.ops.corpus import quota_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 95 else "small") for i in range(100)],
+        "doc_id int, source string",
+    )
+    out = quota_sample(df, quota=10)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["big"] == 10
+    assert counts["small"] == 5  # under quota: all kept
+    # deterministic: same selection on rerun
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in quota_sample(df, quota=10).collect())
+    assert a == b
+
+
+def test_semantic_dedup_recall_vs_exact(embeddings):
+    from filefilter_spark.ops.dedup import cluster_pairs  # noqa: F401 (import check)
+    from filefilter_spark.ops.similarity import cosine_pairs, semantic_dedup
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs(embeddings, threshold=0.45).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup(embeddings, threshold=0.45).collect()
+    }
+    assert got <= exact  # precision exact: every pair cosine-verified
+    if exact:
+        assert len(got & exact) / len(exact) >= 0.6
