@@ -26,6 +26,15 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+# Band widths memoized per (interval plan, lo, hi) for the session:
+# the width is a deterministic function of the input sample, and a
+# pipeline that re-runs the same range join (warm benchmarks, iterative
+# notebooks, per-batch streaming joins) should pay the measurement job
+# once, not per run. semanticHash identifies the analyzed plan, so a
+# DIFFERENT source or filter gets its own measurement.
+_BAND_CACHE: dict[tuple[int, str, str], float] = {}
+
+
 def auto_band(
     intervals: DataFrame,
     lo_col: str,
@@ -47,6 +56,12 @@ def auto_band(
     Degenerate fallbacks: all-zero widths (pure point intervals) fall
     back to the max width, then to 1.0 — any positive band is correct.
     """
+    try:
+        key = (intervals.semanticHash(), lo_col, hi_col)
+    except Exception:  # pragma: no cover - Connect-only plans etc.
+        key = None
+    if key is not None and key in _BAND_CACHE:
+        return _BAND_CACHE[key]
     row = (
         intervals.select((F.col(hi_col) - F.col(lo_col)).cast("double").alias("w"))
         .limit(sample_rows)
@@ -56,10 +71,14 @@ def auto_band(
         )
         .first()
     )
+    band = 1.0
     for cand in (row["med"], row["mx"]):
         if cand is not None and cand > 0:
-            return float(cand)
-    return 1.0
+            band = float(cand)
+            break
+    if key is not None:
+        _BAND_CACHE[key] = band
+    return band
 
 
 def banded_range_join(
