@@ -144,3 +144,22 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir, queries):
     plan = _plan(queries["OP-A9-partitioned"](spark, sf_dir))
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1)
+
+
+def test_quota_sample_compiles_to_window_group_limit(spark, sf_dir, queries):
+    plan = _plan(queries["OP-D7-quota"](spark, sf_dir))
+    # rank<=N must push into WindowGroupLimit (O(quota) memory per
+    # group), not materialize full per-group sorts
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+
+
+def test_line_dedup_two_narrow_shuffles(spark, sf_dir, queries):
+    plan = _plan(queries["OP-D2-lines"](spark, sf_dir))
+    # one shuffle on the line hash, one on doc_id for reassembly; the
+    # totals join must broadcast, not shuffle
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 2
+    assert "BroadcastHashJoin" in plan
+    # the rn=1 filter pushes into WindowGroupLimit on both sides of the
+    # hash shuffle (partial + final)
+    assert "WindowGroupLimit" in plan
