@@ -868,3 +868,23 @@ def test_semantic_dedup_recall_vs_exact(embeddings):
     assert got <= exact  # precision exact: every pair cosine-verified
     if exact:
         assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_bloom_dedup_exact_under_heavy_false_positives(spark):
+    # A dense bloom (fpp=0.5 -> tiny bitmap, k=1) routes many genuinely
+    # fresh docs through the hit path; the exact anti-join resolve must
+    # keep the output byte-identical to the plain path regardless.
+    from filefilter_spark.ops.dedup import bloom_dedup_against, dedup_against
+
+    seen = spark.createDataFrame(
+        [(i, f"history doc {i}") for i in range(200)], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(1000 + i, f"brand new doc {i}") for i in range(200)],
+        "doc_id int, text string",
+    )
+    expect = sorted(r["doc_id"] for r in dedup_against(new, seen).collect())
+    got = sorted(
+        r["doc_id"] for r in bloom_dedup_against(new, seen, fpp=0.5).collect()
+    )
+    assert got == expect == [1000 + i for i in range(200)]
