@@ -37,6 +37,10 @@ HEADLINE = [
     "OP-D4",         # text stats battery
     "OP-D5",         # streaming windowed agg
     "OP-D5-session", # streaming session windows
+    # Added in r5 (new operators — total is NOT comparable to r4's
+    # unless these two are subtracted; see "added_queries" in the JSON)
+    "OP-D2-lines",   # C4-style line-level dedup + reassembly
+    "OP-D4-perplexity",  # bigram-LM scoring
 ]
 
 
@@ -93,6 +97,9 @@ def main() -> None:
         # reps (each building + executing the full plan from scratch).
         # r1-r3 used single_shot_warm; the series changed at r4.
         "estimator": "min_of_2_warm",
+        # Queries first present in this series at r5 — subtract these
+        # from "value" to compare totals against r4 and earlier.
+        "added_queries": ["OP-D2-lines", "OP-D4-perplexity"],
     }))
 
 

@@ -451,8 +451,17 @@ def bloom_dedup_against(
     import numpy as np
     import pandas as pd
 
+    # The fingerprint frame is consumed three times (count for sizing,
+    # bitmap fold, false-positive anti-join); persist the 16-byte-per-
+    # row projection so the md5-normalize pass over the history runs
+    # once, not thrice. In production the history IS a persisted
+    # fingerprint table (see dedup_against) and n comes from its
+    # metadata — this cache reproduces that shape for derived inputs.
     seen_fp = seen.select(fingerprint(text_col).alias("__fp"))
     if n_seen is None:
+        from pyspark import StorageLevel
+
+        seen_fp = seen_fp.persist(StorageLevel.MEMORY_AND_DISK)
         n_seen = seen_fp.count()
     m, k = _bloom_params(n_seen, fpp)
     bits = _build_bloom(seen_fp, "__fp", m, k)
@@ -467,16 +476,37 @@ def bloom_dedup_against(
         hit = (b[arr >> 3] & (1 << (arr & 7)).astype(np.uint8)) != 0
         return pd.Series(hit.all(axis=1))
 
-    new_fp = new.withColumn("__fp", fingerprint(text_col)).withColumn(
-        "__maybe", might_contain(_bloom_positions(F.col("__fp"), m, k))
+    # All dedup decisions run on a NARROW cached (id, fp, maybe) frame:
+    # the definite/maybe split, the survivor pick, and the survivor
+    # semi-join each reuse this frame, and without the cache Spark
+    # would re-scan the batch bodies and re-run the bloom probe once
+    # per branch (measured 4x the whole op's cost at probe scale). The
+    # cache is ~24 bytes/row — for a 1 B-doc daily batch that is
+    # ~24 GB across the cluster, far below re-reading the batch.
+    from pyspark import StorageLevel
+
+    new_fp = (
+        new.select(F.col(id_col), fingerprint(text_col).alias("__fp"))
+        .withColumn("__maybe", might_contain(_bloom_positions(F.col("__fp"), m, k)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    definitely_fresh = new_fp.filter(~F.col("__maybe"))
-    resolved = new_fp.filter(F.col("__maybe")).join(
-        seen_fp.distinct(), "__fp", "left_anti"
+    definite = new_fp.filter(~F.col("__maybe")).select(id_col, "__fp")
+    resolved = (
+        new_fp.filter(F.col("__maybe"))
+        # no distinct on the history side: left_anti ignores right-side
+        # duplicates, and a distinct would add a full shuffle of every
+        # history fingerprint — the exact cost this operator exists to
+        # avoid.
+        .join(seen_fp, "__fp", "left_anti")
+        .select(id_col, "__fp")
     )
-    fresh = definitely_fresh.unionByName(resolved).drop("__maybe")
+    fresh = definite.unionByName(resolved)
     keep = fresh.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
-    return fresh.join(keep, id_col, "left_semi").drop("__fp")
+    survivors = fresh.join(keep, id_col, "left_semi").select(id_col)
+    # One final pass over the batch bodies: semi-join on surviving ids
+    # (ids cross the shuffle, bodies never do; AQE broadcasts the id
+    # set when it is small).
+    return new.join(survivors, id_col, "left_semi")
 
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 1) -> DataFrame:

@@ -329,3 +329,31 @@ def bigram_nll(
             F.round(-F.avg(F.log("p")), 6).alias("nll"),
         )
     )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """URL-domain extraction + blocklist filtering — the domain-level
+    curation step of web-corpus pipelines (drop link farms, adult
+    domains, known-spam hosts). Adds ``domain_col`` (the URL's host,
+    lowercased) and anti-joins against ``blocklist`` (a one-column
+    ``domain`` table).
+
+    Host extraction is ``parse_url(url, 'HOST')`` — a JVM intrinsic,
+    no regex engine in the hot path. The blocklist anti-join
+    broadcasts: real blocklists are ~1e5-1e7 short strings (a few MB),
+    far under the broadcast threshold, so the corpus never shuffles.
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    with_domain = df.withColumn(
+        domain_col, F.lower(F.expr(f"parse_url({url_col}, 'HOST')"))
+    )
+    return with_domain.join(
+        F.broadcast(blocklist.select(F.col("domain").alias(domain_col))),
+        domain_col,
+        "left_anti",
+    )

@@ -1916,3 +1916,47 @@ def op_d3_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+_DOMAIN_CASE = """CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN 'example.com' WHEN 1 THEN 'blog.example.org'
+      WHEN 2 THEN 'spam.example.net' WHEN 3 THEN 'news.example.io'
+      WHEN 4 THEN 'example.edu' ELSE 'ads.example.net' END"""
+
+
+@query(
+    "OP-D4-domains",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source,
+             'https://' || {_DOMAIN_CASE} || '/doc/' || doc_id AS url
+      FROM documents
+    ),
+    dom AS (
+      SELECT doc_id, source, url,
+             lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)) AS domain
+      FROM corpus
+    )
+    SELECT doc_id, source, url, domain FROM dom
+    WHERE domain NOT IN ('spam.example.net', 'ads.example.net')
+    """,
+    doc="URL-domain extraction + blocklist filtering (web-corpus domain "
+        "curation): host via the parse_url JVM intrinsic, blocklist as a "
+        "broadcast anti-join so the corpus never shuffles; URLs "
+        "synthesized deterministically in both engines "
+        "(ops/text.py domain_filter).",
+)
+def op_d4_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import domain_filter
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    corpus = d.withColumn(
+        "url",
+        F.expr(f"concat('https://', {_DOMAIN_CASE}, '/doc/', doc_id)"),
+    )
+    blocklist = spark.createDataFrame(
+        [("spam.example.net",), ("ads.example.net",)], "domain string"
+    )
+    return domain_filter(corpus, blocklist).select(
+        "doc_id", "source", "url", "domain"
+    )

@@ -888,3 +888,20 @@ def test_bloom_dedup_exact_under_heavy_false_positives(spark):
         r["doc_id"] for r in bloom_dedup_against(new, seen, fpp=0.5).collect()
     )
     assert got == expect == [1000 + i for i in range(200)]
+
+
+def test_domain_filter_blocks_and_extracts(spark):
+    from filefilter_spark.ops.text import domain_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://good.example.com/a?x=1"),
+            (2, "http://SPAM.example.net/b"),
+            (3, "https://other.example.org/c/d"),
+        ],
+        "doc_id int, url string",
+    )
+    block = spark.createDataFrame([("spam.example.net",)], "domain string")
+    rows = {r["doc_id"]: r["domain"] for r in domain_filter(docs, block).collect()}
+    # host is lowercased before the blocklist match, so doc 2 is gone
+    assert rows == {1: "good.example.com", 3: "other.example.org"}

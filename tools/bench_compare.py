@@ -13,6 +13,9 @@ HEADLINE = [
     "OP-B12", "OP-B5", "OP-B11", "OP-B18", "OP-B22", "OP-B10", "OP-B9",
     "OP-D1", "OP-D2", "OP-D2-minhash", "OP-D2-clusters", "OP-D3", "OP-D4",
     "OP-D4-repetition", "OP-D4-tfidf", "OP-D5", "OP-D7-contamination",
+    # round-5 operators (all exact-oracle, so both engines run the
+    # identical semantics)
+    "OP-D2-lines", "OP-D4-perplexity", "OP-D7-quota", "OP-D1-bloom",
 ]
 
 

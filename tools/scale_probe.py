@@ -95,15 +95,53 @@ def main() -> None:
     max_mult = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     mults = [m for m in (1, 2, 4, 8, 16) if m <= max_mult]
 
-    from filefilter_spark.ops.corpus import contamination, pack_sequences
+    from filefilter_spark.ops.corpus import (
+        contamination,
+        pack_sequences,
+        quota_sample,
+    )
     from filefilter_spark.ops.dedup import (
+        bloom_dedup_against,
+        dedup_against,
         exact_dedup,
+        line_dedup,
         minhash_near_dup,
         token_jaccard_pairs,
     )
     from filefilter_spark.ops.similarity import lsh_cosine_pairs
-    from filefilter_spark.ops.text import tfidf_top_terms
+    from filefilter_spark.ops.text import bigram_nll, tfidf_top_terms
     from filefilter_spark.session import get_spark
+
+    from pyspark.sql import functions as _F
+
+    def _multiline(d):
+        # Same shape as the OP-D2-lines registry fixture: shared
+        # boilerplate lines between body chunks.
+        return d.select(
+            "doc_id",
+            _F.concat_ws(
+                "\n",
+                _F.expr("substr(text, 1, 80)"),
+                _F.lit("Subscribe to our newsletter for updates and special offers"),
+                _F.expr("substr(text, 81, 80)"),
+                _F.when(
+                    _F.col("doc_id") % 3 == 0,
+                    _F.lit("All rights reserved - Example Corp"),
+                ).otherwise(_F.concat(_F.lit("doc#"), _F.col("doc_id").cast("string"))),
+            ).alias("text"),
+        )
+
+    def _seen_new(d):
+        # Daily-ingest shape at every scale: evens are history, odds +
+        # re-ingested evens are the batch (~33% of the batch are dups).
+        seen = d.filter(_F.col("doc_id") % 2 == 0)
+        new = d.filter(_F.col("doc_id") % 2 == 1).unionByName(
+            d.filter((_F.col("doc_id") % 4 == 0)).selectExpr(
+                "doc_id + 7000000000 AS doc_id", "upper(text) AS text",
+                "lang", "source", "n_chars",
+            )
+        )
+        return new, seen
 
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -172,6 +210,25 @@ def main() -> None:
             "tfidf_top_terms": lambda d=docs: noop_write(tfidf_top_terms(d)),
             "pack_sequences": lambda d=docs: noop_write(
                 pack_sequences(d, "n_chars", 4096)
+            ),
+            # round-5 additions. line_dedup: two line-granularity
+            # shuffles, expected linear. bigram_nll: two count aggs +
+            # a model join bounded by observed-bigram count. bloom vs
+            # plain incremental dedup: same output, different physics —
+            # the bloom line should stay at/below the anti-join line
+            # as the seen side grows.
+            "line_dedup": lambda d=docs: noop_write(
+                line_dedup(_multiline(d))
+            ),
+            "bigram_nll": lambda d=docs: noop_write(bigram_nll(d)),
+            "incremental_anti": lambda d=docs: noop_write(
+                dedup_against(*_seen_new(d))
+            ),
+            "incremental_bloom": lambda d=docs: noop_write(
+                bloom_dedup_against(*_seen_new(d))
+            ),
+            "quota_sample": lambda d=docs: noop_write(
+                quota_sample(d, quota=max(1, n_docs // 20))
             ),
         }
         for name, fn in ops.items():
