@@ -219,3 +219,49 @@ def quota_sample(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into fixed-size overlapping token chunks —
+    the context-window preparation step of a training/RAG pipeline
+    (documents rarely fit the model's window; chunks with overlap
+    preserve cross-boundary context).
+
+    Chunk i starts at token ``i * (chunk_tokens - overlap)``; starts
+    run while they leave more than ``overlap`` unseen tokens (so the
+    final partial chunk is emitted once, not duplicated), and every
+    non-empty document yields at least one chunk. Pure array
+    expressions (sequence/slice/posexplode) — the explode multiplies
+    rows by ~len/stride but each output row is one chunk, so the op is
+    linear in total token count and embarrassingly partition-parallel:
+    no shuffle at all.
+
+    Returns ``(doc_id, chunk_id, chunk_text, n_tokens)``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    from filefilter_spark.ops.text import tokens
+
+    stride = chunk_tokens - overlap
+    tk = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    chunks = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, greatest(size(t) - {overlap} - 1, 0), {stride}),"
+                f" s -> slice(t, s + 1, {chunk_tokens}))"
+            )
+        ).alias("chunk_id", "ck"),
+    )
+    return chunks.filter(F.size("ck") > 0).select(
+        "doc_id",
+        "chunk_id",
+        F.array_join("ck", " ").alias("chunk_text"),
+        F.size("ck").cast("long").alias("n_tokens"),
+    )

@@ -307,7 +307,10 @@ def bigram_nll(
         .select("doc_id", "b.w1", "b.w2")
     )
     c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("n1"))
+    # c1 (bigram-start counts) folds out of c12 — an aggregation over
+    # the (small) bigram-type table instead of a second tokenize pass
+    # over the corpus. Identical values: sum_w2 n12(w1, w2) = n1(w1).
+    c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
     vocab = tk.select(F.explode("t").alias("tok")).agg(
         F.count_distinct("tok").alias("vocab")
     )

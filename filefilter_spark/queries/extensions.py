@@ -1960,3 +1960,40 @@ def op_d4_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_filter(corpus, blocklist).select(
         "doc_id", "source", "url", "domain"
     )
+
+
+@query(
+    "OP-D7-chunk",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS t
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, t,
+             generate_series(0, greatest(len(t) - 16 - 1, 0), 48) AS starts
+      FROM tk
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(starts) - 1)) AS chunk_id,
+             unnest(list_transform(starts, s -> t[s + 1 : s + 64])) AS ck
+      FROM st
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(ck, ' ') AS chunk_text,
+           len(ck) AS n_tokens
+    FROM ch WHERE len(ck) > 0
+    """,
+    doc="fixed-size overlapping token chunking (64-token chunks, 16 "
+        "overlap) — the context-window prep step; pure array exprs, "
+        "zero shuffle, linear in token count "
+        "(ops/corpus.py chunk_documents).",
+)
+def op_d7_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )

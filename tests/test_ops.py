@@ -905,3 +905,36 @@ def test_domain_filter_blocks_and_extracts(spark):
     rows = {r["doc_id"]: r["domain"] for r in domain_filter(docs, block).collect()}
     # host is lowercased before the blocklist match, so doc 2 is gone
     assert rows == {1: "good.example.com", 3: "other.example.org"}
+
+
+def test_chunk_documents_boundaries_and_overlap(spark):
+    from filefilter_spark.ops.corpus import chunk_documents
+
+    toks = " ".join(str(i) for i in range(10))  # 10 tokens
+    docs = spark.createDataFrame(
+        [(1, toks), (2, "a b"), (3, "")], "doc_id int, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        )
+    # stride 3: starts 0,3,6 cover 0..9 (last chunk 6..9 full); start 9
+    # would leave only the 1-token overlap tail -> not emitted
+    assert by_doc[1] == [
+        (0, "0 1 2 3", 4), (1, "3 4 5 6", 4), (2, "6 7 8 9", 4)
+    ]
+    # short doc: one partial chunk; empty doc: no chunks
+    assert by_doc[2] == [(0, "a b", 2)]
+    assert 3 not in by_doc
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from filefilter_spark.ops.corpus import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)

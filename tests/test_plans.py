@@ -163,3 +163,9 @@ def test_line_dedup_two_narrow_shuffles(spark, sf_dir, queries):
     # the rn=1 filter pushes into WindowGroupLimit on both sides of the
     # hash shuffle (partial + final)
     assert "WindowGroupLimit" in plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir, queries):
+    plan = _plan(queries["OP-D7-chunk"](spark, sf_dir))
+    # pure projection + generate: chunking must not shuffle at all
+    assert plan.count("Exchange (") == 0

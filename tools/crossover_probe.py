@@ -55,6 +55,9 @@ SCRATCH = "/tmp/spark_graft_xover"
 QUERIES = [
     "OP-B5", "OP-B9", "OP-B10", "OP-B11", "OP-B12",
     "OP-B18", "OP-B22", "OP-D1", "OP-D2", "OP-D3", "OP-D4",
+    # round-5 exact-oracle pipeline ops whose sf0.1 ratios sit above
+    # the job floor (2.4x / 2.9x) — the curve shows where they cross
+    "OP-D2-lines", "OP-D4-perplexity",
 ]
 
 # Per-table columns that must be offset per copy so each copy is a
