@@ -1,0 +1,132 @@
+"""Sketch-based profiling operators — sub-shuffle summaries for 100 TB
+corpus statistics.
+
+The reference has no sketch tier (its profiling is plain SQL over the
+embedded engine); this module adds the summaries a web-scale pipeline
+actually runs: heavy-hitter tokens without shuffling the full token
+multiset. The design rule matches the rest of the dedup tier: a
+PROBABILISTIC structure generates candidates cheaply, then an EXACT
+bounded pass restores engine-checkable correctness — so the operator
+still carries a plain-SQL oracle.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from filefilter_spark.ops.text import tokens
+
+
+def _mg_update(counters: dict, item: str, capacity: int) -> None:
+    """One Misra-Gries update: increment if tracked, insert if room,
+    else decrement everything (dropping zeros)."""
+    if item in counters:
+        counters[item] += 1
+    elif len(counters) < capacity:
+        counters[item] = 1
+    else:
+        dead = []
+        for k in counters:
+            counters[k] -= 1
+            if counters[k] == 0:
+                dead.append(k)
+        for k in dead:
+            del counters[k]
+
+
+def frequent_tokens(
+    df: DataFrame,
+    k: int = 10,
+    capacity: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT top-k most frequent tokens, computed the 100 TB way:
+
+    1. **Sketch pass** (no shuffle): each partition folds its token
+       stream into a Misra-Gries summary of ``capacity`` counters
+       (mapInPandas); partials merge on the driver — traffic is
+       ``partitions x capacity`` entries, independent of corpus size.
+    2. **Exact recount** (bounded shuffle): only the sketch's candidate
+       tokens are re-counted exactly — the aggregation's input is the
+       candidates' postings, not the full token multiset.
+    3. **Exactness proof**: Misra-Gries guarantees any token absent
+       from the merged summary has true frequency ≤ N/capacity. If the
+       k-th candidate's exact count exceeds that bound, no missing
+       token can displace it and the top-k is PROVABLY exact — which
+       is what lets this op carry a plain ``GROUP BY ... LIMIT k``
+       oracle. Otherwise the data is too flat for the capacity and the
+       op raises with the capacity that would have sufficed, instead
+       of silently returning a maybe-wrong answer.
+
+    Returns ``(tok, n)``, ordered by (n desc, tok) — deterministic
+    ties. Compare: the plain exact top-k shuffles every token
+    occurrence; this shuffles only ~capacity postings plus a
+    per-partition summary. capacity ≫ k is cheap insurance (256
+    counters per partition is nothing) and loosens the proof bound
+    linearly.
+    """
+    import pandas as pd
+
+    tok_rows = df.select(F.explode(tokens(text_col)).alias("tok"))
+
+    def fold(batches):
+        counters: dict = {}
+        n = 0
+        for b in batches:
+            col = b["tok"]
+            n += len(col)
+            for t in col:
+                _mg_update(counters, t, capacity)
+        if n:
+            yield pd.DataFrame(
+                {"tok": list(counters) + [None], "cnt": list(counters.values()) + [n]}
+            )
+
+    partials = tok_rows.mapInPandas(fold, "tok string, cnt long").collect()
+    merged: dict = {}
+    total = 0
+    for row in partials:
+        if row["tok"] is None:
+            total += row["cnt"]
+        else:
+            # Merging MG summaries by summing tracked counts keeps the
+            # superset guarantee: a token absent from EVERY partial has
+            # per-partition freq ≤ n_p/capacity, which sums to
+            # ≤ N/capacity overall.
+            merged[row["tok"]] = merged.get(row["tok"], 0) + row["cnt"]
+
+    if not merged:
+        return tok_rows.groupBy("tok").count().limit(0).selectExpr(
+            "tok", "count AS n"
+        )
+
+    candidates = sorted(merged, key=lambda t: (-merged[t], t))
+    exact = (
+        tok_rows.filter(F.col("tok").isin(candidates))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(k)
+    )
+    rows = exact.collect()
+    bound = total / capacity
+    # Proof obligation: every token NOT in the sketch has true count
+    # <= bound. With k full ranks, the k-th count must beat the bound;
+    # with fewer candidates than k, the bound itself must rule out any
+    # unseen token (bound < 1 => unseen tokens have count 0).
+    provable = (
+        rows[k - 1]["n"] > bound if len(rows) >= k else bound < 1
+    )
+    if not provable:
+        import math
+
+        kth = rows[k - 1]["n"] if len(rows) >= k else 1
+        need = math.ceil(total / kth) + 1
+        raise ValueError(
+            f"top-{k} not provable at capacity {capacity}: bound "
+            f"N/capacity = {bound:.0f} not beaten; retry with "
+            f"capacity >= {need}"
+        )
+    out = df.sparkSession.createDataFrame(rows, "tok string, n long")
+    return out.orderBy(F.desc("n"), F.asc("tok"))

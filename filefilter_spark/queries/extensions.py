@@ -1848,7 +1848,7 @@ def op_d1_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tk WHERE len(t) >= 2
     ),
     c12 AS (SELECT w1, w2, count(*) AS n12 FROM bi GROUP BY 1, 2),
-    c1 AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+    c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
     v AS (SELECT count(DISTINCT tok) AS vocab
           FROM (SELECT unnest(t) AS tok FROM tk)),
     model AS (
@@ -1996,4 +1996,30 @@ def op_d7_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return chunk_documents(
         load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@query(
+    "OP-D4-heavyhitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                    x -> x != '')) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS n FROM tok
+    GROUP BY tok ORDER BY n DESC, tok LIMIT 10
+    """,
+    doc="exact top-10 heavy-hitter tokens via Misra-Gries sketch + "
+        "bounded exact recount: per-partition summaries (no shuffle of "
+        "the token multiset), candidates re-counted exactly, and the "
+        "MG absent-item bound PROVES the top-k exact before returning — "
+        "which is why a plain GROUP BY/LIMIT oracle applies "
+        "(ops/sketch.py frequent_tokens).",
+)
+def op_d4_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.sketch import frequent_tokens
+
+    return frequent_tokens(
+        load_table(spark, sf_dir, "documents", spread=True), k=10
     )

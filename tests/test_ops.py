@@ -938,3 +938,50 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_frequent_tokens_matches_exact_groupby(spark, documents):
+    from filefilter_spark.ops.sketch import frequent_tokens
+    from filefilter_spark.ops.text import tokens as _tokens
+
+    got = [(r["tok"], r["n"]) for r in frequent_tokens(documents, k=10).collect()]
+    expect = [
+        (r["tok"], r["n"])
+        for r in documents.select(F.explode(_tokens("text")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok")).limit(10).collect()
+    ]
+    assert got == expect
+
+
+def test_frequent_tokens_refuses_unprovable_capacity(spark):
+    import pytest as _pytest
+
+    from filefilter_spark.ops.sketch import frequent_tokens
+
+    # 3000 distinct singleton tokens, capacity 4: the k-th count (1)
+    # cannot beat N/capacity (750) — must raise, never return a
+    # maybe-wrong top-k.
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i + 1000} tok{i + 2000}") for i in range(1000)],
+        "doc_id int, text string",
+    )
+    with _pytest.raises(ValueError, match="not provable"):
+        frequent_tokens(docs, k=10, capacity=4)
+
+
+def test_bigram_nll_regimes_agree(spark):
+    # The sketch/map-literal regime and the distributed-join fallback
+    # must produce identical rows; force the fallback with a 1-type cap.
+    from filefilter_spark.ops.text import bigram_nll
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w{(i + 1) % 5} w{i % 3} w{(i + 2) % 7}") for i in range(40)],
+        "doc_id int, text string",
+    )
+    a = {r["doc_id"]: (r["n_bigrams"], r["nll"]) for r in bigram_nll(docs).collect()}
+    b = {
+        r["doc_id"]: (r["n_bigrams"], r["nll"])
+        for r in bigram_nll(docs, max_model_literal=1).collect()
+    }
+    assert a == b and len(a) == 40
