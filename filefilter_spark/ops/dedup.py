@@ -689,6 +689,24 @@ def minhash_near_dup(
     dedup or a doc-frequency pass should field instead. Pass ``None``
     to disable (test/oracle use).
     """
+    candidates = _minhash_candidates(
+        df, id_col, text_col, num_hashes, bands, seed, shingle_n, max_bucket
+    )
+    docs = _doc_tokens(df, id_col, text_col, shingle_n)
+    return _verify_jaccard(candidates, docs, threshold)
+
+
+def _minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    shingle_n: int,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Shared LSH-banding candidate generation for the minhash family."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, seed, shingle_n)
     # One parsed expression instead of bands x (struct+lit+hash+slice)
@@ -702,9 +720,55 @@ def minhash_near_dup(
     banded = sigs.selectExpr(
         "doc_id", f"explode(array({band_structs})) AS bb"
     ).select("doc_id", "bb.band", "bb.bucket")
-    candidates = _bucket_pairs(banded, ["band", "bucket"], max_bucket=max_bucket)
-    docs = _doc_tokens(df, id_col, text_col, shingle_n)
-    return _verify_jaccard(candidates, docs, threshold)
+    return _bucket_pairs(banded, ["band", "bucket"], max_bucket=max_bucket)
+
+
+def minhash_dedup_against(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 1,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Incremental NEAR-dup — the daily-ingest shape of
+    :func:`minhash_near_dup`: near-dup pairs where at least one side is
+    a NEW document (cross-batch new-vs-seen plus within-batch
+    new-vs-new; seen-vs-seen pairs are filtered before verification —
+    the running corpus is already deduped). Returns
+    ``(id_a, id_b, jaccard)`` with exact-Jaccard verification, so
+    precision is exact; dropping ``id_a``/``id_b`` from the batch
+    materializes the deduplicated ingest.
+
+    Ids must be globally unique across both frames (true of any real
+    corpus with assigned doc ids).
+
+    Scale shape: signatures here are computed for both sides in one
+    union pass — in production the SEEN side's signatures and band
+    buckets are a persisted table appended after each batch, so each
+    day hashes only the new batch and the bucket join touches only
+    buckets the batch lands in. The pair filter is two narrow
+    semi-joins against the batch id set (broadcast-sized).
+    """
+    union = seen.select(
+        F.col(id_col).alias(id_col), F.col(text_col).alias(text_col)
+    ).unionByName(new.select(F.col(id_col), F.col(text_col)))
+    cand = _minhash_candidates(
+        union, id_col, text_col, num_hashes, bands, seed, shingle_n, max_bucket
+    )
+    a_new = new.select(F.col(id_col).alias("id_a"))
+    b_new = new.select(F.col(id_col).alias("id_b"))
+    touching = (
+        cand.join(a_new, "id_a", "left_semi")
+        .unionByName(cand.join(b_new, "id_b", "left_semi"))
+        .distinct()
+    )
+    docs = _doc_tokens(union, id_col, text_col, shingle_n)
+    return _verify_jaccard(touching, docs, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

@@ -541,3 +541,54 @@ def semantic_dedup(
     return _pair_cosine_verify(
         candidates, df, _as_double_array(vec_col), id_col, threshold
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    vector-store compression step (4x smaller than float32, 8x than
+    float64; ANN recall loss typically <1%). Per-vector absmax scaling:
+    ``code_i = round(v_i * 127 / max|v|)``, reconstruction
+    ``v_i ≈ code_i * max|v| / 127``.
+
+    Returns ``(id, scale, codes, mse)`` where ``scale = max|v| / 127``
+    (multiply codes by it to dequantize) and ``mse`` is the per-vector
+    reconstruction error (9dp — the magnitudes are ~1e-5). Pure array
+    expressions: one projection, no shuffle, no UDF; the absmax is
+    let-bound so the O(d) fold runs once per row, not once per element.
+
+    All-zero vectors quantize to all-zero codes with scale 0.
+    """
+    from filefilter_spark.ops.text import _bind
+
+    emb = _as_double_array(vec_col)
+
+    def build(mx: Column) -> Column:
+        safe = F.greatest(mx, F.lit(1e-300))
+        codes = F.transform(emb, lambda v: F.round(v * 127.0 / safe).cast("int"))
+        scale = mx / F.lit(127.0)
+        recon_err = F.aggregate(
+            F.zip_with(
+                emb,
+                codes,
+                lambda v, c: (v - c * mx / 127.0) * (v - c * mx / 127.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ) / F.greatest(F.size(emb), F.lit(1))
+        return F.struct(
+            scale.alias("scale"),
+            codes.alias("codes"),
+            F.round(recon_err, 9).alias("mse"),
+        )
+
+    q = _bind(F.array_max(F.transform(emb, F.abs)), build)
+    return df.select(
+        F.col(id_col),
+        q["scale"].alias("scale"),
+        q["codes"].alias("codes"),
+        q["mse"].alias("mse"),
+    )

@@ -2023,3 +2023,61 @@ def op_d4_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frequent_tokens(
         load_table(spark, sf_dir, "documents", spread=True), k=10
     )
+
+
+@query(
+    "OP-D3-quantize",
+    oracle="""
+    WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    m AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS mx,
+             greatest(list_max(list_transform(e, x -> abs(x))), 1e-300) AS safe
+      FROM n
+    ),
+    q AS (
+      SELECT vec_id, e, mx, mx / 127.0 AS scale,
+             list_transform(e, x -> CAST(round(x * 127.0 / safe) AS INT)) AS codes
+      FROM m
+    )
+    SELECT vec_id, scale, codes,
+           round(list_sum(list_transform(generate_series(1, len(e)),
+                 i -> (e[i] - codes[i] * mx / 127.0)
+                    * (e[i] - codes[i] * mx / 127.0)))
+                 / greatest(len(e), 1), 9) AS mse
+    FROM q
+    """,
+    doc="int8 embedding quantization (vector-store compression): "
+        "per-vector absmax scaling, codes + dequant scale + 9dp "
+        "reconstruction MSE — one shuffle-free projection, absmax "
+        "let-bound so the O(d) fold runs once per row "
+        "(ops/similarity.py quantize_embeddings).",
+)
+def op_d3_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "OP-D2-incremental",
+    oracle=None,  # probabilistic recall → RecallSpec, not a value hash
+    recall=RecallSpec(
+        f"""SELECT id_a, id_b FROM ({_JACCARD_ORACLE}) t
+            WHERE id_a % 2 = 1 OR id_b % 2 = 1""",
+        ("id_a", "id_b"),
+        0.9,
+    ),
+    doc="incremental NEAR-dup (daily-ingest shape of OP-D2-minhash): odd "
+        "docs are the new batch, evens the running corpus; MinHash-LSH "
+        "candidates restricted to pairs touching the batch, exact-Jaccard "
+        "verified — precision exact, recall vs the exact batch-touching "
+        "pair set (ops/dedup.py minhash_dedup_against).",
+)
+def op_d2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import minhash_dedup_against
+
+    d = load_table(spark, sf_dir, "documents", spread=True)
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return minhash_dedup_against(new, seen, threshold=0.5, shingle_n=3)

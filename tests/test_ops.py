@@ -985,3 +985,55 @@ def test_bigram_nll_regimes_agree(spark):
         for r in bigram_nll(docs, max_model_literal=1).collect()
     }
     assert a == b and len(a) == 40
+
+
+def test_quantize_embeddings_reconstruction(spark, embeddings):
+    import math
+
+    from filefilter_spark.ops.similarity import quantize_embeddings
+
+    orig = {r["vec_id"]: list(r["embedding"]) for r in embeddings.limit(20).collect()}
+    q = {
+        r["vec_id"]: (r["scale"], list(r["codes"]), r["mse"])
+        for r in quantize_embeddings(embeddings.limit(20)).collect()
+    }
+    for vid, v in orig.items():
+        scale, codes, mse = q[vid]
+        assert all(-127 <= c <= 127 for c in codes)
+        recon = [c * scale for c in codes]
+        dot = sum(a * b for a, b in zip(v, recon))
+        na = math.sqrt(sum(a * a for a in v))
+        nb = math.sqrt(sum(b * b for b in recon))
+        assert dot / (na * nb) > 0.999  # int8 keeps cosine to 3 nines
+        assert mse < (scale / 2) ** 2 * 1.01  # per-dim error bounded by half a step
+
+
+def test_quantize_embeddings_zero_vector(spark):
+    from filefilter_spark.ops.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    r = quantize_embeddings(df).first()
+    assert r["codes"] == [0, 0, 0] and r["scale"] == 0.0 and r["mse"] == 0.0
+
+
+def test_minhash_dedup_against_matches_restricted_full(documents):
+    # Incremental near-dup must find the same batch-touching pairs as
+    # the full all-pairs run restricted to pairs with an odd (new) id.
+    import pyspark.sql.functions as _F
+
+    from filefilter_spark.ops.dedup import minhash_dedup_against, minhash_near_dup
+
+    seen = documents.filter(_F.col("doc_id") % 2 == 0)
+    new = documents.filter(_F.col("doc_id") % 2 == 1)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_near_dup(documents, threshold=0.5, shingle_n=3).collect()
+        if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1
+    }
+    incr = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_against(new, seen, threshold=0.5, shingle_n=3).collect()
+    }
+    assert incr == full

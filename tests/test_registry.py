@@ -45,6 +45,7 @@ def test_oracles_cover_queries(entry):
         "OP-D2-minhash", "OP-D2-simhash", "OP-D2-winnow",
         "OP-D3-lsh", "OP-D3-ivf", "OP-D3-pairs-lsh",
         "OP-D3-semdedup",  # KMeans-cell recall oracle (r5)
+        "OP-D2-incremental",  # batch-touching minhash recall oracle (r5)
     }, f"entries silently missing oracles: {sorted(rows_only)}"
 
 
