@@ -244,8 +244,10 @@ def chunk_documents(
 
     Returns ``(doc_id, chunk_id, chunk_text, n_tokens)``.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError(f"overlap {overlap} must be < chunk_tokens {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap {overlap} must be in [0, chunk_tokens={chunk_tokens})"
+        )
     from filefilter_spark.ops.text import tokens
 
     stride = chunk_tokens - overlap

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from filefilter_spark.ops.text import fingerprint, shingles, tokens
 
@@ -424,6 +424,24 @@ def _build_bloom(fps: DataFrame, fp_col: str, m: int, k: int):
     return bits
 
 
+# Storage handles (persisted frames, broadcast bitmap) from the most
+# recent bloom_dedup_against call. Each new call releases the previous
+# call's handles: unpersist/broadcast-unpersist are SAFE on frames a
+# caller may still hold (Spark recomputes / refetches on demand), and
+# without this a per-batch ingest loop would pin one cached frame pair
+# + bitmap per call for the session lifetime.
+_BLOOM_LIVE: list = []
+
+
+def _release_bloom_resources() -> None:
+    while _BLOOM_LIVE:
+        h = _BLOOM_LIVE.pop()
+        try:
+            h.unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
+
 def bloom_dedup_against(
     new: DataFrame,
     seen: DataFrame,
@@ -457,15 +475,18 @@ def bloom_dedup_against(
     # once, not thrice. In production the history IS a persisted
     # fingerprint table (see dedup_against) and n comes from its
     # metadata — this cache reproduces that shape for derived inputs.
+    _release_bloom_resources()
     seen_fp = seen.select(fingerprint(text_col).alias("__fp"))
     if n_seen is None:
         from pyspark import StorageLevel
 
         seen_fp = seen_fp.persist(StorageLevel.MEMORY_AND_DISK)
+        _BLOOM_LIVE.append(seen_fp)
         n_seen = seen_fp.count()
     m, k = _bloom_params(n_seen, fpp)
     bits = _build_bloom(seen_fp, "__fp", m, k)
     bc = new.sparkSession.sparkContext.broadcast(bits)
+    _BLOOM_LIVE.append(bc)
 
     @F.pandas_udf("boolean")
     def might_contain(pos: pd.Series) -> pd.Series:
@@ -490,6 +511,7 @@ def bloom_dedup_against(
         .withColumn("__maybe", might_contain(_bloom_positions(F.col("__fp"), m, k)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _BLOOM_LIVE.append(new_fp)
     definite = new_fp.filter(~F.col("__maybe")).select(id_col, "__fp")
     resolved = (
         new_fp.filter(F.col("__maybe"))
@@ -762,10 +784,13 @@ def minhash_dedup_against(
     )
     a_new = new.select(F.col(id_col).alias("id_a"))
     b_new = new.select(F.col(id_col).alias("id_b"))
-    touching = (
-        cand.join(a_new, "id_a", "left_semi")
-        .unionByName(cand.join(b_new, "id_b", "left_semi"))
-        .distinct()
+    # Disjoint split instead of semi ∪ semi + distinct: pairs whose
+    # id_a is new, plus pairs whose id_a is seen but id_b is new —
+    # covers every batch-touching pair exactly once, so no distinct
+    # (a full extra shuffle of the op's largest intermediate) is
+    # needed; _bucket_pairs output is already distinct.
+    touching = cand.join(a_new, "id_a", "left_semi").unionByName(
+        cand.join(a_new, "id_a", "left_anti").join(b_new, "id_b", "left_semi")
     )
     docs = _doc_tokens(union, id_col, text_col, shingle_n)
     return _verify_jaccard(touching, docs, threshold)

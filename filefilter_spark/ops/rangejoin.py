@@ -26,13 +26,23 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
-# Band widths memoized per (interval plan, lo, hi) for the session:
-# the width is a deterministic function of the input sample, and a
-# pipeline that re-runs the same range join (warm benchmarks, iterative
-# notebooks, per-batch streaming joins) should pay the measurement job
-# once, not per run. semanticHash identifies the analyzed plan, so a
-# DIFFERENT source or filter gets its own measurement.
-_BAND_CACHE: dict[tuple[int, str, str], float] = {}
+# Band widths memoized per (interval plan, lo, hi, sample_rows) for
+# the session: the width is a deterministic function of the input
+# sample, and a pipeline that re-runs the same range join (warm
+# benchmarks, iterative notebooks, per-batch streaming joins) should
+# pay the measurement job once, not per run. semanticHash identifies
+# the analyzed PLAN — it cannot see the files behind a path, so if the
+# data at an unchanged path is rewritten mid-session with a different
+# width distribution, call :func:`clear_band_cache` (or pass ``band``
+# explicitly); a stale band is still CORRECT, just a worse
+# shuffle-volume knob. Bounded: wholesale-cleared past 256 entries.
+_BAND_CACHE: dict[tuple[int, str, str, int], float] = {}
+
+
+def clear_band_cache() -> None:
+    """Drop memoized band widths (use after rewriting interval data
+    under a path that an earlier auto_band sampled)."""
+    _BAND_CACHE.clear()
 
 
 def auto_band(
@@ -57,7 +67,7 @@ def auto_band(
     back to the max width, then to 1.0 — any positive band is correct.
     """
     try:
-        key = (intervals.semanticHash(), lo_col, hi_col)
+        key = (intervals.semanticHash(), lo_col, hi_col, sample_rows)
     except Exception:  # pragma: no cover - Connect-only plans etc.
         key = None
     if key is not None and key in _BAND_CACHE:
@@ -77,6 +87,8 @@ def auto_band(
             band = float(cand)
             break
     if key is not None:
+        if len(_BAND_CACHE) >= 256:
+            _BAND_CACHE.clear()
         _BAND_CACHE[key] = band
     return band
 

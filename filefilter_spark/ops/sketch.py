@@ -18,21 +18,24 @@ from pyspark.sql import DataFrame
 from filefilter_spark.ops.text import tokens
 
 
-def _mg_update(counters: dict, item: str, capacity: int) -> None:
+def _mg_update(counters: dict, item: str, capacity: int) -> bool:
     """One Misra-Gries update: increment if tracked, insert if room,
-    else decrement everything (dropping zeros)."""
+    else decrement everything (dropping zeros). Returns True when a
+    decrement happened — an eviction-free summary is EXACT counts."""
     if item in counters:
         counters[item] += 1
-    elif len(counters) < capacity:
+        return False
+    if len(counters) < capacity:
         counters[item] = 1
-    else:
-        dead = []
-        for k in counters:
-            counters[k] -= 1
-            if counters[k] == 0:
-                dead.append(k)
-        for k in dead:
-            del counters[k]
+        return False
+    dead = []
+    for k in counters:
+        counters[k] -= 1
+        if counters[k] == 0:
+            dead.append(k)
+    for k in dead:
+        del counters[k]
+    return True
 
 
 def frequent_tokens(
@@ -73,22 +76,27 @@ def frequent_tokens(
     def fold(batches):
         counters: dict = {}
         n = 0
+        evicted = False
         for b in batches:
             col = b["tok"]
             n += len(col)
             for t in col:
-                _mg_update(counters, t, capacity)
+                evicted |= _mg_update(counters, t, capacity)
         if n:
-            yield pd.DataFrame(
-                {"tok": list(counters) + [None], "cnt": list(counters.values()) + [n]}
-            )
+            toks = list(counters) + [None] + ([None] if evicted else [])
+            cnts = list(counters.values()) + [n] + ([-1] if evicted else [])
+            yield pd.DataFrame({"tok": toks, "cnt": cnts})
 
     partials = tok_rows.mapInPandas(fold, "tok string, cnt long").collect()
     merged: dict = {}
     total = 0
+    any_evicted = False
     for row in partials:
         if row["tok"] is None:
-            total += row["cnt"]
+            if row["cnt"] == -1:
+                any_evicted = True
+            else:
+                total += row["cnt"]
         else:
             # Merging MG summaries by summing tracked counts keeps the
             # superset guarantee: a token absent from EVERY partial has
@@ -112,21 +120,28 @@ def frequent_tokens(
     rows = exact.collect()
     bound = total / capacity
     # Proof obligation: every token NOT in the sketch has true count
-    # <= bound. With k full ranks, the k-th count must beat the bound;
-    # with fewer candidates than k, the bound itself must rule out any
-    # unseen token (bound < 1 => unseen tokens have count 0).
-    provable = (
-        rows[k - 1]["n"] > bound if len(rows) >= k else bound < 1
-    )
-    if not provable:
-        import math
+    # <= bound — but only when some partition actually EVICTED. An
+    # eviction-free run means every partial held exact counts, so the
+    # merged summary covers every token and the top-k is exact however
+    # small the vocabulary (fewer distinct tokens than k is then a
+    # correct short answer, not a failure). With evictions: k full
+    # ranks must beat the bound, or (fewer candidates than k) the
+    # bound itself must rule out any unseen token.
+    if any_evicted:
+        provable = rows[k - 1]["n"] > bound if len(rows) >= k else bound < 1
+        if not provable:
+            import math
 
-        kth = rows[k - 1]["n"] if len(rows) >= k else 1
-        need = math.ceil(total / kth) + 1
-        raise ValueError(
-            f"top-{k} not provable at capacity {capacity}: bound "
-            f"N/capacity = {bound:.0f} not beaten; retry with "
-            f"capacity >= {need}"
-        )
+            if len(rows) >= k:
+                hint = f"retry with capacity >= {math.ceil(total / rows[k - 1]['n']) + 1}"
+            else:
+                hint = (
+                    f"fewer than {k} candidates survived eviction — "
+                    "retry with capacity > the distinct token count"
+                )
+            raise ValueError(
+                f"top-{k} not provable at capacity {capacity}: bound "
+                f"N/capacity = {bound:.0f} not beaten; {hint}"
+            )
     out = df.sparkSession.createDataFrame(rows, "tok string, n long")
     return out.orderBy(F.desc("n"), F.asc("tok"))

@@ -389,11 +389,13 @@ def _bigram_model_counts(tk: DataFrame, cap: int):
     regime: per-partition Counter fold over Arrow batches (no shuffle,
     no exploded rows), merged on the driver. Returns
     ``(bigram_counts, start_counts, vocab_size)``, or ``None`` when any
-    partial or the merge exceeds ``cap`` bigram types — the signal that
-    this corpus needs the distributed plan. Driver traffic is bounded
-    by ``partitions × cap`` count rows plus the per-partition token
-    sets (vocab ≤ bigram types + 1 per partition, so the same cap
-    bounds it)."""
+    partial or the merge exceeds ``cap`` bigram types OR ``cap``
+    distinct tokens — the signal that this corpus needs the
+    distributed plan. Driver traffic is bounded by ``partitions ×
+    cap`` rows for both the count entries and the token sets (the
+    vocab is capped independently: bigram-poor corpora — millions of
+    single-token docs — would otherwise ship every distinct token to
+    the driver)."""
     import pandas as pd
 
     def fold(batches):
@@ -415,6 +417,13 @@ def _bigram_model_counts(tk: DataFrame, cap: int):
             flat = np.concatenate(arrs)
             uniq, inv = np.unique(flat, return_inverse=True)
             toks.update(uniq.tolist())
+            # The cap must bound the VOCAB too, not just bigram types:
+            # a bigram-poor corpus (millions of single-token docs)
+            # would otherwise ship every distinct token to the driver
+            # before the empty-model fallback could fire.
+            if len(toks) > cap:
+                overflow = True
+                break
             if len(flat) < 2:
                 continue
             ends = np.cumsum([len(a) for a in arrs]) - 1
@@ -450,6 +459,8 @@ def _bigram_model_counts(tk: DataFrame, cap: int):
             return None
         if r["w2"] is None:
             toks.add(r["w1"])
+            if len(toks) > cap:
+                return None
         else:
             key = (r["w1"], r["w2"])
             big[key] = big.get(key, 0) + r["c"]
@@ -485,7 +496,7 @@ def domain_filter(
     """
     c = F.col(url_col) if isinstance(url_col, str) else url_col
     with_domain = df.withColumn(
-        domain_col, F.lower(F.expr(f"parse_url({url_col}, 'HOST')"))
+        domain_col, F.lower(F.parse_url(c, F.lit("HOST")))
     )
     return with_domain.join(
         F.broadcast(blocklist.select(F.col("domain").alias(domain_col))),

@@ -1552,23 +1552,9 @@ def op_d3_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_d1_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.dedup import dedup_against
 
-    d = load_table(spark, sf_dir, "documents")
-    seen = d.filter(F.col("doc_id") % 2 == 0)
-    new = (
-        d.filter(F.col("doc_id") % 2 == 1)
-        .unionByName(
-            d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100)).selectExpr(
-                "doc_id + 10000 AS doc_id", "upper(text) || '  ' AS text",
-                "lang", "source", "n_chars",
-            )
-        )
-        .unionByName(
-            d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 40)).selectExpr(
-                "doc_id + 20000 AS doc_id", "upper(text) AS text",
-                "lang", "source", "n_chars",
-            )
-        )
-    )
+    # Fixture shared with OP-D1-bloom (defined below) — the two entries
+    # share a byte-identical oracle, so they must share the input too.
+    seen, new = _incr_seen_new(spark, sf_dir)
     return dedup_against(new, seen)
 
 
@@ -1733,7 +1719,13 @@ _MULTILINE_CORPUS_SQL = """
 
 
 def _multiline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    return multiline_of(load_table(spark, sf_dir, "documents"))
+
+
+def multiline_of(d: DataFrame) -> DataFrame:
+    """The OP-D2-lines multi-line fixture over any documents frame —
+    also imported by tools/scale_probe.py so the probe measures exactly
+    the corpus shape the correctness gate verifies."""
     return d.select(
         "doc_id",
         F.concat_ws(

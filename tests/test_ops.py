@@ -938,6 +938,8 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id int, text string")
     with _pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=-1)
 
 
 def test_frequent_tokens_matches_exact_groupby(spark, documents):
@@ -1037,3 +1039,16 @@ def test_minhash_dedup_against_matches_restricted_full(documents):
         for r in minhash_dedup_against(new, seen, threshold=0.5, shingle_n=3).collect()
     }
     assert incr == full
+
+
+def test_frequent_tokens_small_vocab_exact_not_rejected(spark):
+    # vocab (3) < k (10): no partition ever evicts, so the summary is
+    # exact and the short answer is correct — must NOT raise even
+    # though N/capacity >> every count (reviewer scenario).
+    from filefilter_spark.ops.sketch import frequent_tokens
+
+    docs = spark.createDataFrame(
+        [(i, "yes no maybe yes") for i in range(2000)], "doc_id int, text string"
+    )
+    rows = [(r["tok"], r["n"]) for r in frequent_tokens(docs, k=10, capacity=256).collect()]
+    assert rows == [("yes", 4000), ("maybe", 2000), ("no", 2000)]

@@ -114,22 +114,10 @@ def main() -> None:
 
     from pyspark.sql import functions as _F
 
-    def _multiline(d):
-        # Same shape as the OP-D2-lines registry fixture: shared
-        # boilerplate lines between body chunks.
-        return d.select(
-            "doc_id",
-            _F.concat_ws(
-                "\n",
-                _F.expr("substr(text, 1, 80)"),
-                _F.lit("Subscribe to our newsletter for updates and special offers"),
-                _F.expr("substr(text, 81, 80)"),
-                _F.when(
-                    _F.col("doc_id") % 3 == 0,
-                    _F.lit("All rights reserved - Example Corp"),
-                ).otherwise(_F.concat(_F.lit("doc#"), _F.col("doc_id").cast("string"))),
-            ).alias("text"),
-        )
+    # The OP-D2-lines registry fixture itself — imported, not copied,
+    # so the probe measures exactly the corpus shape the correctness
+    # gate verifies.
+    from filefilter_spark.queries.extensions import multiline_of as _multiline
 
     def _seen_new(d):
         # Daily-ingest shape at every scale: evens are history, odds +
