@@ -218,3 +218,60 @@ def test_dialect_translation_differential(spark, expr):
     ).createOrReplaceTempView("t")
     got = spark.sql(translate(duck_sql)).collect()[0][0]
     assert got == want, f"{expr!r}: spark={got!r} duckdb={want!r}"
+
+
+# --- line-level dedup vs a direct Python reference -------------------------
+
+_line_texts = st.lists(
+    st.lists(
+        st.sampled_from([
+            "short",
+            "x",
+            "a boilerplate line easily exceeding the thirty char bar",
+            "another long line that is also past the minimum length",
+            "  A Boilerplate   LINE easily exceeding the thirty char bar ",
+            "",
+        ]),
+        min_size=1, max_size=5,
+    ),
+    min_size=1, max_size=8,
+)
+
+
+def _line_dedup_reference(docs: list[list[str]], min_len: int = 30):
+    """Direct transcription of the documented semantics: global first
+    occurrence per normalized line (length >= min_len), docs reassembled
+    from survivors, empty docs dropped."""
+    import re
+
+    seen = set()
+    out = {}
+    for doc_id, lines in enumerate(docs):
+        kept = []
+        for line in lines:
+            norm = re.sub(r"\s+", " ", line.lower()).strip()
+            if len(norm) < min_len:
+                kept.append(line)
+            elif norm not in seen:
+                seen.add(norm)
+                kept.append(line)
+        if kept:
+            out[doc_id] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_line_texts)
+def test_line_dedup_matches_python_reference(spark, docs):
+    from filefilter_spark.ops.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_dropped"])
+        for r in line_dedup(df).collect()
+    }
+    assert got == _line_dedup_reference(docs)
