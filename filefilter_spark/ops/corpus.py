@@ -267,3 +267,29 @@ def chunk_documents(
         F.array_join("ck", " ").alias("chunk_text"),
         F.size("ck").cast("long").alias("n_tokens"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    max_contamination: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """REMOVE benchmark-contaminated documents — the enforcement
+    counterpart of :func:`contamination` (which only measures): keep
+    rows whose contaminated-shingle share is ≤ ``max_contamination``
+    (0 = drop on any overlap).
+
+    Shape: the contamination scores reduce to a small offender id set
+    (only docs ABOVE the threshold), and the corpus anti-joins on ids —
+    so document bodies cross no shuffle and the common case (clean doc)
+    pays only the posting explode it already paid for measurement.
+    """
+    offenders = (
+        contamination(docs, benchmark, id_col, text_col, shingle_n)
+        .filter(F.col("contamination") > max_contamination)
+        .select(id_col)
+    )
+    return docs.join(offenders, id_col, "left_anti")

@@ -2073,3 +2073,26 @@ def op_d2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = d.filter(F.col("doc_id") % 2 == 0)
     new = d.filter(F.col("doc_id") % 2 == 1)
     return minhash_dedup_against(new, seen, threshold=0.5, shingle_n=3)
+
+
+@query(
+    "OP-D7-decontaminate",
+    oracle=f"""
+    WITH contam AS ({_CONTAM_ORACLE})
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT doc_id FROM contam WHERE contamination > 0.1
+    )
+    """,
+    doc="benchmark decontamination (enforcement counterpart of "
+        "OP-D7-contamination): drop docs whose contaminated-shingle "
+        "share exceeds 10% — offender ids anti-joined, corpus bodies "
+        "never shuffle (ops/corpus.py decontaminate).",
+)
+def op_d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(d, bench, max_contamination=0.1)

@@ -1052,3 +1052,21 @@ def test_frequent_tokens_small_vocab_exact_not_rejected(spark):
     )
     rows = [(r["tok"], r["n"]) for r in frequent_tokens(docs, k=10, capacity=256).collect()]
     assert rows == [("yes", 4000), ("maybe", 2000), ("no", 2000)]
+
+
+def test_decontaminate_drops_only_offenders(spark):
+    from filefilter_spark.ops.corpus import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # = benchmark: dropped
+            (2, "one two three four five six seven"),     # clean: kept
+            (3, "alpha beta gamma delta unrelated tail words here"),  # partial
+        ],
+        "doc_id int, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    kept_strict = {r["doc_id"] for r in decontaminate(docs, bench, 0.0).collect()}
+    assert kept_strict == {2}  # doc 3 shares shingles -> dropped at 0 tolerance
+    kept_loose = {r["doc_id"] for r in decontaminate(docs, bench, 0.9).collect()}
+    assert kept_loose == {2, 3}  # partial overlap tolerated, exact copy not
