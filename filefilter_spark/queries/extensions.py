@@ -2096,3 +2096,37 @@ def op_d7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 50 == 0)
     return decontaminate(d, bench, max_contamination=0.1)
+
+
+@query(
+    "OP-A8-lines",
+    # The YAML pipeline (sql multiline fixture -> linededup) must equal
+    # the library-level OP-D2-lines result exactly — oracle reused
+    # verbatim, proving the zero-code surface drives the same operator.
+    oracle=_REGISTRY["OP-D2-lines"].oracle,
+    doc="zero-code pipeline surface for the round-5 ops: a YAML config "
+        "(sql stage building the multiline fixture, then the linededup "
+        "actionType) reproduces OP-D2-lines byte-for-byte "
+        "(stages/corpus_stage.py LineDedupStage).",
+)
+def op_a8_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    cfg = load_config_str("""
+filters:
+  - name: build_multiline
+    actionType: sql
+    code: |
+      SELECT doc_id, concat_ws(chr(10),
+        substr(text, 1, 80),
+        'Subscribe to our newsletter for updates and special offers',
+        substr(text, 81, 80),
+        CASE WHEN doc_id % 3 = 0 THEN 'All rights reserved - Example Corp'
+             ELSE 'doc#' || doc_id END) AS text
+      FROM df
+  - name: strip_boilerplate
+    actionType: linededup
+""")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return Pipeline(spark, cfg).run(d).df

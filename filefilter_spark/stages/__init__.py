@@ -10,7 +10,16 @@ from filefilter_spark.stages.python_stage import PythonStage
 from filefilter_spark.stages.rest_stage import RestStage
 from filefilter_spark.stages.pandas_stage import PandasStage
 from filefilter_spark.stages.udf_stage import UdfStage
-from filefilter_spark.stages.corpus_stage import DedupStage, SampleStage, SplitStage
+from filefilter_spark.stages.corpus_stage import (
+    ChunkStage,
+    DecontaminateStage,
+    DedupStage,
+    DomainFilterStage,
+    LineDedupStage,
+    QuotaStage,
+    SampleStage,
+    SplitStage,
+)
 from filefilter_spark.stages.media_stage import MediaStage
 
 STAGE_TYPES = {
@@ -23,11 +32,18 @@ STAGE_TYPES = {
     "dedup": DedupStage,
     "split": SplitStage,
     "sample": SampleStage,
+    "linededup": LineDedupStage,
+    "quota": QuotaStage,
+    "chunk": ChunkStage,
+    "decontaminate": DecontaminateStage,
+    "domainfilter": DomainFilterStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
 }
 
 __all__ = [
     "SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage",
-    "DedupStage", "SplitStage", "SampleStage", "MediaStage", "STAGE_TYPES",
+    "DedupStage", "SplitStage", "SampleStage", "LineDedupStage",
+    "QuotaStage", "ChunkStage", "DecontaminateStage", "DomainFilterStage",
+    "MediaStage", "STAGE_TYPES",
 ]

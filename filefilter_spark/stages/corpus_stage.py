@@ -23,7 +23,15 @@ sampling without writing code:
           groupField: source
           rates: {web: 0.1}
 
-All three are pure DataFrame transforms (no driver-side sampling pass,
+Round-5 additions widen the same surface: ``linededup`` (C4/CCNet
+line-level dedup + reassembly), ``quota`` (per-group absolute cap),
+``chunk`` (fixed-size overlapping token chunks), ``decontaminate``
+(drop benchmark-overlapping docs; ``benchmarkPath`` names the eval
+parquet), and ``domainfilter`` (URL-host blocklist removal) — see each
+stage's docstring for its actionConfig keys. OP-A8-lines proves the
+YAML path reproduces the library operator byte-for-byte.
+
+All are pure DataFrame transforms (no driver-side sampling pass,
 unlike the code-bearing stages — the output schema is statically
 known), so they fold into the surrounding lazy plan.
 """
@@ -83,4 +91,96 @@ class SampleStage(Stage):
             group_col=cfg.get("groupField", "source"),
             id_col=cfg.get("idField", "doc_id"),
             seed=int(cfg.get("seed", 42)),
+        )
+
+
+class LineDedupStage(Stage):
+    """Corpus-wide line-level dedup + reassembly
+    (``ops.dedup.line_dedup``) — C4/CCNet boilerplate removal from
+    YAML. Output schema: (idField, textField, n_kept, n_dropped)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.dedup import line_dedup
+
+        cfg = self.cfg.action_config
+        return line_dedup(
+            df,
+            text_col=cfg.get("textField", "text"),
+            id_col=cfg.get("idField", "doc_id"),
+            min_len=int(cfg.get("minLineLength", 30)),
+        )
+
+
+class QuotaStage(Stage):
+    """Per-group absolute row cap (``ops.corpus.quota_sample``)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.corpus import quota_sample
+
+        cfg = self.cfg.action_config
+        return quota_sample(
+            df,
+            quota=int(cfg["quota"]),
+            group_col=cfg.get("groupField", "source"),
+            id_col=cfg.get("idField", "doc_id"),
+            seed=int(cfg.get("seed", 42)),
+        )
+
+
+class ChunkStage(Stage):
+    """Fixed-size overlapping token chunking
+    (``ops.corpus.chunk_documents``); the dataset becomes
+    (idField, chunk_id, chunk_text, n_tokens)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.corpus import chunk_documents
+
+        cfg = self.cfg.action_config
+        return chunk_documents(
+            df,
+            chunk_tokens=int(cfg.get("chunkTokens", 64)),
+            overlap=int(cfg.get("overlap", 16)),
+            text_col=cfg.get("textField", "text"),
+            id_col=cfg.get("idField", "doc_id"),
+        )
+
+
+class DecontaminateStage(Stage):
+    """Drop benchmark-contaminated docs
+    (``ops.corpus.decontaminate``). ``benchmarkPath`` points at a
+    parquet table with the same text field (the eval suite)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.corpus import decontaminate
+
+        cfg = self.cfg.action_config
+        bench = df.sparkSession.read.parquet(cfg["benchmarkPath"])
+        return decontaminate(
+            df,
+            bench,
+            max_contamination=float(cfg.get("maxContamination", 0.0)),
+            id_col=cfg.get("idField", "doc_id"),
+            text_col=cfg.get("textField", "text"),
+            shingle_n=int(cfg.get("shingleN", 3)),
+        )
+
+
+class DomainFilterStage(Stage):
+    """URL-domain extraction + blocklist removal
+    (``ops.text.domain_filter``); ``blocklist`` is an inline list of
+    domains (a real deployment points at a table instead)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.text import domain_filter
+
+        cfg = self.cfg.action_config
+        bl = df.sparkSession.createDataFrame(
+            [(str(d).lower(),) for d in cfg.get("blocklist", [])],
+            "domain string",
+        )
+        return domain_filter(
+            df,
+            bl,
+            url_col=cfg.get("urlField", "url"),
+            domain_col=cfg.get("domainField", "domain"),
         )

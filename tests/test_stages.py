@@ -334,3 +334,67 @@ filters:
     actionType: media
     actionConfig: {op: transcode}
 """)).run(df).df.collect()
+
+
+def test_round5_corpus_stages_in_pipeline(spark, tmp_path):
+    """linededup -> quota -> chunk and decontaminate/domainfilter as
+    zero-code YAML stages."""
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    boiler = "this shared boilerplate footer line is well over thirty chars"
+    df = spark.createDataFrame(
+        [
+            (1, "alpha bravo charlie delta echo foxtrot golf hotel india\n" + boiler, "a"),
+            (2, "juliet kilo lima mike november oscar papa quebec romeo\n" + boiler, "a"),
+            (3, "sierra tango uniform victor whiskey xray yankee zulu one\n" + boiler, "b"),
+        ],
+        "doc_id int, text string, source string",
+    )
+    out = Pipeline(spark, load_config_str("""
+filters:
+  - name: strip_boilerplate
+    actionType: linededup
+  - name: cap_sources
+    actionType: quota
+    actionConfig: {quota: 5, groupField: doc_id}
+  - name: window_chunks
+    actionType: chunk
+    actionConfig: {chunkTokens: 6, overlap: 2}
+""")).run(df).df
+    rows = out.collect()
+    # only doc 1 keeps the boilerplate line; every doc yields chunks
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    assert all(r["n_tokens"] <= 6 for r in rows)
+    joined = {r["doc_id"]: [] for r in rows}
+    for r in rows:
+        joined[r["doc_id"]].append(r["chunk_text"])
+    assert any("boilerplate" in t for t in joined[1])
+    assert not any("boilerplate" in t for t in joined[2] + joined[3])
+
+    # decontaminate: drop docs overlapping a benchmark parquet
+    bench_path = str(tmp_path / "bench.parquet")
+    df.filter("doc_id = 1").select("doc_id", "text").write.parquet(bench_path)
+    clean = Pipeline(spark, load_config_str(f"""
+filters:
+  - name: decontam
+    actionType: decontaminate
+    actionConfig: {{benchmarkPath: '{bench_path}', maxContamination: 0.5}}
+""")).run(df).df
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+
+    # domainfilter: blocklisted host dropped, domain column added
+    urls = spark.createDataFrame(
+        [(1, "https://good.example.com/x"), (2, "https://bad.example.net/y")],
+        "doc_id int, url string",
+    )
+    kept = Pipeline(spark, load_config_str("""
+filters:
+  - name: drop_bad_domains
+    actionType: domainfilter
+    actionConfig:
+      blocklist: [bad.example.net]
+""")).run(urls).df
+    rows = kept.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert rows[0]["domain"] == "good.example.com"
