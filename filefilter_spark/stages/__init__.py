@@ -16,9 +16,11 @@ from filefilter_spark.stages.corpus_stage import (
     DedupStage,
     DomainFilterStage,
     LineDedupStage,
+    PerplexityStage,
     QuotaStage,
     SampleStage,
     SplitStage,
+    TextStatsStage,
 )
 from filefilter_spark.stages.media_stage import MediaStage
 
@@ -37,6 +39,8 @@ STAGE_TYPES = {
     "chunk": ChunkStage,
     "decontaminate": DecontaminateStage,
     "domainfilter": DomainFilterStage,
+    "textstats": TextStatsStage,
+    "perplexity": PerplexityStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
 }
@@ -45,5 +49,5 @@ __all__ = [
     "SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage",
     "DedupStage", "SplitStage", "SampleStage", "LineDedupStage",
     "QuotaStage", "ChunkStage", "DecontaminateStage", "DomainFilterStage",
-    "MediaStage", "STAGE_TYPES",
+    "TextStatsStage", "PerplexityStage", "MediaStage", "STAGE_TYPES",
 ]

@@ -184,3 +184,35 @@ class DomainFilterStage(Stage):
             url_col=cfg.get("urlField", "url"),
             domain_col=cfg.get("domainField", "domain"),
         )
+
+
+class TextStatsStage(Stage):
+    """Attach the text-analysis battery as columns
+    (``ops.text.with_text_stats``: token counts, language ID, quality
+    score, fingerprint) — lets a following ``sql`` stage filter by
+    quality straight from YAML."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.text import with_text_stats
+
+        return with_text_stats(df, text_col=self.cfg.action_config.get("textField", "text"))
+
+
+class PerplexityStage(Stage):
+    """Attach the bigram-LM score (``ops.text.bigram_nll``) as columns
+    ``n_bigrams``/``nll`` — the CCNet-style perplexity filter from
+    YAML. Documents with fewer than two tokens get NULL scores (left
+    join) so downstream filters can decide their fate explicitly."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.text import bigram_nll
+
+        cfg = self.cfg.action_config
+        id_col = cfg.get("idField", "doc_id")
+        scores = bigram_nll(
+            df,
+            text_col=cfg.get("textField", "text"),
+            id_col=id_col,
+            alpha=float(cfg.get("alpha", 0.5)),
+        ).withColumnRenamed("doc_id", id_col)
+        return df.join(scores, id_col, "left")

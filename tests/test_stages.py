@@ -398,3 +398,34 @@ filters:
     rows = kept.collect()
     assert [r["doc_id"] for r in rows] == [1]
     assert rows[0]["domain"] == "good.example.com"
+
+
+def test_textstats_and_perplexity_stages(spark):
+    """textstats + perplexity attach scoring columns; a following sql
+    stage filters on them — the YAML quality-gate composition."""
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 3),
+            (2, "zz"),  # low quality: too short
+            (3, "solo"),  # single token: NULL perplexity
+        ],
+        "doc_id int, text string",
+    )
+    out = Pipeline(spark, load_config_str("""
+filters:
+  - name: score
+    actionType: textstats
+  - name: lm_score
+    actionType: perplexity
+  - name: keep_scored_quality
+    actionType: sql
+    code: SELECT * FROM df WHERE quality > 0.5 AND nll IS NOT NULL
+""")).run(df).df
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    r = rows[0]
+    assert r["n_tokens"] == 27 and r["lang_detected"] == "en"
+    assert r["n_bigrams"] == 26 and r["nll"] > 0
