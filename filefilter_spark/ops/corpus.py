@@ -262,7 +262,7 @@ def chunk_documents(
         ).alias("chunk_id", "ck"),
     )
     return chunks.filter(F.size("ck") > 0).select(
-        "doc_id",
+        F.col("doc_id").alias(id_col),  # honor the caller's id name
         "chunk_id",
         F.array_join("ck", " ").alias("chunk_text"),
         F.size("ck").cast("long").alias("n_tokens"),

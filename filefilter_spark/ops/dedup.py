@@ -364,6 +364,9 @@ def line_dedup(
         .join(totals, "doc_id")
         .withColumn("n_dropped", F.col("__n_total") - F.col("n_kept"))
         .drop("__n_total")
+        # honor the caller's column names (no-op for the defaults)
+        .withColumnRenamed("doc_id", id_col)
+        .withColumnRenamed("text", text_col)
     )
 
 
@@ -449,9 +452,18 @@ def bloom_dedup_against(
     id_col: str = "doc_id",
     fpp: float = 0.01,
     n_seen: int | None = None,
+    release_previous: bool = True,
 ) -> DataFrame:
     """Incremental exact dedup with a broadcast Bloom pre-filter —
     byte-identical output to :func:`dedup_against`, different physics.
+
+    ``release_previous`` (default True) unpersists the PREVIOUS call's
+    cached frames and broadcast bitmap before building this call's —
+    right for the sequential per-batch ingest loop this op targets
+    (results stay correct either way; Spark recomputes evicted caches).
+    Pass False when holding multiple live results (or calling from
+    several threads) and release manually via
+    :func:`_release_bloom_resources` when done.
 
     ``dedup_against`` anti-joins every new fingerprint against the
     history: both sides shuffle. Here the history is folded ONCE into an
@@ -475,7 +487,8 @@ def bloom_dedup_against(
     # once, not thrice. In production the history IS a persisted
     # fingerprint table (see dedup_against) and n comes from its
     # metadata — this cache reproduces that shape for derived inputs.
-    _release_bloom_resources()
+    if release_previous:
+        _release_bloom_resources()
     seen_fp = seen.select(fingerprint(text_col).alias("__fp"))
     if n_seen is None:
         from pyspark import StorageLevel

@@ -105,6 +105,15 @@ def frequent_tokens(
             merged[row["tok"]] = merged.get(row["tok"], 0) + row["cnt"]
 
     if not merged:
+        if any_evicted:
+            # Evictions wiped every counter (e.g. an all-distinct token
+            # stream thrashing the summary): the true top-k is unknown
+            # and an empty answer would be a silent lie.
+            raise ValueError(
+                f"top-{k} not provable at capacity {capacity}: evictions "
+                "emptied the summary; retry with capacity > the distinct "
+                "token count"
+            )
         return tok_rows.groupBy("tok").count().limit(0).selectExpr(
             "tok", "count AS n"
         )

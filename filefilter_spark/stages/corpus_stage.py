@@ -97,7 +97,8 @@ class SampleStage(Stage):
 class LineDedupStage(Stage):
     """Corpus-wide line-level dedup + reassembly
     (``ops.dedup.line_dedup``) — C4/CCNet boilerplate removal from
-    YAML. Output schema: (idField, textField, n_kept, n_dropped)."""
+    YAML. Output schema: (idField, textField, n_kept, n_dropped),
+    keeping the configured column names."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         from filefilter_spark.ops.dedup import line_dedup
@@ -158,7 +159,7 @@ class DecontaminateStage(Stage):
         return decontaminate(
             df,
             bench,
-            max_contamination=float(cfg.get("maxContamination", 0.0)),
+            max_contamination=float(cfg.get("maxContamination", 0.1)),
             id_col=cfg.get("idField", "doc_id"),
             text_col=cfg.get("textField", "text"),
             shingle_n=int(cfg.get("shingleN", 3)),

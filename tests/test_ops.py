@@ -1070,3 +1070,31 @@ def test_decontaminate_drops_only_offenders(spark):
     assert kept_strict == {2}  # doc 3 shares shingles -> dropped at 0 tolerance
     kept_loose = {r["doc_id"] for r in decontaminate(docs, bench, 0.9).collect()}
     assert kept_loose == {2, 3}  # partial overlap tolerated, exact copy not
+
+
+def test_line_dedup_and_chunk_honor_custom_columns(spark):
+    from filefilter_spark.ops.corpus import chunk_documents
+    from filefilter_spark.ops.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a long enough body line exceeding the thirty char floor")],
+        "page_id int, body string",
+    )
+    ld = line_dedup(df, text_col="body", id_col="page_id")
+    assert ld.columns == ["page_id", "body", "n_kept", "n_dropped"]
+    ch = chunk_documents(df, chunk_tokens=4, overlap=1, text_col="body", id_col="page_id")
+    assert ch.columns == ["page_id", "chunk_id", "chunk_text", "n_tokens"]
+
+
+def test_frequent_tokens_raises_when_evictions_empty_summary(spark):
+    import pytest as _pytest
+
+    from filefilter_spark.ops.sketch import frequent_tokens
+
+    # all-distinct token stream with a tiny capacity: evictions can
+    # empty the summary; an empty "exact top-k" would be a silent lie.
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(8)))], "doc_id int, text string"
+    )
+    with _pytest.raises(ValueError, match="not provable"):
+        frequent_tokens(docs, k=3, capacity=2)
