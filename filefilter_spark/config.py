@@ -30,7 +30,7 @@ VALID_ACTION_TYPES = {
     # zero-code corpus-assembly stages (stages/corpus_stage.py)
     "dedup", "split", "sample",
     "linededup", "quota", "chunk", "decontaminate", "domainfilter",
-    "textstats", "perplexity",
+    "textstats", "perplexity", "expect",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",
 }

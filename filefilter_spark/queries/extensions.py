@@ -2130,3 +2130,40 @@ filters:
 """)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return Pipeline(spark, cfg).run(d).df
+
+
+@query(
+    "OP-A8-expect",
+    oracle="""
+    SELECT 'min_rows' AS check, count(*) >= 100 AS passed,
+           CAST(count(*) AS VARCHAR) AS observed FROM documents
+    UNION ALL
+    SELECT 'not_null:text', sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) = 0,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'unique:doc_id', count(doc_id) = count(DISTINCT doc_id),
+           CAST(count(doc_id) - count(DISTINCT doc_id) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'range:n_chars',
+           min(n_chars) >= 1 AND max(n_chars) <= 100000,
+           CAST(min(n_chars) AS VARCHAR) || '..' || CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    doc="data-quality expectation report (Deequ shape): row-count floor, "
+        "null-free and unique columns, numeric range — ALL checks from "
+        "ONE aggregation pass, exploded into (check, passed, observed) "
+        "rows; the YAML `expect` actionType gates pipelines on the same "
+        "engine (ops/expect.py).",
+)
+def op_a8_expect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.expect import expectation_report
+
+    return expectation_report(
+        load_table(spark, sf_dir, "documents"),
+        min_rows=100,
+        not_null=["text"],
+        unique=["doc_id"],
+        ranges={"n_chars": (1, 100000)},
+    )

@@ -15,6 +15,7 @@ from filefilter_spark.stages.corpus_stage import (
     DecontaminateStage,
     DedupStage,
     DomainFilterStage,
+    ExpectStage,
     LineDedupStage,
     PerplexityStage,
     QuotaStage,
@@ -41,6 +42,7 @@ STAGE_TYPES = {
     "domainfilter": DomainFilterStage,
     "textstats": TextStatsStage,
     "perplexity": PerplexityStage,
+    "expect": ExpectStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
 }
@@ -49,5 +51,6 @@ __all__ = [
     "SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage",
     "DedupStage", "SplitStage", "SampleStage", "LineDedupStage",
     "QuotaStage", "ChunkStage", "DecontaminateStage", "DomainFilterStage",
-    "TextStatsStage", "PerplexityStage", "MediaStage", "STAGE_TYPES",
+    "TextStatsStage", "PerplexityStage", "ExpectStage", "MediaStage",
+    "STAGE_TYPES",
 ]

@@ -217,3 +217,36 @@ class PerplexityStage(Stage):
             alpha=float(cfg.get("alpha", 0.5)),
         ).withColumnRenamed("doc_id", id_col)
         return df.join(scores, id_col, "left")
+
+
+class ExpectStage(Stage):
+    """Data-quality gate (``ops.expect.enforce``): evaluate the
+    configured expectations in one aggregation and FAIL the pipeline
+    when any is violated; the dataset passes through unchanged.
+
+    .. code-block:: yaml
+
+        - name: gate
+          actionType: expect
+          actionConfig:
+            minRows: 1000
+            notNull: [doc_id, text]
+            unique: [doc_id]
+            ranges: {n_chars: [1, 100000]}
+    """
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.expect import enforce
+
+        cfg = self.cfg.action_config
+        ranges = {
+            str(c): (float(v[0]), float(v[1]))
+            for c, v in (cfg.get("ranges") or {}).items()
+        }
+        return enforce(
+            df,
+            min_rows=int(cfg["minRows"]) if "minRows" in cfg else None,
+            not_null=[str(c) for c in cfg.get("notNull", [])],
+            unique=[str(c) for c in cfg.get("unique", [])],
+            ranges=ranges,
+        )

@@ -1098,3 +1098,26 @@ def test_frequent_tokens_raises_when_evictions_empty_summary(spark):
     )
     with _pytest.raises(ValueError, match="not provable"):
         frequent_tokens(docs, k=3, capacity=2)
+
+
+def test_expectation_report_single_job_and_enforce(spark):
+    from filefilter_spark.ops.expect import enforce, expectation_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 25.0), (3, None)], "id int, v double"
+    )
+    rep = {
+        r["check"]: (r["passed"], r["observed"])
+        for r in expectation_report(
+            df, min_rows=2, not_null=["v"], unique=["id"], ranges={"v": (0, 10)}
+        ).collect()
+    }
+    assert rep["min_rows"] == (True, "3")
+    assert rep["not_null:v"] == (False, "1")
+    assert rep["unique:id"] == (True, "0")
+    assert rep["range:v"] == (False, "5.0..25.0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="range:v"):
+        enforce(df, ranges={"v": (0, 10)})
+    assert enforce(df, min_rows=1).count() == 3

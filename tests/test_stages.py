@@ -429,3 +429,30 @@ filters:
     r = rows[0]
     assert r["n_tokens"] == 27 and r["lang_detected"] == "en"
     assert r["n_bigrams"] == 26 and r["nll"] > 0
+
+
+def test_expect_stage_gates_pipeline(spark):
+    from filefilter_spark.config import ConfigError, load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "text a", 6), (2, "text b", 6), (2, None, 0)],
+        "doc_id int, text string, n_chars int",
+    )
+    ok = Pipeline(spark, load_config_str("""
+filters:
+  - name: gate
+    actionType: expect
+    actionConfig: {minRows: 3, ranges: {n_chars: [0, 10]}}
+""")).run(df).df
+    assert ok.count() == 3  # passes: dataset unchanged
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not_null:text.*unique:doc_id"):
+        Pipeline(spark, load_config_str("""
+filters:
+  - name: gate
+    actionType: expect
+    actionConfig: {notNull: [text], unique: [doc_id]}
+""")).run(df)
