@@ -96,7 +96,9 @@ def main() -> None:
     mults = [m for m in (1, 2, 4, 8, 16) if m <= max_mult]
 
     from filefilter_spark.ops.corpus import (
+        chunk_documents,
         contamination,
+        decontaminate,
         pack_sequences,
         quota_sample,
     )
@@ -108,7 +110,8 @@ def main() -> None:
         minhash_near_dup,
         token_jaccard_pairs,
     )
-    from filefilter_spark.ops.similarity import lsh_cosine_pairs
+    from filefilter_spark.ops.similarity import lsh_cosine_pairs, quantize_embeddings
+    from filefilter_spark.ops.sketch import frequent_tokens
     from filefilter_spark.ops.text import bigram_nll, tfidf_top_terms
     from filefilter_spark.session import get_spark
 
@@ -218,6 +221,24 @@ def main() -> None:
             "quota_sample": lambda d=docs: noop_write(
                 quota_sample(d, quota=max(1, n_docs // 20))
             ),
+            # newest round-5 ops: chunking and quantization are
+            # shuffle-free projections (expected flat/linear);
+            # decontaminate is the contamination broadcast-semi plus an
+            # id anti-join; heavy-hitters is the sketch + bounded
+            # recount (per-partition summaries, expected flat).
+            "chunk_documents": lambda d=docs: noop_write(
+                chunk_documents(d, chunk_tokens=64, overlap=16)
+            ),
+            "quantize_embeddings": lambda d=emb: noop_write(
+                quantize_embeddings(d)
+            ),
+            "decontaminate": lambda d=docs: noop_write(
+                decontaminate(d, d.filter(_F.col("doc_id") % 50 == 0),
+                              max_contamination=0.1)
+            ),
+            "heavy_hitters": lambda d=docs: frequent_tokens(
+                d, k=10, capacity=1024
+            ).count(),
         }
         for name, fn in ops.items():
             sec = timed(fn)
