@@ -27,8 +27,10 @@ Round-5 additions widen the same surface: ``linededup`` (C4/CCNet
 line-level dedup + reassembly), ``quota`` (per-group absolute cap),
 ``chunk`` (fixed-size overlapping token chunks), ``decontaminate``
 (drop benchmark-overlapping docs; ``benchmarkPath`` names the eval
-parquet), and ``domainfilter`` (URL-host blocklist removal) — see each
-stage's docstring for its actionConfig keys. OP-A8-lines proves the
+parquet), ``domainfilter`` (URL-host blocklist removal), ``textstats`` /
+``perplexity`` (scoring columns for YAML quality gates), and
+``expect`` (one-pass data-quality gate that fails the run on violated
+expectations) — see each stage's docstring for its actionConfig keys. OP-A8-lines proves the
 YAML path reproduces the library operator byte-for-byte.
 
 All are pure DataFrame transforms (no driver-side sampling pass,
