@@ -79,9 +79,12 @@ def expectation_report(
         checks.append(
             F.struct(
                 F.lit(f"range:{c}").alias("check"),
-                (
+                # vacuously true over zero rows / all-null columns
+                # (min/max are NULL there) — emptiness is min_rows' job
+                F.coalesce(
                     (F.col(f"__min_{c}") >= F.lit(lo))
-                    & (F.col(f"__max_{c}") <= F.lit(hi))
+                    & (F.col(f"__max_{c}") <= F.lit(hi)),
+                    F.lit(True),
                 ).alias("passed"),
                 F.concat_ws(
                     "..",

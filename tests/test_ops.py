@@ -1121,3 +1121,13 @@ def test_expectation_report_single_job_and_enforce(spark):
     with _pytest.raises(ValueError, match="range:v"):
         enforce(df, ranges={"v": (0, 10)})
     assert enforce(df, min_rows=1).count() == 3
+
+
+def test_expectation_range_vacuous_on_empty_or_all_null(spark):
+    from filefilter_spark.ops.expect import expectation_report
+
+    empty = spark.createDataFrame([], "id int, v double")
+    rep = {r["check"]: r["passed"] for r in expectation_report(
+        empty, min_rows=1, ranges={"v": (0, 1)}).collect()}
+    assert rep["range:v"] is True  # vacuous; emptiness is min_rows' job
+    assert rep["min_rows"] is False
