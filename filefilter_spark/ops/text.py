@@ -286,83 +286,110 @@ def bigram_nll(
     Returns ``(doc_id, n_bigrams, nll)`` with nll rounded to 6dp (the
     same cross-engine double-fold tolerance as the cosine operators).
 
-    Scale shape: two regimes, switched on observed bigram-TYPE count
-    (bounded by vocab², not corpus size). Small models: one
-    shuffle-free Arrow fold builds the counts, one scan scores every
-    row against a broadcast nested-map literal — no exploded rows, no
-    joins, no doc_id shuffle. Type counts beyond
-    ``max_model_literal``: fully distributed explode + aggregate +
-    occurrence-join (web-scale vocabularies). Both regimes do the
-    smoothing arithmetic in IEEE doubles, so output is identical.
-    Variants measured at sf0.1 before settling here: occurrence join
-    2.8 s at ×8; per-doc count pre-aggregation 4.4 s (no within-doc
-    bigram repeats in near-uniform text — the extra shuffle bought
-    nothing); sketch + map-literal 0.7 s at ×1 / 2.8 s at ×8, with
-    the residual ×8 cost being Arrow transfer of the token arrays.
+    Scale shape: 100% JVM — no Python ever touches the data. Tokens
+    are hashed to int64 (``xxhash64``) right after the split, so
+    everything downstream moves fixed-width ints, never token
+    strings. The model build is ONE scan: each doc explodes to its
+    hashed bigram pairs PLUS one ``(token, NULL)`` marker per token,
+    and a single map-combining groupBy counts both at once (shuffle
+    traffic is types per partition, not occurrences; the NULL-marker
+    groups give the exact vocab size with no second tokenize pass).
+    A ``limit``-bounded collect caps driver traffic regardless of
+    corpus size. Small models (pair types ≤ ``max_model_literal``):
+    smoothing probabilities are computed on the driver and scoring is
+    one scan with a broadcast hash-join against the model (O(1)
+    probes — a nested-map-literal variant measured 2× slower because
+    Catalyst's map lookup is a linear scan) and a partially-aggregated
+    doc_id fold. Bigger vocabularies: fully distributed occurrence-
+    join on the 8-byte hash keys, join strategy left to AQE (the
+    model can exceed broadcast size at vocab² scale). Both regimes do
+    the smoothing arithmetic in IEEE doubles, so output is identical.
+    Hashing trades exactness for speed only in theory: a 64-bit
+    collision within a ≤20k-token vocab (p ≈ 2e-11) would merge two
+    tokens' counts; the exact DuckDB oracle would catch it. History:
+    a string-array mapInPandas fold measured 2.6× DuckDB at sf0.1
+    growing to 11.9× at ×8 — Arrow transfer of token strings WAS the
+    cost, which is why nothing crosses the JVM boundary anymore.
     """
     tk = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
-    # Adaptive two-regime design, same philosophy as the sketch tier
-    # (ops/sketch.py): when the bigram TYPE count is modest (bounded by
-    # observed-vocab², not corpus size — true of natural-language
-    # corpora), the model is built in ONE shuffle-free pass
-    # (per-partition Counter fold over Arrow batches, driver merge) and
-    # scoring is a single scan against a broadcast nested-map literal —
-    # no exploded rows, no join, no doc_id shuffle. When the fold
-    # overflows ``max_model_literal`` bigram types, everything falls
-    # back to the fully distributed explode + aggregate +
-    # occurrence-join plan below, which handles web-scale vocabularies.
-    # Measured at sf0.1 ×8: 2.8 s (join plan) → ~1 s (sketch plan),
-    # identical output. The smoothing arithmetic runs in IEEE doubles
-    # either way, so the two regimes are value-identical.
-    sketch = _bigram_model_counts(tk, max_model_literal)
-    if sketch is not None:
-        big, n1, vocab_n = sketch
-        by_w1: dict = {}
-        for (w1, w2), n12 in big.items():
-            p = (n12 + alpha) / (n1[w1] + alpha * vocab_n)
-            by_w1.setdefault(w1, []).append((w2, p))
-
-        def lit(tok: str) -> str:
-            return "'" + tok.replace("\\", "\\\\").replace("'", "\\'") + "'"
-
-        inner = ", ".join(
-            f"{lit(w1)}, map(" + ", ".join(
-                f"{lit(w2)}, {p!r}D" for w2, p in pairs
-            ) + ")"
-            for w1, pairs in by_w1.items()
-        )
-        score = (
-            f"round(-aggregate(transform(sequence(0, size(t) - 2),"
-            f" i -> ln(element_at(element_at(map({inner}), t[i]), t[i + 1]))),"
-            f" 0D, (a, v) -> a + v) / (size(t) - 1), 6)"
-        )
-        return tk.filter(F.size("t") >= 2).select(
-            "doc_id",
-            (F.size("t") - 1).cast("long").alias("n_bigrams"),
-            F.expr(score).alias("nll"),
-        )
-
-    # Distributed fallback. size(t) < 2 must be filtered BEFORE
+    # Hash once, JVM-side. size(t) < 2 must be filtered BEFORE
     # sequence(): Spark's sequence(0, -1) infers a DESCENDING step and
     # would emit a null-index bigram instead of an empty list.
+    hk = tk.select(
+        "doc_id",
+        F.expr("transform(t, x -> xxhash64(x))").alias("h"),
+        F.size("t").alias("n"),
+    )
     bi = (
-        tk.filter(F.size("t") >= 2)
+        hk.filter(F.col("n") >= 2)
         .select(
             "doc_id",
             F.expr(
-                "explode(transform(sequence(0, size(t) - 2),"
-                " i -> struct(t[i] AS w1, t[i + 1] AS w2))) AS b"
+                "explode(transform(sequence(0, n - 2),"
+                " i -> struct(h[i] AS w1, h[i + 1] AS w2))) AS b"
             ),
         )
         .select("doc_id", "b.w1", "b.w2")
     )
+    # Combined model-build probe: bigram pairs and per-token vocab
+    # markers (w2 IS NULL; real pairs can't collide with markers since
+    # tokens are never null) counted in ONE scan/aggregation. Driver
+    # traffic is bounded by the limit: pair types + vocab ≤ 2·cap+1
+    # rows back means the collect is COMPLETE; 2·cap+2 means overflow
+    # → fall through to the distributed plan (which recomputes the
+    # counts — persisting here would pin a cache into the returned
+    # lazy plan's lifetime, which the caller can't manage).
+    bound = 2 * max_model_literal + 2
+    head = (
+        hk.select(
+            F.expr(
+                "explode(concat("
+                " CASE WHEN n >= 2 THEN transform(sequence(0, n - 2),"
+                "   i -> struct(h[i] AS w1, h[i + 1] AS w2))"
+                "   ELSE array() END,"
+                " transform(h, x -> struct(x AS w1, CAST(NULL AS BIGINT) AS w2))"
+                ")) AS b"
+            )
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n12"))
+        .limit(bound)
+        .collect()
+    )
+    pairs = [r for r in head if r["w2"] is not None]
+    if len(head) < bound and pairs and len(pairs) <= max_model_literal:
+        vocab_n = len(head) - len(pairs)
+        # c1 (bigram-start counts) folds out of the pair counts on the
+        # driver: sum_w2 n12(w1, w2) = n1(w1).
+        n1: dict = {}
+        for r in pairs:
+            n1[r["w1"]] = n1.get(r["w1"], 0) + r["n12"]
+        spark = df.sparkSession
+        model = spark.createDataFrame(
+            [
+                (r["w1"], r["w2"],
+                 (r["n12"] + alpha) / (n1[r["w1"]] + alpha * vocab_n))
+                for r in pairs
+            ],
+            "w1 long, w2 long, p double",
+        )
+        return (
+            bi.join(F.broadcast(model), ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_bigrams"),
+                F.round(-F.avg(F.log("p")), 6).alias("nll"),
+            )
+        )
+
+    # Distributed fallback (vocabulary too large for a driver-side
+    # model, or no bigrams at all — the empty plan is free and keeps
+    # one schema). Joins shuffle 8-byte hash keys, never tokens.
     c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
-    # c1 (bigram-start counts) folds out of c12 — an aggregation over
-    # the (small) bigram-type table instead of a second tokenize pass
-    # over the corpus. Identical values: sum_w2 n12(w1, w2) = n1(w1).
     c1 = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
-    vocab = tk.select(F.explode("t").alias("tok")).agg(
-        F.count_distinct("tok").alias("vocab")
+    vocab = hk.select(F.explode("h").alias("x")).agg(
+        F.count_distinct("x").alias("vocab")
     )
     model = (
         c12.join(c1, "w1")
@@ -382,100 +409,6 @@ def bigram_nll(
             F.round(-F.avg(F.log("p")), 6).alias("nll"),
         )
     )
-
-
-def _bigram_model_counts(tk: DataFrame, cap: int):
-    """One-pass bigram/vocab counting for :func:`bigram_nll`'s sketch
-    regime: per-partition Counter fold over Arrow batches (no shuffle,
-    no exploded rows), merged on the driver. Returns
-    ``(bigram_counts, start_counts, vocab_size)``, or ``None`` when any
-    partial or the merge exceeds ``cap`` bigram types OR ``cap``
-    distinct tokens — the signal that this corpus needs the
-    distributed plan. Driver traffic is bounded by ``partitions ×
-    cap`` rows for both the count entries and the token sets (the
-    vocab is capped independently: bigram-poor corpora — millions of
-    single-token docs — would otherwise ship every distinct token to
-    the driver)."""
-    import pandas as pd
-
-    def fold(batches):
-        import numpy as np
-        from collections import Counter
-
-        big: Counter = Counter()
-        toks: set = set()
-        overflow = False
-        for b in batches:
-            arrs = [np.asarray(a) for a in b["t"] if a is not None and len(a)]
-            if not arrs:
-                continue
-            # Vectorized bigram counting: flatten the batch, pair
-            # adjacent tokens, mask out doc-boundary pairs, and count
-            # types with a C-level groupby — a per-token Python loop
-            # here was the whole op's bottleneck (4.4 s vs 1.0 s at
-            # probe ×8).
-            flat = np.concatenate(arrs)
-            uniq, inv = np.unique(flat, return_inverse=True)
-            toks.update(uniq.tolist())
-            # The cap must bound the VOCAB too, not just bigram types:
-            # a bigram-poor corpus (millions of single-token docs)
-            # would otherwise ship every distinct token to the driver
-            # before the empty-model fallback could fire.
-            if len(toks) > cap:
-                overflow = True
-                break
-            if len(flat) < 2:
-                continue
-            ends = np.cumsum([len(a) for a in arrs]) - 1
-            mask = np.ones(len(flat) - 1, dtype=bool)
-            mask[ends[:-1]] = False
-            # Count bigrams as INTEGER pair codes (w1·V + w2): string
-            # pair hashing (Counter / pandas groupby on objects) was
-            # 3-4x slower — the integer path stays in C end-to-end and
-            # touches Python only once per bigram TYPE.
-            v = np.int64(len(uniq))
-            codes = inv[:-1][mask].astype(np.int64) * v + inv[1:][mask]
-            pair_codes, counts = np.unique(codes, return_counts=True)
-            w1s = uniq[pair_codes // v]
-            w2s = uniq[pair_codes % v]
-            for i in range(len(pair_codes)):
-                big[(w1s[i], w2s[i])] += int(counts[i])
-            if len(big) > cap:
-                overflow = True
-                break
-        if overflow:
-            yield pd.DataFrame({"w1": [None], "w2": [None], "c": [-1]})
-        elif big or toks:
-            w1s = [k[0] for k in big] + list(toks)
-            w2s = [k[1] for k in big] + [None] * len(toks)
-            cs = list(big.values()) + [0] * len(toks)
-            yield pd.DataFrame({"w1": w1s, "w2": w2s, "c": cs})
-
-    rows = tk.select("t").mapInPandas(fold, "w1 string, w2 string, c long").collect()
-    big: dict = {}
-    toks: set = set()
-    for r in rows:
-        if r["c"] == -1:
-            return None
-        if r["w2"] is None:
-            toks.add(r["w1"])
-            if len(toks) > cap:
-                return None
-        else:
-            key = (r["w1"], r["w2"])
-            big[key] = big.get(key, 0) + r["c"]
-            if len(big) > cap:
-                return None
-    if not big:
-        return None
-    return big, _start_counts(big), len(toks)
-
-
-def _start_counts(big: dict) -> dict:
-    n1: dict = {}
-    for (w1, _), c in big.items():
-        n1[w1] = n1.get(w1, 0) + c
-    return n1
 
 def domain_filter(
     df: DataFrame,
