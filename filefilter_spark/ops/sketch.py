@@ -38,18 +38,41 @@ def _mg_update(counters: dict, item: str, capacity: int) -> bool:
     return True
 
 
+def _mg_trim(counters: dict, capacity: int) -> tuple[dict, bool]:
+    """Standard Misra-Gries merge trim: if more than ``capacity``
+    counters survive a summary merge, subtract the (capacity+1)-th
+    largest count from all and drop non-positives. Keeps ≤ capacity
+    entries and preserves the bound (any absent token's true count
+    ≤ N/capacity). Returns (trimmed, did_trim) — a trim counts as an
+    eviction for the exactness proof."""
+    if len(counters) <= capacity:
+        return counters, False
+    kth = sorted(counters.values(), reverse=True)[capacity]
+    return {t: c - kth for t, c in counters.items() if c > kth}, True
+
+
 def frequent_tokens(
     df: DataFrame,
     k: int = 10,
     capacity: int = 256,
     text_col: str = "text",
+    tree_threshold: int = 64,
 ) -> DataFrame:
     """EXACT top-k most frequent tokens, computed the 100 TB way:
 
     1. **Sketch pass** (no shuffle): each partition folds its token
        stream into a Misra-Gries summary of ``capacity`` counters
-       (mapInPandas); partials merge on the driver — traffic is
-       ``partitions x capacity`` entries, independent of corpus size.
+       (mapInPandas). Past ``tree_threshold`` partitions an
+       intermediate coalesce(√P) merge level folds ~√P partials each
+       (the standard MG merge: sum counts, then subtract the
+       (capacity+1)-th largest and drop non-positives — preserves the
+       N/capacity bound), so once evictions occur driver traffic is
+       O(√P × capacity) instead of O(P × capacity). Eviction-free
+       summaries are never trimmed — they hold EXACT complete counts
+       (the vocabulary simply fits), and completeness is what lets
+       small-vocab corpora skip the proof bound; their driver traffic
+       is the true vocab size. The candidate set — and the recount
+       broadcast below — is bounded by max(k, capacity) either way.
     2. **Exact recount** (bounded shuffle): only the sketch's candidate
        tokens are re-counted exactly — the aggregation's input is the
        candidates' postings, not the full token multiset.
@@ -87,7 +110,44 @@ def frequent_tokens(
             cnts = list(counters.values()) + [n] + ([-1] if evicted else [])
             yield pd.DataFrame({"tok": toks, "cnt": cnts})
 
-    partials = tok_rows.mapInPandas(fold, "tok string, cnt long").collect()
+    def merge_fold(batches):
+        merged: dict = {}
+        total = 0
+        evicted = False
+        for b in batches:
+            for tok, cnt in zip(b["tok"], b["cnt"]):
+                if tok is None:
+                    if cnt == -1:
+                        evicted = True
+                    else:
+                        total += int(cnt)
+                else:
+                    merged[tok] = merged.get(tok, 0) + int(cnt)
+        # Trim only once evictions have occurred: an eviction-free
+        # union holds EXACT counts and must stay complete (that is
+        # what lets small-vocab corpora skip the proof bound); once
+        # any partition evicted, the proof path needs only the
+        # N/capacity bound, which the MG trim preserves.
+        if evicted:
+            merged, _ = _mg_trim(merged, capacity)
+        if total or merged:
+            toks = list(merged) + [None] + ([None] if evicted else [])
+            cnts = list(merged.values()) + [total] + ([-1] if evicted else [])
+            yield pd.DataFrame({"tok": toks, "cnt": cnts})
+
+    partial_df = tok_rows.mapInPandas(fold, "tok string, cnt long")
+    n_parts = tok_rows.rdd.getNumPartitions()
+    if n_parts > tree_threshold:
+        # Tree fan-in: coalesce (narrow, no shuffle) the one-row-ish
+        # partials into √P groups and MG-merge each, so the driver
+        # sees O(√P × capacity) rows however many scan partitions the
+        # corpus has.
+        import math
+
+        partial_df = partial_df.coalesce(
+            max(1, int(math.ceil(math.sqrt(n_parts))))
+        ).mapInPandas(merge_fold, "tok string, cnt long")
+    partials = partial_df.collect()
     merged: dict = {}
     total = 0
     any_evicted = False
@@ -103,6 +163,8 @@ def frequent_tokens(
             # per-partition freq ≤ n_p/capacity, which sums to
             # ≤ N/capacity overall.
             merged[row["tok"]] = merged.get(row["tok"], 0) + row["cnt"]
+    if any_evicted:
+        merged, _ = _mg_trim(merged, capacity)
 
     if not merged:
         if any_evicted:
@@ -119,8 +181,21 @@ def frequent_tokens(
         )
 
     candidates = sorted(merged, key=lambda t: (-merged[t], t))
+    if not any_evicted:
+        # Eviction-free ⇒ merged counts are exact AND complete, so the
+        # top-k is already decided here; only those k tokens need the
+        # (re)count that feeds the returned DataFrame.
+        candidates = candidates[:k]
+    # Broadcast-join the candidate set rather than embedding it as an
+    # isin() literal: the literal would bloat the plan (and its codegen)
+    # linearly in candidate count, while a broadcast hash join keeps
+    # the recount a streaming O(1)-probe scan. ≤ max(k, capacity) rows,
+    # so the broadcast is bytes.
+    cand_df = df.sparkSession.createDataFrame(
+        [(t,) for t in candidates], "tok string"
+    )
     exact = (
-        tok_rows.filter(F.col("tok").isin(candidates))
+        tok_rows.join(F.broadcast(cand_df), "tok")
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("tok"))

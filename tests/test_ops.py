@@ -956,6 +956,37 @@ def test_frequent_tokens_matches_exact_groupby(spark, documents):
     assert got == expect
 
 
+def test_frequent_tokens_tree_reduce_identical(spark, documents):
+    # Past tree_threshold partitions an intermediate coalesce(sqrt P)
+    # MG-merge level kicks in; the result must be identical to the
+    # flat fan-in whatever the partitioning.
+    from filefilter_spark.ops.sketch import frequent_tokens
+
+    flat = [(r["tok"], r["n"])
+            for r in frequent_tokens(documents, k=10).collect()]
+    tree = [(r["tok"], r["n"])
+            for r in frequent_tokens(
+                documents.repartition(512), k=10, tree_threshold=16
+            ).collect()]
+    assert tree == flat
+
+
+def test_build_bloom_tree_reduce_identical(spark):
+    # The bitmap OR is commutative/associative: the coalesce(sqrt P)
+    # tree level must produce the byte-identical bitmap.
+    import numpy as np
+
+    from filefilter_spark.ops.dedup import _bloom_params, _build_bloom
+
+    fps = spark.createDataFrame(
+        [(f"fp{i}",) for i in range(500)], "f string"
+    )
+    m, k = _bloom_params(500, 0.01)
+    flat = _build_bloom(fps.coalesce(2), "f", m, k)
+    tree = _build_bloom(fps.repartition(512), "f", m, k, tree_threshold=16)
+    assert np.array_equal(flat, tree)
+
+
 def test_frequent_tokens_refuses_unprovable_capacity(spark):
     import pytest as _pytest
 
