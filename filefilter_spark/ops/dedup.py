@@ -819,15 +819,26 @@ def minhash_dedup_against(
     cand = _minhash_candidates(
         union, id_col, text_col, num_hashes, bands, seed, shingle_n, max_bucket
     )
-    a_new = new.select(F.col(id_col).alias("id_a"))
-    b_new = new.select(F.col(id_col).alias("id_b"))
-    # Disjoint split instead of semi ∪ semi + distinct: pairs whose
-    # id_a is new, plus pairs whose id_a is seen but id_b is new —
-    # covers every batch-touching pair exactly once, so no distinct
-    # (a full extra shuffle of the op's largest intermediate) is
-    # needed; _bucket_pairs output is already distinct.
-    touching = cand.join(a_new, "id_a", "left_semi").unionByName(
-        cand.join(a_new, "id_a", "left_anti").join(b_new, "id_b", "left_semi")
+    # Single pass over cand (its lineage is the op's most expensive
+    # subtree — signatures + banding; a semi ∪ anti+semi split would
+    # reference it from two branches and, absent exchange reuse, run
+    # it twice): two broadcast LEFT joins against the batch id set
+    # attach is-new flags, one filter keeps every batch-touching pair
+    # exactly once — no distinct (a full extra shuffle of the op's
+    # largest intermediate) needed; _bucket_pairs output is already
+    # distinct, and the distinct batch-id frame can't fan rows out.
+    batch_ids = new.select(F.col(id_col).alias("__bid")).distinct()
+    a_ids = batch_ids.select(
+        F.col("__bid").alias("id_a"), F.lit(True).alias("__a_new")
+    )
+    b_ids = batch_ids.select(
+        F.col("__bid").alias("id_b"), F.lit(True).alias("__b_new")
+    )
+    touching = (
+        cand.join(F.broadcast(a_ids), "id_a", "left")
+        .join(F.broadcast(b_ids), "id_b", "left")
+        .filter(F.col("__a_new").isNotNull() | F.col("__b_new").isNotNull())
+        .select("id_a", "id_b")
     )
     docs = _doc_tokens(union, id_col, text_col, shingle_n)
     return _verify_jaccard(touching, docs, threshold)

@@ -31,48 +31,71 @@ def expectation_report(
     ``unique:col`` (no duplicate values, nulls ignored);
     ``range:col`` (min/max within [lo, hi], nulls ignored).
     """
-    not_null = not_null or []
-    unique = unique or []
+    # De-duplicate (a repeated column would alias-collide in the
+    # aggregation) and validate names up front — a typo should read
+    # "unknown column", not an AnalysisException from deep inside the
+    # agg. Input columns are referenced backtick-escaped so names
+    # containing dots are taken literally instead of being parsed as
+    # struct paths, and every metric alias is positional (__m0, __m1,
+    # …) so no generated name ever embeds user text.
+    not_null = list(dict.fromkeys(not_null or []))
+    unique = list(dict.fromkeys(unique or []))
     ranges = ranges or {}
-
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in not_null:
-        aggs.append(
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}")
+    missing = [
+        c for c in (*not_null, *unique, *ranges) if c not in df.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"unknown column(s) {missing}; expected one of {df.columns}"
         )
+
+    def col(c: str):
+        return F.col("`" + c.replace("`", "``") + "`")
+
+    aggs = [F.count(F.lit(1)).alias("__m0")]
+    metric: dict = {("rows", None): "__m0"}
+
+    def add(kind: str, c: str, expr) -> None:
+        name = f"__m{len(aggs)}"
+        metric[(kind, c)] = name
+        aggs.append(expr.alias(name))
+
+    for c in not_null:
+        add("null", c, F.sum(F.when(col(c).isNull(), 1).otherwise(0)))
     for c in unique:
-        aggs.append(F.count(c).alias(f"__cnt_{c}"))
-        aggs.append(F.count_distinct(c).alias(f"__dst_{c}"))
+        add("cnt", c, F.count(col(c)))
+        add("dst", c, F.count_distinct(col(c)))
     for c in ranges:
-        aggs.append(F.min(c).alias(f"__min_{c}"))
-        aggs.append(F.max(c).alias(f"__max_{c}"))
+        add("min", c, F.min(col(c)))
+        add("max", c, F.max(col(c)))
     row = df.agg(*aggs)
+
+    def m(kind: str, c: str | None):
+        return row[metric[(kind, c)]]
 
     checks = []
     if min_rows is not None:
         checks.append(
             F.struct(
                 F.lit("min_rows").alias("check"),
-                (F.col("__n") >= min_rows).alias("passed"),
-                F.col("__n").cast("string").alias("observed"),
+                (m("rows", None) >= min_rows).alias("passed"),
+                m("rows", None).cast("string").alias("observed"),
             )
         )
     for c in not_null:
         checks.append(
             F.struct(
                 F.lit(f"not_null:{c}").alias("check"),
-                (F.col(f"__null_{c}") == 0).alias("passed"),
-                F.col(f"__null_{c}").cast("string").alias("observed"),
+                (m("null", c) == 0).alias("passed"),
+                m("null", c).cast("string").alias("observed"),
             )
         )
     for c in unique:
         checks.append(
             F.struct(
                 F.lit(f"unique:{c}").alias("check"),
-                (F.col(f"__cnt_{c}") == F.col(f"__dst_{c}")).alias("passed"),
-                (F.col(f"__cnt_{c}") - F.col(f"__dst_{c}"))
-                .cast("string")
-                .alias("observed"),
+                (m("cnt", c) == m("dst", c)).alias("passed"),
+                (m("cnt", c) - m("dst", c)).cast("string").alias("observed"),
             )
         )
     for c, (lo, hi) in ranges.items():
@@ -82,14 +105,13 @@ def expectation_report(
                 # vacuously true over zero rows / all-null columns
                 # (min/max are NULL there) — emptiness is min_rows' job
                 F.coalesce(
-                    (F.col(f"__min_{c}") >= F.lit(lo))
-                    & (F.col(f"__max_{c}") <= F.lit(hi)),
+                    (m("min", c) >= F.lit(lo)) & (m("max", c) <= F.lit(hi)),
                     F.lit(True),
                 ).alias("passed"),
                 F.concat_ws(
                     "..",
-                    F.col(f"__min_{c}").cast("string"),
-                    F.col(f"__max_{c}").cast("string"),
+                    m("min", c).cast("string"),
+                    m("max", c).cast("string"),
                 ).alias("observed"),
             )
         )

@@ -1,25 +1,28 @@
-"""Pure-stdlib image codec (PNG + BMP + baseline JPEG) backing the
-multimodal kernels.
+"""Pure-stdlib image codec (PNG + BMP + baseline & progressive JPEG,
+plus GIF and TIFF elsewhere in this tier) backing the multimodal
+kernels.
 
 This container ships no Pillow/libvips/ffmpeg, so the real (non-fake)
 decode path is implemented directly on ``zlib`` + ``struct`` + numpy:
 PNG (8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced),
-BMP (24/32-bit uncompressed), and baseline JFIF JPEG (SOF0/SOF1
+BMP (24/32-bit uncompressed), baseline JFIF JPEG (SOF0/SOF1
 sequential DCT, Huffman-coded, grayscale or YCbCr at any sampling
-factors incl. 4:2:0/4:2:2/4:4:4, restart markers) — the formats a
-training-data scrape overwhelmingly contains. That keeps the kernels
-honest — real pixels in, real pixels out — while staying inside the
-no-new-dependency rule. Progressive JPEG, arithmetic coding, WebP and
-video remain NotImplementedError: faking them would be worse than
-refusing.
+factors incl. 4:2:0/4:2:2/4:4:4, restart markers), and progressive
+JPEG (SOF2: spectral selection + successive approximation, DC and AC
+refinement scans, EOB runs) — the formats a training-data scrape
+overwhelmingly contains. That keeps the kernels honest — real pixels
+in, real pixels out — while staying inside the no-new-dependency
+rule. Arithmetic-coded JPEG, WebP and inter-coded video remain
+NotImplementedError: faking them would be worse than refusing.
 
-The JPEG decoder follows ITU-T T.81 §F.2 (baseline sequential
-decoding): per-block Huffman entropy decode in Python, dequantize /
-dezigzag / IDCT as 8x8 numpy matrix products, chroma upsample by
-pixel replication, BT.601 YCbCr→RGB. Decoded pixels are validated in
-tests against an independent decoder (Java ImageIO) within the usual
-inter-decoder IDCT tolerance — JPEG decoding is not bit-exact across
-implementations by design (T.81 Annex A allows IDCT variance).
+The JPEG decoder follows ITU-T T.81 (§F.2 baseline sequential
+decoding; §G.2 progressive decoding): per-block Huffman entropy
+decode in Python, dequantize / dezigzag / IDCT as 8x8 numpy matrix
+products, chroma upsample by pixel replication, BT.601 YCbCr→RGB.
+Decoded pixels are validated in tests against an independent decoder
+(Java ImageIO) within the usual inter-decoder IDCT tolerance — JPEG
+decoding is not bit-exact across implementations by design (T.81
+Annex A allows IDCT variance).
 
 Scope note: these kernels run inside Arrow-batched ``mapInPandas``
 (see ``ops/multimodal.py``), so per-image Python cost is the budget.

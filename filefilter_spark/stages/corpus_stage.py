@@ -33,9 +33,14 @@ parquet), ``domainfilter`` (URL-host blocklist removal), ``textstats`` /
 expectations) — see each stage's docstring for its actionConfig keys. OP-A8-lines proves the
 YAML path reproduces the library operator byte-for-byte.
 
-All are pure DataFrame transforms (no driver-side sampling pass,
+Most are pure DataFrame transforms (no driver-side sampling pass,
 unlike the code-bearing stages — the output schema is statically
-known), so they fold into the surrounding lazy plan.
+known), so they fold into the surrounding lazy plan. Two exceptions
+run eager jobs at ``apply()`` time by design: ``expect`` collects its
+one-row expectation report immediately (a gate must fail the run at
+stage position, not at sink time), and ``perplexity``'s model-build
+probe executes driver-side jobs while constructing the scoring plan
+(see ``ops.text.bigram_nll``).
 """
 
 from __future__ import annotations

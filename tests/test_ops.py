@@ -1154,6 +1154,24 @@ def test_expectation_report_single_job_and_enforce(spark):
     assert enforce(df, min_rows=1).count() == 3
 
 
+def test_expectation_validates_names_dupes_and_dotted_columns(spark):
+    import pytest as _pytest
+
+    from filefilter_spark.ops.expect import expectation_report
+
+    df = spark.createDataFrame([(1, 2.0)], "id int, `a.b` double")
+    # unknown column -> clear error, not an AnalysisException
+    with _pytest.raises(ValueError, match="unknown column"):
+        expectation_report(df, not_null=["nope"])
+    # duplicates de-duplicated (would alias-collide otherwise); dotted
+    # names resolved literally, not as struct paths
+    rep = {r["check"]: r["passed"] for r in expectation_report(
+        df, not_null=["a.b", "a.b"], unique=["id", "id"],
+        ranges={"a.b": (0, 10)}).collect()}
+    assert rep == {"not_null:a.b": True, "unique:id": True,
+                   "range:a.b": True}
+
+
 def test_expectation_range_vacuous_on_empty_or_all_null(spark):
     from filefilter_spark.ops.expect import expectation_report
 
