@@ -19,6 +19,8 @@ Four escalating strategies, each the standard scalable Spark shape:
 
 from __future__ import annotations
 
+import threading
+
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -451,22 +453,48 @@ def _build_bloom(
     return bits
 
 
-# Storage handles (persisted frames, broadcast bitmap) from the most
-# recent bloom_dedup_against call. Each new call releases the previous
-# call's handles: unpersist/broadcast-unpersist are SAFE on frames a
-# caller may still hold (Spark recomputes / refetches on demand), and
-# without this a per-batch ingest loop would pin one cached frame pair
-# + bitmap per call for the session lifetime.
+class BloomResources:
+    """Owns the storage a :func:`bloom_dedup_against` call pinned — the
+    persisted fingerprint frames and the broadcast bitmap. Usable as a
+    context manager; :meth:`release` is idempotent and SAFE while the
+    call's result DataFrame is still held (Spark recomputes evicted
+    caches / refetches broadcasts on demand — only performance, never
+    correctness, depends on these)."""
+
+    def __init__(self, handles: list):
+        self._handles = handles
+
+    def release(self) -> None:
+        while self._handles:
+            h = self._handles.pop()
+            try:
+                h.unpersist()
+            except Exception:  # pragma: no cover - session already stopped
+                pass
+
+    def __enter__(self) -> "BloomResources":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+# Registry of not-yet-released BloomResources, lock-guarded (callers
+# may run bloom_dedup_against from several threads). Default behavior
+# releases the PREVIOUS call's resources on each new call — right for
+# the sequential per-batch ingest loop this op targets, where the
+# alternative would pin one cached frame pair + bitmap per batch for
+# the session lifetime.
+_BLOOM_LOCK = threading.Lock()
 _BLOOM_LIVE: list = []
 
 
 def _release_bloom_resources() -> None:
-    while _BLOOM_LIVE:
-        h = _BLOOM_LIVE.pop()
-        try:
-            h.unpersist()
-        except Exception:  # pragma: no cover - session already stopped
-            pass
+    """Release every still-registered call's resources (LIFO)."""
+    with _BLOOM_LOCK:
+        live, _BLOOM_LIVE[:] = _BLOOM_LIVE[:], []
+    for res in reversed(live):
+        res.release()
 
 
 def bloom_dedup_against(
@@ -481,13 +509,17 @@ def bloom_dedup_against(
     """Incremental exact dedup with a broadcast Bloom pre-filter —
     byte-identical output to :func:`dedup_against`, different physics.
 
-    ``release_previous`` (default True) unpersists the PREVIOUS call's
-    cached frames and broadcast bitmap before building this call's —
-    right for the sequential per-batch ingest loop this op targets
-    (results stay correct either way; Spark recomputes evicted caches).
-    Pass False when holding multiple live results (or calling from
-    several threads) and release manually via
-    :func:`_release_bloom_resources` when done.
+    Each call's pinned storage (cached frames, broadcast bitmap) is
+    owned by a :class:`BloomResources` handle in a lock-guarded
+    registry. ``release_previous`` (default True) releases every
+    EARLIER call's handle before building this call's — right for the
+    sequential per-batch ingest loop this op targets (results stay
+    correct either way; Spark recomputes evicted caches — but a
+    still-held earlier result silently degrades to full recomputation,
+    so…). Pass False when holding multiple live results concurrently
+    and release manually via :func:`_release_bloom_resources` (or pop
+    handles from ``_BLOOM_LIVE`` and ``release()``/``with`` them
+    individually) when done.
 
     ``dedup_against`` anti-joins every new fingerprint against the
     history: both sides shuffle. Here the history is folded ONCE into an
@@ -513,17 +545,20 @@ def bloom_dedup_against(
     # metadata — this cache reproduces that shape for derived inputs.
     if release_previous:
         _release_bloom_resources()
+    res = BloomResources([])
+    with _BLOOM_LOCK:
+        _BLOOM_LIVE.append(res)
     seen_fp = seen.select(fingerprint(text_col).alias("__fp"))
     if n_seen is None:
         from pyspark import StorageLevel
 
         seen_fp = seen_fp.persist(StorageLevel.MEMORY_AND_DISK)
-        _BLOOM_LIVE.append(seen_fp)
+        res._handles.append(seen_fp)
         n_seen = seen_fp.count()
     m, k = _bloom_params(n_seen, fpp)
     bits = _build_bloom(seen_fp, "__fp", m, k)
     bc = new.sparkSession.sparkContext.broadcast(bits)
-    _BLOOM_LIVE.append(bc)
+    res._handles.append(bc)
 
     @F.pandas_udf("boolean")
     def might_contain(pos: pd.Series) -> pd.Series:
@@ -548,7 +583,7 @@ def bloom_dedup_against(
         .withColumn("__maybe", might_contain(_bloom_positions(F.col("__fp"), m, k)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _BLOOM_LIVE.append(new_fp)
+    res._handles.append(new_fp)
     definite = new_fp.filter(~F.col("__maybe")).select(id_col, "__fp")
     resolved = (
         new_fp.filter(F.col("__maybe"))

@@ -341,12 +341,28 @@ def op_d3_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+_ANN_EXACT_TOP10 = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id FROM embeddings, q
+ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+LIMIT 10
+"""
+
+
 @query(
     "OP-D3-ivf",
-    oracle=None,  # ANN: recall vs exact measured in tests
+    oracle=None,  # ANN top-k → recall oracle vs the exact top-10
+    # exact_precision=False: an ANN result legitimately contains
+    # near-misses outside the exact top-10 — recall is the contract.
+    # Measured: 0.90 @ sf0.001, 0.70 @ sf0.01 (4/16 cells probed);
+    # floor pinned at 0.6.
+    recall=RecallSpec(_ANN_EXACT_TOP10, ("vec_id",), 0.6,
+                      exact_precision=False),
     doc="IVF ANN top-10: KMeans coarse quantizer (16 cells), probe the 4 "
         "nearest cells, exact rerank — the data-adaptive counterpart to "
-        "the LSH path; at scale cells are partition-pruned reads.",
+        "the LSH path; at scale cells are partition-pruned reads. "
+        "Recall-oracled vs the exact top-10 (floor 0.6, measured "
+        "0.7-0.9).",
 )
 def op_d3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.similarity import ivf_topk_cosine
@@ -358,9 +374,13 @@ def op_d3_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "OP-D3-lsh",
-    oracle=None,  # ANN: recall vs exact measured in tests
+    oracle=None,  # ANN top-k → recall oracle vs the exact top-10
+    # Measured: 0.70 @ sf0.001, 0.90 @ sf0.01; floor pinned at 0.6.
+    recall=RecallSpec(_ANN_EXACT_TOP10, ("vec_id",), 0.6,
+                      exact_precision=False),
     doc="ANN top-10 via random-hyperplane LSH bucketing (4 tables × 8 "
-        "planes) + exact rerank of candidates.",
+        "planes) + exact rerank of candidates. Recall-oracled vs the "
+        "exact top-10 (floor 0.6, measured 0.7-0.9).",
 )
 def op_d3_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.similarity import lsh_topk_cosine
