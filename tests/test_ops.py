@@ -1020,6 +1020,30 @@ def test_bigram_nll_regimes_agree(spark):
     assert a == b and len(a) == 40
 
 
+def test_streaming_soak_flat_addbatch_and_bounded_state(spark):
+    """OP-D5 long-lived soak: 50+ micro-batches on the unbounded rate
+    source. Per-batch addBatch time must be FLAT (no cost growing with
+    total rows processed — the amortization claim in SCALING.md) and
+    live state BOUNDED (watermark eviction pins state at
+    ~(watermark+window)/window windows x key cardinality regardless of
+    runtime — a state leak shows as monotonic growth here)."""
+    import statistics as st
+
+    from filefilter_spark.streaming.jobs import rate_soak
+
+    rows = rate_soak(spark, num_batches=50, timeout_sec=150)
+    assert len(rows) >= 50
+    mid = st.median(r["add_batch_ms"] for r in rows[5:20])
+    late = st.median(r["add_batch_ms"] for r in rows[-15:])
+    # flat within generous sandbox noise, never growing with history
+    assert late <= 2.0 * max(mid, 50), (mid, late)
+    state_mid = max(r["state_rows"] for r in rows[15:25])
+    state_late = max(r["state_rows"] for r in rows[-10:])
+    assert state_late <= 1.5 * state_mid, (state_mid, state_late)
+    # sanity: ~4 live windows x 10 keys; 10x that means no eviction
+    assert state_late <= 400, state_late
+
+
 def test_quantize_embeddings_reconstruction(spark, embeddings):
     import math
 
