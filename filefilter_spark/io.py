@@ -109,6 +109,13 @@ def read_input(
     if p.startswith("s3a://"):
         from filefilter_spark.session import require_s3a
 
+        # Live-S3 status (re-checked 2026-08-14): this sandbox still
+        # ships no hadoop-aws/aws-sdk jars, has no network to fetch
+        # them, and no object store to point them at — s3a_available()
+        # returns False here. The scheme rewrite, credential mapping
+        # (session.s3_conf) and this fail-fast probe are unit-tested;
+        # the first thing a real deployment must verify end-to-end is
+        # the jar + credential-provider-chain seam below.
         require_s3a(spark, p)  # fail fast, not deep in the first action
     name = Path(p).name.lower()
     ext = Path(name).suffix
