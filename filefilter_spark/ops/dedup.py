@@ -963,3 +963,102 @@ def simhash_near_dup(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def _span_occurrences(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int
+) -> DataFrame:
+    """Every ``span_tokens``-token sliding window of every document as
+    one row ``(doc_id, span)`` — the occurrence MULTISET (duplicates
+    within a doc kept; docs shorter than the span contribute nothing).
+    Pure JVM: tokenize once, windows via transform(sequence), explode."""
+    n = span_tokens
+    return (
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+        .filter(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.array_join(F.slice("t", i + 1, n), " "),
+                )
+            ).alias("span"),
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide exact repeated-span report — the detection half of
+    substring-level dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": verbatim ≥k-token substrings
+    recurring across documents are memorization fuel; their suffix
+    array finds them on one machine, this finds the same spans the
+    Spark way). Returns ``(span, n_docs, n_occ)`` for every
+    ``span_tokens``-token window occurring in ≥ ``min_docs`` distinct
+    documents — the boilerplate/license-header/navigation-chrome
+    inventory of a web corpus.
+
+    Scale shape: one explode to the occurrence multiset, one
+    map-combining groupBy on the span text (partial aggregation
+    collapses within-partition repeats before the shuffle — and
+    boilerplate is exactly the thing that repeats within a partition);
+    count_distinct(doc_id) rides the same aggregation. The output is
+    bounded by the number of DISTINCT repeated spans, not corpus
+    size. At 100 TB the same plan runs with spans pre-hashed to
+    xxhash64 and an exemplar string carried via min(span) — grouping
+    on 8-byte keys instead of span text — but the report below groups
+    on the text directly so the oracle compares values, not hashes.
+    """
+    occ = _span_occurrences(df, id_col, text_col, span_tokens)
+    return (
+        occ.groupBy("span")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span share — the actionable filter on
+    top of :func:`duplicate_spans`: for each doc with at least one
+    full span window, the fraction of its span occurrences that are
+    corpus-duplicated (appear in ≥ ``min_docs`` distinct docs).
+    Returns ``(doc_id, n_spans, dup_ratio)``; 0 = fully original text,
+    → 1 = the doc is assembled from corpus-recurring boilerplate.
+    Distinct from ``repetition_score`` (WITHIN-doc n-gram repeats) —
+    this one measures CROSS-document duplication.
+
+    Scale shape: the occurrence frame is built once and joined back to
+    its own span-level aggregate (Spark reuses the scan; the dup-flag
+    side is types-bounded and AQE broadcasts it when small), then one
+    doc_id groupBy whose partial aggregation collapses each doc's
+    spans before the shuffle — doc bodies never move, and nothing in
+    the plan grows faster than the span-type table.
+    """
+    occ = _span_occurrences(df, id_col, text_col, span_tokens)
+    flags = occ.groupBy("span").agg(
+        (F.count_distinct("doc_id") >= min_docs).alias("dup")
+    )
+    return (
+        occ.join(flags, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.avg(F.col("dup").cast("double")).alias("dup_ratio"),
+        )
+    )

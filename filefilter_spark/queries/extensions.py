@@ -2187,3 +2187,63 @@ def op_a8_expect(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique=["doc_id"],
         ranges={"n_chars": (1, 100000)},
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: substring-level duplication (Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+_SPAN_OCC_CTE = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') tk
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id,
+             unnest([array_to_string(tk[i:i+7], ' ')
+                     for i in range(1, len(tk) - 6)]) AS span
+      FROM toks WHERE len(tk) >= 8
+    )
+"""
+
+
+@query(
+    "OP-D2-spans",
+    oracle=_SPAN_OCC_CTE + """
+    SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occ
+    FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    """,
+    doc="corpus-wide exact repeated-span report (the detection half of "
+        "Lee et al. 2022 substring dedup): every 8-token window present "
+        "in >= 2 distinct docs, with doc and occurrence counts — one "
+        "explode + one map-combining groupBy, output bounded by distinct "
+        "repeated spans (ops/dedup.py duplicate_spans).",
+)
+def op_d2_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import duplicate_spans
+
+    return duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "OP-D4-boilerplate",
+    oracle=_SPAN_OCC_CTE + """
+    , dup AS (
+      SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT doc_id, count(*) AS n_spans,
+           CAST(sum(CASE WHEN span IN (SELECT span FROM dup)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+    FROM sp GROUP BY doc_id
+    """,
+    doc="per-doc cross-corpus boilerplate share: fraction of each doc's "
+        "8-token span occurrences that recur in >= 2 distinct docs — the "
+        "actionable quality filter over OP-D2-spans; complements "
+        "OP-D4-repetition (within-doc repeats) "
+        "(ops/dedup.py boilerplate_ratio).",
+)
+def op_d4_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import boilerplate_ratio
+
+    return boilerplate_ratio(load_table(spark, sf_dir, "documents"))

@@ -1020,6 +1020,29 @@ def test_bigram_nll_regimes_agree(spark):
     assert a == b and len(a) == 40
 
 
+def test_duplicate_spans_and_boilerplate_hand_example(spark):
+    from filefilter_spark.ops.dedup import boilerplate_ratio, duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),        # spans: a..h, b..i
+            (2, "x a b c d e f g h"),        # spans: x..g, a..h
+            (3, "q r s t u v w x y z"),      # 3 unique spans
+            (4, "too short"),                # < 8 tokens: no spans
+        ],
+        "doc_id int, text string",
+    )
+    dup = duplicate_spans(docs, span_tokens=8).collect()
+    assert [(r["span"], r["n_docs"], r["n_occ"]) for r in dup] == [
+        ("a b c d e f g h", 2, 2)
+    ]
+    ratios = {
+        r["doc_id"]: (r["n_spans"], r["dup_ratio"])
+        for r in boilerplate_ratio(docs, span_tokens=8).collect()
+    }
+    assert ratios == {1: (2, 0.5), 2: (2, 0.5), 3: (3, 0.0)}
+
+
 def test_streaming_soak_flat_addbatch_and_bounded_state(spark):
     """OP-D5 long-lived soak: 50+ micro-batches on the unbounded rate
     source. Per-batch addBatch time must be FLAT (no cost growing with
