@@ -41,6 +41,8 @@ HEADLINE = [
     # unless these two are subtracted; see "added_queries" in the JSON)
     "OP-D2-lines",   # C4-style line-level dedup + reassembly
     "OP-D4-perplexity",  # bigram-LM scoring
+    # Added in r6
+    "OP-D2-spans",   # cross-doc repeated-span report (substring dedup)
 ]
 
 
@@ -97,9 +99,11 @@ def main() -> None:
         # reps (each building + executing the full plan from scratch).
         # r1-r3 used single_shot_warm; the series changed at r4.
         "estimator": "min_of_2_warm",
-        # Queries first present in this series at r5 — subtract these
-        # from "value" to compare totals against r4 and earlier.
-        "added_queries": ["OP-D2-lines", "OP-D4-perplexity"],
+        # Queries first present in this series at r5/r6 — subtract
+        # these from "value" to compare totals against r4 and earlier
+        # (OP-D2-spans alone for r5 comparisons).
+        "added_queries": ["OP-D2-lines", "OP-D4-perplexity",
+                          "OP-D2-spans"],
     }))
 
 

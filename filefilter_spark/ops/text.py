@@ -331,24 +331,27 @@ def bigram_nll(
         )
         .select("doc_id", "b.w1", "b.w2")
     )
-    # Combined model-build probe: bigram pairs and per-token vocab
-    # markers (w2 IS NULL; real pairs can't collide with markers since
-    # tokens are never null) counted in ONE scan/aggregation. Driver
-    # traffic is bounded by the limit: pair types + vocab ≤ 2·cap+1
-    # rows back means the collect is COMPLETE; 2·cap+2 means overflow
-    # → fall through to the distributed plan (which recomputes the
-    # counts — persisting here would pin a cache into the returned
-    # lazy plan's lifetime, which the caller can't manage).
+    # Combined model-build probe in ONE scan/aggregation: bigram pairs
+    # for every ≥2-token doc, plus per-token vocab markers (w2 IS
+    # NULL; real pairs can't collide since tokens are never null) for
+    # SINGLE-token docs only — every token of a ≥2-token doc already
+    # appears as some pair's w1 or w2, so the exact vocab is the
+    # driver-side union of pair sides and markers, and the explode
+    # stays at ~n rows per doc instead of 2n. Driver traffic is
+    # bounded by the limit: ≤ 2·cap+1 rows back means the collect is
+    # COMPLETE; 2·cap+2 means overflow → fall through to the
+    # distributed plan (which recomputes the counts — persisting here
+    # would pin a cache into the returned lazy plan's lifetime, which
+    # the caller can't manage).
     bound = 2 * max_model_literal + 2
     head = (
         hk.select(
             F.expr(
-                "explode(concat("
-                " CASE WHEN n >= 2 THEN transform(sequence(0, n - 2),"
+                "explode(CASE WHEN n >= 2 THEN transform(sequence(0, n - 2),"
                 "   i -> struct(h[i] AS w1, h[i + 1] AS w2))"
-                "   ELSE array() END,"
-                " transform(h, x -> struct(x AS w1, CAST(NULL AS BIGINT) AS w2))"
-                ")) AS b"
+                " ELSE transform(h, x ->"
+                "   struct(x AS w1, CAST(NULL AS BIGINT) AS w2))"
+                " END) AS b"
             )
         )
         .select("b.w1", "b.w2")
@@ -359,19 +362,31 @@ def bigram_nll(
     )
     pairs = [r for r in head if r["w2"] is not None]
     if len(head) < bound and pairs and len(pairs) <= max_model_literal:
-        vocab_n = len(head) - len(pairs)
+        vocab: set = {r["w1"] for r in head}
+        vocab.update(r["w2"] for r in pairs)
+        vocab_n = len(vocab)
         # c1 (bigram-start counts) folds out of the pair counts on the
         # driver: sum_w2 n12(w1, w2) = n1(w1).
         n1: dict = {}
         for r in pairs:
             n1[r["w1"]] = n1.get(r["w1"], 0) + r["n12"]
+        import pandas as pd
+
         spark = df.sparkSession
+        # Arrow path (pandas) rather than py4j row serialization — the
+        # model can be max_model_literal rows.
         model = spark.createDataFrame(
-            [
-                (r["w1"], r["w2"],
-                 (r["n12"] + alpha) / (n1[r["w1"]] + alpha * vocab_n))
-                for r in pairs
-            ],
+            pd.DataFrame(
+                {
+                    "w1": [r["w1"] for r in pairs],
+                    "w2": [r["w2"] for r in pairs],
+                    "p": [
+                        (r["n12"] + alpha)
+                        / (n1[r["w1"]] + alpha * vocab_n)
+                        for r in pairs
+                    ],
+                }
+            ),
             "w1 long, w2 long, p double",
         )
         return (
