@@ -169,3 +169,26 @@ def test_chunking_is_shuffle_free(spark, sf_dir, queries):
     plan = _plan(queries["OP-D7-chunk"](spark, sf_dir))
     # pure projection + generate: chunking must not shuffle at all
     assert plan.count("Exchange (") == 0
+
+
+def test_duplicate_spans_partial_agg_two_shuffles(spark, sf_dir, queries):
+    # one explode feeding a map-combining aggregation: partial
+    # HashAggregates below each Exchange; count_distinct(doc_id) adds
+    # the standard two-phase distinct — never more than 2 shuffles,
+    # and span bodies only cross after within-partition collapse.
+    plan = _plan(queries["OP-D2-spans"](spark, sf_dir))
+    assert _shuffle_count(plan) <= 2
+    assert len(re.findall(r"HashAggregate", plan)) >= 4  # partial+final x2
+
+
+def test_perplexity_all_jvm_broadcast_scoring(spark, sf_dir, queries):
+    # The round-6 contract for the bigram LM: NO Python anywhere in
+    # the plan (the round-5 Arrow fold was the measured scale-killer),
+    # scoring via broadcast hash-join, and the only shuffle is the
+    # final per-doc aggregation.
+    plan = _plan(queries["OP-D4-perplexity"](spark, sf_dir))
+    assert not re.findall(
+        r"BatchEvalPython|ArrowEval|MapInPandas|FlatMapGroupsInPandas", plan
+    )
+    assert "BroadcastHashJoin" in plan
+    assert _shuffle_count(plan) == 1

@@ -104,7 +104,9 @@ def main() -> None:
     )
     from filefilter_spark.ops.dedup import (
         bloom_dedup_against,
+        boilerplate_ratio,
         dedup_against,
+        duplicate_spans,
         exact_dedup,
         line_dedup,
         minhash_near_dup,
@@ -239,6 +241,17 @@ def main() -> None:
             "heavy_hitters": lambda d=docs: frequent_tokens(
                 d, k=10, capacity=1024
             ).count(),
+            # round-6 additions: substring-level duplication. The span
+            # report is one explode + one map-combining groupBy whose
+            # output is bounded by distinct repeated spans; the
+            # boilerplate ratio adds a join back to its own span-level
+            # aggregate plus a doc_id groupBy — both expected ~linear.
+            "duplicate_spans": lambda d=docs: noop_write(
+                duplicate_spans(d)
+            ),
+            "boilerplate_ratio": lambda d=docs: noop_write(
+                boilerplate_ratio(d)
+            ),
         }
         for name, fn in ops.items():
             sec = timed(fn)
