@@ -1062,3 +1062,69 @@ def boilerplate_ratio(
             F.avg(F.col("dup").cast("double")).alias("dup_ratio"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The ACTION half of substring-level dedup (Lee et al. 2022): cut
+    every token covered by a corpus-duplicated span (a
+    ``span_tokens``-window occurring in ≥ ``min_docs`` distinct docs)
+    out of each document. Returns ``(doc_id, text_clean, n_removed)``
+    for EVERY input doc — text rebuilt from the surviving tokens
+    (single-space joined, so whitespace is normalized; docs shorter
+    than one span pass through untouched), ``n_removed`` the count of
+    tokens cut.
+
+    Scale shape: the duplicated-span table is types-bounded (the
+    :func:`duplicate_spans` aggregate); positions of offending
+    occurrences join against it (AQE broadcasts when small), covered
+    indices collapse to one per-doc set (collect_set bounded by doc
+    length), and the rebuild is a left join + one array filter per
+    row — bodies cross the shuffle once, as the per-doc index set,
+    never as span text.
+    """
+    n = span_tokens
+    tk = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+    occ_pos = tk.filter(F.size("t") >= n).select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(0, size(t) - {n}),"
+            f" i -> struct(i AS i, array_join(slice(t, i + 1, {n}), ' ')"
+            " AS span))) AS b"
+        ),
+    ).select("doc_id", "b.i", "b.span")
+    dup = (
+        occ_pos.groupBy("span")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("span")
+    )
+    cov = (
+        occ_pos.join(dup, "span")
+        .select("doc_id", F.explode(F.expr(f"sequence(i, i + {n - 1})")).alias("j"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("j").alias("cov"))
+    )
+    return (
+        tk.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(filter(transform(t, (x, i) ->"
+                " struct(x AS x, i AS i)), s -> NOT"
+                " array_contains(coalesce(cov, array()), s.i)),"
+                " s -> s.x), ' ')"
+            ).alias("text_clean"),
+            # size(NULL) is -1 with ANSI off, so guard the no-cov
+            # (nothing removed) case explicitly rather than coalescing.
+            F.when(F.col("cov").isNull(), F.lit(0))
+            .otherwise(F.size("cov"))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

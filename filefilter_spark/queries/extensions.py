@@ -2247,3 +2247,55 @@ def op_d4_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.dedup import boilerplate_ratio
 
     return boilerplate_ratio(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "OP-D2-spans-remove",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') tk
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, i,
+             array_to_string(tk[i:i+7], ' ') AS span
+      FROM toks, unnest(range(1, len(tk) - 6)) u(i)
+      WHERE len(tk) >= 8
+    ),
+    dup AS (
+      SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS j
+      FROM sp WHERE span IN (SELECT span FROM dup)
+    ),
+    tok_pos AS (
+      SELECT doc_id, generate_subscripts(tk, 1) AS j, unnest(tk) AS tok
+      FROM toks
+    ),
+    kept AS (
+      SELECT t.doc_id, t.j, t.tok
+      FROM tok_pos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.j = c.j
+      WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text_clean,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(r.text_clean, '') AS text_clean,
+           CAST(len(t.tk) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="the ACTION half of Lee et al. 2022 substring dedup: cut every "
+        "token covered by a corpus-duplicated 8-token span out of each "
+        "doc, rebuild text from survivors (whitespace-normalized), "
+        "report tokens removed — duplicated-span table types-bounded, "
+        "covered indices collapse to one per-doc set, bodies shuffle "
+        "once (ops/dedup.py remove_duplicate_spans).",
+)
+def op_d2_spans_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(load_table(spark, sf_dir, "documents"))

@@ -1042,6 +1042,19 @@ def test_duplicate_spans_and_boilerplate_hand_example(spark):
     }
     assert ratios == {1: (2, 0.5), 2: (2, 0.5), 3: (3, 0.0)}
 
+    from filefilter_spark.ops.dedup import remove_duplicate_spans
+
+    cleaned = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in remove_duplicate_spans(docs, span_tokens=8).collect()
+    }
+    assert cleaned == {
+        1: ("i", 8),                       # dup span covers tokens 0-7
+        2: ("x", 8),                       # dup span covers tokens 1-8
+        3: ("q r s t u v w x y z", 0),     # untouched
+        4: ("too short", 0),               # < 8 tokens: passes through
+    }
+
 
 def test_streaming_soak_flat_addbatch_and_bounded_state(spark):
     """OP-D5 long-lived soak: 50+ micro-batches on the unbounded rate
