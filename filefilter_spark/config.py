@@ -29,7 +29,7 @@ VALID_ACTION_TYPES = {
     "python", "rest", "sql", "pandas", "udf",
     # zero-code corpus-assembly stages (stages/corpus_stage.py)
     "dedup", "split", "sample",
-    "linededup", "quota", "chunk", "decontaminate", "domainfilter",
+    "linededup", "spandedup", "quota", "chunk", "decontaminate", "domainfilter",
     "textstats", "perplexity", "expect",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",

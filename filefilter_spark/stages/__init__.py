@@ -20,6 +20,7 @@ from filefilter_spark.stages.corpus_stage import (
     PerplexityStage,
     QuotaStage,
     SampleStage,
+    SpanDedupStage,
     SplitStage,
     TextStatsStage,
 )
@@ -36,6 +37,7 @@ STAGE_TYPES = {
     "split": SplitStage,
     "sample": SampleStage,
     "linededup": LineDedupStage,
+    "spandedup": SpanDedupStage,
     "quota": QuotaStage,
     "chunk": ChunkStage,
     "decontaminate": DecontaminateStage,
@@ -50,6 +52,7 @@ STAGE_TYPES = {
 __all__ = [
     "SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage",
     "DedupStage", "SplitStage", "SampleStage", "LineDedupStage",
+    "SpanDedupStage",
     "QuotaStage", "ChunkStage", "DecontaminateStage", "DomainFilterStage",
     "TextStatsStage", "PerplexityStage", "ExpectStage", "MediaStage",
     "STAGE_TYPES",

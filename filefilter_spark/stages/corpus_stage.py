@@ -31,7 +31,9 @@ parquet), ``domainfilter`` (URL-host blocklist removal), ``textstats`` /
 ``perplexity`` (scoring columns for YAML quality gates), and
 ``expect`` (one-pass data-quality gate that fails the run on violated
 expectations) — see each stage's docstring for its actionConfig keys. OP-A8-lines proves the
-YAML path reproduces the library operator byte-for-byte.
+YAML path reproduces the library operator byte-for-byte. Round 6 adds
+``spandedup`` (substring-level dedup: cut corpus-duplicated token
+spans, Lee et al. 2022).
 
 Most are pure DataFrame transforms (no driver-side sampling pass,
 unlike the code-bearing stages — the output schema is statically
@@ -116,6 +118,27 @@ class LineDedupStage(Stage):
             text_col=cfg.get("textField", "text"),
             id_col=cfg.get("idField", "doc_id"),
             min_len=int(cfg.get("minLineLength", 30)),
+        )
+
+
+class SpanDedupStage(Stage):
+    """Substring-level dedup from YAML (``ops.dedup.
+    remove_duplicate_spans``): cut corpus-duplicated token spans out
+    of every document — Lee et al. 2022's transformation as an
+    actionType. Output schema: (idField, text_clean, n_removed).
+    actionConfig: ``textField``/``idField``, ``spanTokens`` (window,
+    default 8), ``minDocs`` (duplication threshold, default 2)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.dedup import remove_duplicate_spans
+
+        cfg = self.cfg.action_config
+        return remove_duplicate_spans(
+            df,
+            text_col=cfg.get("textField", "text"),
+            id_col=cfg.get("idField", "doc_id"),
+            span_tokens=int(cfg.get("spanTokens", 8)),
+            min_docs=int(cfg.get("minDocs", 2)),
         )
 
 

@@ -336,6 +336,32 @@ filters:
 """)).run(df).df.collect()
 
 
+def test_spandedup_stage_matches_library_op(spark):
+    """The spandedup actionType reproduces
+    ops.dedup.remove_duplicate_spans byte-for-byte from YAML."""
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.ops.dedup import remove_duplicate_spans
+    from filefilter_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i"),
+            (2, "x a b c d e f g h"),
+            (3, "q r s t u v w x y z"),
+        ],
+        "doc_id int, text string",
+    )
+    got = Pipeline(spark, load_config_str("""
+filters:
+  - name: cut_boilerplate
+    actionType: spandedup
+    actionConfig: {spanTokens: 8}
+""")).run(df).df.collect()
+    expect = remove_duplicate_spans(df, span_tokens=8).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(got, key=key) == sorted(expect, key=key)
+
+
 def test_round5_corpus_stages_in_pipeline(spark, tmp_path):
     """linededup -> quota -> chunk and decontaminate/domainfilter as
     zero-code YAML stages."""
