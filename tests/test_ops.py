@@ -1056,6 +1056,56 @@ def test_duplicate_spans_and_boilerplate_hand_example(spark):
     }
 
 
+def test_remove_duplicate_spans_matches_bruteforce(spark):
+    """Differential check vs a pure-Python reference on random small
+    corpora (tiny vocab so spans genuinely repeat): same survivors,
+    same removal counts, every doc present exactly once."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from filefilter_spark.ops.dedup import remove_duplicate_spans
+
+    n = 3  # span_tokens
+
+    def brute(corpus):
+        toks = {i: t.split() for i, t in corpus}
+        spans: dict = {}
+        for i, tk in toks.items():
+            for j in range(len(tk) - n + 1):
+                spans.setdefault(" ".join(tk[j:j + n]), set()).add(i)
+        dup = {s for s, docs in spans.items() if len(docs) >= 2}
+        out = {}
+        for i, tk in toks.items():
+            cov = set()
+            for j in range(len(tk) - n + 1):
+                if " ".join(tk[j:j + n]) in dup:
+                    cov.update(range(j, j + n))
+            kept = [t for j, t in enumerate(tk) if j not in cov]
+            out[i] = (" ".join(kept), len(cov))
+        return out
+
+    docs_strategy = st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=10).map(
+            " ".join
+        ),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(docs_strategy)
+    def run(texts):
+        corpus = list(enumerate(texts))
+        df = spark.createDataFrame(corpus, "doc_id int, text string")
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_removed"])
+            for r in remove_duplicate_spans(df, span_tokens=n).collect()
+        }
+        assert got == brute(corpus)
+
+    run()
+
+
 def test_streaming_soak_flat_addbatch_and_bounded_state(spark):
     """OP-D5 long-lived soak: 50+ micro-batches on the unbounded rate
     source. Per-batch addBatch time must be FLAT (no cost growing with

@@ -58,6 +58,8 @@ QUERIES = [
     # round-5 exact-oracle pipeline ops whose sf0.1 ratios sit above
     # the job floor (2.4x / 2.9x) — the curve shows where they cross
     "OP-D2-lines", "OP-D4-perplexity",
+    # round-6: substring-dedup span report (exact oracle, data-heavy)
+    "OP-D2-spans",
 ]
 
 # Per-table columns that must be offset per copy so each copy is a
