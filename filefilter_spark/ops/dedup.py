@@ -143,6 +143,48 @@ def keep_survivors(
     return df.join(keep, id_col, "left_semi")
 
 
+def keep_best(
+    df: DataFrame,
+    score: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup that keeps the BEST copy per content group, not the
+    min-id one: within each normalized-text fingerprint group the row
+    with the highest ``score`` survives (id ascending breaks ties, so
+    the survivor is total-ordered even for equal scores).
+
+    This is the dedup a training pipeline actually wants when the same
+    document arrives from several crawls/snapshots with different
+    extraction quality — min-id keeps whichever was ingested first;
+    this keeps the cleanest extraction and drops the rest.
+
+    Scale shape: the argmax runs on a NARROW (fp, score, id)
+    projection — document bodies never enter the shuffle — and the
+    ``row_number() = 1`` filter compiles to WindowGroupLimit, so each
+    fingerprint group costs O(group) scan + O(1) state rather than a
+    full per-group sort buffer. Winner ids then left-semi join back to
+    the original rows (ids only on the wire; AQE broadcasts the winner
+    side when it is small).
+    """
+    narrow = df.select(
+        F.col(id_col),
+        fingerprint(text_col).alias("__fp"),
+        score.alias("__score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(
+        F.col("__score").desc(), F.col(id_col).asc()
+    )
+    winners = (
+        narrow.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
 def winnow_near_dup(
     df: DataFrame,
     id_col: str = "doc_id",

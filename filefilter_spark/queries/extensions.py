@@ -124,6 +124,89 @@ def op_d1_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_survivors(_docs_with_dups(spark, sf_dir))
 
 
+def _quality_sql(col: str) -> str:
+    """The OP-D4-quality score over an arbitrary column — shared with
+    the keep-best oracle so both entries rank by the identical
+    expression (every term is exact int counting or correctly-rounded
+    IEEE arithmetic, so the two engines produce bit-identical doubles
+    and therefore identical orderings)."""
+    return f"""
+           (CASE WHEN length({col}) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN CAST(length({col}) AS DOUBLE)
+                        / greatest(len(list_filter(string_split_regex({col}, '\\s+'), x -> x != '')), 1)
+                   BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+           + CAST(length(regexp_replace({col}, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+             / greatest(length({col}), 1) * 0.3
+    """
+
+
+# Re-crawl fixture for keep-best dedup: every doc exists twice with the
+# SAME fingerprint (whitespace doubling collapses under normalization)
+# but different extraction quality, and — the part that makes the entry
+# a real test of score-ordering — the CLEAN copy carries the HIGHER id
+# for even doc_ids, so a min-id survivor rule would keep the dirty copy
+# there. The winner must be chosen by quality, not arrival order.
+_RECRAWL_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN regexp_replace(text, ' ', '  ', 'g') ELSE text END AS text,
+           lang, source, n_chars FROM documents
+    UNION ALL
+    SELECT doc_id + 10000,
+           CASE WHEN doc_id % 2 = 0
+                THEN text ELSE regexp_replace(text, ' ', '  ', 'g') END AS text,
+           lang, source, n_chars FROM documents
+"""
+
+
+def _docs_recrawled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dirty_evens = d.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 2 = 0 THEN regexp_replace(text, ' ', '  ') "
+        "ELSE text END AS text",
+        "lang", "source", "n_chars",
+    )
+    copies = d.selectExpr(
+        "doc_id + 10000 AS doc_id",
+        "CASE WHEN doc_id % 2 = 0 THEN text "
+        "ELSE regexp_replace(text, ' ', '  ') END AS text",
+        "lang", "source", "n_chars",
+    )
+    return dirty_evens.unionByName(copies)
+
+
+@query(
+    "OP-D1-keepbest",
+    oracle=f"""
+    WITH corpus AS ({_RECRAWL_SQL}),
+    scored AS (
+      SELECT *,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+             {_quality_sql("text")} AS q
+      FROM corpus
+    ),
+    win AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             row_number() OVER (PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM win WHERE rn = 1
+    """,
+    doc="keep-best exact dedup: per-fingerprint survivor chosen by "
+        "quality score (not min id) — the re-crawl fixture gives the "
+        "clean copy the higher id for even docs, so arrival-order dedup "
+        "would keep the dirty extraction; argmax runs on a narrow "
+        "(fp, score, id) projection via WindowGroupLimit, bodies never "
+        "shuffle (ops/dedup.py keep_best).",
+)
+def op_d1_keepbest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import keep_best
+    from filefilter_spark.ops.text import quality_score
+
+    return keep_best(_docs_recrawled(spark, sf_dir), quality_score("text"))
+
+
 _JACCARD_ORACLE = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') tk

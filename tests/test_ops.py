@@ -61,6 +61,27 @@ def test_exact_dedup_min_id_survivor(spark):
     assert rows == {3: 2, 7: 1}
 
 
+def test_keep_best_score_beats_arrival_order(spark):
+    """keep_best keeps the highest-scoring copy per fingerprint group
+    even when it has the HIGHER id (min-id dedup would keep the other),
+    falls back to min id on exact score ties, and leaves singletons
+    untouched."""
+    from filefilter_spark.ops.dedup import keep_best
+
+    df = spark.createDataFrame(
+        [
+            (1, "good doc", 0.2),   # dirty copy, low id
+            (9, "good  doc", 0.9),  # clean copy, high id -> must win
+            (4, "tie doc", 0.5),    # tie -> min id 4 wins
+            (6, "tie  doc", 0.5),
+            (8, "only one", 0.1),   # singleton survives regardless
+        ],
+        "doc_id int, text string, score double",
+    )
+    got = sorted(r["doc_id"] for r in keep_best(df, F.col("score")).collect())
+    assert got == [4, 8, 9]
+
+
 def test_minhash_hot_bucket_capped(spark):
     """A mass-duplicate corpus (10k copies of one doc) lands all copies
     in one LSH bucket per band. With the default max_bucket=4096 those
