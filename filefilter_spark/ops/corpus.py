@@ -165,6 +165,7 @@ def weighted_sample(
     group_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 42,
+    salt: str = "#mix",
 ) -> DataFrame:
     """Deterministic per-group rate sampling — the data-mixing step of
     corpus assembly (down-weight web crawl, keep all books, ...).
@@ -178,13 +179,78 @@ def weighted_sample(
     give neither property). Unlisted groups get ``default_rate``.
     """
     prefix = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#mix{seed}"))), 1, 8
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"{salt}{seed}"))), 1, 8
     )
     cutoff: Column = F.lit(rate_cutoff_hex(default_rate) or "g")  # 'g' > any hex
     for name, rate in rates.items():
         c = rate_cutoff_hex(rate)
         cutoff = F.when(F.col(group_col) == name, F.lit(c if c is not None else "g")).otherwise(cutoff)
     return df.filter(prefix < cutoff)
+
+
+def temperature_rates(
+    counts: dict[str, int],
+    alpha: float = 0.5,
+    target_total: int | None = None,
+) -> dict[str, float]:
+    """Per-group keep-rates for temperature-based corpus re-sampling
+    (the mT5/XLM-R multinomial scheme): sampling mass ∝ p_g^alpha,
+    flattening the source distribution toward uniform as alpha → 0.
+    ``target_total`` is the sampled-corpus budget (default: corpus
+    size); groups whose flattened share exceeds their population are
+    capped at rate 1.0 (sampling is without replacement).
+
+    Float determinism contract (shared with the SQL oracle): every step
+    is a correctly-rounded IEEE double op — integer-exact sums, one
+    division, ``sqrt`` for the alpha=0.5 default, and a LEFT FOLD over
+    groups in name order for the normalizer Z — so any engine repeating
+    the sequence reproduces the rates bit-for-bit. Non-0.5 alphas go
+    through ``pow``, which is NOT correctly rounded; cross-engine use
+    should stick to 0.5 (documented, not enforced).
+    """
+    import math
+
+    if not counts:
+        raise ValueError("counts must be non-empty")
+    names = sorted(counts)
+    n_total = float(sum(counts.values()))
+    target = float(target_total) if target_total is not None else n_total
+    if alpha == 0.5:
+        share = {g: math.sqrt(counts[g] / n_total) for g in names}
+    else:
+        share = {g: (counts[g] / n_total) ** alpha for g in names}
+    z = 0.0
+    for g in names:  # ordered left fold — see determinism contract
+        z += share[g]
+    return {
+        g: min(1.0, target * share[g] / z / float(counts[g])) for g in names
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-flattened corpus mixing: one tiny count aggregation
+    (driver traffic bounded by the number of groups — the same bound
+    as every per-source knob in this module), rates from
+    :func:`temperature_rates`, then the deterministic md5-prefix gate
+    of :func:`weighted_sample` under an independent ``#temp`` salt.
+    Pure count + projection + filter: no RNG state, bit-reproducible
+    across engines/reruns/partitionings.
+    """
+    counts = {
+        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
+    }
+    rates = temperature_rates(counts, alpha, target_total)
+    return weighted_sample(
+        df, rates, default_rate=1.0, group_col=group_col,
+        id_col=id_col, seed=seed, salt="#temp",
+    )
 
 
 def quota_sample(

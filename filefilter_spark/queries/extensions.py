@@ -1452,6 +1452,51 @@ def op_d7_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D7-temperature",
+    # Mirrors ops.corpus.temperature_rates step for step: exact integer
+    # sums, one correctly-rounded division + sqrt per group, and an
+    # ORDERED left fold (list_reduce over list(... ORDER BY g)) for the
+    # normalizer Z — the same IEEE operation sequence as the Python
+    # driver code, so the per-group cutoffs agree bit-for-bit.
+    oracle="""
+    WITH counts AS (
+      SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n) AS N FROM counts),
+    sh AS (SELECT g, n, sqrt(n / (SELECT N FROM tot)) AS s FROM counts),
+    z AS (SELECT list_reduce(list(s ORDER BY g), (a, b) -> a + b) AS Z FROM sh),
+    rates AS (
+      SELECT g, least(1.0, (SELECT N FROM tot) * s / (SELECT Z FROM z) / n) AS rate
+      FROM sh
+    ),
+    cut AS (
+      SELECT g,
+             CASE WHEN rate >= 1.0 THEN 'g'
+                  ELSE lpad(lower(hex(CAST(trunc(rate * 4294967296.0) AS BIGINT))), 8, '0')
+             END AS cutoff
+      FROM rates
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+    FROM documents d JOIN cut ON d.lang = cut.g
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#temp42'), 1, 8) < cut.cutoff
+    """,
+    doc="temperature-flattened source mixing (mT5/XLM-R p^0.5 scheme): "
+        "per-language keep-rates from one tiny count agg (lang is the "
+        "skewed axis in this corpus: en 44%%), rare languages capped at "
+        "1.0, common ones deterministically downsampled via "
+        "md5-prefix cutoffs under an independent salt "
+        "(ops/corpus.py temperature_sample).",
+)
+def op_d7_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import temperature_sample
+
+    return temperature_sample(
+        load_table(spark, sf_dir, "documents"), group_col="lang"
+    )
+
+
+@query(
     "OP-D7-clean",
     oracle="""
     WITH toks AS (

@@ -663,6 +663,53 @@ def test_weighted_sample_rates_and_determinism(spark):
         weighted_sample(df, {"a": 1.5})
 
 
+def test_temperature_rates_flatten_toward_uniform():
+    """alpha=0.5 shrinks the majority group's share and caps minority
+    groups at 1.0; alpha=1.0 is a no-op (rates all 1); expected sampled
+    sizes hit the target budget."""
+    import math
+
+    from filefilter_spark.ops.corpus import temperature_rates
+
+    counts = {"en": 800, "fr": 100, "de": 100}
+    r = temperature_rates(counts, alpha=0.5)
+    # minority groups over-allocated by flattening -> capped
+    assert r["fr"] == 1.0 and r["de"] == 1.0
+    # majority downsampled, and by the exact sqrt formula (ordered fold)
+    z = 0.0
+    for g in sorted(counts):
+        z += math.sqrt(counts[g] / 1000.0)
+    assert r["en"] == min(1.0, 1000.0 * math.sqrt(0.8) / z / 800.0)
+    # alpha=1 preserves the distribution exactly
+    assert set(temperature_rates(counts, alpha=1.0).values()) == {1.0}
+    # explicit budget scales every rate down proportionally
+    half = temperature_rates(counts, alpha=0.5, target_total=500)
+    assert all(half[g] <= r[g] for g in counts)
+
+
+def test_temperature_sample_flattens_skew(spark):
+    """End to end on a 9:1 skewed corpus: the majority group's share of
+    the sample drops toward the flattened target, minority rows are all
+    kept, and the gate is deterministic under repartitioning."""
+    from filefilter_spark.ops.corpus import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 10 else "books") for i in range(5000)],
+        "doc_id int, source string",
+    )
+    rows = temperature_sample(df).collect()
+    kept_books = sum(1 for r in rows if r.source == "books")
+    kept_web = sum(1 for r in rows if r.source == "web")
+    assert kept_books == 500          # rare source fully kept (capped)
+    # rate_web = N*sqrt(0.9)/Z/n_web = 0.8333...; the md5 gate keeps
+    # close to that fraction
+    assert abs(kept_web / 4500 - 0.8333) < 0.03
+    again = sorted(
+        r.doc_id for r in temperature_sample(df.repartition(7)).collect()
+    )
+    assert sorted(r.doc_id for r in rows) == again
+
+
 def test_cluster_pairs_transitive_chain(spark):
     from filefilter_spark.ops.dedup import cluster_pairs
 
