@@ -1417,6 +1417,45 @@ def op_d4_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "OP-D4-bpe",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') tk
+      FROM documents
+    ),
+    hist AS (
+      SELECT w AS word, count(*) AS freq
+      FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w
+    ),
+    chars AS (
+      SELECT freq, string_split(word, '') AS cs FROM hist WHERE length(word) >= 2
+    ),
+    pairs AS (
+      SELECT freq, unnest([cs[i] || cs[i+1] for i in range(1, len(cs))]) AS pair
+      FROM chars
+    )
+    SELECT pair, sum(freq) AS cnt FROM pairs GROUP BY pair
+    ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+    doc="BPE trainer's first decision, distributed: corpus -> word "
+        "histogram (the ONE corpus-sized job; everything after runs on "
+        "vocab-bounded data) -> freq-weighted adjacent char-pair counts "
+        "-> top 20 (the first merge candidates). Pure JVM split/"
+        "transform/explode; tie-broken pair-ascending so the top-k set "
+        "is total-ordered (ops/bpe.py word_histogram + char_pair_counts).",
+)
+def op_d4_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.bpe import char_pair_counts, word_histogram
+
+    hist = word_histogram(load_table(spark, sf_dir, "documents"))
+    return (
+        char_pair_counts(hist)
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(20)
+    )
+
+
 def _mix_case_sql(rates: dict[str, float], default_rate: float, seed: int = 42) -> str:
     """Filter predicate mirroring ops.corpus.weighted_sample — built
     from the SAME rate_cutoff_hex constants as the Spark side."""
