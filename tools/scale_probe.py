@@ -101,20 +101,23 @@ def main() -> None:
         decontaminate,
         pack_sequences,
         quota_sample,
+        temperature_sample,
     )
+    from filefilter_spark.ops.bpe import char_pair_counts, word_histogram
     from filefilter_spark.ops.dedup import (
         bloom_dedup_against,
         boilerplate_ratio,
         dedup_against,
         duplicate_spans,
         exact_dedup,
+        keep_best,
         line_dedup,
         minhash_near_dup,
         token_jaccard_pairs,
     )
     from filefilter_spark.ops.similarity import lsh_cosine_pairs, quantize_embeddings
     from filefilter_spark.ops.sketch import frequent_tokens
-    from filefilter_spark.ops.text import bigram_nll, tfidf_top_terms
+    from filefilter_spark.ops.text import bigram_nll, quality_score, tfidf_top_terms
     from filefilter_spark.session import get_spark
 
     from pyspark.sql import functions as _F
@@ -251,6 +254,22 @@ def main() -> None:
             ),
             "boilerplate_ratio": lambda d=docs: noop_write(
                 boilerplate_ratio(d)
+            ),
+            # round-6 additions: keep_best is the exact-dedup shuffle
+            # shape plus a narrow argmax window (WindowGroupLimit) and
+            # an id semi-join — expected to track exact_dedup.
+            # temperature_sample is one tiny count agg + a shuffle-free
+            # filter (expected flat). bpe_pair_counts is the BPE
+            # trainer's corpus-sized stage: word histogram + pair agg,
+            # both map-side combined (expected ~linear in text bytes).
+            "keep_best": lambda d=docs: noop_write(
+                keep_best(d, quality_score("text"))
+            ),
+            "temperature_sample": lambda d=docs: noop_write(
+                temperature_sample(d, group_col="lang")
+            ),
+            "bpe_pair_counts": lambda d=docs: noop_write(
+                char_pair_counts(word_histogram(d))
             ),
         }
         for name, fn in ops.items():
