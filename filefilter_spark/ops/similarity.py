@@ -543,6 +543,63 @@ def semantic_dedup(
     )
 
 
+def projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 42
+) -> list[list[float]]:
+    """Deterministic Rademacher JL projection matrix: entries
+    ``±1/sqrt(out_dim)`` with signs from a splitmix64-style integer
+    hash (Achlioptas 2003 — database-friendly Johnson-Lindenstrauss;
+    no RNG state, so the SQL oracle and any other engine can rebuild
+    the identical matrix from ``(in_dim, out_dim, seed)``)."""
+    import math
+
+    c = 1.0 / math.sqrt(out_dim)
+
+    def bit(i: int, j: int) -> int:
+        x = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9
+             + j * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 31
+        x = (x * 0xD6E8FEB86659FD93) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 27
+        return (x >> 1) & 1
+
+    return [
+        [c if bit(i, j) else -c for j in range(out_dim)]
+        for i in range(in_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction of an embedding
+    column — the pre-ANN compression step (8× fewer floats per vector
+    here; JL bounds pairwise-distance distortion, so LSH/IVF built on
+    the projection keep their recall guarantees up to ε).
+
+    Shuffle-free projection: each output dim is one JVM-side ordered
+    ``zip_with``/``aggregate`` fold against a literal matrix column —
+    no Python, no shuffle, O(in_dim × out_dim) multiply-adds per row.
+    The fold order and the correctly-rounded IEEE ops make the result
+    bit-reproducible on any engine that replays the same sequence
+    (the OP-D3-project oracle does exactly that).
+    """
+    mat = projection_matrix(in_dim, out_dim, seed)
+    emb = _as_double_array(vec_col)
+    outs = [
+        dot(emb, F.array(*[F.lit(mat[i][j]) for i in range(in_dim)])).alias(
+            f"p{j}"
+        )
+        for j in range(out_dim)
+    ]
+    return df.select(F.col(id_col), F.array(*outs).alias("proj"))
+
+
 def quantize_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -2238,6 +2238,46 @@ def op_d3_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
 
 
+def _projection_oracle(in_dim: int = 64, out_dim: int = 8) -> str:
+    """SQL replay of ops.similarity.random_projection: same literal
+    Rademacher matrix (repr round-trips doubles exactly), same
+    0.0-seeded ordered left fold per output dim — bit-identical
+    results, not approximately-equal ones."""
+    from filefilter_spark.ops.similarity import projection_matrix
+
+    mat = projection_matrix(in_dim, out_dim)
+    exprs = []
+    for j in range(out_dim):
+        # Explicit DOUBLE[] casts on BOTH operands: DuckDB types a bare
+        # decimal-literal list as DECIMAL[] and FLOAT*DECIMAL -> FLOAT,
+        # which would silently degrade the whole fold to float32.
+        col_j = ", ".join(repr(mat[i][j]) for i in range(in_dim))
+        exprs.append(
+            f"list_reduce([0.0] || [e[i] * ([{col_j}]::DOUBLE[])[i] "
+            f"for i in range(1, {in_dim + 1})], (a, b) -> a + b)"
+        )
+    return (
+        "SELECT vec_id, [" + ", ".join(exprs) + "] AS proj FROM "
+        "(SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+    )
+
+
+@query(
+    "OP-D3-project",
+    oracle=_projection_oracle(),
+    doc="Johnson-Lindenstrauss random projection 64->8 (Achlioptas "
+        "Rademacher matrix, hash-derived — no RNG state): shuffle-free "
+        "JVM fold per output dim; the oracle replays the identical "
+        "IEEE operation sequence against the identical literal matrix, "
+        "so the comparison is bit-exact "
+        "(ops/similarity.py random_projection).",
+)
+def op_d3_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.similarity import random_projection
+
+    return random_projection(load_table(spark, sf_dir, "embeddings"))
+
+
 @query(
     "OP-D2-incremental",
     oracle=None,  # probabilistic recall → RecallSpec, not a value hash

@@ -1219,6 +1219,46 @@ def test_quantize_embeddings_reconstruction(spark, embeddings):
         assert mse < (scale / 2) ** 2 * 1.01  # per-dim error bounded by half a step
 
 
+def test_random_projection_jl_distortion(spark, embeddings):
+    """JL property on real vectors: the Rademacher projection to 8 dims
+    preserves pairwise Euclidean distances in aggregate (E[||Px||²] =
+    ||x||²). Per-pair distortion at k=8 is loose, so assert the MEDIAN
+    distortion over pairs is near 1 and no pair collapses to zero."""
+    import math
+
+    from filefilter_spark.ops.similarity import random_projection
+
+    vecs = {r["vec_id"]: list(r["embedding"])
+            for r in embeddings.limit(12).collect()}
+    proj = {r["vec_id"]: list(r["proj"])
+            for r in random_projection(embeddings.limit(12)).collect()}
+    assert all(len(p) == 8 for p in proj.values())
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ids = sorted(vecs)
+    ratios = sorted(
+        d(proj[a], proj[b]) / d(vecs[a], vecs[b])
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+    )
+    assert all(r > 0.2 for r in ratios)          # nothing collapses
+    assert 0.7 < ratios[len(ratios) // 2] < 1.3  # median near isometry
+
+
+def test_projection_matrix_deterministic_and_rademacher():
+    from filefilter_spark.ops.similarity import projection_matrix
+
+    m1 = projection_matrix(16, 4, seed=7)
+    assert m1 == projection_matrix(16, 4, seed=7)
+    assert m1 != projection_matrix(16, 4, seed=8)
+    c = 0.5  # 1/sqrt(4)
+    assert all(v in (c, -c) for row in m1 for v in row)
+    # signs are balanced-ish (hash, not constant)
+    n_pos = sum(v > 0 for row in m1 for v in row)
+    assert 16 <= n_pos <= 48
+
+
 def test_quantize_embeddings_zero_vector(spark):
     from filefilter_spark.ops.similarity import quantize_embeddings
 
