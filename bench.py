@@ -43,6 +43,8 @@ HEADLINE = [
     "OP-D4-perplexity",  # bigram-LM scoring
     # Added in r6
     "OP-D2-spans",   # cross-doc repeated-span report (substring dedup)
+    "OP-D4-bpe",     # BPE trainer's corpus stage (histogram + pair agg)
+    "OP-D1-keepbest",  # quality-argmax dedup survivor selection
 ]
 
 
@@ -101,9 +103,9 @@ def main() -> None:
         "estimator": "min_of_2_warm",
         # Queries first present in this series at r5/r6 — subtract
         # these from "value" to compare totals against r4 and earlier
-        # (OP-D2-spans alone for r5 comparisons).
+        # (the three r6 names alone for r5 comparisons).
         "added_queries": ["OP-D2-lines", "OP-D4-perplexity",
-                          "OP-D2-spans"],
+                          "OP-D2-spans", "OP-D4-bpe", "OP-D1-keepbest"],
     }))
 
 

@@ -16,6 +16,9 @@ HEADLINE = [
     # round-5 operators (all exact-oracle, so both engines run the
     # identical semantics)
     "OP-D2-lines", "OP-D4-perplexity", "OP-D7-quota", "OP-D1-bloom",
+    # round-6 operators
+    "OP-D2-spans", "OP-D4-bpe", "OP-D1-keepbest", "OP-D7-temperature",
+    "OP-D3-project",
 ]
 
 
