@@ -31,6 +31,7 @@ VALID_ACTION_TYPES = {
     "dedup", "split", "sample",
     "linededup", "spandedup", "quota", "chunk", "decontaminate", "domainfilter",
     "textstats", "perplexity", "expect",
+    "dedupbest", "temperature", "bpe",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",
 }

@@ -11,17 +11,20 @@ from filefilter_spark.stages.rest_stage import RestStage
 from filefilter_spark.stages.pandas_stage import PandasStage
 from filefilter_spark.stages.udf_stage import UdfStage
 from filefilter_spark.stages.corpus_stage import (
+    BpeStage,
     ChunkStage,
     DecontaminateStage,
     DedupStage,
     DomainFilterStage,
     ExpectStage,
+    KeepBestStage,
     LineDedupStage,
     PerplexityStage,
     QuotaStage,
     SampleStage,
     SpanDedupStage,
     SplitStage,
+    TemperatureStage,
     TextStatsStage,
 )
 from filefilter_spark.stages.media_stage import MediaStage
@@ -45,6 +48,9 @@ STAGE_TYPES = {
     "textstats": TextStatsStage,
     "perplexity": PerplexityStage,
     "expect": ExpectStage,
+    "dedupbest": KeepBestStage,
+    "temperature": TemperatureStage,
+    "bpe": BpeStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
 }
@@ -55,5 +61,6 @@ __all__ = [
     "SpanDedupStage",
     "QuotaStage", "ChunkStage", "DecontaminateStage", "DomainFilterStage",
     "TextStatsStage", "PerplexityStage", "ExpectStage", "MediaStage",
+    "KeepBestStage", "TemperatureStage", "BpeStage",
     "STAGE_TYPES",
 ]

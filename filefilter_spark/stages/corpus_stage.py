@@ -33,7 +33,10 @@ parquet), ``domainfilter`` (URL-host blocklist removal), ``textstats`` /
 expectations) — see each stage's docstring for its actionConfig keys. OP-A8-lines proves the
 YAML path reproduces the library operator byte-for-byte. Round 6 adds
 ``spandedup`` (substring-level dedup: cut corpus-duplicated token
-spans, Lee et al. 2022).
+spans, Lee et al. 2022), ``dedupbest`` (keep the highest-quality copy
+per content group), ``temperature`` (p^alpha source flattening), and
+``bpe`` (train a BPE merge table on the corpus and attach the subword
+segmentation).
 
 Most are pure DataFrame transforms (no driver-side sampling pass,
 unlike the code-bearing stages — the output schema is statically
@@ -42,7 +45,9 @@ run eager jobs at ``apply()`` time by design: ``expect`` collects its
 one-row expectation report immediately (a gate must fail the run at
 stage position, not at sink time), and ``perplexity``'s model-build
 probe executes driver-side jobs while constructing the scoring plan
-(see ``ops.text.bigram_nll``).
+(see ``ops.text.bigram_nll``); ``temperature`` (one count agg) and
+``bpe`` (histogram + merge-loop training) are eager for the same
+model-before-plan reason.
 """
 
 from __future__ import annotations
@@ -247,6 +252,81 @@ class PerplexityStage(Stage):
             alpha=float(cfg.get("alpha", 0.5)),
         ).withColumnRenamed("doc_id", id_col)
         return df.join(scores, id_col, "left")
+
+
+class KeepBestStage(Stage):
+    """Exact dedup keeping the highest-quality copy per content group
+    (``ops.dedup.keep_best``) — the multi-crawl "keep the cleanest
+    extraction" dedup from YAML. ``scoreField`` names an existing
+    numeric column to rank by; omitted, the built-in quality score of
+    ``textField`` is used."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from filefilter_spark.ops.dedup import keep_best
+        from filefilter_spark.ops.text import quality_score
+
+        cfg = self.cfg.action_config
+        text_col = cfg.get("textField", "text")
+        score_field = cfg.get("scoreField")
+        score = F.col(score_field) if score_field else quality_score(text_col)
+        return keep_best(
+            df,
+            score,
+            text_col=text_col,
+            id_col=cfg.get("idField", "doc_id"),
+        )
+
+
+class TemperatureStage(Stage):
+    """Temperature-flattened source mixing
+    (``ops.corpus.temperature_sample``): p^alpha re-sampling toward a
+    uniform group distribution. Runs one eager count job over the
+    incoming frame to derive the per-group rates (bounded by the
+    number of groups), then applies a pure deterministic filter."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.corpus import temperature_sample
+
+        cfg = self.cfg.action_config
+        target = cfg.get("targetTotal")
+        return temperature_sample(
+            df,
+            alpha=float(cfg.get("alpha", 0.5)),
+            target_total=int(target) if target is not None else None,
+            group_col=cfg.get("groupField", "source"),
+            id_col=cfg.get("idField", "doc_id"),
+            seed=int(cfg.get("seed", 42)),
+        )
+
+
+class BpeStage(Stage):
+    """Train a BPE merge table on the incoming corpus and attach the
+    subword segmentation as ``outField`` (``ops.bpe.train_bpe`` +
+    ``bpe_encode``) — tokenizer training and application from YAML.
+    Training is an eager job at apply() time by design (the merge
+    table must exist before the scoring plan is built), in driver mode
+    with the documented vocabulary cap; ``minFreq`` prunes the word
+    histogram's long tail first."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.bpe import bpe_encode, train_bpe
+
+        cfg = self.cfg.action_config
+        text_col = cfg.get("textField", "text")
+        merges = train_bpe(
+            df,
+            num_merges=int(cfg.get("numMerges", 200)),
+            text_col=text_col,
+            min_freq=int(cfg.get("minFreq", 1)),
+        )
+        return bpe_encode(
+            df,
+            merges,
+            text_col=text_col,
+            out_col=cfg.get("outField", "bpe_tokens"),
+        )
 
 
 class ExpectStage(Stage):

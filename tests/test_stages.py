@@ -362,6 +362,60 @@ filters:
     assert sorted(got, key=key) == sorted(expect, key=key)
 
 
+def test_round6_corpus_stages_in_pipeline(spark):
+    """dedupbest / temperature / bpe actionTypes reproduce their
+    library operators from YAML."""
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.ops.bpe import bpe_encode, train_bpe
+    from filefilter_spark.ops.corpus import temperature_sample
+    from filefilter_spark.ops.dedup import keep_best
+    from filefilter_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(i, f"hug pug pun doc{i % 3}", "web" if i % 10 else "books", float(i % 7))
+         for i in range(200)]
+        + [(1000, "hug pug pun doc1", "web", 99.0)],  # dup of the i%3==1 text, best score
+        "doc_id int, text string, source string, score double",
+    )
+
+    got = Pipeline(spark, load_config_str("""
+filters:
+  - name: best_copy
+    actionType: dedupbest
+    actionConfig: {scoreField: score}
+""")).run(df).df
+    expect = keep_best(df, F.col("score"))
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in expect.collect()
+    )
+    assert 1000 in {r["doc_id"] for r in got.collect()}
+
+    got = Pipeline(spark, load_config_str("""
+filters:
+  - name: flatten
+    actionType: temperature
+    actionConfig: {alpha: 0.5}
+""")).run(df).df
+    expect = temperature_sample(df)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in expect.collect()
+    )
+
+    got = Pipeline(spark, load_config_str("""
+filters:
+  - name: tokenize
+    actionType: bpe
+    actionConfig: {numMerges: 5}
+""")).run(df).df
+    merges = train_bpe(df, num_merges=5)
+    expect = bpe_encode(df, merges)
+    g = {r["doc_id"]: r["bpe_tokens"] for r in got.collect()}
+    e = {r["doc_id"]: r["bpe_tokens"] for r in expect.collect()}
+    assert g == e and all(v for v in g.values())
+
+
 def test_round5_corpus_stages_in_pipeline(spark, tmp_path):
     """linededup -> quota -> chunk and decontaminate/domainfilter as
     zero-code YAML stages."""
