@@ -192,3 +192,41 @@ def test_perplexity_all_jvm_broadcast_scoring(spark, sf_dir, queries):
     )
     assert "BroadcastHashJoin" in plan
     assert _shuffle_count(plan) == 1
+
+
+def test_keep_best_window_group_limit_narrow_argmax(spark, sf_dir, queries):
+    # The quality-argmax must prune to rank 1 inside WindowGroupLimit
+    # (O(1) state per fingerprint group), and the window's shuffle must
+    # carry the narrow (id, fp, score) projection — document bodies
+    # join back by id AFTER the winner is chosen.
+    plan = _plan(queries["OP-D1-keepbest"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    m = re.search(r"Arguments: hashpartitioning\(__fp[^\n]*", plan)
+    assert m is not None  # the only hash shuffle key is the fingerprint
+
+
+def test_temperature_sample_filter_is_shuffle_free(spark, sf_dir, queries):
+    # After the (eager, tiny) count agg derives the rates, the applied
+    # gate is a pure projection + filter: zero exchanges in the plan.
+    plan = _plan(queries["OP-D7-temperature"](spark, sf_dir))
+    assert plan.count("Exchange (") == 0
+
+
+def test_random_projection_no_shuffle_no_python(spark, sf_dir, queries):
+    # JL projection is a per-row fold against literal matrix columns:
+    # no Exchange, no Python eval node, scan pruned to (id, vector).
+    plan = _plan(queries["OP-D3-project"](spark, sf_dir))
+    assert plan.count("Exchange (") == 0
+    assert not re.findall(r"BatchEvalPython|ArrowEval|MapInPandas", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert "label" not in m.group(1)
+
+
+def test_bpe_pair_counts_partial_agg_topk(spark, sf_dir, queries):
+    # Both aggregations (word histogram, pair counts) must be
+    # map-side combined, and the top-20 must compile to
+    # TakeOrderedAndProject — no global sort exchange.
+    plan = _plan(queries["OP-D4-bpe"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffle_count(plan) == 2
+    assert len(re.findall(r"HashAggregate", plan)) >= 4
