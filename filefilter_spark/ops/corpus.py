@@ -359,3 +359,43 @@ def decontaminate(
         .select(id_col)
     )
     return docs.join(offenders, id_col, "left_anti")
+
+
+def dataset_report(
+    df: DataFrame,
+    group_cols: tuple[str, str] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus "dataset card": per-source, per-language, and overall
+    composition in ONE pass — doc counts, token/char volume, and the
+    quality-score envelope. What a training-data pipeline publishes
+    next to the shards it writes.
+
+    One GROUPING SETS aggregation = one shuffle over (group, partials).
+    Every metric is chosen to be exactly reproducible on any engine:
+    counts and token/char sums are integer arithmetic (exact at any
+    aggregation order), and the quality envelope is reported as
+    min/max — order-INDEPENDENT, unlike a mean of doubles, whose
+    value depends on float summation order and so cannot be promised
+    bit-identical across engines (the mean lives in
+    ``ops.text.quantiles`` style summaries instead).
+    """
+    from filefilter_spark.ops.text import quality_score, token_count
+
+    a, b = group_cols
+    base = df.select(
+        F.col(a),
+        F.col(b),
+        token_count(text_col).alias("__tok"),
+        F.length(text_col).alias("__chars"),
+        quality_score(text_col).alias("__q"),
+    )
+    return base.groupingSets(
+        [[F.col(a)], [F.col(b)], []], F.col(a), F.col(b)
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        F.sum("__chars").alias("n_chars_total"),
+        F.min("__q").alias("q_min"),
+        F.max("__q").alias("q_max"),
+    )

@@ -1536,6 +1536,38 @@ def op_d7_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D7-report",
+    oracle="""
+    WITH base AS (
+      SELECT source, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS tok,
+             length(text) AS chars,
+             (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN CAST(length(text) AS DOUBLE)
+                          / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')), 1)
+                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+             + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) * 0.3 AS q
+      FROM documents
+    )
+    SELECT source, lang, count(*) AS n_docs, sum(tok) AS n_tokens,
+           sum(chars) AS n_chars_total, min(q) AS q_min, max(q) AS q_max
+    FROM base GROUP BY GROUPING SETS ((source), (lang), ())
+    """,
+    doc="dataset card: per-source, per-language, and overall corpus "
+        "composition in ONE grouping-sets pass — doc counts, token/char "
+        "volume (integer sums: exact at any aggregation order), quality "
+        "envelope as min/max (order-independent; a float MEAN could not "
+        "be promised bit-identical cross-engine) "
+        "(ops/corpus.py dataset_report).",
+)
+def op_d7_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import dataset_report
+
+    return dataset_report(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "OP-D7-clean",
     oracle="""
     WITH toks AS (

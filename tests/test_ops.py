@@ -1398,3 +1398,29 @@ def test_expectation_range_vacuous_on_empty_or_all_null(spark):
         empty, min_rows=1, ranges={"v": (0, 1)}).collect()}
     assert rep["range:v"] is True  # vacuous; emptiness is min_rows' job
     assert rep["min_rows"] is False
+
+
+def test_dataset_report_composition(spark):
+    from filefilter_spark.ops.corpus import dataset_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three", "web", "en"),
+            (2, "four five", "web", "fr"),
+            (3, "six", "books", "en"),
+        ],
+        "doc_id int, text string, source string, lang string",
+    )
+    rows = dataset_report(df).collect()
+    by_key = {(r["source"], r["lang"]): r for r in rows}
+    # per-source, per-lang, and grand-total rows — no full cross product
+    assert set(by_key) == {
+        ("web", None), ("books", None), (None, "en"), (None, "fr"),
+        (None, None),
+    }
+    assert by_key[("web", None)]["n_docs"] == 2
+    assert by_key[("web", None)]["n_tokens"] == 5
+    assert by_key[(None, "en")]["n_tokens"] == 4
+    total = by_key[(None, None)]
+    assert total["n_docs"] == 3 and total["n_tokens"] == 6
+    assert total["q_min"] <= total["q_max"]
