@@ -234,6 +234,7 @@ def temperature_sample(
     group_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 42,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Temperature-flattened corpus mixing: one tiny count aggregation
     (driver traffic bounded by the number of groups — the same bound
@@ -242,10 +243,20 @@ def temperature_sample(
     of :func:`weighted_sample` under an independent ``#temp`` salt.
     Pure count + projection + filter: no RNG state, bit-reproducible
     across engines/reruns/partitionings.
+
+    ``max_groups`` is the loud-failure cap on the collect (the same
+    bounded-fan-in contract as the sketch/bloom fan-ins): a
+    high-cardinality ``group_col`` — an id column passed by mistake —
+    raises instead of silently pulling the corpus onto the driver.
     """
-    counts = {
-        r[0]: r[1] for r in df.groupBy(group_col).count().collect()
-    }
+    limited = df.groupBy(group_col).count().limit(max_groups + 1).collect()
+    if len(limited) > max_groups:
+        raise ValueError(
+            f"temperature_sample: > {max_groups} distinct {group_col!r} "
+            "groups — this is a per-SOURCE mixing knob, not a per-row "
+            "one; pass a coarser group_col or raise max_groups"
+        )
+    counts = {r[0]: r[1] for r in limited}
     rates = temperature_rates(counts, alpha, target_total)
     return weighted_sample(
         df, rates, default_rate=1.0, group_col=group_col,

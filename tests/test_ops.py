@@ -1424,3 +1424,15 @@ def test_dataset_report_composition(spark):
     total = by_key[(None, None)]
     assert total["n_docs"] == 3 and total["n_tokens"] == 6
     assert total["q_min"] <= total["q_max"]
+
+
+def test_temperature_sample_group_cardinality_guard(spark):
+    from filefilter_spark.ops.corpus import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, str(i)) for i in range(50)], "doc_id int, source string"
+    )
+    with pytest.raises(ValueError, match="distinct 'source' groups"):
+        temperature_sample(df, max_groups=10)
+    # under the cap the same frame works
+    assert temperature_sample(df, max_groups=100).count() <= 50
