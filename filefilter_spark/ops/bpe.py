@@ -181,14 +181,19 @@ def train_bpe(
     the two execution modes and the scale argument)."""
     hist = word_histogram(df, text_col, lowercase, min_freq)
     if not distributed:
-        n = hist.count()
-        if n > max_vocab_collect:
+        # ONE corpus-sized job, not a count() + collect() pair: pull at
+        # most cap+1 rows and treat the extra row as the overflow
+        # signal (the repo's standard bounded-fan-in shape).
+        rows = [
+            (r["word"], r["freq"])
+            for r in hist.limit(max_vocab_collect + 1).collect()
+        ]
+        if len(rows) > max_vocab_collect:
             raise ValueError(
-                f"word histogram has {n} entries > max_vocab_collect="
+                f"word histogram exceeds max_vocab_collect="
                 f"{max_vocab_collect}; raise min_freq, raise the cap, or "
                 "use distributed=True"
             )
-        rows = [(r["word"], r["freq"]) for r in hist.collect()]
         return train_bpe_histogram(rows, num_merges)
 
     cur = hist.select(
@@ -268,6 +273,16 @@ def bpe_encode(
     """
     ranks = {p: i for i, p in enumerate(merges)}
 
+    # Tokenizer parity with word_histogram: training splits with the
+    # JVM regex \s+, and Java's \s is the ASCII class [ \t\n\x0B\f\r]
+    # ONLY — Python's str.split()/\s are Unicode-aware and would break
+    # e.g. NBSP-joined words ('foo\xa0bar', ubiquitous in scraped HTML)
+    # into two words the model never saw. Same ASCII class here, so
+    # every training-corpus word reproduces its training segmentation.
+    import re
+
+    _ws = re.compile("[ \t\n\x0b\f\r]+")
+
     @F.pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
         memo: dict[str, list[str]] = {}
@@ -276,7 +291,9 @@ def bpe_encode(
             if t is None:
                 return None
             out: list[str] = []
-            for w in (t.lower() if lowercase else t).split():
+            for w in _ws.split(t.lower() if lowercase else t):
+                if not w:
+                    continue
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = bpe_encode_word(w, ranks)

@@ -256,7 +256,14 @@ def temperature_sample(
             "groups — this is a per-SOURCE mixing knob, not a per-row "
             "one; pass a coarser group_col or raise max_groups"
         )
-    counts = {r[0]: r[1] for r in limited}
+    # NULL-group rows (missing source/lang in a real crawl) pass
+    # through untouched: they are excluded from the rate computation,
+    # and weighted_sample's CASE falls to default_rate=1.0 for them
+    # (NULL == name is NULL). Keeping them is the conservative choice —
+    # dropping unattributed data is a policy decision, not a sampler's.
+    counts = {r[0]: r[1] for r in limited if r[0] is not None}
+    if not counts:
+        return df
     rates = temperature_rates(counts, alpha, target_total)
     return weighted_sample(
         df, rates, default_rate=1.0, group_col=group_col,
@@ -404,6 +411,10 @@ def dataset_report(
     return base.groupingSets(
         [[F.col(a)], [F.col(b)], []], F.col(a), F.col(b)
     ).agg(
+        # Bitmask of aggregated-away columns: without it, a REAL null
+        # group value (lang missing in a crawl) is indistinguishable
+        # from the rollup marker rows.
+        F.grouping_id().alias("gset"),
         F.count("*").alias("n_docs"),
         F.sum("__tok").alias("n_tokens"),
         F.sum("__chars").alias("n_chars_total"),

@@ -899,11 +899,14 @@ def minhash_dedup_against(
     # Single pass over cand (its lineage is the op's most expensive
     # subtree — signatures + banding; a semi ∪ anti+semi split would
     # reference it from two branches and, absent exchange reuse, run
-    # it twice): two broadcast LEFT joins against the batch id set
-    # attach is-new flags, one filter keeps every batch-touching pair
-    # exactly once — no distinct (a full extra shuffle of the op's
-    # largest intermediate) needed; _bucket_pairs output is already
-    # distinct, and the distinct batch-id frame can't fan rows out.
+    # it twice): two LEFT joins against the batch id set attach is-new
+    # flags, one filter keeps every batch-touching pair exactly once —
+    # no distinct (a full extra shuffle of the op's largest
+    # intermediate) needed; _bucket_pairs output is already distinct,
+    # and the distinct batch-id frame can't fan rows out. Join strategy
+    # is left to AQE on purpose: a daily batch's id set broadcasts, a
+    # backfill batch with 10^8+ ids must shuffle — a forced broadcast
+    # hint would OOM the driver on exactly the big-batch case.
     batch_ids = new.select(F.col(id_col).alias("__bid")).distinct()
     a_ids = batch_ids.select(
         F.col("__bid").alias("id_a"), F.lit(True).alias("__a_new")
@@ -912,8 +915,8 @@ def minhash_dedup_against(
         F.col("__bid").alias("id_b"), F.lit(True).alias("__b_new")
     )
     touching = (
-        cand.join(F.broadcast(a_ids), "id_a", "left")
-        .join(F.broadcast(b_ids), "id_b", "left")
+        cand.join(a_ids, "id_a", "left")
+        .join(b_ids, "id_b", "left")
         .filter(F.col("__a_new").isNotNull() | F.col("__b_new").isNotNull())
         .select("id_a", "id_b")
     )
@@ -1103,6 +1106,7 @@ def boilerplate_ratio(
             F.count("*").alias("n_spans"),
             F.avg(F.col("dup").cast("double")).alias("dup_ratio"),
         )
+        .withColumnRenamed("doc_id", id_col)  # honor the caller's name
     )
 
 
@@ -1169,4 +1173,5 @@ def remove_duplicate_spans(
             .cast("long")
             .alias("n_removed"),
         )
+        .withColumnRenamed("doc_id", id_col)  # honor the caller's name
     )

@@ -41,8 +41,13 @@ def expectation_report(
     not_null = list(dict.fromkeys(not_null or []))
     unique = list(dict.fromkeys(unique or []))
     ranges = ranges or {}
+    # Case-INSENSITIVE membership check, matching Spark's own analyzer
+    # default (spark.sql.caseSensitive=false): a config saying Doc_ID
+    # against a doc_id column resolved fine before this validation
+    # existed and must keep doing so.
+    known = {c.lower() for c in df.columns}
     missing = [
-        c for c in (*not_null, *unique, *ranges) if c not in df.columns
+        c for c in (*not_null, *unique, *ranges) if c.lower() not in known
     ]
     if missing:
         raise ValueError(

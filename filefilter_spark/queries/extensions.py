@@ -1550,7 +1550,8 @@ def op_d7_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
                / greatest(length(text), 1) * 0.3 AS q
       FROM documents
     )
-    SELECT source, lang, count(*) AS n_docs, sum(tok) AS n_tokens,
+    SELECT grouping(source, lang) AS gset, source, lang,
+           count(*) AS n_docs, sum(tok) AS n_tokens,
            sum(chars) AS n_chars_total, min(q) AS q_min, max(q) AS q_max
     FROM base GROUP BY GROUPING SETS ((source), (lang), ())
     """,

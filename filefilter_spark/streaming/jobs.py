@@ -555,8 +555,15 @@ def rate_soak(
             .start()
         )
     finally:
-        if state_partitions is not None and prev is not None:
-            spark.conf.set(conf_key, prev)
+        if state_partitions is not None:
+            if prev is not None:
+                spark.conf.set(conf_key, prev)
+            else:
+                # Same contract as _run_to_memory above: get(key, None)
+                # is None when the key was never explicitly set — unset
+                # rather than skip, or the soak's tiny partition count
+                # would leak into the session's batch queries.
+                spark.conf.unset(conf_key)
     out: dict[int, dict] = {}
     deadline = _time.time() + timeout_sec
     try:

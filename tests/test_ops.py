@@ -1412,16 +1412,20 @@ def test_dataset_report_composition(spark):
         "doc_id int, text string, source string, lang string",
     )
     rows = dataset_report(df).collect()
-    by_key = {(r["source"], r["lang"]): r for r in rows}
-    # per-source, per-lang, and grand-total rows — no full cross product
+    # gset bitmask disambiguates rollup markers from REAL null group
+    # values: (gset, source, lang) is a unique key even with nullable
+    # group columns
+    by_key = {(r["gset"], r["source"], r["lang"]): r for r in rows}
+    assert len(by_key) == len(rows)
+    # per-source (lang aggregated -> bit0), per-lang (bit1), total (3)
     assert set(by_key) == {
-        ("web", None), ("books", None), (None, "en"), (None, "fr"),
-        (None, None),
+        (1, "web", None), (1, "books", None), (2, None, "en"),
+        (2, None, "fr"), (3, None, None),
     }
-    assert by_key[("web", None)]["n_docs"] == 2
-    assert by_key[("web", None)]["n_tokens"] == 5
-    assert by_key[(None, "en")]["n_tokens"] == 4
-    total = by_key[(None, None)]
+    assert by_key[(1, "web", None)]["n_docs"] == 2
+    assert by_key[(1, "web", None)]["n_tokens"] == 5
+    assert by_key[(2, None, "en")]["n_tokens"] == 4
+    total = by_key[(3, None, None)]
     assert total["n_docs"] == 3 and total["n_tokens"] == 6
     assert total["q_min"] <= total["q_max"]
 
@@ -1436,3 +1440,20 @@ def test_temperature_sample_group_cardinality_guard(spark):
         temperature_sample(df, max_groups=10)
     # under the cap the same frame works
     assert temperature_sample(df, max_groups=100).count() <= 50
+
+
+def test_span_ops_honor_custom_id_column(spark):
+    from filefilter_spark.ops.dedup import (
+        boilerplate_ratio,
+        remove_duplicate_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "x a b c d e f g h")],
+        "page_id int, text string",
+    )
+    cleaned = remove_duplicate_spans(df, id_col="page_id", span_tokens=8)
+    assert "page_id" in cleaned.columns and "doc_id" not in cleaned.columns
+    ratio = boilerplate_ratio(df, id_col="page_id", span_tokens=8)
+    assert "page_id" in ratio.columns and "doc_id" not in ratio.columns
+    assert cleaned.count() == 2 and ratio.count() == 2
