@@ -79,3 +79,31 @@ def test_phones_truth_table(spark, tmp_path):
         "6123": "error",
         "abc": "error",
     }
+
+
+def test_llm_pipeline_example_end_to_end(spark):
+    """examples/llm_pipeline.yml — the showcase zero-code LLM prep
+    config — runs end-to-end over the test corpus, and each stage's
+    effect is observable in the output."""
+    from filefilter_spark.pipeline import Pipeline
+
+    root = Path(__file__).resolve().parent.parent
+    pipe = Pipeline.from_yaml(spark, str(root / "examples/llm_pipeline.yml"))
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pipe.run(docs).df
+    rows = out.collect()
+    assert len(rows) >= 10
+    cols = set(out.columns)
+    assert {"doc_id", "text", "split", "bpe_tokens", "quality"} <= cols
+    # quality gate applied
+    assert all(r["quality"] >= 0.2 and r["n_tokens"] >= 5 for r in rows)
+    # split assignment total and roughly proportional
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # tokenizer applied: every surviving doc got a non-empty segmentation
+    assert all(r["bpe_tokens"] for r in rows)
+    # temperature flattening kept every row of the rarest language
+    by_lang = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert len(by_lang) >= 2
