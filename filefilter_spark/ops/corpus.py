@@ -170,10 +170,12 @@ def weighted_sample(
     """Deterministic per-group rate sampling — the data-mixing step of
     corpus assembly (down-weight web crawl, keep all books, ...).
 
-    Keep a row iff ``md5(id || '#mix' || seed)`` prefix < its group's
+    Keep a row iff ``md5(id || salt || seed)`` prefix < its group's
     cutoff — the same engine-portable hash trick as :func:`hash_split`
-    with an INDEPENDENT salt, so mixing and split decisions are
-    uncorrelated. Pure projection + filter: no shuffle, no RNG state,
+    with an INDEPENDENT salt (default ``'#mix'``; callers layering
+    several sampling decisions pass distinct salts —
+    :func:`temperature_sample` uses ``'#temp'`` — so the decisions stay
+    uncorrelated with each other and with the split). Pure projection + filter: no shuffle, no RNG state,
     bit-reproducible across engines/reruns/partitionings, and changing
     one group's rate only touches that group's rows (sample/randomSplit
     give neither property). Unlisted groups get ``default_rate``.

@@ -41,13 +41,20 @@ def expectation_report(
     not_null = list(dict.fromkeys(not_null or []))
     unique = list(dict.fromkeys(unique or []))
     ranges = ranges or {}
-    # Case-INSENSITIVE membership check, matching Spark's own analyzer
-    # default (spark.sql.caseSensitive=false): a config saying Doc_ID
-    # against a doc_id column resolved fine before this validation
-    # existed and must keep doing so.
-    known = {c.lower() for c in df.columns}
+    # Membership check with the SESSION's case sensitivity, matching
+    # what the analyzer will actually do with these names: under the
+    # default (caseSensitive=false) a config saying Doc_ID against a
+    # doc_id column resolves and must keep doing so; under an explicit
+    # caseSensitive=true session the guard must flag it instead of
+    # letting the agg throw UNRESOLVED_COLUMN later.
+    case_sensitive = (
+        df.sparkSession.conf.get("spark.sql.caseSensitive", "false").lower()
+        == "true"
+    )
+    fold = (lambda c: c) if case_sensitive else str.lower
+    known = {fold(c) for c in df.columns}
     missing = [
-        c for c in (*not_null, *unique, *ranges) if c.lower() not in known
+        c for c in (*not_null, *unique, *ranges) if fold(c) not in known
     ]
     if missing:
         raise ValueError(

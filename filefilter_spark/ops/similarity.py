@@ -590,7 +590,21 @@ def random_projection(
     (the OP-D3-project oracle does exactly that).
     """
     mat = projection_matrix(in_dim, out_dim, seed)
-    emb = _as_double_array(vec_col)
+    raw = _as_double_array(vec_col)
+    # Loud per-row dimension check: zip_with would otherwise null-pad a
+    # mismatched vector and every projection component would silently
+    # become NULL. assert_true returns NULL on success, so gating the
+    # vector on its (null) result costs one int compare per row.
+    emb = F.when(
+        F.assert_true(
+            F.size(raw) == in_dim,
+            F.concat(
+                F.lit(f"random_projection: expected {in_dim}-dim vector, got "),
+                F.size(raw).cast("string"),
+            ),
+        ).isNull(),
+        raw,
+    )
     outs = [
         dot(emb, F.array(*[F.lit(mat[i][j]) for i in range(in_dim)])).alias(
             f"p{j}"

@@ -1499,8 +1499,11 @@ def op_d7_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver code, so the per-group cutoffs agree bit-for-bit.
     oracle="""
     WITH counts AS (
+      -- NULL groups are excluded from the rate computation (and from
+      -- N and Z), mirroring temperature_sample's NULL contract; their
+      -- rows pass through at the default rate via the LEFT join below.
       SELECT lang AS g, CAST(count(*) AS DOUBLE) AS n
-      FROM documents GROUP BY lang
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
     ),
     tot AS (SELECT sum(n) AS N FROM counts),
     sh AS (SELECT g, n, sqrt(n / (SELECT N FROM tot)) AS s FROM counts),
@@ -1517,14 +1520,16 @@ def op_d7_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rates
     )
     SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
-    FROM documents d JOIN cut ON d.lang = cut.g
-    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#temp42'), 1, 8) < cut.cutoff
+    FROM documents d LEFT JOIN cut ON d.lang = cut.g
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || '#temp42'), 1, 8)
+          < coalesce(cut.cutoff, 'g')
     """,
     doc="temperature-flattened source mixing (mT5/XLM-R p^0.5 scheme): "
         "per-language keep-rates from one tiny count agg (lang is the "
-        "skewed axis in this corpus: en 44%%), rare languages capped at "
+        "skewed axis in this corpus: en 44%), rare languages capped at "
         "1.0, common ones deterministically downsampled via "
-        "md5-prefix cutoffs under an independent salt "
+        "md5-prefix cutoffs under an independent salt; NULL-lang rows "
+        "pass through at the default rate "
         "(ops/corpus.py temperature_sample).",
 )
 def op_d7_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1537,17 +1542,12 @@ def op_d7_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "OP-D7-report",
-    oracle="""
+    oracle=f"""
     WITH base AS (
       SELECT source, lang,
              len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS tok,
              length(text) AS chars,
-             (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
-             + (CASE WHEN CAST(length(text) AS DOUBLE)
-                          / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')), 1)
-                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
-             + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-               / greatest(length(text), 1) * 0.3 AS q
+             {_quality_sql("text")} AS q
       FROM documents
     )
     SELECT grouping(source, lang) AS gset, source, lang,

@@ -1457,3 +1457,28 @@ def test_span_ops_honor_custom_id_column(spark):
     ratio = boilerplate_ratio(df, id_col="page_id", span_tokens=8)
     assert "page_id" in ratio.columns and "doc_id" not in ratio.columns
     assert cleaned.count() == 2 and ratio.count() == 2
+
+
+def test_random_projection_dim_mismatch_raises(spark):
+    from filefilter_spark.ops.similarity import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="expected 64-dim vector, got 3"):
+        random_projection(df).collect()
+
+
+def test_temperature_sample_null_groups_pass_through(spark):
+    from filefilter_spark.ops.corpus import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 10 else "books") for i in range(1000)]
+        + [(10_000 + i, None) for i in range(20)],
+        "doc_id int, source string",
+    )
+    rows = temperature_sample(df).collect()
+    # unattributed rows all survive at the default rate; NULL never
+    # enters the rate computation (which would TypeError on sort)
+    assert sum(1 for r in rows if r.source is None) == 20
+    assert sum(1 for r in rows if r.source == "books") == 100
