@@ -490,7 +490,7 @@ def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.45,
     n_lists: int = 16,
-    n_assign: int = 2,
+    n_assign: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
@@ -499,10 +499,11 @@ def semantic_dedup(
     arXiv:2303.09540): KMeans the embeddings into ``n_lists`` cells,
     assign every vector to its ``n_assign`` NEAREST cells (multi-probe
     against boundary effects — single assignment measured recall 0.43
-    on the synthetic corpus, top-2 raises it by catching pairs that
-    straddle a cell edge), and exact-cosine-verify only pairs sharing a
-    cell — the O(n²) all-pairs collapses to sum over cells of
-    O(|cell|²).
+    on the synthetic corpus; measured recall vs the exact pair set at
+    sf0.1/5000 vectors: top-2 0.715, top-3 0.875 — boundary pairs
+    fragment as cells fill, so the default is top-3), and
+    exact-cosine-verify only pairs sharing a cell — the O(n²)
+    all-pairs collapses to sum over cells of O(|cell|²).
 
     Returns ``(id_a, id_b, cos_sim)``. Precision is exact (every
     emitted pair is cosine-verified); recall misses only pairs whose

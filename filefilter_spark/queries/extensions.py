@@ -2115,7 +2115,7 @@ def op_d7_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE list_cosine_similarity(a.e, b.e) >= 0.45
         """,
         ("id_a", "id_b"),
-        0.8,  # measured 0.93 at sf0.01 with top-2 cell assignment
+        0.8,  # measured 0.93 at sf0.01 / 0.88 at sf0.1 (top-3 cells)
     ),
     doc="SemDeDup semantic near-dup (Abbas et al. 2023): KMeans cells + "
         "within-cell exact cosine at 0.45 — the data-adaptive complement "
