@@ -58,8 +58,9 @@ QUERIES = [
     # round-5 exact-oracle pipeline ops whose sf0.1 ratios sit above
     # the job floor (2.4x / 2.9x) — the curve shows where they cross
     "OP-D2-lines", "OP-D4-perplexity",
-    # round-6: substring-dedup span report (exact oracle, data-heavy)
-    "OP-D2-spans",
+    # round-6: substring-dedup span report, keep-best dedup, BPE pair
+    # counts (all exact-oracle, data-heavy)
+    "OP-D2-spans", "OP-D1-keepbest", "OP-D4-bpe",
 ]
 
 # Per-table columns that must be offset per copy so each copy is a
