@@ -79,10 +79,19 @@ def _apply_schema_select(df: DataFrame, schema: StructType | str) -> DataFrame:
 
     if isinstance(schema, str):
         schema = _parse_datatype_string(schema)
-    have = {f.lower() for f in df.columns}
+    # Fold names with the SESSION's case sensitivity: under an explicit
+    # caseSensitive=true session a case-mismatched name must be treated
+    # as absent (typed null) — the lowercased membership test alone
+    # would emit F.col() for it and fail analysis later.
+    cs = (
+        df.sparkSession.conf.get("spark.sql.caseSensitive", "false").lower()
+        == "true"
+    )
+    fold = (lambda c: c) if cs else str.lower
+    have = {fold(f) for f in df.columns}
     cols = [
         F.col(f.name).cast(f.dataType).alias(f.name)
-        if f.name.lower() in have
+        if fold(f.name) in have
         else F.lit(None).cast(f.dataType).alias(f.name)
         for f in schema.fields
     ]
@@ -198,12 +207,20 @@ def write_csv_file(df: DataFrame, path: str, delimiter: str = ",") -> None:
     from pathlib import Path as _P
 
     tmp = tempfile.mkdtemp(prefix="ffspark_csv_")
-    out_dir = str(_P(tmp) / "out")
-    write_csv(df, out_dir, delimiter=delimiter, single_file=True)
-    part = next(_P(out_dir).glob("part-*.csv"))
-    _P(path).parent.mkdir(parents=True, exist_ok=True)
-    shutil.move(str(part), path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        out_dir = str(_P(tmp) / "out")
+        write_csv(df, out_dir, delimiter=delimiter, single_file=True)
+        parts = sorted(_P(out_dir).glob("part-*.csv"))
+        if not parts:
+            raise RuntimeError(
+                f"csv write produced no part file under {out_dir} "
+                "(empty input with a writer that skips empty parts?)"
+            )
+        _P(path).parent.mkdir(parents=True, exist_ok=True)
+        shutil.move(str(parts[0]), path)
+    finally:
+        # failed writes must not accumulate ffspark_csv_* scratch dirs
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:

@@ -73,7 +73,12 @@ def expectation_report(
         aggs.append(expr.alias(name))
 
     for c in not_null:
-        add("null", c, F.sum(F.when(col(c).isNull(), 1).otherwise(0)))
+        # coalesce: sum over ZERO rows is NULL, which enforce() would
+        # read as a failure — zero rows contain zero nulls (emptiness
+        # is min_rows' job, same convention as the range check below).
+        add("null", c, F.coalesce(
+            F.sum(F.when(col(c).isNull(), 1).otherwise(0)), F.lit(0)
+        ))
     for c in unique:
         add("cnt", c, F.count(col(c)))
         add("dst", c, F.count_distinct(col(c)))

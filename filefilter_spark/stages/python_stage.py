@@ -39,18 +39,23 @@ from filefilter_spark.stages.base import (
 )
 
 
-def _run_user_code(code_obj, row: dict[str, Any]) -> dict[str, Any]:
+def _run_user_code(code_obj, row: dict[str, Any], on_error=None) -> dict[str, Any]:
     """Execute user code against a row dict; keep-on-error semantics.
 
     Scope mirrors the reference's restricted globals
     (``filefilter.py:40-41``): ``row`` plus ``rand``; imports inside the
     snippet are allowed, same as YAML-embedded code in the reference.
+    The ONE definition of the execution contract — the driver-side
+    schema sampler and the executor loop both call it (``on_error`` is
+    the executor's error-counter hook).
     """
     original = dict(row)
     try:
         exec(code_obj, {"row": row, "rand": random})
         return row
     except Exception:
+        if on_error is not None:
+            on_error()
         return original  # keep the original row (filefilter.py:56-65)
 
 
@@ -87,13 +92,9 @@ class PythonStage(Stage):
             for pdf in batches:
                 out: dict[str, list] = {name: [] for name, _ in col_types}
                 for rec in pdf.to_dict(orient="records"):
-                    original = dict(rec)
-                    try:
-                        exec(code_obj, {"row": rec, "rand": random})
-                        result = rec
-                    except Exception:
-                        err_acc.add(1)
-                        result = original
+                    result = _run_user_code(
+                        code_obj, rec, on_error=lambda: err_acc.add(1)
+                    )
                     for name, dt in col_types:
                         out[name].append(coerce_cell(result.get(name), dt))
                 yield pd.DataFrame(out)

@@ -99,6 +99,18 @@ class RestStage(Stage):
         max_retries = int(ac.get("maxRetries", 2))
         backoff = float(ac.get("backoff", 0.5))
         rate_per_sec = float(ac.get("ratePerSecond", 0))
+        if rate_per_sec > 0:
+            # The token bucket lives per TASK (instantiated inside the
+            # partition fn — there is no cheap cross-executor limiter),
+            # so the configured rate must be divided by the number of
+            # buckets that can be draining at once, or the endpoint
+            # sees ratePerSecond x task-parallelism. At most
+            # min(partitions, total cores) tasks run simultaneously.
+            n_concurrent = max(
+                1,
+                min(df.rdd.getNumPartitions(), sc.defaultParallelism),
+            )
+            rate_per_sec = rate_per_sec / n_concurrent
         timeout = float(ac.get("timeout", 30))
         out_cols = [f.name for f in schema.fields]
 

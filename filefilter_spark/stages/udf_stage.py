@@ -40,9 +40,26 @@ class UdfStage(Stage):
         code = ac.get("code") or self.cfg.code
         scope: dict = {}
         exec(compile(code, f"<udf-stage:{self.cfg.name}>", "exec"), scope)
-        fn = scope.get("fn") or next(
-            v for k, v in scope.items() if callable(v) and not k.startswith("__")
-        )
+        fn = scope.get("fn")
+        if fn is None:
+            # Fall back to the LAST function DEFINED by the user code
+            # (its __code__ carries our synthetic filename) — "first
+            # callable in the scope" would happily pick an imported
+            # helper (`from math import ceil` precedes the user's def
+            # in insertion order) and silently register the wrong fn.
+            import types
+
+            defined = [
+                v for v in scope.values()
+                if isinstance(v, types.FunctionType)
+                and v.__code__.co_filename.startswith("<udf-stage:")
+            ]
+            if not defined:
+                raise ValueError(
+                    f"udf stage {self.cfg.name!r}: code defines no "
+                    "function (define `fn` or any `def ...`)"
+                )
+            fn = defined[-1]
         # Register on the DataFrame's own session (works inside
         # foreachBatch's micro-batch-cloned sessions; see sql_stage).
         session = df.sparkSession

@@ -65,7 +65,11 @@ def _events_stream(
         # an availableNow drain process a directory in several batches
         # (and the hot-reload boundary observable in tests).
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if path.endswith(".parquet"):
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        # Single-FILE dataset: stream-read its parent with a glob on
+        # the file name. A Spark-written DIRECTORY named *.parquet must
+        # NOT take this branch — the glob is matched against the leaf
+        # part-*.parquet names and would silently select zero files.
         base, fname = os.path.dirname(path) or ".", os.path.basename(path)
         stream = reader.option("pathGlobFilter", fname).parquet(base)
     else:
@@ -467,6 +471,7 @@ def pipeline_foreach_batch(
 
     import os
     import shutil
+    import tempfile
     import uuid as _uuid
 
     # Same tmpfs-checkpoint shortcut as _run_to_memory (bounded drain,
@@ -485,6 +490,14 @@ def pipeline_foreach_batch(
         if query.isActive:  # pragma: no cover
             query.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(out_dir):
+        # Zero micro-batches ran (empty/non-matching input): the handle
+        # never wrote, so read.parquet would raise PATH_NOT_FOUND at an
+        # internal scratch path — masking the real cause. Surface it.
+        raise ValueError(
+            "pipeline_foreach_batch: the availableNow run produced no "
+            "micro-batches (no matching input files?) — nothing to read"
+        )
     return spark.read.parquet(out_dir)
 
 

@@ -1482,3 +1482,32 @@ def test_temperature_sample_null_groups_pass_through(spark):
     # enters the rate computation (which would TypeError on sort)
     assert sum(1 for r in rows if r.source is None) == 20
     assert sum(1 for r in rows if r.source == "books") == 100
+
+
+def test_expect_not_null_vacuous_on_empty(spark):
+    """Zero rows contain zero nulls: not_null/unique must pass on an
+    empty frame (emptiness is min_rows' job), not fail on a NULL sum."""
+    from filefilter_spark.ops.expect import enforce, expectation_report
+
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    rep = {r["check"]: r["passed"]
+           for r in expectation_report(empty, not_null=["doc_id"],
+                                       unique=["doc_id"]).collect()}
+    assert rep == {"not_null:doc_id": True, "unique:doc_id": True}
+    assert enforce(empty, not_null=["doc_id"]) is empty
+    with pytest.raises(ValueError, match="min_rows"):
+        enforce(empty, min_rows=1, not_null=["doc_id"])
+
+
+def test_streaming_reads_directory_shaped_parquet(spark, sf_dir, tmp_path):
+    """A Spark-written DATASET DIRECTORY named *.parquet must stream
+    every row — the single-file glob branch would match zero leaf
+    part files and silently return nothing."""
+    from filefilter_spark.streaming.jobs import windowed_counts_available_now
+
+    dataset = str(tmp_path / "events.parquet")
+    spark.read.parquet(f"{sf_dir}/events.parquet").limit(500).repartition(
+        3
+    ).write.parquet(dataset)
+    out = windowed_counts_available_now(spark, dataset)
+    assert sum(r["n"] for r in out.collect()) == 500

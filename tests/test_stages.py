@@ -536,3 +536,41 @@ filters:
     actionType: expect
     actionConfig: {notNull: [text], unique: [doc_id]}
 """)).run(df)
+
+
+def test_udf_stage_ignores_imported_callables(spark):
+    """An import preceding the user's def must not be registered as the
+    UDF; and code with no function at all gets a clear error."""
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame([(2,)], "x int")
+    out = Pipeline(spark, load_config_str("""
+filters:
+  - name: reg
+    actionType: udf
+    actionConfig:
+      name: double_it
+      returnType: long
+      vectorized: false
+    code: |
+      from math import ceil
+      def double_it(x):
+          return x * 2
+  - name: use
+    actionType: sql
+    code: SELECT double_it(x) AS y FROM df
+""")).run(df).df
+    assert out.collect()[0]["y"] == 4  # ceil(2) == 2 would betray the bug
+
+    import pytest as _pytest
+
+    from filefilter_spark.stages import UdfStage
+    from filefilter_spark.config import StageConfig
+
+    cfg = StageConfig.from_dict(
+        {"name": "bad", "actionType": "udf",
+         "actionConfig": {"name": "f"}, "code": "x = 1"}, 0,
+    )
+    with _pytest.raises(ValueError, match="defines no"):
+        UdfStage(spark, cfg).apply(df)
