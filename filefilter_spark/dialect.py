@@ -39,9 +39,10 @@ _FN_RENAMES = {
     "list_min": "array_min",
     "list_max": "array_max",
     "array_to_string": "array_join",
-    "string_split": "split",
-    "str_split": "split",
-    "string_to_array": "split",
+    # string_split/str_split/string_to_array are arg-aware rewrites
+    # (_rewrite_string_split): their separator is a LITERAL in DuckDB
+    # but a Java regex in Spark's split(). regexp_split_to_array is
+    # regex in both — plain rename.
     "regexp_split_to_array": "split",
     "strpos": "instr",
     "list_value": "array",
@@ -130,9 +131,45 @@ def _rewrite_strftime(sql: str) -> str:
             fmt, expr = a, b
         else:
             fmt, expr = b, a
-        for code, jdk in _STRFTIME_CODES.items():
-            fmt = fmt.replace(code, jdk)
-        return f"date_format({expr}, {fmt})"
+        if not (fmt.startswith("'") and fmt.endswith("'")):
+            return f"strftime({inner})"  # non-literal format: leave as-is
+        # Char walk (NOT dict.replace over the whole string): '%%' must
+        # consume positionally before any %-code (dict order would turn
+        # the literal '%Y' of '%%Y' into '%yyyy'), and literal runs
+        # containing letters must be JDK-quoted ('T' unquoted is a
+        # pattern letter DateTimeFormatter rejects).
+        content = fmt[1:-1]
+        out_parts: list[str] = []
+        lit: list[str] = []
+
+        def flush() -> None:
+            if not lit:
+                return
+            txt = "".join(lit)
+            if any(ch.isalpha() for ch in txt) or "'" in txt:
+                txt = "'" + txt.replace("'", "''") + "'"
+            out_parts.append(txt)
+            lit.clear()
+
+        i = 0
+        while i < len(content):
+            ch = content[i]
+            if ch == "%" and i + 1 < len(content):
+                code = content[i : i + 2]
+                if code == "%%":
+                    lit.append("%")
+                    i += 2
+                    continue
+                if code in _STRFTIME_CODES:
+                    flush()
+                    out_parts.append(_STRFTIME_CODES[code])
+                    i += 2
+                    continue
+            lit.append(ch)
+            i += 1
+        flush()
+        pattern = "".join(out_parts).replace("'", "\\'")
+        return f"date_format({expr}, '{pattern}')"
 
     return _rewrite_call(sql, "strftime", one)
 
@@ -153,6 +190,34 @@ def _rewrite_list_reverse_sort(sql: str) -> str:
     return _rewrite_call(
         sql, "list_reverse_sort", lambda inner: f"sort_array({inner}, false)"
     )
+
+
+_REGEX_METAS = set("\\^$.|?*+()[]{}")
+
+
+def _rewrite_string_split(sql: str) -> str:
+    # DuckDB string_split(s, sep) splits on a LITERAL separator; Spark
+    # split(s, re) takes a Java regex, so '.', '|', '+', '(' separators
+    # would silently split on everything / fail to parse. Literal
+    # separators get their regex metacharacters escaped; a non-literal
+    # separator expression falls through to the bare rename (regex
+    # semantics — the caller is writing dynamic SQL and on their own).
+    def one(inner: str) -> str:
+        parts = _split_top_level(inner)
+        if len(parts) == 2:
+            s_arg, sep = (p.strip() for p in parts)
+            if sep.startswith("'") and sep.endswith("'") and len(sep) >= 2:
+                content = sep[1:-1]
+                esc = "".join(
+                    ("\\\\" + ch) if ch in _REGEX_METAS else ch
+                    for ch in content
+                )
+                return f"split({s_arg}, '{esc}')"
+        return f"split({inner})"
+
+    for name in ("string_split", "str_split", "string_to_array"):
+        sql = _rewrite_call(sql, name, one)
+    return sql
 
 
 def _rewrite_epoch(sql: str) -> str:
@@ -370,6 +435,7 @@ def translate(sql: str) -> str:
     out = _rewrite_list_unique(out)
     out = _rewrite_list_reverse_sort(out)
     out = _rewrite_list_slice(out)
+    out = _rewrite_string_split(out)
     out = _rewrite_epoch(out)
     out = _rewrite_fn_names(out)
     return out

@@ -59,6 +59,10 @@ def asof_join(
         *[F.col(c).alias(pay_out[c]) for c in payload],
     )
     lhs = left.withColumn(_SIDE, F.lit(1)).withColumn(_TS, F.col(left_ts))
+    # A NULL right_ts can never satisfy ts <= left_ts, but its payload
+    # struct is non-null and NULLs sort FIRST ascending — last(ignorenulls)
+    # would hand its payload to left rows with no real match. Drop them.
+    right = right.filter(F.col(right_ts).isNotNull())
     rhs = right.select(
         *[F.col(k) for k in keys],
         F.col(right_ts).alias(_TS),

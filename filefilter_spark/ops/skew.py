@@ -69,11 +69,25 @@ def salted_join(
     never concentrates in one task and the salt is a harmless no-op.
     Pass ``strategy="shuffle_hash"`` (or ``"merge"``) to pin the
     shuffle plan, as a caller with a just-above-broadcast-threshold
-    small side would; output rows are identical either way (inner/
-    outer equality on keys+salt reproduces the unsalted join exactly,
-    since each big row carries one salt and the small side covers all
-    of them).
+    small side would; output rows are identical to the unsalted join
+    for every BIG-side-preserving join type (each big row carries one
+    salt and the small side covers all of them).
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are accepted:
+    a ``right``/``full`` join against the REPLICATED small side would
+    emit every unmatched small row once per salt (and spurious
+    null-extended rows for salts the big side never drew) — for those,
+    salt the other side or use AQE's skew-join handling.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "semi",
+               "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only "
+            f"(got {how!r}): the salt-replicated small side would "
+            "duplicate unmatched small rows under right/full"
+        )
     keys = list(on)
     big_s = big.withColumn(SALT, (F.rand(seed=13) * n_salts).cast("int"))
     small_s = small.withColumn(

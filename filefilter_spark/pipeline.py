@@ -44,7 +44,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Observation, SparkSession
 
 from filefilter_spark.config import PipelineConfig, StageConfig, load_config
-from filefilter_spark.io import read_input, write_csv
+from filefilter_spark.io import read_input, write_csv_file
 from filefilter_spark.stages import STAGE_TYPES
 
 log = logging.getLogger("filefilter_spark")
@@ -87,9 +87,15 @@ class PipelineResult:
         return self.metrics
 
 
-def _stage_fingerprint(cfg: StageConfig) -> str:
+def _stage_fingerprint(cfg: StageConfig, input_token: str = "") -> str:
+    # input_token ties the fingerprint to the INPUT's analyzed plan
+    # (paths + schema via semanticHash): without it, --resume against a
+    # different input silently replays the previous input's materialized
+    # stages. (mtime is not captured — same-path in-place rewrites still
+    # require --delete, documented CLI behavior.)
     payload = json.dumps(
-        [cfg.index, cfg.action_type, cfg.code, sorted(cfg.action_config.items())],
+        [cfg.index, cfg.action_type, cfg.code, sorted(cfg.action_config.items()),
+         input_token],
         default=str,
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
@@ -134,16 +140,23 @@ class Pipeline:
             meta = json.loads(manifest.read_text())
         except Exception:
             return None
-        if meta.get("fingerprint") != _stage_fingerprint(cfg):
+        if meta.get("fingerprint") != _stage_fingerprint(cfg, self._input_token):
             return None
         return self.spark.read.parquet(str(p / "data"))
 
     def _materialize(self, cfg: StageConfig, df: DataFrame) -> DataFrame:
         p = self._stage_path(cfg)
+        # Invalidate the manifest BEFORE overwriting the data: a crash
+        # between the two must leave a missing manifest (stage re-runs),
+        # never an old fingerprint attached to new data that a later
+        # --resume would accept.
+        manifest = p / "_ffspark_manifest.json"
+        manifest.unlink(missing_ok=True)
         df.write.mode("overwrite").parquet(str(p / "data"))
         p.mkdir(parents=True, exist_ok=True)
-        (p / "_ffspark_manifest.json").write_text(
-            json.dumps({"fingerprint": _stage_fingerprint(cfg), "name": cfg.name})
+        manifest.write_text(
+            json.dumps({"fingerprint": _stage_fingerprint(cfg, self._input_token),
+                        "name": cfg.name})
         )
         return self.spark.read.parquet(str(p / "data"))
 
@@ -159,6 +172,10 @@ class Pipeline:
         size as the stage's row count.
         """
         metrics: list[StageMetrics] = []
+        try:
+            self._input_token = str(df.semanticHash())
+        except Exception:  # pragma: no cover - developer API moved
+            self._input_token = ""
         resuming = True  # leading prefix of resumable stages
         plain = df  # observation-free twin
         for cfg in self.config.enabled_stages:
@@ -191,7 +208,11 @@ class Pipeline:
                 m.harvest()
                 log.info("stage %s (%s): %s rows", cfg.name, cfg.action_type, m.rows_out)
             if cfg.show_sample or (self.collect_metrics and self.config.show_sample_on_finish):
-                df.show(5, truncate=False)  # OP-A11 head sample
+                # Show on the observation-FREE twin: a limit-5 job on the
+                # observed chain would be the first completed action and
+                # permanently record ~5-row partial counts (the invariant
+                # in this docstring).
+                plain.show(5, truncate=False)  # OP-A11 head sample
             metrics.append(m)
         return PipelineResult(df=df, metrics=metrics)
 
@@ -209,7 +230,9 @@ class Pipeline:
         )
         result = self.run(df)
         if output_path:
-            write_csv(result.df, output_path, delimiter=self.config.out_delimiter,
-                      single_file=True)
+            # Single local FILE, matching the CLI sink exactly — the two
+            # entry points must not diverge in output layout.
+            write_csv_file(result.df, output_path,
+                           delimiter=self.config.out_delimiter)
             result.harvest_metrics()
         return result

@@ -41,6 +41,13 @@ class RollingRate:
             self._last_count, self._last_t = completed, now
             return
         done = completed - self._last_count
+        if done < 0:
+            # Counter regressed: the tracked stage changed under us (new
+            # stage starts from a smaller completed count). Re-baseline —
+            # otherwise the rate freezes on the old stage's timestamp and
+            # the first eventual update spans both stages' wall time.
+            self._last_count, self._last_t = completed, now
+            return
         if done > 0:
             per_unit = (now - self._last_t) / done
             for _ in range(min(done, self.times.maxlen or done)):
@@ -57,7 +64,11 @@ class RollingRate:
         secs = self.eta_seconds(pending, workers)
         if secs >= 86400 * 99:  # no signal yet / absurd — render dashes
             return "--:--:--"
-        return time.strftime("%H:%M:%S", time.gmtime(secs))
+        # manual H:M:S — gmtime wraps at 24h and would render a 25-hour
+        # ETA as 01:00:00
+        h, rem = divmod(int(secs), 3600)
+        m, sec = divmod(rem, 60)
+        return f"{h:02d}:{m:02d}:{sec:02d}"
 
 
 def _rss_mb() -> float:

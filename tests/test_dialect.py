@@ -269,3 +269,25 @@ def test_nested_wrapped_calls_rewrite_inner_too(spark):
     sql = translate("SELECT list_unique(list_reverse_sort(list_reverse_sort(list_value(2, 1)))) AS n")
     assert "list_reverse_sort" not in sql
     assert spark.sql(sql).collect()[0].n == 2
+
+
+def test_string_split_literal_separator_escaped():
+    from filefilter_spark.dialect import translate
+
+    assert translate("SELECT string_split(c, '.') FROM df") == \
+        "SELECT split(c, '\\\\.') FROM df"
+    assert "\\\\|" in translate("SELECT str_split(c, '|') FROM df")
+    # regex splitter keeps regex semantics
+    assert translate("SELECT regexp_split_to_array(c, '\\s+') FROM df") == \
+        "SELECT split(c, '\\s+') FROM df"
+
+
+def test_strftime_percent_escape_and_literal_letters():
+    from filefilter_spark.dialect import translate
+
+    # '%%Y' is a literal '%Y', not a year
+    assert translate("SELECT strftime(ts, '%%Y') FROM x") == \
+        "SELECT date_format(ts, '\\'%Y\\'') FROM x"
+    # unquoted literal letters would be pattern letters to the JDK
+    assert translate("SELECT strftime(ts, '%Y-%m-%dT%H') FROM x") == \
+        "SELECT date_format(ts, 'yyyy-MM-dd\\'T\\'HH') FROM x"

@@ -1511,3 +1511,60 @@ def test_streaming_reads_directory_shaped_parquet(spark, sf_dir, tmp_path):
     ).write.parquet(dataset)
     out = windowed_counts_available_now(spark, dataset)
     assert sum(r["n"] for r in out.collect()) == 500
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    """A right row with NULL ts can never be a match: it must not leak
+    its payload into left rows via the nulls-first sort."""
+    from filefilter_spark.ops.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 50, 1.0)],
+        "k int, rts int, price double",
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    how="left").collect()
+    assert len(out) == 1
+    assert out[0]["price"] is None and out[0]["matched_ts"] is None
+
+
+def test_salted_join_rejects_small_side_preserving_hows(spark):
+    from filefilter_spark.ops.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k int, v string")
+    small = spark.createDataFrame([(1, "d")], "k int, w string")
+    with pytest.raises(ValueError, match="big-side-preserving"):
+        salted_join(big, small, on=["k"], how="full")
+    assert salted_join(big, small, on=["k"], how="left").count() == 1
+
+
+def test_resume_keyed_to_input_identity(spark, tmp_path):
+    """--resume must not replay stage outputs materialized from a
+    DIFFERENT input: the fingerprint carries the input's semantic
+    hash."""
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    spark.createDataFrame([(1,)], "x int").write.parquet(a)
+    spark.createDataFrame([(2,)], "x int").write.parquet(b)
+    yaml_text = """
+filters:
+  - name: bump
+    actionType: sql
+    code: SELECT x + 100 AS x FROM df
+"""
+    ckpt = str(tmp_path / "ckpt")
+    p1 = Pipeline(spark, load_config_str(yaml_text), checkpoint_dir=ckpt)
+    assert p1.run(spark.read.parquet(a)).df.collect()[0]["x"] == 101
+    p2 = Pipeline(spark, load_config_str(yaml_text), checkpoint_dir=ckpt,
+                  resume=True)
+    assert p2.run(spark.read.parquet(b)).df.collect()[0]["x"] == 102
+    # and same-input resume genuinely resumes
+    p3 = Pipeline(spark, load_config_str(yaml_text), checkpoint_dir=ckpt,
+                  resume=True)
+    r3 = p3.run(spark.read.parquet(b))
+    assert r3.df.collect()[0]["x"] == 102
+    assert r3.metrics[0].resumed
