@@ -168,14 +168,60 @@ def test_s3_conf_mapping():
         s3_conf({"acess_key": "typo"})
 
 
-def test_s3a_missing_connector_fails_fast(spark):
-    """This container ships no hadoop-aws jar, so an s3 path must fail
-    at read_input time with an actionable message — not minutes later
+def test_s3_no_jars_no_boto3_fails_fast(spark, monkeypatch):
+    """With neither the s3a jars nor boto3, an s3 path must fail at
+    read_input time with an actionable message — not minutes later
     inside Py4J at the first action."""
+    import sys
+
     from filefilter_spark.io import read_input
     from filefilter_spark.session import s3a_available
 
     if s3a_available(spark):  # pragma: no cover - env with jars
-        pytest.skip("hadoop-aws present; fail-fast path not reachable")
+        pytest.skip("hadoop-aws present; fallback path not reachable")
+    monkeypatch.setitem(sys.modules, "boto3", None)  # import -> ImportError
     with pytest.raises(RuntimeError, match="hadoop-aws"):
         read_input(spark, "s3://bucket/key.parquet")
+
+
+def test_s3_boto3_fallback_reads_object_and_prefix(spark, monkeypatch, tmp_path):
+    """OP-A3 driver-side tier, end-to-end against moto's in-process S3:
+    a single CSV object AND a Spark-written parquet dataset uploaded
+    under a prefix both round-trip through read_input('s3://...')."""
+    import boto3
+    from moto import mock_aws
+
+    from filefilter_spark.io import read_input
+    from filefilter_spark.session import s3a_available
+
+    if s3a_available(spark):  # pragma: no cover - env with jars
+        pytest.skip("hadoop-aws present; s3a tier would win")
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", "test")
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", "test")
+    with mock_aws():
+        s3 = boto3.client("s3")
+        s3.create_bucket(Bucket="corpus")
+        s3.put_object(
+            Bucket="corpus", Key="in/docs.csv",
+            Body=b"id;name\n1;alpha\n2;beta\n",
+        )
+        got = read_input(spark, "s3://corpus/in/docs.csv", delimiter=";")
+        assert sorted((r["id"], r["name"]) for r in got.collect()) == [
+            (1, "alpha"), (2, "beta"),
+        ]
+
+        local = tmp_path / "events.parquet"
+        spark.createDataFrame(
+            [(i, f"e{i}") for i in range(50)], "event_id int, kind string"
+        ).repartition(3).write.parquet(str(local))
+        for f in local.rglob("*"):
+            if f.is_file():
+                s3.upload_file(
+                    str(f), "corpus", f"ds/events.parquet/{f.name}"
+                )
+        got2 = read_input(spark, "s3://corpus/ds/events.parquet")
+        assert got2.count() == 50 and set(got2.columns) == {"event_id", "kind"}
+
+        with pytest.raises(FileNotFoundError, match="no S3 object"):
+            read_input(spark, "s3://corpus/missing/nothing.parquet")
