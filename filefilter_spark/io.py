@@ -262,7 +262,9 @@ def write_csv_file(df: DataFrame, path: str, delimiter: str = ",") -> None:
     Spark's csv writer emits a directory of part files; this coalesces
     to one part and renames it to the target. Local-filesystem CLI
     convenience only — at scale use :func:`write_csv` and let every
-    task write its own part.
+    task write its own part. An ``s3://`` target takes the same
+    driver-side boto3 tier as the read side when the s3a jars are
+    absent: write locally, upload the one file.
     """
     import shutil
     import tempfile
@@ -278,8 +280,25 @@ def write_csv_file(df: DataFrame, path: str, delimiter: str = ",") -> None:
                 f"csv write produced no part file under {out_dir} "
                 "(empty input with a writer that skips empty parts?)"
             )
-        _P(path).parent.mkdir(parents=True, exist_ok=True)
-        shutil.move(str(parts[0]), path)
+        if path.startswith(("s3://", "s3a://")):
+            from filefilter_spark.session import s3a_available
+
+            if s3a_available(df.sparkSession):  # pragma: no cover - jars
+                raise ValueError(
+                    "with the s3a connector present, write to s3a:// via "
+                    "write_csv (distributed parts), not the single-file sink"
+                )
+            from urllib.parse import urlparse
+
+            import boto3
+
+            u = urlparse("s3://" + path.split("://", 1)[1])
+            boto3.client("s3").upload_file(
+                str(parts[0]), u.netloc, u.path.lstrip("/")
+            )
+        else:
+            _P(path).parent.mkdir(parents=True, exist_ok=True)
+            shutil.move(str(parts[0]), path)
     finally:
         # failed writes must not accumulate ffspark_csv_* scratch dirs
         shutil.rmtree(tmp, ignore_errors=True)

@@ -225,3 +225,13 @@ def test_s3_boto3_fallback_reads_object_and_prefix(spark, monkeypatch, tmp_path)
 
         with pytest.raises(FileNotFoundError, match="no S3 object"):
             read_input(spark, "s3://corpus/missing/nothing.parquet")
+
+        # and the single-file CSV sink round-trips back UP to S3
+        from filefilter_spark.io import write_csv_file
+
+        write_csv_file(got, "s3://corpus/out/result.csv", delimiter=";")
+        body = s3.get_object(Bucket="corpus", Key="out/result.csv")[
+            "Body"
+        ].read().decode()
+        lines = sorted(body.strip().splitlines())
+        assert lines == ["1;alpha", "2;beta", "id;name"]
