@@ -18,6 +18,7 @@ chain is the standard AWS provider chain, same idea as DuckDB httpfs).
 from __future__ import annotations
 
 from pathlib import Path
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -309,6 +310,74 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(_normalize_path(path))
+
+
+def compact_parquet(
+    df: DataFrame,
+    path: str,
+    rows_per_file: int,
+    order_col: str | None = None,
+) -> None:
+    """Rewrite a dataset as parquet files of a TARGET SIZE — the
+    small-files compaction every long-lived 100 TB corpus needs
+    (ingest leaves thousands of KB-sized parts per batch; scans then
+    pay per-file open/footer cost and the driver pays per-file
+    listing).
+
+    ``maxRecordsPerFile`` caps each task's output file; the partition
+    count is sized so tasks receive ~``rows_per_file`` rows and emit
+    ~one file each, not a directory of capped fragments. With
+    ``order_col`` the data is range-repartitioned on it, so files
+    carry disjoint sorted key ranges and parquet min/max stats prune
+    file scans for key-range queries — the cheap, format-native cousin
+    of Z-ordering. Row count drives the sizing via a fast count()
+    (metadata-only on parquet sources).
+    """
+    if rows_per_file <= 0:
+        raise ValueError(f"rows_per_file must be positive: {rows_per_file}")
+    n = df.count()
+    n_files = max(1, -(-n // rows_per_file))  # ceil
+    # Range boundaries come from sampling, so partitions are only
+    # approximately equal — maxRecordsPerFile still hard-caps any
+    # oversampled partition (at the cost of an extra file there), and
+    # the within-partition sort makes every file's min/max stats tight
+    # and globally disjoint.
+    part = (
+        df.repartitionByRange(n_files, order_col).sortWithinPartitions(order_col)
+        if order_col
+        else df.repartition(n_files)
+    )
+    (
+        part.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_file)
+        .parquet(_normalize_path(path))
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist as a BUCKETED managed table: rows are hash-distributed
+    into ``n_buckets`` files per partition on ``bucket_cols``, and the
+    bucketing metadata travels with the table — so a later join or
+    aggregation on the bucket key reads co-located data and skips its
+    shuffle entirely (the plan-level lever for repeated joins on one
+    key, e.g. doc_id enrichment passes over a 100 TB corpus; asserted
+    in tests/test_plans.py).
+
+    Bucketing requires the table-metadata path (``saveAsTable``) —
+    plain ``.parquet(path)`` writes carry no bucket spec. Sorted
+    buckets (``sort_cols``) additionally enable merge-join without a
+    sort step.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
 
 
 def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
