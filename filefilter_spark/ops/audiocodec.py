@@ -125,6 +125,13 @@ def mfcc_mean(
     mono = samples.mean(axis=1) if samples.ndim == 2 else samples
     frame = max(1, int(rate * 0.025))
     hop = max(1, int(rate * 0.010))
+    # rfft(frames, n) CROPS frames longer than n: at 44.1 kHz the 25 ms
+    # frame is 1102 samples and a fixed 512-point FFT would silently
+    # discard the last 590 windowed samples. Grow n_fft to the next
+    # power of two >= the frame (>=512 keeps 8/16 kHz outputs, and
+    # their committed fixtures, bit-identical).
+    while n_fft < frame:
+        n_fft *= 2
     if len(mono) < frame:  # pad one short frame rather than refuse
         mono = np.pad(mono, (0, frame - len(mono)))
     n_frames = 1 + (len(mono) - frame) // hop

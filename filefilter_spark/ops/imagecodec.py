@@ -106,8 +106,14 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
         raise ImageFormatError(
             f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
         )
+    if w == 0 or h == 0 or w * h > (1 << 28):
+        # same guard as JPEG/TIFF: a crafted header must not allocate
+        # gigabytes (and the IDAT inflate below is bounded by the
+        # declared geometry, closing the decompression-bomb path)
+        raise ImageFormatError(f"implausible PNG geometry {w}x{h}")
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    d = zlib.decompressobj()
+    raw = d.decompress(b"".join(idat), h * (w * ch + 1))
     stride = w * ch
     if len(raw) < h * (stride + 1):
         raise ImageFormatError("PNG pixel data shorter than geometry")
@@ -156,8 +162,16 @@ def _decode_png(data: bytes) -> tuple[int, int, int, bytes]:
     if color == 3:  # palette → RGB
         if plte is None:
             raise ImageFormatError("palette PNG without PLTE")
+        n_entries = len(plte) // 3
         rgb = bytearray(w * h * 3)
         for i, idx in enumerate(out):
+            if idx >= n_entries:
+                # a short slice assignment would silently SHRINK the
+                # buffer and shift every later pixel (same guard as the
+                # GIF path)
+                raise ImageFormatError(
+                    f"PNG palette index {idx} >= {n_entries} entries"
+                )
             rgb[i * 3 : i * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
         return w, h, 3, bytes(rgb)
     return w, h, ch, bytes(out)
@@ -186,6 +200,8 @@ def _decode_bmp(data: bytes) -> tuple[int, int, int, bytes]:
     if comp != 0 or bpp not in (24, 32):
         raise ImageFormatError(f"unsupported BMP (bpp={bpp} compression={comp})")
     h, bottom_up = abs(h_signed), h_signed > 0
+    if w <= 0 or h == 0 or w * h > (1 << 28):
+        raise ImageFormatError(f"implausible BMP geometry {w}x{h_signed}")
     ch = bpp // 8
     row_bytes = (w * ch + 3) & ~3
     out = bytearray(w * h * ch)
@@ -558,6 +574,11 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             raise ImageFormatError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker — treating the second 0xFF as the marker id would read
+        # a bogus segment length and skip real data.
+        while i + 1 < len(data) and data[i + 1] == 0xFF:
+            i += 1
         m = data[i + 1]
         if m == 0xD9:
             break
@@ -879,6 +900,11 @@ def _decode_tiff(data: bytes) -> tuple[int, int, int, bytes]:
     predictor = one(317, 1)
     if planar != 1:
         raise ImageFormatError("planar TIFF unsupported (chunky only)")
+    if photo not in (0, 1, 2, 3):
+        # CMYK(5)/YCbCr(6)/CIELab(8) would decode byte-wise "fine" and
+        # come back silently mislabeled as gray/RGB(A) — refuse loudly,
+        # like every other unsupported variant in this file.
+        raise ImageFormatError(f"unsupported TIFF photometric {photo}")
     if 322 in tags or 323 in tags:
         raise ImageFormatError("tiled TIFF unsupported (strips only)")
     offsets = tags.get(273)

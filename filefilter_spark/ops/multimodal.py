@@ -5,16 +5,25 @@ Design per BASELINE.json's north star: media payloads travel as opaque
 run as Arrow-batched ``mapInPandas`` functions so bytes cross the
 JVM↔Python boundary once per batch, never per row.
 
-Image decode/resize are REAL for PNG, BMP, and baseline JPEG via the
-pure-stdlib codec in ``ops/imagecodec.py`` (no Pillow in this
-container; zlib+struct+numpy suffice, incl. a from-spec T.81 baseline
-JFIF decoder). Formats that genuinely need a codec library
-(progressive JPEG, WebP, all audio/video) raise
-``NotImplementedError`` unless ``fake=True``, in which case
-deterministic pseudo-metadata is derived from the payload hash —
-keeping the Spark-side plumbing (schema, batch shape, partitioning)
-fully real and oracle-testable. Swapping in Pillow/ffmpeg later
-changes only the kernel body, not the plan.
+Image decode/resize are REAL for PNG, BMP, JPEG (baseline AND
+progressive SOF2), GIF, and TIFF via the pure-stdlib codec in
+``ops/imagecodec.py``; audio for RIFF/WAVE via ``ops/audiocodec.py``;
+video frame sampling for YUV4MPEG2 via ``ops/videocodec.py``. Formats
+that genuinely need an external codec library (WebP, MP3/AAC, H.264)
+raise unless ``fake=True``, in which case deterministic
+pseudo-metadata is derived from the payload hash — keeping the
+Spark-side plumbing (schema, batch shape, partitioning) fully real and
+oracle-testable. Swapping in Pillow/ffmpeg later changes only the
+kernel body, not the plan.
+
+Corrupt-payload policy (a 100 TB scrape WILL contain truncated/garbled
+media): every real-mode kernel takes ``on_error`` — ``"raise"``
+(default: fail the job, right for curated fixtures), ``"null"``
+(decode/audio: keep the row, null metadata — lets the pipeline COUNT
+failures), or ``"skip"`` (drop the row; the only non-raise policy for
+the 1:1 payload-rewriting resize and the 1:N frame fan-out). A single
+bad row must never be able to abort a week-long corpus job unless the
+caller asked for exactly that.
 """
 
 from __future__ import annotations
@@ -28,6 +37,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BinaryType, IntegerType, LongType, StringType, StructField, StructType,
 )
+
+def _check_on_error(on_error: str, allowed: tuple) -> None:
+    if on_error not in allowed:
+        raise ValueError(
+            f"on_error must be one of {allowed}, got {on_error!r}"
+        )
+
+
+def _int0(v) -> int:
+    """int() that treats pandas NaN/None (NULL content_len from a NULL
+    payload) as 0 instead of raising."""
+    return 0 if v is None or pd.isna(v) else int(v)
+
 
 MEDIA_SCHEMA = StructType([
     StructField("media_id", LongType()),
@@ -43,8 +65,23 @@ def to_media_table(df: DataFrame, id_col: str, payload_col: str,
     """Wrap an id + binary payload into the canonical media schema.
     Hash/length are JVM-side (sha2/octet_length) — no Python."""
     payload = F.col(payload_col).cast("binary")
+    mid = F.col(id_col).cast("long")
+    # Loud cast check: a non-numeric id would cast to NULL and reach the
+    # kernels as NaN, where int(mid) dies with an error that never
+    # mentions the id column.
+    mid = F.when(
+        F.assert_true(
+            F.col(id_col).isNull() | mid.isNotNull(),
+            F.concat(
+                F.lit(f"to_media_table: id column {id_col!r} not castable "
+                      "to long: "),
+                F.col(id_col).cast("string"),
+            ),
+        ).isNull(),
+        mid,
+    )
     return df.select(
-        F.col(id_col).cast("long").alias("media_id"),
+        mid.alias("media_id"),
         F.lit(media_type).alias("media_type"),
         payload.alias("content"),
         F.octet_length(payload).cast("long").alias("content_len"),
@@ -61,24 +98,33 @@ _DECODE_SCHEMA = StructType([
 ])
 
 
-def decode_image_stub(content: bytes, fake: bool = False) -> dict:
-    """Decode kernel. ``fake=False`` REALLY decodes PNG/BMP/baseline-JPEG
-    payloads (pure-stdlib codec, ``ops/imagecodec.py``) — width/height/
-    channels from the actual pixel grid, ``feature_hash`` over the
-    decoded pixel bytes. Other formats need a codec library this
-    container lacks and raise. ``fake=True`` derives deterministic
-    pseudo-metadata from the payload hash instead — the oracle-checkable
-    path for the synthetic testdata payloads (which are not valid
-    images)."""
+def decode_image_stub(content: bytes, fake: bool = False,
+                      on_error: str = "raise") -> dict | None:
+    """Decode kernel. ``fake=False`` REALLY decodes PNG/BMP/JPEG
+    (baseline + progressive)/GIF/TIFF payloads (pure-stdlib codec,
+    ``ops/imagecodec.py``) — width/height/channels from the actual
+    pixel grid, ``feature_hash`` over the decoded pixel bytes. Formats
+    needing an external library (WebP, ...) follow ``on_error``:
+    "raise", "null" (metadata fields None), or "skip" (returns None —
+    caller drops the row). ``fake=True`` derives deterministic
+    pseudo-metadata from the payload hash instead — the
+    oracle-checkable path for the synthetic testdata payloads (which
+    are not valid images)."""
     if not fake:
         from filefilter_spark.ops import imagecodec
 
         try:
             w, h_px, ch, pixels = imagecodec.decode(content or b"")
         except imagecodec.ImageFormatError as e:
+            if on_error == "null":
+                return {"width": None, "height": None,
+                        "n_channels": None, "feature_hash": None}
+            if on_error == "skip":
+                return None
             raise NotImplementedError(
                 f"cannot decode payload without a codec library: {e}; "
-                "run with fake=True for plumbing tests"
+                "run with fake=True for plumbing tests, or pass "
+                "on_error='null'/'skip' to route bad payloads"
             ) from e
         return {
             "width": w,
@@ -95,15 +141,23 @@ def decode_image_stub(content: bytes, fake: bool = False) -> dict:
     }
 
 
-def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_image_features(media: DataFrame, fake: bool = True,
+                           on_error: str = "raise") -> DataFrame:
     """Arrow-batched decode/feature pass: one Python crossing per batch;
-    output is narrow typed metadata (bytes stay behind)."""
+    output is narrow typed metadata (bytes stay behind). ``on_error``
+    is the per-row corrupt-payload policy (module docstring)."""
+    _check_on_error(on_error, ("raise", "null", "skip"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                meta = decode_image_stub(bytes(content) if content is not None else b"", fake=fake)
+                meta = decode_image_stub(
+                    bytes(content) if content is not None else b"",
+                    fake=fake, on_error=on_error,
+                )
+                if meta is None:  # on_error="skip"
+                    continue
                 meta["media_id"] = int(mid)
                 rows.append(meta)
             yield pd.DataFrame(rows, columns=[f.name for f in _DECODE_SCHEMA.fields])
@@ -120,7 +174,8 @@ _AUDIO_SCHEMA = StructType([
 ])
 
 
-def extract_audio_features_stub(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_audio_features_stub(media: DataFrame, fake: bool = True,
+                                on_error: str = "raise") -> DataFrame:
     """Audio feature-extraction plumbing (duration / sample-rate / MFCC
     fingerprint). Same contract as the image path: Arrow-batched
     mapInPandas. ``fake=False`` REALLY decodes RIFF/WAVE payloads (PCM
@@ -129,6 +184,8 @@ def extract_audio_features_stub(media: DataFrame, fake: bool = True) -> DataFram
     (MP3/AAC/…) need a library this container lacks and raise. The
     fake kernel remains the oracle-checkable path for synthetic
     payloads."""
+
+    _check_on_error(on_error, ("raise", "null", "skip"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
@@ -141,9 +198,19 @@ def extract_audio_features_stub(media: DataFrame, fake: bool = True) -> DataFram
                     try:
                         meta = audiocodec.wav_features(raw)
                     except audiocodec.AudioFormatError as e:
+                        if on_error == "null":
+                            rows.append({"media_id": int(mid),
+                                         "duration_ms": None,
+                                         "sample_rate": None,
+                                         "n_samples": None,
+                                         "mfcc_hash": None})
+                            continue
+                        if on_error == "skip":
+                            continue
                         raise NotImplementedError(
                             f"cannot decode payload without a codec library: {e}; "
-                            "run with fake=True for plumbing tests"
+                            "run with fake=True for plumbing tests, or pass "
+                            "on_error='null'/'skip' to route bad payloads"
                         ) from e
                     rows.append({
                         "media_id": int(mid),
@@ -155,7 +222,7 @@ def extract_audio_features_stub(media: DataFrame, fake: bool = True) -> DataFram
                     continue
                 h = hashlib.sha256(bytes(content) if content is not None else b"").digest()
                 sr = 16000 if h[2] % 2 else 44100
-                n_samples = int(clen) * 100
+                n_samples = _int0(clen) * 100
                 rows.append({
                     "media_id": int(mid),
                     "duration_ms": n_samples * 1000 // sr,
@@ -169,7 +236,8 @@ def extract_audio_features_stub(media: DataFrame, fake: bool = True) -> DataFram
 
 
 def resize_images_stub(media: DataFrame, width: int = 224, height: int = 224,
-                       fake: bool = True, out_format: str = "png") -> DataFrame:
+                       fake: bool = True, out_format: str = "png",
+                       on_error: str = "raise") -> DataFrame:
     """Payload-rewriting plumbing: binary in → binary out (the resize
     shape every image pipeline needs). ``fake=False`` really resizes
     any decodable payload (PNG/BMP/JPEG/GIF/TIFF) — decode,
@@ -181,6 +249,8 @@ def resize_images_stub(media: DataFrame, width: int = 224, height: int = 224,
     behavior stays oracle-checkable on synthetic data."""
     if out_format not in ("png", "jpeg"):
         raise ValueError(f"unsupported resize out_format {out_format!r}")
+    # a payload-rewriting 1:1 op has no useful "null payload" row
+    _check_on_error(on_error, ("raise", "skip"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:
@@ -194,8 +264,11 @@ def resize_images_stub(media: DataFrame, width: int = 224, height: int = 224,
                     try:
                         w0, h0, ch, px = imagecodec.decode(raw)
                     except imagecodec.ImageFormatError as e:
+                        if on_error == "skip":
+                            continue
                         raise NotImplementedError(
-                            f"cannot resize payload without a codec library: {e}"
+                            f"cannot resize payload without a codec library: "
+                            f"{e}; pass on_error='skip' to drop bad payloads"
                         ) from e
                     resized_px = imagecodec.resize_nearest(w0, h0, ch, px, width, height)
                     if out_format == "jpeg":
@@ -236,13 +309,17 @@ def resize_images_stub(media: DataFrame, width: int = 224, height: int = 224,
     )
 
 
-def frame_sample_stub(media: DataFrame, every_n: int = 30, fake: bool = True) -> DataFrame:
+def frame_sample_stub(media: DataFrame, every_n: int = 30, fake: bool = True,
+                      on_error: str = "raise") -> DataFrame:
     """Video frame-sampling plumbing: fan one video row out to frame
     rows (1:N mapInPandas). ``fake=False`` REALLY samples frames from
     YUV4MPEG2 payloads (pure-stdlib reader, ``ops/videocodec.py``) —
     every ``every_n``-th frame's bytes are hashed; compressed video
     needs a decoder this container lacks and raises. The fake kernel
     remains the oracle-checkable path for synthetic payloads."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    _check_on_error(on_error, ("raise", "skip"))
     schema = StructType([
         StructField("media_id", LongType()),
         StructField("frame_idx", IntegerType()),
@@ -267,12 +344,15 @@ def frame_sample_stub(media: DataFrame, every_n: int = 30, fake: bool = True) ->
                                 hashlib.sha256(frame).hexdigest()[:16]
                             )
                     except videocodec.VideoFormatError as e:
+                        if on_error == "skip":
+                            continue
                         raise NotImplementedError(
                             f"cannot decode payload without a codec library: "
-                            f"{e}; run with fake=True for plumbing tests"
+                            f"{e}; run with fake=True for plumbing tests, or "
+                            "pass on_error='skip' to drop bad payloads"
                         ) from e
                     continue
-                n_frames = max(1, int(clen) % 300)
+                n_frames = max(1, _int0(clen) % 300)
                 # Hex-string seed (not raw digest bytes) so the fake frame
                 # hash is reproducible by a VARCHAR-only sha256 oracle.
                 seed = hashlib.sha256(bytes(content) if content is not None else b"").hexdigest()

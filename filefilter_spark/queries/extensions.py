@@ -1133,13 +1133,16 @@ def op_d6_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ground truth from the generator parameters; mfcc_hash pins the
     # deterministic fingerprint (MFCC math is validated at the signal
     # level in tests/test_audiocodec.py — tone frequency recovery,
-    # distinct tones fingerprinting apart).
+    # distinct tones fingerprinting apart; the 44.1 kHz hash was
+    # re-pinned in round 6 when the FFT stopped cropping 25 ms frames
+    # to 512 samples — the 8 kHz hashes are unchanged, proving the fix
+    # left <=512-sample frames bit-identical).
     oracle="""
     SELECT * FROM (VALUES
       (CAST(0 AS BIGINT), CAST(250 AS BIGINT), CAST(8000 AS INT),
        CAST(2000 AS BIGINT), 'a5f8150fd45ad86b'),
       (CAST(1 AS BIGINT), CAST(100 AS BIGINT), CAST(44100 AS INT),
-       CAST(4410 AS BIGINT), 'd164cbc3b8ee27a9'),
+       CAST(4410 AS BIGINT), '3cbafb4a35dd9126'),
       (CAST(2 AS BIGINT), CAST(250 AS BIGINT), CAST(8000 AS INT),
        CAST(2000 AS BIGINT), '0588e31853e2a742')
     ) AS t(media_id, duration_ms, sample_rate, n_samples, mfcc_hash)

@@ -55,6 +55,11 @@ class MediaStage(Stage):
         cfg = self.cfg.action_config
         op = cfg.get("op")
         fake = bool(cfg.get("fake", False))
+        # Per-row corrupt-payload policy (ops/multimodal.py module
+        # docstring); YAML pipelines over scraped media usually want
+        # "skip" or "null" — the default stays "raise" to match the
+        # kernels.
+        on_error = cfg.get("onError", "raise")
         media_type = {"audio": "audio", "frames": "video"}.get(op, "image")
         media = to_media_table(
             df,
@@ -63,7 +68,7 @@ class MediaStage(Stage):
             media_type=media_type,
         )
         if op == "decode":
-            return extract_image_features(media, fake=fake)
+            return extract_image_features(media, fake=fake, on_error=on_error)
         if op == "resize":
             return resize_images_stub(
                 media,
@@ -71,12 +76,14 @@ class MediaStage(Stage):
                 height=int(cfg.get("height", 224)),
                 fake=fake,
                 out_format=cfg.get("format", "png"),
+                on_error=on_error,
             )
         if op == "audio":
-            return extract_audio_features_stub(media, fake=fake)
+            return extract_audio_features_stub(media, fake=fake, on_error=on_error)
         if op == "frames":
             return frame_sample_stub(
-                media, every_n=int(cfg.get("everyN", 30)), fake=fake
+                media, every_n=int(cfg.get("everyN", 30)), fake=fake,
+                on_error=on_error,
             )
         raise ValueError(
             f"media stage op must be decode/resize/audio/frames, got {op!r}"

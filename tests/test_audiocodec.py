@@ -87,3 +87,28 @@ def test_wav_through_real_audio_kernel(spark):
     assert [(r.media_id, r.duration_ms, r.sample_rate, r.n_samples) for r in rows] == [
         (1, 250, 8000, 2000)
     ]
+
+
+def test_mfcc_full_frame_at_44khz():
+    """At 44.1 kHz the 25 ms frame (1102 samples) exceeds a fixed
+    512-point FFT; the transform must grow instead of silently cropping
+    each frame to its first 11.6 ms."""
+    import numpy as np
+
+    from filefilter_spark.ops.audiocodec import mfcc_mean
+
+    rng = np.random.default_rng(7)
+    sig = rng.standard_normal(44100)  # 1 s of noise
+    full = mfcc_mean(sig, 44100)
+    assert np.all(np.isfinite(full)) and len(full) == 13
+    # energy placed ONLY in the tail of each frame (beyond sample 512)
+    # must still influence the output
+    tone = np.zeros(44100)
+    t = np.arange(44100)
+    frame, hop = 1102, 441
+    for start in range(0, 44100 - frame, hop):
+        tone[start + 600 : start + frame] = np.sin(t[: frame - 600] * 0.6)
+    assert not np.allclose(mfcc_mean(tone, 44100), mfcc_mean(np.zeros(44100), 44100))
+    # 16 kHz fixtures must be bit-identical to the pre-fix pipeline
+    sig16 = rng.standard_normal(16000)
+    assert np.array_equal(mfcc_mean(sig16, 16000), mfcc_mean(sig16, 16000, n_fft=512))

@@ -551,3 +551,124 @@ def test_resize_to_jpeg_kernel(spark):
         assert (w, h, ch) == (8, 8, 3)
     with pytest.raises(ValueError, match="out_format"):
         resize_images_stub(media, fake=False, out_format="webp")
+
+
+def test_png_palette_index_out_of_bounds_raises():
+    """A palette index past PLTE must raise, not silently shrink the
+    output buffer via a short slice assignment."""
+    import struct
+    import zlib
+
+    from filefilter_spark.ops.imagecodec import ImageFormatError, decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)  # 2x1 palette
+    plte = bytes([10, 20, 30])  # ONE entry; index 1 is out of bounds
+    raw = bytes([0, 0, 1])      # filter 0, indices 0 and 1
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    with pytest.raises(ImageFormatError, match="palette index"):
+        decode_png(data)
+
+
+def test_png_bomb_geometry_refused():
+    """A crafted IHDR declaring a huge image must refuse before
+    allocating, not OOM the executor."""
+    import struct
+    import zlib
+
+    from filefilter_spark.ops.imagecodec import ImageFormatError, decode_png
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", 100_000, 100_000, 8, 6, 0, 0, 0)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\0")) + chunk(b"IEND", b""))
+    with pytest.raises(ImageFormatError, match="implausible PNG geometry"):
+        decode_png(data)
+
+
+def test_jpeg_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2: repeated 0xFF fill bytes before a marker are legal
+    encoder padding and must not desync the parser."""
+    from filefilter_spark.ops.imagecodec import decode, encode_jpeg
+
+    good = encode_jpeg(4, 4, 1, bytes(range(16)))
+    # inject a fill byte before the DQT marker (first FF after SOI+APP0?
+    # encode_jpeg layout: SOI then DQT) — find the first marker after SOI
+    i = good.index(b"\xff\xdb")
+    padded = good[:i] + b"\xff" + good[i:]
+    w1, h1, c1, px1 = decode(good)
+    w2, h2, c2, px2 = decode(padded)
+    assert (w1, h1, c1, px1) == (w2, h2, c2, px2)
+
+
+def test_tiff_unsupported_photometric_refused(tmp_path):
+    """CMYK/YCbCr TIFFs must refuse loudly, not decode byte-wise into
+    mislabeled RGB."""
+    import struct
+
+    from filefilter_spark.ops.imagecodec import ImageFormatError, decode_tiff
+
+    # minimal little-endian TIFF: 1x1, 4 samples, photometric 5 (CMYK)
+    def entry(tag, typ, count, val):
+        return struct.pack("<HHII", tag, typ, count, val)
+
+    px_off = 8 + 2 + 10 * 12 + 4
+    ifd = b"".join([
+        entry(256, 3, 1, 1),      # width
+        entry(257, 3, 1, 1),      # height
+        entry(258, 3, 1, 8),      # bits (single value 8)
+        entry(259, 3, 1, 1),      # no compression
+        entry(262, 3, 1, 5),      # photometric: separated/CMYK
+        entry(273, 4, 1, px_off), # strip offset
+        entry(277, 3, 1, 4),      # samples per pixel
+        entry(278, 3, 1, 1),      # rows per strip
+        entry(279, 4, 1, 4),      # strip byte count
+        entry(284, 3, 1, 1),      # chunky
+    ])
+    data = (b"II*\x00" + struct.pack("<I", 8)
+            + struct.pack("<H", 10) + ifd + struct.pack("<I", 0)
+            + b"\x01\x02\x03\x04")
+    with pytest.raises(ImageFormatError, match="photometric 5"):
+        decode_tiff(data)
+
+
+def test_decode_kernel_on_error_routing(spark):
+    """Real-mode decode over a batch with one corrupt payload: 'null'
+    keeps the row with null metadata, 'skip' drops it, default raises —
+    one bad row must not be able to kill a corpus job unless asked."""
+    from filefilter_spark.ops.imagecodec import encode_png
+    from filefilter_spark.ops.multimodal import (
+        extract_image_features, to_media_table,
+    )
+
+    good = encode_png(2, 2, 3, bytes(12))
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    media = to_media_table(df, "doc_id", "payload")
+
+    nulled = {r["media_id"]: r["width"]
+              for r in extract_image_features(media, fake=False,
+                                              on_error="null").collect()}
+    assert nulled == {1: 2, 2: None}
+    skipped = extract_image_features(media, fake=False,
+                                     on_error="skip").collect()
+    assert [r["media_id"] for r in skipped] == [1]
+    with pytest.raises(Exception, match="codec library"):
+        extract_image_features(media, fake=False).collect()
+
+
+def test_frame_sample_validates_every_n(spark):
+    from filefilter_spark.ops.multimodal import frame_sample_stub
+
+    with pytest.raises(ValueError, match="every_n"):
+        frame_sample_stub(None, every_n=0)
