@@ -78,6 +78,7 @@ def main() -> None:
     # steady-state estimator and stays honest — each rep still builds
     # the plan from scratch and executes the full distributed job.
     times: dict[str, float] = {}
+    missing = [n for n in HEADLINE if n not in qs]
     for name in HEADLINE:
         builder = qs.get(name)
         if builder is None:
@@ -106,6 +107,9 @@ def main() -> None:
         # (the three r6 names alone for r5 comparisons).
         "added_queries": ["OP-D2-lines", "OP-D4-perplexity",
                           "OP-D2-spans", "OP-D4-bpe", "OP-D1-keepbest"],
+        # non-empty => a registry rename silently shrank the suite;
+        # totals are NOT comparable until fixed
+        "missing_queries": missing,
     }))
 
 

@@ -7,7 +7,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 HEADLINE = [
     "OP-B12", "OP-B5", "OP-B11", "OP-B18", "OP-B22", "OP-B10", "OP-B9",
@@ -41,10 +41,6 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-
-    # warm-up both engines
-    qs["OP-B12"](spark, sf_dir).write.format("noop").mode("overwrite").save()
-    con.execute(oracles["OP-B12"]).fetchall()
 
     # Warm both engines on every query (classloading/codegen for Spark,
     # buffer cache for DuckDB), then report best-of-2 steady state —

@@ -32,7 +32,7 @@ import sys
 import time
 import urllib.request
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCRATCH = "/tmp/spark_graft_bloomreg"
 BASE = "/root/testdata/sf0.1/documents.parquet"
@@ -87,7 +87,8 @@ def shuffle_write_bytes(spark) -> int:
     """Cumulative shuffle-write bytes across completed stages, from the
     UI REST API (the probe session enables spark.ui)."""
     app = spark.sparkContext.applicationId
-    url = f"http://localhost:4040/api/v1/applications/{app}/stages?status=complete"
+    ui = spark.sparkContext.uiWebUrl  # see skew_probe: never hardcode 4040
+    url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
     with urllib.request.urlopen(url, timeout=10) as r:
         stages = json.load(r)
     return sum(s.get("shuffleWriteBytes", 0) for s in stages)

@@ -208,6 +208,11 @@ def main() -> None:
                       for m in mults},
         }), flush=True)
 
+    if only or max_mult < 8:
+        print("filtered/partial run: NOT rewriting SCALING.md — the "
+              "crossover section is replaced wholesale and a filtered "
+              "table would clobber the published rows")
+        return
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     from tools.mdsect import replace_section
 

@@ -22,7 +22,7 @@ import sys
 import time
 import traceback
 
-sys.path.insert(0, ".")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 
 def canon(v) -> str:
@@ -55,6 +55,8 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("--json requires an output filename")
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"

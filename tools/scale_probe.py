@@ -38,7 +38,9 @@ def build_scaled(spark, table: str, id_col: str, mult: int) -> str:
     twins and the *output* of every near-dup op grows ~m² — the slope
     would measure output explosion, not operator scaling."""
     out = f"{SCRATCH}/{table}_x{mult}.parquet"
-    if os.path.exists(out):
+    if os.path.exists(f"{out}/_SUCCESS"):  # not bare exists(): a killed
+        # run leaves a partial dir that would silently poison every
+        # published slope
         return out
     from pyspark.sql import functions as F
 
@@ -334,6 +336,11 @@ def main() -> None:
         "which saturates. `pack_sequences` is one per-shard window",
         "shuffle — linear with shard-count parallelism.",
     ]
+    if max_mult < 8:
+        print("partial run (max_mult < 8): NOT rewriting SCALING.md — "
+              "the section is replaced wholesale and a partial table "
+              "would clobber published columns")
+        return
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     from tools.mdsect import replace_section
 

@@ -29,7 +29,7 @@ import sys
 import time
 import urllib.request
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCRATCH = "/tmp/spark_graft_skew"
 
@@ -43,7 +43,11 @@ def hottest_stage_tasks(spark, t0_ms: int) -> tuple[float, float]:
     """(max, median) task duration in seconds of the heaviest stage
     submitted after ``t0_ms`` (epoch millis)."""
     app = spark.sparkContext.applicationId
-    base = f"http://localhost:4040/api/v1/applications/{app}"
+    # uiWebUrl, not a hardcoded :4040 — another Spark app on the box
+    # pushes this session's UI to 4041+ and the probe would query (or
+    # crash against) the WRONG application
+    ui = spark.sparkContext.uiWebUrl
+    base = f"{ui}/api/v1/applications/{app}"
     stages = _get(f"{base}/stages?status=complete")
     import datetime as dt
 
@@ -94,9 +98,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    fact_path = f"{SCRATCH}/fact.parquet"
+    # scratch keyed on n_rows: a cached 8M-row fact must never be
+    # silently reused for (and labeled as) a different requested size
+    fact_path = f"{SCRATCH}/fact_{n_rows}.parquet"
     dim_path = f"{SCRATCH}/dim.parquet"
-    if not os.path.exists(f"{fact_path}/_SUCCESS"):
+    if not (os.path.exists(f"{fact_path}/_SUCCESS")
+            and os.path.exists(f"{dim_path}/_SUCCESS")):
         os.makedirs(SCRATCH, exist_ok=True)
         (
             spark.range(n_rows)

@@ -19,7 +19,7 @@ import os
 import statistics as st
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -35,8 +35,20 @@ def main() -> None:
     def med(sl):
         return st.median(r["add_batch_ms"] for r in sl)
 
-    early, mid, late = rows[5:20], rows[20:40], rows[-15:]
-    state_late = max(r["state_rows"] for r in rows[-10:])
+    # windows derived from the ACTUAL batch count: hardcoded [5:20] /
+    # [20:40] / [-15:] crash on short runs and overlap for 21-54
+    n = len(rows)
+    if n < 9:
+        raise SystemExit(
+            f"only {n} data batches completed — too few for a "
+            "flatness comparison (need >= 9; raise num_batches or "
+            "timeout)"
+        )
+    third = n // 3
+    early = rows[max(1, n // 12):third]       # skip warm-up batches
+    mid = rows[third:2 * third]
+    late = rows[2 * third:]
+    state_late = max(r["state_rows"] for r in late)
     total_rows = sum(r["input_rows"] for r in rows)
     out = {
         "batches": len(rows),
