@@ -67,7 +67,7 @@ def main() -> None:
         "memory sink (`tools/streaming_soak_probe.py`, asserted in",
         "`tests/test_ops.py::test_streaming_soak_flat_addbatch_and_bounded_state`).",
         "",
-        "| metric | early (b5-20) | mid (b20-40) | late (last 15) |",
+        f"| metric | early (first third) | mid | late (last third) |",
         "|---|---|---|---|",
         f"| addBatch median (ms) | {med(early):.0f} | {med(mid):.0f} "
         f"| {med(late):.0f} |",
