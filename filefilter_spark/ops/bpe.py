@@ -303,3 +303,27 @@ def bpe_encode(
         return texts.map(enc_doc)
 
     return df.withColumn(out_col, encode(F.col(text_col)))
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge table as JSON — the train-once /
+    apply-everywhere workflow (the merge list IS the tokenizer; rank =
+    list position)."""
+    import json
+
+    with open(path, "w") as fh:
+        json.dump([[a, b] for a, b in merges], fh)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    import json
+
+    with open(path) as fh:
+        raw = json.load(fh)
+    out = []
+    for pair in raw:
+        if (not isinstance(pair, (list, tuple)) or len(pair) != 2
+                or not all(isinstance(x, str) for x in pair)):
+            raise ValueError(f"{path}: not a merge table (bad entry {pair!r})")
+        out.append((pair[0], pair[1]))
+    return out

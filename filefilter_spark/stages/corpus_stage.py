@@ -302,25 +302,40 @@ class TemperatureStage(Stage):
 
 
 class BpeStage(Stage):
-    """Train a BPE merge table on the incoming corpus and attach the
-    subword segmentation as ``outField`` (``ops.bpe.train_bpe`` +
-    ``bpe_encode``) — tokenizer training and application from YAML.
-    Training is an eager job at apply() time by design (the merge
-    table must exist before the scoring plan is built), in driver mode
-    with the documented vocabulary cap; ``minFreq`` prunes the word
-    histogram's long tail first."""
+    """Attach a BPE subword segmentation as ``outField``
+    (``ops.bpe``) — tokenizer training AND/OR application from YAML.
+
+    Two modes, reflecting the real workflow (train once, apply
+    everywhere):
+
+    - ``mergesPath`` set: LOAD the merge table from JSON and only
+      encode — no training job, reproducible across pipelines.
+    - otherwise: train on the incoming corpus (eager job at apply()
+      time by design — the merge table must exist before the scoring
+      plan is built; driver mode with the documented vocabulary cap,
+      ``minFreq`` prunes the histogram tail). ``saveMergesTo``
+      optionally persists the learned table for later ``mergesPath``
+      runs.
+    """
 
     def apply(self, df: DataFrame) -> DataFrame:
-        from filefilter_spark.ops.bpe import bpe_encode, train_bpe
+        from filefilter_spark.ops.bpe import (
+            bpe_encode, load_merges, save_merges, train_bpe,
+        )
 
         cfg = self.cfg.action_config
         text_col = cfg.get("textField", "text")
-        merges = train_bpe(
-            df,
-            num_merges=int(cfg.get("numMerges", 200)),
-            text_col=text_col,
-            min_freq=int(cfg.get("minFreq", 1)),
-        )
+        if cfg.get("mergesPath"):
+            merges = load_merges(cfg["mergesPath"])
+        else:
+            merges = train_bpe(
+                df,
+                num_merges=int(cfg.get("numMerges", 200)),
+                text_col=text_col,
+                min_freq=int(cfg.get("minFreq", 1)),
+            )
+            if cfg.get("saveMergesTo"):
+                save_merges(merges, cfg["saveMergesTo"])
         return bpe_encode(
             df,
             merges,

@@ -574,3 +574,34 @@ filters:
     )
     with _pytest.raises(ValueError, match="defines no"):
         UdfStage(spark, cfg).apply(df)
+
+
+def test_bpe_stage_save_and_reload_merges(spark, tmp_path):
+    """Train-once/apply-everywhere: saveMergesTo persists the table,
+    mergesPath reloads it without retraining, and the two runs segment
+    identically."""
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.ops.bpe import load_merges
+    from filefilter_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(i, "hug pug pun hugs bun") for i in range(20)],
+        "doc_id int, text string",
+    )
+    mpath = str(tmp_path / "merges.json")
+    trained = Pipeline(spark, load_config_str(f"""
+filters:
+  - name: train
+    actionType: bpe
+    actionConfig: {{numMerges: 6, saveMergesTo: '{mpath}'}}
+""")).run(df).df.collect()
+    assert len(load_merges(mpath)) == 6
+    reloaded = Pipeline(spark, load_config_str(f"""
+filters:
+  - name: apply
+    actionType: bpe
+    actionConfig: {{mergesPath: '{mpath}'}}
+""")).run(df).df.collect()
+    t = {r["doc_id"]: r["bpe_tokens"] for r in trained}
+    r = {r["doc_id"]: r["bpe_tokens"] for r in reloaded}
+    assert t == r and all(v for v in t.values())
