@@ -52,7 +52,12 @@ def topk_cosine(
     emb = _as_double_array(vec_col)
     return (
         df.select(F.col(id_col), cosine(emb, q).alias("cos_sim"))
-        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        # rank on the 6dp-ROUNDED score: the raw doubles from two
+        # engines' different fold orders can differ in the last ulp,
+        # which would make top-k MEMBERSHIP nondeterministic cross-
+        # engine even though every value agrees at 6dp (same guard as
+        # tfidf's rank-on-rounded)
+        .orderBy(F.desc(F.round("cos_sim", 6)), F.asc(id_col))
         .limit(k)
     )
 
@@ -85,7 +90,10 @@ def batch_topk_cosine(
         F.col(id_col),
         cosine(emb, qv).alias("cos_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    # rank on the 6dp-rounded score — see topk_cosine for why
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(F.round("cos_sim", 6)), F.asc(id_col)
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -116,7 +124,8 @@ def cosine_pairs(
             F.col("b.id").alias("id_b"),
             dot(F.col("a.unit"), F.col("b.unit")).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        # threshold on the 6dp-rounded score — see topk_cosine for why
+        .filter(F.round("cos_sim", 6) >= threshold)
     )
 
 

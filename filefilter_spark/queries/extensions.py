@@ -20,7 +20,6 @@ from filefilter_spark.queries.registry import (
     RecallSpec,
     load_table,
     query,
-    register_views,
 )
 
 # ---------------------------------------------------------------------------
@@ -348,7 +347,8 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
     FROM embeddings, q
-    ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id
+    ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) DESC,
+             vec_id
     LIMIT 10
     """,
     doc="brute-force cosine top-10 vs the vec_id=0 query vector: JVM-side "
@@ -370,9 +370,10 @@ def op_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+    WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.45
     """,
-    doc="embedding-cosine near-dup: all pairs with cosine ≥ 0.45.",
+    doc="embedding-cosine near-dup: all pairs with cosine ≥ 0.45 "
+        "(thresholded on the 6dp-rounded score both engines agree on).",
 )
 def op_d3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.similarity import cosine_pairs
@@ -702,7 +703,7 @@ def op_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OP-D5-session",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
@@ -711,7 +712,11 @@ def op_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             -- same (ts, event_id) total order as the lag window: an
+             -- ORDER BY ts alone is nondeterministic on tied
+             -- timestamps and could split a boundary event into a
+             -- phantom session
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     )
@@ -1719,7 +1724,7 @@ def op_d4_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT q_id, vec_id, round(raw, 6) AS cos_sim,
-             row_number() OVER (PARTITION BY q_id ORDER BY raw DESC, vec_id) AS rank
+             row_number() OVER (PARTITION BY q_id ORDER BY round(raw, 6) DESC, vec_id) AS rank
       FROM scored
     )
     SELECT q_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 5
