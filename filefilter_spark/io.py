@@ -90,31 +90,68 @@ def _fetch_s3_to_local(path: str) -> str:
             "or boto3 for the driver-side fallback"
         ) from e
 
+    import os
+
     u = urlparse(path if path.startswith("s3://") else "s3://" + path.split("://", 1)[1])
     bucket, key = u.netloc, u.path.lstrip("/")
     dest_root = _P(scratch_root("ffspark_s3_")) / uuid.uuid4().hex[:8]
     dest = dest_root / (_P(key.rstrip("/")).name or bucket)
     s3 = boto3.client("s3")
+    # Driver-disk guard: this tier funnels every byte through the
+    # driver's scratch dir, so a multi-TB dataset pointed here (where
+    # the jarful path would stream splits to executors) must fail fast
+    # with the real remedy, not silently fill the local disk.
+    max_bytes = int(
+        os.environ.get("FFSPARK_S3_FETCH_MAX_BYTES", str(32 << 30))
+    )
+
+    def _check_size(total: int) -> None:
+        if total > max_bytes:
+            raise ValueError(
+                f"{path!r} is {total / (1 << 30):.1f} GiB — beyond the "
+                f"{max_bytes / (1 << 30):.1f} GiB driver-side fetch cap. "
+                "This jarless fallback downloads through the driver; for "
+                "inputs this size install hadoop-aws so executors read "
+                "s3a:// splits directly, or raise "
+                "FFSPARK_S3_FETCH_MAX_BYTES explicitly."
+            )
+
     try:
-        s3.head_object(Bucket=bucket, Key=key)
+        head = s3.head_object(Bucket=bucket, Key=key)
+        _check_size(int(head.get("ContentLength", 0)))
         dest.parent.mkdir(parents=True, exist_ok=True)
         s3.download_file(bucket, key, str(dest))
         return str(dest)
-    except ClientError:
-        pass  # not a single object — treat as a prefix/dataset dir
+    except ClientError as e:
+        # Only a definite "no such object" means "try the prefix
+        # instead". Anything else (AccessDenied, throttling, a
+        # mid-download failure) must surface as itself — falling
+        # through would misreport it as FileNotFoundError and mask the
+        # actual cause. head_object reports a missing key as plain 404.
+        code = str(
+            (getattr(e, "response", None) or {}).get("Error", {}).get("Code", "")
+        )
+        if code not in ("404", "NoSuchKey", "NotFound"):
+            raise
     prefix = key.rstrip("/") + "/" if key else ""
+    pages = list(
+        s3.get_paginator("list_objects_v2").paginate(Bucket=bucket, Prefix=prefix)
+    )
+    objs = [
+        obj
+        for page in pages
+        for obj in page.get("Contents", [])
+        # skip the zero-byte "directory marker" object
+        if obj["Key"][len(prefix):]
+    ]
+    _check_size(sum(int(o.get("Size", 0)) for o in objs))
     found = False
-    for page in s3.get_paginator("list_objects_v2").paginate(
-        Bucket=bucket, Prefix=prefix
-    ):
-        for obj in page.get("Contents", []):
-            rel = obj["Key"][len(prefix):]
-            if not rel:  # the zero-byte "directory marker" object
-                continue
-            target = dest / rel
-            target.parent.mkdir(parents=True, exist_ok=True)
-            s3.download_file(bucket, obj["Key"], str(target))
-            found = True
+    for obj in objs:
+        rel = obj["Key"][len(prefix):]
+        target = dest / rel
+        target.parent.mkdir(parents=True, exist_ok=True)
+        s3.download_file(bucket, obj["Key"], str(target))
+        found = True
     if not found:
         raise FileNotFoundError(f"no S3 object or prefix at {path!r}")
     return str(dest)

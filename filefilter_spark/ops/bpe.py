@@ -277,8 +277,13 @@ def bpe_encode(
     # JVM regex \s+, and Java's \s is the ASCII class [ \t\n\x0B\f\r]
     # ONLY — Python's str.split()/\s are Unicode-aware and would break
     # e.g. NBSP-joined words ('foo\xa0bar', ubiquitous in scraped HTML)
-    # into two words the model never saw. Same ASCII class here, so
-    # every training-corpus word reproduces its training segmentation.
+    # into two words the model never saw. Same ASCII class here, and
+    # the case fold runs as a JVM F.lower column BEFORE the UDF (not
+    # Python str.lower(): JDK and CPython carry different Unicode
+    # tables, and a code point they fold differently — e.g. dotted
+    # capital İ — would desync a word from its training segmentation),
+    # so every training-corpus word reproduces its training
+    # segmentation through one shared tokenizer implementation.
     import re
 
     _ws = re.compile("[ \t\n\x0b\f\r]+")
@@ -291,7 +296,7 @@ def bpe_encode(
             if t is None:
                 return None
             out: list[str] = []
-            for w in _ws.split(t.lower() if lowercase else t):
+            for w in _ws.split(t):
                 if not w:
                     continue
                 got = memo.get(w)
@@ -302,7 +307,8 @@ def bpe_encode(
 
         return texts.map(enc_doc)
 
-    return df.withColumn(out_col, encode(F.col(text_col)))
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return df.withColumn(out_col, encode(src))
 
 
 def save_merges(merges: list[tuple[str, str]], path: str) -> None:

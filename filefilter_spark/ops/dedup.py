@@ -443,12 +443,14 @@ def _build_bloom(
 
     Per-partition numpy bitmaps via mapInPandas (insertion is
     idempotent, so no distinct — the seen side never shuffles AT ALL).
-    Past ``tree_threshold`` partitions, an intermediate coalesce(√P)
-    level (narrow dependency, no shuffle files) ORs ~√P partial
-    bitmaps each before the driver's final OR, so driver traffic is
-    O(√P × m/8) bytes instead of O(P × m/8) — at 1 B docs @ 1% fpp
-    (m/8 ≈ 1.2 GB) and 100k partitions that is the difference between
-    ~380 GB and ~380 MB arriving at the driver.
+    Past ``tree_threshold`` partitions, the fold is materialized
+    (persist+count: its own job, full P-way parallelism) and then an
+    intermediate coalesce(√P) level (narrow dependency over the cached
+    partials, no shuffle files) ORs ~√P partial bitmaps each before
+    the driver's final OR, so driver traffic is O(√P × m/8) bytes
+    instead of O(P × m/8) — at 1 B docs @ 1% fpp (m/8 ≈ 1.2 GB) and
+    100k partitions that keeps the driver out of the aggregate path
+    entirely except for the last √P partials.
     """
     import numpy as np
 
@@ -482,13 +484,31 @@ def _build_bloom(
 
     partial_df = pos_df.mapInPandas(fold, "bitmap binary")
     n_parts = pos_df.rdd.getNumPartitions()
+    pinned = None
     if n_parts > tree_threshold:
         import math
 
-        partial_df = partial_df.coalesce(
+        from pyspark import StorageLevel
+
+        # Materialize the corpus-sized fold FIRST, at full P-way
+        # parallelism: coalesce is a NARROW dependency, so applied to
+        # the un-materialized fold it would collapse the whole
+        # scan+fingerprint+fold stage itself down to √P tasks (317-way
+        # instead of 100k-way at the scales the docstring cites). The
+        # persist+count breaks the pipeline into two jobs — fold at P
+        # tasks, OR level at √P tasks reading the cached ≤m/8-byte
+        # partials — still with no shuffle files. The price is holding
+        # the P partial bitmaps in block storage (MEMORY_AND_DISK, so
+        # spillable) until the collect below; released immediately
+        # after.
+        pinned = partial_df.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.count()
+        partial_df = pinned.coalesce(
             max(1, int(math.ceil(math.sqrt(n_parts))))
         ).mapInPandas(or_fold, "bitmap binary")
     partials = partial_df.collect()
+    if pinned is not None:
+        pinned.unpersist()
     bits = np.zeros(m // 8, dtype=np.uint8)
     for row in partials:
         bits |= np.frombuffer(row["bitmap"], dtype=np.uint8)

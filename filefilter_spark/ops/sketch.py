@@ -138,13 +138,16 @@ def frequent_tokens(
     partial_df = tok_rows.mapInPandas(fold, "tok string, cnt long")
     n_parts = tok_rows.rdd.getNumPartitions()
     if n_parts > tree_threshold:
-        # Tree fan-in: coalesce (narrow, no shuffle) the one-row-ish
-        # partials into √P groups and MG-merge each, so the driver
-        # sees O(√P × capacity) rows however many scan partitions the
-        # corpus has.
+        # Tree fan-in via repartition, NOT coalesce: coalesce is a
+        # narrow dependency, so it would collapse the corpus-sized
+        # scan+tokenize+MG fold itself down to √P tasks. The partials
+        # are tiny (≤ capacity+2 rows each), so a shuffle of them is
+        # nearly free — repartition puts a stage boundary in, keeping
+        # the fold at full P-way parallelism while the driver still
+        # sees only O(√P × capacity) rows.
         import math
 
-        partial_df = partial_df.coalesce(
+        partial_df = partial_df.repartition(
             max(1, int(math.ceil(math.sqrt(n_parts))))
         ).mapInPandas(merge_fold, "tok string, cnt long")
     partials = partial_df.collect()

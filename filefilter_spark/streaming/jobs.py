@@ -596,7 +596,17 @@ def rate_soak(
                     "state_rows": ops[0].get("numRowsTotal", 0),
                 }
     finally:
-        query.stop()
+        # Best-effort cleanup: none of these may mask a timeout/error
+        # raised by the soak body (stop can throw if the query already
+        # died; the memory sink never registers its view when stop()
+        # lands before batch 0 on some Spark versions).
+        try:
+            query.stop()
+        except Exception:
+            pass
         shutil.rmtree(ckpt, ignore_errors=True)
-        spark.catalog.dropTempView(qname)
+        try:
+            spark.catalog.dropTempView(qname)
+        except Exception:
+            pass
     return [out[b] for b in sorted(out)][:num_batches]
