@@ -13,9 +13,25 @@ workspace ``data/<input>.db`` persists across runs (``Database.py:19-29``)
 
 Spark-first: the "current dataset" is just a DataFrame variable; stages
 fold over it lazily, so the whole pipeline is ONE logical plan and
-Catalyst optimizes across stage boundaries (filter pushdown through
-earlier sql stages into the file scan — impossible in the reference,
-which materializes every stage into DuckDB).
+Catalyst optimizes across stage boundaries — impossible in the
+reference, which materializes every stage into DuckDB. Exactly how far
+cross-stage optimization goes depends on the metrics mode, and both
+halves are plan-tested (tests/test_plans.py, cross-stage section):
+
+- Column pruning crosses stage boundaries in EVERY mode: a late
+  projection prunes the scan's ReadSchema, and computed columns a later
+  stage drops are never evaluated — the free per-stage ``observe()``
+  counters are ``count(1)`` and need no columns, so CollectMetrics
+  nodes are transparent to pruning.
+- Filter pushdown to the scan's ``PushedFilters`` is fenced by the
+  default per-stage counters: the observed row counts semantically pin
+  "how many rows left stage N", so Catalyst correctly refuses to move a
+  stage-2 filter below stage 1's CollectMetrics (the count would
+  silently change). With ``observe_metrics=False`` there is nothing to
+  pin: the late filter reaches the file scan and the whole multi-stage
+  pipeline fuses into one WholeStageCodegen span over the pruned,
+  filtered scan. That is the mode a 100 TB run wants; per-stage counts
+  are the reference-parity default.
 
 Metrics (OP-A10/A14) ride on ``df.observe``: per-stage row counts are
 collected by the SAME action that materializes the result — zero extra
@@ -109,12 +125,18 @@ class Pipeline:
         collect_metrics: bool = False,
         checkpoint_dir: str | None = None,
         resume: bool = False,
+        observe_metrics: bool = True,
     ):
         self.spark = spark
         self.config = config
         self.collect_metrics = collect_metrics
         self.checkpoint_dir = checkpoint_dir
         self.resume = resume
+        # Per-stage observe() counters (OP-A10/A14 parity) pin each
+        # stage's row count and therefore fence filter pushdown at
+        # stage boundaries — see the module docstring. False trades
+        # the free counters for full cross-stage Catalyst optimization.
+        self.observe_metrics = observe_metrics
 
     @classmethod
     def from_yaml(cls, spark: SparkSession, path: str, **kw: Any) -> "Pipeline":
@@ -195,10 +217,13 @@ class Pipeline:
                 df = stage.apply(df)
                 m._error_acc = getattr(df, "_filefilter_error_acc", None)
                 m._status_accs = getattr(df, "_filefilter_status_accs", None)
-                # OP-A10/A14: row count observed for free on the next action.
-                obs = Observation(f"ffspark_{cfg.index}_{cfg.name[:20]}")
-                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-                m._observation = obs
+                if self.observe_metrics:
+                    # OP-A10/A14: row count observed for free on the
+                    # next action — at the cost of fencing filter
+                    # pushdown at this stage boundary (module docstring).
+                    obs = Observation(f"ffspark_{cfg.index}_{cfg.name[:20]}")
+                    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                    m._observation = obs
                 if self.checkpoint_dir:
                     df = self._materialize(cfg, df)
                     plain = df

@@ -230,3 +230,89 @@ def test_bpe_pair_counts_partial_agg_topk(spark, sf_dir, queries):
     assert "TakeOrderedAndProject" in plan
     assert _shuffle_count(plan) == 2
     assert len(re.findall(r"HashAggregate", plan)) >= 4
+
+
+# --- cross-stage Catalyst contract (pipeline.py module docstring) ----------
+#
+# The engine's core architectural advantage over the reference's
+# per-stage DuckDB materialization (filefilter.py:342): a multi-stage
+# YAML pipeline folds into ONE logical plan, so Catalyst optimizes
+# ACROSS stage boundaries. These tests pin exactly how far that goes in
+# each metrics mode — promised since round 1, asserted here.
+
+
+@pytest.fixture()
+def _three_stage_pipeline(spark, tmp_path):
+    """textstats → sql filter on SCANNED columns → split, over a
+    5-column parquet where only 4 columns are ever used."""
+    import yaml
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"some text {i} here", "en" if i % 3 else "fr",
+          float(i % 10) / 10.0, "x" * 20) for i in range(200)],
+        "doc_id bigint, text string, lang string, score double, extra string",
+    ).write.parquet(src)
+    cfg = {"filters": [
+        {"name": "stats", "actionType": "textstats",
+         "actionConfig": {"textField": "text"}},
+        {"name": "filt", "actionType": "sql",
+         "code": "SELECT doc_id, text, lang, score FROM df "
+                 "WHERE lang = 'en' AND score > 0.5"},
+        {"name": "split", "actionType": "split",
+         "actionConfig": {"idField": "doc_id"}},
+    ]}
+    cpath = tmp_path / "pipeline.yml"
+    cpath.write_text(yaml.safe_dump(cfg))
+    return src, str(cpath)
+
+
+def test_pipeline_unobserved_filter_reaches_scan(spark, _three_stage_pipeline):
+    """observe_metrics=False: the stage-2 SQL filter must land in the
+    parquet scan's PushedFilters, the scan must read only the 4 used
+    columns (stage-1's computed textstats columns never evaluated), and
+    the whole 3-stage pipeline must fuse join-free/exchange-free."""
+    from filefilter_spark.io import read_input
+    from filefilter_spark.pipeline import Pipeline
+
+    src, cpath = _three_stage_pipeline
+    p = Pipeline.from_yaml(spark, cpath, observe_metrics=False)
+    out = p.run(read_input(spark, src)).df
+    plan = _plan(out)
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "EqualTo(lang,en)" in pushed
+    assert "GreaterThan(score,0.5)" in pushed
+    cols = sorted(c.split(":")[0] for c in
+                  re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1).split(","))
+    assert cols == ["doc_id", "lang", "score", "text"]
+    assert _shuffle_count(plan) == 0
+    assert "CollectMetrics" not in plan
+    # values unchanged by the optimization mode
+    assert out.count() == sum(1 for i in range(200) if i % 3 and i % 10 > 5)
+
+
+def test_pipeline_observed_prunes_but_pins_counts(spark, _three_stage_pipeline):
+    """Default mode: CollectMetrics is transparent to column pruning
+    (same 4-column ReadSchema — stage-1's computed columns are still
+    never evaluated) but correctly fences the filter above stage 1's
+    counter, and the observed per-stage counts are the pre/post-filter
+    row counts the fence exists to protect."""
+    from filefilter_spark.io import read_input
+    from filefilter_spark.pipeline import Pipeline
+
+    src, cpath = _three_stage_pipeline
+    p = Pipeline.from_yaml(spark, cpath)
+    res = p.run(read_input(spark, src))
+    plan = _plan(res.df)
+    cols = sorted(c.split(":")[0] for c in
+                  re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1).split(","))
+    assert cols == ["doc_id", "lang", "score", "text"]
+    assert plan.count("CollectMetrics") >= 3
+    # the filter stayed ABOVE stage 1's counter: scan-level pushdown
+    # of lang/score would change stage 1's observed count
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "EqualTo(lang,en)" not in pushed.group(1)
+    n_match = sum(1 for i in range(200) if i % 3 and i % 10 > 5)
+    assert res.df.count() == n_match
+    counts = [m.rows_out for m in res.harvest_metrics()]
+    assert counts == [200, n_match, n_match]
