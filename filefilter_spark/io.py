@@ -216,11 +216,14 @@ def read_input(
     if p.startswith("s3a://"):
         from filefilter_spark.session import s3a_available
 
-        # Two-tier S3 (status re-checked 2026-08-14): with the
+        # Two-tier S3 (status re-checked 2026-08-14, round 7): with the
         # hadoop-aws jars on the classpath, executors read s3a://
         # splits directly (the cluster path — still untestable in this
-        # jarless sandbox beyond the fail-fast probe + conf mapping
-        # unit tests). Without them, fall back to a driver-side boto3
+        # jarless sandbox beyond the fail-fast probe; its conf surface
+        # IS contract-tested: session.s3_conf_from_env pins the
+        # boto3-env-chain → fs.s3a.* mapping, so a deployment's first
+        # validation is only the jar itself). Without them, fall back
+        # to a driver-side boto3
         # fetch into local scratch — a REAL, moto-tested S3 ingestion
         # path (protocol, credentials, object/prefix handling), sized
         # for CLI inputs, not cluster reads (_fetch_s3_to_local).

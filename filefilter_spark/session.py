@@ -75,6 +75,45 @@ def s3_conf(options: dict[str, str]) -> dict[str, str]:
     return out
 
 
+# boto3 env-chain parity (OP-A3 contract): every standard AWS_* env
+# var the driver-side boto3 tier honors, mapped to the short option —
+# hence the exact fs.s3a.* key — that hands the SAME credentials to the
+# cluster tier. Order encodes boto3's own precedence: the FIRST var
+# seen for an option wins (AWS_ENDPOINT_URL_S3 over AWS_ENDPOINT_URL,
+# AWS_REGION over AWS_DEFAULT_REGION). The remaining chain links
+# (shared-credentials/config profile files, IMDS/IRSA roles) need no
+# mapping at all: hadoop-aws's default provider chain reads them
+# natively on each node, same as boto3.
+_BOTO3_ENV_KEYS: tuple[tuple[str, str], ...] = (
+    ("AWS_ACCESS_KEY_ID", "access_key"),
+    ("AWS_SECRET_ACCESS_KEY", "secret_key"),
+    ("AWS_SESSION_TOKEN", "session_token"),
+    ("AWS_ENDPOINT_URL_S3", "endpoint"),
+    ("AWS_ENDPOINT_URL", "endpoint"),
+    ("AWS_REGION", "region"),
+    ("AWS_DEFAULT_REGION", "region"),
+)
+
+
+def s3_conf_from_env(env: dict[str, str] | None = None) -> dict[str, str]:
+    """Project the boto3 credential env chain onto ``fs.s3a.*`` conf.
+
+    This is the executable statement that the jarless boto3 tier and
+    the s3a cluster tier share ONE credential story: whatever the env
+    gives boto3, ``get_spark(s3=s3_conf_from_env())`` hands verbatim to
+    the connector. Driver-env-only deployments need this because
+    executor JVMs do not inherit the driver's environment; env-per-node
+    deployments can skip it (the s3a default provider chain reads the
+    same variables itself).
+    """
+    env = dict(os.environ) if env is None else env
+    short: dict[str, str] = {}
+    for var, opt in _BOTO3_ENV_KEYS:
+        if opt not in short and env.get(var):
+            short[opt] = env[var]
+    return s3_conf(short)
+
+
 def s3a_available(spark: SparkSession) -> bool:
     """True when the s3a connector (hadoop-aws + SDK jars) is loadable
     in the driver JVM. Cheap reflection probe, no I/O."""

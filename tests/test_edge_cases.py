@@ -305,3 +305,41 @@ def test_s3_fallback_error_and_size_guards(spark, monkeypatch, tmp_path):
     monkeypatch.setitem(sys.modules, "boto3", _FakeBoto3())
     with pytest.raises(ClientError, match="AccessDenied"):
         _fetch_s3_to_local("s3://corpus/secret/key.csv")
+
+
+def test_s3_conf_from_env_boto3_chain_parity():
+    """OP-A3 credential contract: every AWS_* env var the boto3 tier
+    honors lands on its exact fs.s3a.* key, with boto3's own precedence
+    (service-specific endpoint over generic, AWS_REGION over
+    AWS_DEFAULT_REGION) — the two tiers provably share one credential
+    story rather than agreeing by convention."""
+    from filefilter_spark.session import s3_conf_from_env
+
+    env = {
+        "AWS_ACCESS_KEY_ID": "AK",
+        "AWS_SECRET_ACCESS_KEY": "SK",
+        "AWS_SESSION_TOKEN": "TOK",
+        "AWS_ENDPOINT_URL": "http://generic:9000",
+        "AWS_ENDPOINT_URL_S3": "http://s3specific:9000",
+        "AWS_DEFAULT_REGION": "us-east-1",
+        "AWS_REGION": "eu-west-1",
+        "HOME": "/root",  # unrelated vars must be ignored
+    }
+    assert s3_conf_from_env(env) == {
+        "spark.hadoop.fs.s3a.access.key": "AK",
+        "spark.hadoop.fs.s3a.secret.key": "SK",
+        "spark.hadoop.fs.s3a.session.token": "TOK",
+        "spark.hadoop.fs.s3a.endpoint": "http://s3specific:9000",
+        "spark.hadoop.fs.s3a.endpoint.region": "eu-west-1",
+    }
+    # fallback precedence: generic endpoint / default region apply when
+    # the specific ones are absent; empty values are treated as unset
+    assert s3_conf_from_env({
+        "AWS_ENDPOINT_URL": "http://generic:9000",
+        "AWS_DEFAULT_REGION": "us-east-1",
+        "AWS_REGION": "",
+    }) == {
+        "spark.hadoop.fs.s3a.endpoint": "http://generic:9000",
+        "spark.hadoop.fs.s3a.endpoint.region": "us-east-1",
+    }
+    assert s3_conf_from_env({}) == {}
