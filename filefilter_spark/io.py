@@ -134,17 +134,22 @@ def _fetch_s3_to_local(path: str) -> str:
         if code not in ("404", "NoSuchKey", "NotFound"):
             raise
     prefix = key.rstrip("/") + "/" if key else ""
-    pages = list(
-        s3.get_paginator("list_objects_v2").paginate(Bucket=bucket, Prefix=prefix)
-    )
-    objs = [
-        obj
-        for page in pages
-        for obj in page.get("Contents", [])
-        # skip the zero-byte "directory marker" object
-        if obj["Key"][len(prefix):]
-    ]
-    _check_size(sum(int(o.get("Size", 0)) for o in objs))
+    # Stream the listing page-by-page, accumulating sizes as we go: a
+    # prefix with millions of keys must trip the size cap after the
+    # first over-cap page, not after the driver has materialized the
+    # whole listing in memory.
+    objs = []
+    total_size = 0
+    for page in s3.get_paginator("list_objects_v2").paginate(
+        Bucket=bucket, Prefix=prefix
+    ):
+        for obj in page.get("Contents", []):
+            # skip the zero-byte "directory marker" object
+            if not obj["Key"][len(prefix):]:
+                continue
+            objs.append(obj)
+            total_size += int(obj.get("Size", 0))
+        _check_size(total_size)
     found = False
     for obj in objs:
         rel = obj["Key"][len(prefix):]

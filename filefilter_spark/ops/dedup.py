@@ -437,82 +437,194 @@ def _bloom_positions(col: Column, m: int, k: int) -> Column:
 
 
 def _build_bloom(
-    fps: DataFrame, fp_col: str, m: int, k: int, tree_threshold: int = 64
+    fps: DataFrame,
+    fp_col: str,
+    m: int,
+    k: int,
+    tree_threshold: int = 64,
+    slice_bits: int = 1 << 23,
 ):
     """OR-fold a corpus of fingerprints into one m-bit Bloom bitmap.
 
-    Per-partition numpy bitmaps via mapInPandas (insertion is
-    idempotent, so no distinct — the seen side never shuffles AT ALL).
-    Past ``tree_threshold`` partitions, the fold is materialized
-    (persist+count: its own job, full P-way parallelism) and then an
-    intermediate coalesce(√P) level (narrow dependency over the cached
-    partials, no shuffle files) ORs ~√P partial bitmaps each before
-    the driver's final OR, so driver traffic is O(√P × m/8) bytes
-    instead of O(P × m/8) — at 1 B docs @ 1% fpp (m/8 ≈ 1.2 GB) and
-    100k partitions that keeps the driver out of the aggregate path
-    entirely except for the last √P partials.
+    **Small path** (≤ ``tree_threshold`` partitions): per-partition
+    dense numpy bitmaps via mapInPandas, collected and OR'd on the
+    driver. Insertion is idempotent, so no distinct — the seen side
+    never shuffles at all, and driver traffic is ≤ P × m/8 bytes with
+    P small by construction.
+
+    **Large path** (sparse slice-keyed shuffle-OR): a dense
+    per-partition partial costs m/8 bytes REGARDLESS of how few bits
+    that partition actually sets, so any design that materializes all
+    P dense partials (the round-7 persist+coalesce fold did) stores
+    P × m/8 bytes — ~120 TB of block storage at 1 B docs @ 1% fpp
+    (m/8 ≈ 1.2 GB) on 100k partitions, to build a 1.2 GB bitmap.
+    Instead each partition emits its set-bit POSITIONS, grouped into
+    fixed ``slice_bits``-wide bitmap slices: per touched slice, a
+    sorted-unique uint32 offset array — or a dense slice (slice_bits/8
+    bytes) when that partition sets ≥ 1/32 of the slice's bits and
+    dense is the smaller encoding. First-level traffic is therefore
+    bounded by ~4·n·k bytes total (≈ 28 GB at 1 B docs, k=7) — the
+    set-bit count, not P × m/8 — and per-task memory by
+    min(4·positions, m/8) via the adaptive encoding. The slices then
+    hash-shuffle on slice_id (one ordinary shuffle at
+    min(n_slices, defaultParallelism)-way parallelism — no persist,
+    no lineage pinning, spill-safe like any shuffle) and a streaming
+    mapInPandas ORs each slice to its final dense form. The driver
+    collects only nonzero final slices: ≤ m/8 bytes — the bitmap
+    itself, which it must hold anyway to broadcast.
     """
     import numpy as np
 
     pos_df = fps.select(_bloom_positions(F.col(fp_col), m, k).alias("pos"))
+    n_parts = pos_df.rdd.getNumPartitions()
+    n_bytes = m // 8
 
-    def fold(batches):
+    if n_parts <= tree_threshold:
+        def fold(batches):
+            import pandas as pd
+
+            bits = np.zeros(n_bytes, dtype=np.uint8)
+            any_rows = False
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                any_rows = True
+                flat = np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in b["pos"]]
+                )
+                np.bitwise_or.at(bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+            if any_rows:
+                yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        for row in pos_df.mapInPandas(fold, "bitmap binary").collect():
+            bits |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+        return bits
+
+    stage1 = pos_df.mapInPandas(
+        _bloom_slice_emitter(m, slice_bits), "slice_id long, dense boolean, payload binary"
+    )
+    n_slices = (m + slice_bits - 1) // slice_bits
+    spark = fps.sparkSession
+    n_or = max(1, min(n_slices, spark.sparkContext.defaultParallelism))
+    stage2 = stage1.repartition(n_or, "slice_id").mapInPandas(
+        _bloom_slice_or(m, slice_bits), "slice_id long, bitmap binary"
+    )
+    bits = np.zeros(n_bytes, dtype=np.uint8)
+    for row in stage2.collect():
+        start = row["slice_id"] * (slice_bits // 8)
+        buf = np.frombuffer(row["bitmap"], dtype=np.uint8)
+        bits[start:start + len(buf)] |= buf
+    return bits
+
+
+def _bloom_slice_len(slice_id: int, m: int, slice_bits: int) -> int:
+    """Byte length of a slice's dense form (the last slice may be
+    shorter than slice_bits/8 when m isn't a slice multiple)."""
+    return min(slice_bits, m - slice_id * slice_bits) // 8
+
+
+def _bloom_slice_emitter(m: int, slice_bits: int):
+    """Stage-1 mapInPandas fn: partition's positions → per-slice
+    payloads, sparse (sorted-unique uint32 offsets) or dense
+    (slice-length bitmap), whichever is smaller. Accumulation is
+    adaptive per slice — offset chunks are promoted to a dense slice
+    the moment their sparse size would exceed the dense size, so task
+    memory is min(4·positions, m/8) + O(batch)."""
+    import numpy as np
+
+    dense_cutoff = slice_bits // 32  # offsets beyond this: dense is smaller
+
+    def emit(batches):
         import pandas as pd
 
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        any_rows = False
+        acc: dict = {}  # slice_id -> list[np.uint32 offsets] | np dense uint8
+
+        def promote(sid, chunks):
+            dense = np.zeros(_bloom_slice_len(sid, m, slice_bits), dtype=np.uint8)
+            offs = np.concatenate(chunks)
+            np.bitwise_or.at(dense, offs >> 3, (1 << (offs & 7)).astype(np.uint8))
+            return dense
+
+        counts: dict = {}
         for b in batches:
             if len(b) == 0:
                 continue
-            any_rows = True
             flat = np.concatenate([np.asarray(p, dtype=np.int64) for p in b["pos"]])
-            np.bitwise_or.at(bits, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
-        if any_rows:
-            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+            sids = flat // slice_bits
+            offs = (flat - sids * slice_bits).astype(np.uint32)
+            order = np.argsort(sids, kind="stable")
+            sids, offs = sids[order], offs[order]
+            bounds = np.flatnonzero(np.diff(sids)) + 1
+            for sid_i, chunk in zip(
+                sids[np.concatenate(([0], bounds))] if len(sids) else [],
+                np.split(offs, bounds),
+            ):
+                sid = int(sid_i)
+                cur = acc.get(sid)
+                if isinstance(cur, np.ndarray) and cur.dtype == np.uint8:
+                    np.bitwise_or.at(cur, chunk >> 3, (1 << (chunk & 7)).astype(np.uint8))
+                else:
+                    lst = cur if cur is not None else []
+                    lst.append(chunk)
+                    counts[sid] = counts.get(sid, 0) + len(chunk)
+                    if counts[sid] > dense_cutoff:
+                        acc[sid] = promote(sid, lst)
+                    else:
+                        acc[sid] = lst
+        rows = {"slice_id": [], "dense": [], "payload": []}
+        for sid, cur in acc.items():
+            if isinstance(cur, list):
+                offs = np.unique(np.concatenate(cur))
+                # unique can shrink below the cutoff; keep whichever
+                # encoding is smaller NOW
+                if offs.nbytes < _bloom_slice_len(sid, m, slice_bits):
+                    rows["slice_id"].append(sid)
+                    rows["dense"].append(False)
+                    rows["payload"].append(offs.astype(np.uint32).tobytes())
+                    continue
+                cur = promote(sid, [offs.astype(np.uint32)])
+            rows["slice_id"].append(sid)
+            rows["dense"].append(True)
+            rows["payload"].append(cur.tobytes())
+        if rows["slice_id"]:
+            yield pd.DataFrame(rows)
 
-    def or_fold(batches):
+    return emit
+
+
+def _bloom_slice_or(m: int, slice_bits: int):
+    """Stage-2 mapInPandas fn: OR all of a slice's payloads (the
+    shuffle colocates each slice_id in one task) into the final dense
+    slice. Streams batches — never holds a slice's input rows, only
+    its dense accumulator; task memory is (#slices in this shuffle
+    partition) × slice_bits/8."""
+    import numpy as np
+
+    def or_slices(batches):
         import pandas as pd
 
-        bits = np.zeros(m // 8, dtype=np.uint8)
-        any_rows = False
+        acc: dict = {}
         for b in batches:
-            for buf in b["bitmap"]:
-                any_rows = True
-                bits |= np.frombuffer(buf, dtype=np.uint8)
-        if any_rows:
-            yield pd.DataFrame({"bitmap": [bits.tobytes()]})
+            for sid, dense, payload in zip(b["slice_id"], b["dense"], b["payload"]):
+                sid = int(sid)
+                arr = acc.get(sid)
+                if arr is None:
+                    arr = acc[sid] = np.zeros(
+                        _bloom_slice_len(sid, m, slice_bits), dtype=np.uint8
+                    )
+                if dense:
+                    arr |= np.frombuffer(payload, dtype=np.uint8)
+                else:
+                    offs = np.frombuffer(payload, dtype=np.uint32)
+                    np.bitwise_or.at(arr, offs >> 3, (1 << (offs & 7)).astype(np.uint8))
+        if acc:
+            yield pd.DataFrame({
+                "slice_id": list(acc),
+                "bitmap": [a.tobytes() for a in acc.values()],
+            })
 
-    partial_df = pos_df.mapInPandas(fold, "bitmap binary")
-    n_parts = pos_df.rdd.getNumPartitions()
-    pinned = None
-    if n_parts > tree_threshold:
-        import math
-
-        from pyspark import StorageLevel
-
-        # Materialize the corpus-sized fold FIRST, at full P-way
-        # parallelism: coalesce is a NARROW dependency, so applied to
-        # the un-materialized fold it would collapse the whole
-        # scan+fingerprint+fold stage itself down to √P tasks (317-way
-        # instead of 100k-way at the scales the docstring cites). The
-        # persist+count breaks the pipeline into two jobs — fold at P
-        # tasks, OR level at √P tasks reading the cached ≤m/8-byte
-        # partials — still with no shuffle files. The price is holding
-        # the P partial bitmaps in block storage (MEMORY_AND_DISK, so
-        # spillable) until the collect below; released immediately
-        # after.
-        pinned = partial_df.persist(StorageLevel.MEMORY_AND_DISK)
-        pinned.count()
-        partial_df = pinned.coalesce(
-            max(1, int(math.ceil(math.sqrt(n_parts))))
-        ).mapInPandas(or_fold, "bitmap binary")
-    partials = partial_df.collect()
-    if pinned is not None:
-        pinned.unpersist()
-    bits = np.zeros(m // 8, dtype=np.uint8)
-    for row in partials:
-        bits |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-    return bits
+    return or_slices
 
 
 class BloomResources:

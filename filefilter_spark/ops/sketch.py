@@ -60,14 +60,17 @@ def frequent_tokens(
 ) -> DataFrame:
     """EXACT top-k most frequent tokens, computed the 100 TB way:
 
-    1. **Sketch pass** (no shuffle): each partition folds its token
-       stream into a Misra-Gries summary of ``capacity`` counters
-       (mapInPandas). Past ``tree_threshold`` partitions an
-       intermediate coalesce(√P) merge level folds ~√P partials each
+    1. **Sketch pass** (corpus never shuffles): each partition folds
+       its token stream into a Misra-Gries summary of ``capacity``
+       counters (mapInPandas). Past ``tree_threshold`` partitions an
+       intermediate repartition(√P) merge level folds ~√P partials each
        (the standard MG merge: sum counts, then subtract the
        (capacity+1)-th largest and drop non-positives — preserves the
        N/capacity bound), so once evictions occur driver traffic is
-       O(√P × capacity) instead of O(P × capacity). Eviction-free
+       O(√P × capacity) instead of O(P × capacity). That merge level
+       does shuffle — but only the ≤capacity+2-row partials (a
+       near-free repartition that buys full P-way fold parallelism;
+       rationale at the call site below), never the token stream. Eviction-free
        summaries are never trimmed — they hold EXACT complete counts
        (the vocabulary simply fits), and completeness is what lets
        small-vocab corpora skip the proof bound; their driver traffic

@@ -1055,6 +1055,57 @@ def test_build_bloom_tree_reduce_identical(spark):
     assert np.array_equal(flat, tree)
 
 
+def test_build_bloom_slice_traffic_bounded_by_set_bits(spark):
+    # The 100 TB acceptance criterion for the r8 sparse-slice fan-in
+    # (r7 verdict "What's wrong" #2): stage-1 emitted bytes must be
+    # bounded by the SET-BIT count (~4·n·k sparse offsets), never by
+    # P × m/8 dense partials — the shape that stored ~120 TB to build
+    # a 1.2 GB bitmap. 500 fps on 512 partitions at m≈4.8k bits:
+    # dense-partials traffic would be 512 × m/8 ≈ 307 kB; sparse must
+    # come in under 4·n·k + per-row overhead.
+    import pyspark.sql.functions as SF
+
+    from filefilter_spark.ops.dedup import (
+        _bloom_params,
+        _bloom_positions,
+        _bloom_slice_emitter,
+    )
+
+    n = 500
+    fps = spark.createDataFrame([(f"fp{i}",) for i in range(n)], "f string")
+    m, k = _bloom_params(n, 0.01)
+    pos_df = fps.repartition(512).select(
+        _bloom_positions(SF.col("f"), m, k).alias("pos")
+    )
+    stage1 = pos_df.mapInPandas(
+        _bloom_slice_emitter(m, 1 << 23),
+        "slice_id long, dense boolean, payload binary",
+    )
+    row = stage1.agg(
+        SF.sum(SF.length("payload")).alias("bytes"),
+        SF.sum(SF.when(SF.col("dense"), 1).otherwise(0)).alias("n_dense"),
+    ).collect()[0]
+    assert row["bytes"] <= 4 * n * k          # sparse offsets, ≤ uint32 each
+    assert row["bytes"] < 512 * (m // 8) / 10  # nowhere near P × m/8
+    assert row["n_dense"] == 0                 # sparse partitions stay sparse
+
+
+def test_build_bloom_dense_promotion(spark):
+    # A partition that sets ≥1/32 of a slice's bits must promote to the
+    # dense encoding (smaller than its offset list) and still produce
+    # the correct bitmap end-to-end.
+    import numpy as np
+
+    from filefilter_spark.ops.dedup import _build_bloom
+
+    n = 4000
+    fps = spark.createDataFrame([(f"fp{i}",) for i in range(n)], "f string")
+    m, k = 1024, 3  # tiny m: 4000·3 positions over 1024 bits → dense wins
+    flat = _build_bloom(fps.coalesce(2), "f", m, k)
+    sliced = _build_bloom(fps.repartition(8), "f", m, k, tree_threshold=4)
+    assert np.array_equal(flat, sliced)
+
+
 def test_frequent_tokens_refuses_unprovable_capacity(spark):
     import pytest as _pytest
 
