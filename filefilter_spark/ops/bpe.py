@@ -13,17 +13,25 @@ Scale design — the two-stage shape every production BPE trainer uses
    the distinct vocabulary (plus a ``min_freq`` cutoff that prunes the
    long tail before it ever reaches the driver); document bodies are
    never touched again. At 100 TB this is the only corpus-sized job.
-2. The merge loop runs on the histogram, in one of two modes:
-   - **driver mode** (default): collect the histogram (hard cap with a
-     loud error, same contract as ops/sketch.py's fan-ins) and run the
-     classic in-memory loop with incremental pair-count maintenance —
-     what HF tokenizers does after its own word-count pass.
+2. The merge loop runs on the histogram, in one of two modes (the
+   default ``distributed=None`` picks automatically — driver mode
+   whenever the histogram fits under the collect cap, distributed on
+   overflow; the crossover is a MEMORY boundary, not a wall-clock one,
+   per the measured table in SCALING.md "BPE merge-loop mode
+   crossover"):
+   - **driver mode**: collect the histogram (hard cap with a loud
+     error when forced with ``distributed=False``, same contract as
+     ops/sketch.py's fan-ins) and run the classic in-memory loop with
+     incremental pair-count maintenance — what HF tokenizers does
+     after its own word-count pass. Measured faster than the
+     distributed loop at EVERY collectable vocab size.
    - **distributed mode**: the histogram stays a DataFrame of
      ``(symbols array, freq)``; each merge is one JVM-side aggregation
      (freq-weighted adjacent-pair counts -> argmax) plus one JVM-side
      ``aggregate()`` fold that applies the merge left-to-right. No
      Python touches row data; cost is ``num_merges`` small Spark jobs
-     over vocab-sized data, for vocabularies too large to collect.
+     over vocab-sized data (a flat ~per-merge job floor), for
+     vocabularies too large to collect.
 
 Both modes implement the same deterministic contract: highest
 freq-weighted pair count wins, ties broken by lexicographically
@@ -175,12 +183,24 @@ def train_bpe(
     lowercase: bool = True,
     min_freq: int = 1,
     max_vocab_collect: int = 2_000_000,
-    distributed: bool = False,
+    distributed: bool | None = None,
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge table from a corpus (see module docstring for
-    the two execution modes and the scale argument)."""
+    the two execution modes and the scale argument).
+
+    ``distributed``: ``None`` (auto, default) collects the histogram
+    when it fits under ``max_vocab_collect`` and runs the driver loop,
+    falling back to the distributed loop on overflow; ``False`` forces
+    the driver loop (raises on overflow); ``True`` forces the
+    distributed loop. Auto is the measured winner on both sides of the
+    threshold (SCALING.md "BPE merge-loop mode crossover"): the driver
+    loop's incremental in-memory maintenance beats the distributed
+    loop's ~2-Spark-jobs-per-merge floor at EVERY collectable vocab
+    size, and past the cap the driver loop isn't runnable at all — the
+    crossover is a memory boundary, not a wall-clock one.
+    """
     hist = word_histogram(df, text_col, lowercase, min_freq)
-    if not distributed:
+    if distributed is not True:
         # ONE corpus-sized job, not a count() + collect() pair: pull at
         # most cap+1 rows and treat the extra row as the overflow
         # signal (the repo's standard bounded-fan-in shape).
@@ -188,49 +208,69 @@ def train_bpe(
             (r["word"], r["freq"])
             for r in hist.limit(max_vocab_collect + 1).collect()
         ]
-        if len(rows) > max_vocab_collect:
+        if len(rows) <= max_vocab_collect:
+            return train_bpe_histogram(rows, num_merges)
+        if distributed is False:
             raise ValueError(
                 f"word histogram exceeds max_vocab_collect="
                 f"{max_vocab_collect}; raise min_freq, raise the cap, or "
                 "use distributed=True"
             )
-        return train_bpe_histogram(rows, num_merges)
+        # auto + overflow: the one regime where the distributed loop
+        # is the right (and only) choice
+    return train_bpe_distributed(hist, num_merges)
 
+
+def train_bpe_distributed(
+    hist: DataFrame, num_merges: int
+) -> list[tuple[str, str]]:
+    """Distributed BPE merge loop over a ``(word, freq)`` histogram
+    DataFrame — for vocabularies too large to collect. Each merge is
+    two vocab-sized Spark jobs (pair-count argmax + fold application),
+    so wall time is ~``num_merges`` × the per-job floor regardless of
+    corpus size; see the module docstring for when that trade wins."""
+    # localCheckpoint, NOT persist: persist keeps the full logical
+    # plan, so each iteration's analysis (and the plan string Spark
+    # renders for persist's RDD name) re-walks every previous
+    # iteration's nested aggregate() lambda — measured superlinear
+    # (4.9 s at 8 merges → 10.1 s at 12) and an 8 GiB-heap OOM in
+    # treeString by 20 merges. localCheckpoint materializes to
+    # executor storage AND truncates lineage to a constant-size
+    # LogicalRDD scan — the standard iterative-algorithm pattern
+    # (GraphX/ALS do the same). Trade: checkpoint blocks are
+    # unreplicated, so an executor loss mid-loop fails the job and
+    # training restarts — acceptable for a vocab-sized loop whose
+    # full rerun costs minutes; superseded blocks are released by
+    # the ContextCleaner as each iteration's frame goes out of
+    # reference.
     cur = hist.select(
         F.split("word", "").alias("syms"), F.col("freq")
-    ).persist()
-    cur.count()  # materialize before the loop reuses it
+    ).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    try:
-        for _ in range(num_merges):
-            pairs = F.transform(
-                F.sequence(F.lit(1), F.size("syms") - 1),
-                lambda i: F.struct(
-                    F.element_at("syms", i).alias("a"),
-                    F.element_at("syms", i + 1).alias("b"),
-                ),
-            )
-            top = (
-                cur.filter(F.size("syms") >= 2)
-                .select(F.col("freq"), F.explode(pairs).alias("p"))
-                .groupBy("p.a", "p.b")
-                .agg(F.sum("freq").alias("cnt"))
-                .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            a, b = top[0]["a"], top[0]["b"]
-            merges.append((a, b))
-            nxt = cur.select(
-                _merge_expr(F.col("syms"), a, b).alias("syms"), "freq"
-            ).persist()
-            nxt.count()
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
+    for _ in range(num_merges):
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("a"),
+                F.element_at("syms", i + 1).alias("b"),
+            ),
+        )
+        top = (
+            cur.filter(F.size("syms") >= 2)
+            .select(F.col("freq"), F.explode(pairs).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        cur = cur.select(
+            _merge_expr(F.col("syms"), a, b).alias("syms"), "freq"
+        ).localCheckpoint()
     return merges
 
 

@@ -127,8 +127,45 @@ def test_word_histogram_min_freq_and_collect_cap(spark):
     hist = {r["word"]: r["freq"] for r in word_histogram(docs).collect()}
     assert hist == {"a": 4, "b": 2, "c": 1}
     assert {r["word"] for r in word_histogram(docs, min_freq=2).collect()} == {"a", "b"}
+    # forced driver mode raises on overflow...
     with pytest.raises(ValueError, match="max_vocab_collect"):
-        train_bpe(docs, num_merges=2, max_vocab_collect=1)
+        train_bpe(docs, num_merges=2, max_vocab_collect=1, distributed=False)
+
+
+def test_auto_mode_picks_winner_on_both_sides(spark, monkeypatch):
+    # SCALING.md "BPE merge-loop mode crossover": the driver loop wins
+    # at every collectable vocab size; past the cap it isn't runnable.
+    # Auto must therefore (a) run the driver loop whenever the
+    # histogram fits, (b) fall back to the distributed loop on
+    # overflow — producing the identical merge table either way.
+    import filefilter_spark.ops.bpe as bpe_mod
+
+    docs = spark.createDataFrame(
+        [(0, "hug hug hug pug"), (1, "hug pug pun"), (2, "bun hug")],
+        "doc_id int, text string",
+    )
+    expected = bpe_mod.train_bpe(docs, num_merges=4, distributed=False)
+
+    calls = {"driver": 0, "dist": 0}
+    real_driver, real_dist = bpe_mod.train_bpe_histogram, bpe_mod.train_bpe_distributed
+
+    def spy_driver(hist, k):
+        calls["driver"] += 1
+        return real_driver(hist, k)
+
+    def spy_dist(hist, k):
+        calls["dist"] += 1
+        return real_dist(hist, k)
+
+    monkeypatch.setattr(bpe_mod, "train_bpe_histogram", spy_driver)
+    monkeypatch.setattr(bpe_mod, "train_bpe_distributed", spy_dist)
+
+    # fits under the cap -> driver loop
+    assert bpe_mod.train_bpe(docs, num_merges=4) == expected
+    assert calls == {"driver": 1, "dist": 0}
+    # overflows the cap -> distributed loop, same merges, no raise
+    assert bpe_mod.train_bpe(docs, num_merges=4, max_vocab_collect=2) == expected
+    assert calls == {"driver": 1, "dist": 1}
 
 
 def test_char_pair_counts_hand(spark):
