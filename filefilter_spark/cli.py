@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="fast-forward past stages already materialized in "
                         "--checkpoint-dir with unchanged config")
+    p.add_argument("--no-observe-metrics", action="store_true",
+                   help="drop the per-stage observe() row counters so "
+                        "filters push across stage boundaries into the "
+                        "scan (full cross-stage Catalyst optimization — "
+                        "the setting a large production run wants; "
+                        "overrides the YAML's observeMetrics key)")
     return p
 
 
@@ -66,6 +72,8 @@ def main(argv: list[str] | None = None) -> int:
         spark, args.config,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,
+        # flag overrides YAML; absent flag defers to observeMetrics
+        observe_metrics=False if args.no_observe_metrics else None,
     )
     df = read_input(
         spark, args.input,

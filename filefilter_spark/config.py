@@ -9,7 +9,10 @@ Top-level keys: ``inDelimiter``, ``outDelimiter``, ``sampleLines``,
 ``showSampleOnFinish``, ``reloadConfigEverySeconds`` (alias
 ``reloadConfigEvery`` — the reference's examples use the short form and
 its code the long form, so hot reload never fired; we accept both, see
-SURVEY.md §2.A quirk 3), and ``filters:`` — an ordered stage list.
+SURVEY.md §2.A quirk 3), ``observeMetrics`` (engine extension, default
+true: per-stage row counters; set false for full cross-stage Catalyst
+optimization — the 100 TB setting), and ``filters:`` — an ordered
+stage list.
 
 Per stage: ``name``, ``actionType``
 (python|rest|sql|pandas|udf|dedup|split|sample),
@@ -99,6 +102,14 @@ class PipelineConfig:
     show_sample_on_finish: bool = False
     reload_config_every_seconds: int | None = None
     description: str = ""
+    # Per-stage observe() row counters (OP-A10/A14 parity). True gets
+    # the counters for free on the materializing action — at the cost
+    # of fencing FILTER pushdown at each stage boundary (each
+    # CollectMetrics must see its stage's full row count; column
+    # pruning still crosses). False is the 100 TB setting: full
+    # cross-stage Catalyst optimization, no per-stage counts. The
+    # trade is plan-tested in tests/test_plans.py.
+    observe_metrics: bool = True
 
     @classmethod
     def from_dict(cls, raw: dict[str, Any]) -> "PipelineConfig":
@@ -117,6 +128,7 @@ class PipelineConfig:
             show_sample_on_finish=bool(raw.get("showSampleOnFinish", False)),
             reload_config_every_seconds=int(reload_s) if reload_s is not None else None,
             description=str(raw.get("description", "")),
+            observe_metrics=bool(raw.get("observeMetrics", True)),
         )
 
     @property

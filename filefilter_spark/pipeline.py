@@ -125,7 +125,7 @@ class Pipeline:
         collect_metrics: bool = False,
         checkpoint_dir: str | None = None,
         resume: bool = False,
-        observe_metrics: bool = True,
+        observe_metrics: bool | None = None,
     ):
         self.spark = spark
         self.config = config
@@ -136,7 +136,13 @@ class Pipeline:
         # stage's row count and therefore fence filter pushdown at
         # stage boundaries — see the module docstring. False trades
         # the free counters for full cross-stage Catalyst optimization.
-        self.observe_metrics = observe_metrics
+        # None defers to the YAML's top-level `observeMetrics:` key
+        # (default true), so the 100 TB mode is reachable from configs
+        # and the CLI, not just the Python API.
+        self.observe_metrics = (
+            config.observe_metrics if observe_metrics is None
+            else observe_metrics
+        )
 
     @classmethod
     def from_yaml(cls, spark: SparkSession, path: str, **kw: Any) -> "Pipeline":

@@ -316,3 +316,38 @@ def test_pipeline_observed_prunes_but_pins_counts(spark, _three_stage_pipeline):
     assert res.df.count() == n_match
     counts = [m.rows_out for m in res.harvest_metrics()]
     assert counts == [200, n_match, n_match]
+
+
+def test_observe_metrics_yaml_and_cli_surface(spark, _three_stage_pipeline, tmp_path):
+    """The 100 TB mode must be reachable where configs are written:
+    top-level `observeMetrics: false` in YAML selects the unobserved
+    plan (filter pushed to the scan, zero CollectMetrics); an explicit
+    Python-API argument overrides the YAML; the CLI's
+    --no-observe-metrics maps to that override."""
+    import yaml
+
+    from filefilter_spark.cli import build_parser
+    from filefilter_spark.io import read_input
+    from filefilter_spark.pipeline import Pipeline
+
+    src, cpath = _three_stage_pipeline
+    cfg = yaml.safe_load(open(cpath))
+    cfg["observeMetrics"] = False
+    c2 = tmp_path / "pipeline_unobserved.yml"
+    c2.write_text(yaml.safe_dump(cfg))
+
+    p = Pipeline.from_yaml(spark, str(c2))
+    assert p.observe_metrics is False
+    plan = _plan(p.run(read_input(spark, src)).df)
+    assert "CollectMetrics" not in plan
+    assert "EqualTo(lang,en)" in re.search(
+        r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+
+    # explicit API argument beats the YAML key...
+    assert Pipeline.from_yaml(
+        spark, str(c2), observe_metrics=True).observe_metrics is True
+    # ...and the CLI flag produces exactly that override (False), while
+    # an absent flag defers to the YAML (None)
+    args = build_parser().parse_args(
+        [src, str(c2), "out.csv", "--no-observe-metrics"])
+    assert (False if args.no_observe_metrics else None) is False
