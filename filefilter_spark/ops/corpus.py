@@ -71,6 +71,58 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/val/test split that cannot leak through near-duplicates.
+
+    :func:`hash_split` keyed per document lets two near-identical
+    documents land on opposite sides of the train/test boundary — the
+    contamination path that inflates eval scores (the reason the
+    dedup-before-split ordering exists at all; see Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"). This
+    variant hashes the CLUSTER REPRESENTATIVE instead: connected
+    components over the supplied near-dup ``pairs`` frame (any pair
+    generator — Jaccard, MinHash bands, SimHash — via
+    :func:`~filefilter_spark.ops.dedup.cluster_pairs`), every member of
+    a cluster keyed by the cluster's min doc id, singletons by their
+    own id. All near-dup copies therefore share one hash draw and one
+    split — leakage is impossible by construction, while singleton
+    assignment is IDENTICAL to ``hash_split`` (same md5-prefix draw on
+    the same id), so adding pair coverage only ever moves whole
+    clusters, never reshuffles the rest of the corpus.
+
+    Scale shape: the cluster map is bounded by the number of docs that
+    HAVE a near-dup (usually ≪ corpus) — the left join against it is
+    size-based broadcast when small, AQE-planned shuffle otherwise;
+    the split itself stays a pure projection. Split fractions apply to
+    cluster REPRESENTATIVES, so heavy duplication skews realized
+    per-doc fractions toward big clusters' splits — inherent to any
+    leakage-safe scheme (the alternative IS the leak), and the reason
+    to dedup before splitting when fractions must be exact.
+    """
+    from filefilter_spark.ops.dedup import cluster_pairs
+
+    clusters = cluster_pairs(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id").alias("__grp_rep")
+    )
+    keyed = df.join(clusters, id_col, "left").withColumn(
+        "__grp", F.coalesce(F.col("__grp_rep"), F.col(id_col))
+    )
+    return (
+        hash_split(keyed, id_col="__grp", weights=weights, seed=seed,
+                   split_col=split_col)
+        .drop("__grp", "__grp_rep")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     cost_col: str | Column,

@@ -1294,6 +1294,44 @@ def op_d7_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D7-safesplit",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jp
+      UNION
+      SELECT id_b, id_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    cl AS (SELECT src AS doc_id, min(node) AS cluster_id
+           FROM reach GROUP BY src)
+    SELECT d.doc_id,
+           {_split_case_sql("COALESCE(cl.cluster_id, d.doc_id)")} AS split
+    FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    """,
+    doc="near-dup-leakage-safe train/val/test split: the md5-prefix "
+        "draw is keyed on the connected-component representative of the "
+        "Jaccard>=0.5 pair graph (singletons on their own id), so no "
+        "near-dup pair can straddle the train/test boundary — the "
+        "train-on-paraphrase/eval-on-original contamination path plain "
+        "per-doc splitting leaves open "
+        "(ops/corpus.py leakage_safe_split).",
+)
+def op_d7_safesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import leakage_safe_split
+    from filefilter_spark.ops.dedup import token_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = token_jaccard_pairs(docs, threshold=0.5, shingle_n=3)
+    return leakage_safe_split(docs, pairs).select("doc_id", "split")
+
+
+@query(
     "OP-D7-pack",
     oracle="""
     SELECT doc_id, source, n_chars,

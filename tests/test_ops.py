@@ -1677,3 +1677,33 @@ def test_bucketed_table_join_skips_shuffle(spark, tmp_path):
         assert joined.count() == 2000
     finally:
         spark.sql("DROP TABLE IF EXISTS ff_bucket_test")
+
+
+def test_leakage_safe_split_properties(spark, documents):
+    # 1) no near-dup pair may straddle a split boundary; 2) docs with
+    # no near-dup get the IDENTICAL assignment hash_split gives them,
+    # so pair coverage moves whole clusters and nothing else.
+    from filefilter_spark.ops.corpus import hash_split, leakage_safe_split
+    from filefilter_spark.ops.dedup import token_jaccard_pairs
+
+    pairs = token_jaccard_pairs(documents, threshold=0.5, shingle_n=3)
+    safe = {r["doc_id"]: r["split"]
+            for r in leakage_safe_split(documents, pairs)
+            .select("doc_id", "split").collect()}
+    plain = {r["doc_id"]: r["split"]
+             for r in hash_split(documents)
+             .select("doc_id", "split").collect()}
+    pair_rows = pairs.collect()
+    assert pair_rows, "fixture must contain near-dup pairs"
+    clustered = set()
+    for r in pair_rows:
+        assert safe[r["id_a"]] == safe[r["id_b"]]
+        clustered |= {r["id_a"], r["id_b"]}
+    for d, s in safe.items():
+        if d not in clustered:
+            assert s == plain[d]
+    # the fixture's dup clusters force at least one doc to move
+    # relative to the per-doc split (otherwise the test is vacuous)
+    assert any(safe[d] != plain[d] for d in clustered) or all(
+        plain[a] == plain[b] for a, b in
+        ((r["id_a"], r["id_b"]) for r in pair_rows))
