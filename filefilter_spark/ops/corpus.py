@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from filefilter_spark.ops.text import shingles
+from filefilter_spark.ops.text import shingles, tokens
 
 _HASH_SPACE = 16 ** 8  # first 8 hex chars of md5 = 32-bit prefix
 
@@ -69,6 +69,102 @@ def hash_split(
                 else case.when(prefix < cutoff, name)
             )
     return df.withColumn(split_col, expr)
+
+
+def dsir_logweights(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hex: int = 3,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance log-weights for targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling" — the hashed-n-gram variant that made
+    importance resampling tractable at corpus scale).
+
+    Each ``source`` document is scored by how much more likely its
+    hashed unigram+bigram features are under the ``target``
+    distribution than under the source's own:
+    ``logw = Σ_f ln(p_target(bucket(f)) / p_source(bucket(f)))``, with
+    add-``alpha`` smoothing over the ``16**n_hex`` buckets. High
+    ``logw`` = looks like the target corpus; select by top-k/threshold
+    (compose with :func:`quota` / ``TakeOrderedAndProject``) to build
+    a target-flavored subcorpus from a general crawl.
+
+    Buckets are the first ``n_hex`` hex chars of ``md5(feature)`` —
+    a STRING key computed identically by Spark and ANSI SQL, which is
+    what lets this op carry an exact cross-engine oracle (the usual
+    integer-hash buckets have no DuckDB twin). 4,096 buckets at the
+    default matches the paper's 10k-bucket regime.
+
+    Scale shape: two bucket-count aggregations (each shuffles ≤ B
+    buckets per partition after map-side combine), a B-row ratio table
+    that broadcast-joins onto the exploded source features, and one
+    map-combined groupBy(doc_id). The source corpus is scanned twice
+    (count pass + score pass) — same trade as :func:`~filefilter_spark.
+    ops.text.bigram_nll`, and for the same reason: persisting here
+    would pin a cache into the returned lazy plan's lifetime, which
+    the caller can't manage. Returns ``(doc_id, n_feats, logw)``
+    (logw rounded to 6dp, the repo's cross-engine double-fold
+    tolerance); docs with zero tokens have no features and drop out.
+    """
+    n_buckets = 16 ** n_hex
+
+    def buckets(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = df.select(
+            *([F.col(id_col)] if keep_id else []),
+            tokens(F.lower(F.col(text_col))).alias("__tk"),
+        )
+        bi = F.when(
+            F.size("__tk") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__tk") - 1),
+                lambda i: F.concat(
+                    F.element_at(F.col("__tk"), i),
+                    F.lit(" "),
+                    F.element_at(F.col("__tk"), i + 1),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select(
+            *([F.col(id_col)] if keep_id else []),
+            F.explode(F.concat(F.col("__tk"), bi)).alias("__f"),
+        ).select(
+            *([F.col(id_col)] if keep_id else []),
+            F.substring(F.md5("__f"), 1, n_hex).alias("__b"),
+        )
+
+    src_b = buckets(source, keep_id=True)
+    qc = src_b.groupBy("__b").agg(F.count("*").cast("double").alias("__qc"))
+    tc = buckets(target, keep_id=False).groupBy("__b").agg(
+        F.count("*").cast("double").alias("__tc")
+    )
+    nq = qc.agg(F.sum("__qc").alias("__nq"))
+    nt = tc.agg(F.sum("__tc").alias("__nt"))
+    ab = float(alpha) * n_buckets
+    ratio = (
+        qc.join(tc, "__b", "left")
+        .na.fill({"__tc": 0.0})
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "__b",
+            F.log(
+                ((F.col("__tc") + alpha) / (F.col("__nt") + ab))
+                / ((F.col("__qc") + alpha) / (F.col("__nq") + ab))
+            ).alias("__lr"),
+        )
+    )
+    return (
+        src_b.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("__lr"), 6).alias("logw"),
+        )
+    )
 
 
 def leakage_safe_split(

@@ -1294,6 +1294,53 @@ def op_d7_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D7-dsir",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, lang, unnest(tk) AS f FROM toks
+      UNION ALL
+      SELECT doc_id, lang,
+             unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS f
+      FROM toks
+    ),
+    bk AS (SELECT doc_id, lang, substr(md5(f), 1, 3) AS b FROM feats),
+    qc AS (SELECT b, CAST(count(*) AS DOUBLE) AS qc FROM bk GROUP BY b),
+    tc AS (SELECT b, CAST(count(*) AS DOUBLE) AS tc
+           FROM bk WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT sum(qc) FROM qc) AS nq,
+                   (SELECT sum(tc) FROM tc) AS nt),
+    ratio AS (
+      SELECT qc.b,
+             ln(((COALESCE(tc.tc, 0) + 1.0) / (tot.nt + 4096.0))
+                / ((qc.qc + 1.0) / (tot.nq + 4096.0))) AS lr
+      FROM qc LEFT JOIN tc ON qc.b = tc.b CROSS JOIN tot
+    )
+    SELECT bk.doc_id, count(*) AS n_feats, round(sum(ratio.lr), 6) AS logw
+    FROM bk JOIN ratio ON bk.b = ratio.b
+    GROUP BY bk.doc_id
+    """,
+    doc="DSIR importance log-weights (Xie et al. 2023): score every doc "
+        "by sum of ln(p_target/p_source) over hashed unigram+bigram "
+        "buckets (md5-hex-prefix buckets, 4096 cells, add-1 smoothing; "
+        "target = the corpus's English slice) — the published recipe for "
+        "selecting target-flavored training data from a general crawl. "
+        "Two bounded bucket aggs + broadcast ratio join + map-combined "
+        "doc fold (ops/corpus.py dsir_logweights).",
+)
+def op_d7_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    return dsir_logweights(docs, docs.filter(F.col("lang") == "en"))
+
+
+@query(
     "OP-D7-safesplit",
     oracle=f"""
     WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),

@@ -1707,3 +1707,31 @@ def test_leakage_safe_split_properties(spark, documents):
     assert any(safe[d] != plain[d] for d in clustered) or all(
         plain[a] == plain[b] for a, b in
         ((r["id_a"], r["id_b"]) for r in pair_rows))
+
+
+def test_dsir_logweights_favors_target_like_docs(spark):
+    # Docs resembling the target distribution must score higher logw
+    # than off-target docs; zero-token docs drop out; ratio join plans
+    # as a broadcast (the B-row table must never shuffle the corpus).
+    import pyspark.sql.functions as SF
+
+    from filefilter_spark.ops.corpus import dsir_logweights
+
+    src = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the dog sat on the rug"),
+         (3, "uno dos tres cuatro cinco seis"),
+         (4, "uno dos tres gato perro"),
+         (5, "")],
+        "doc_id bigint, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(10, "the cat sat on the mat"), (11, "the dog ran on the mat")],
+        "doc_id bigint, text string",
+    )
+    out = dsir_logweights(src, tgt)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_feats", "logw"]
+    got = {r["doc_id"]: r["logw"] for r in out.collect()}
+    assert 5 not in got                       # no tokens, no features
+    assert min(got[1], got[2]) > max(got[3], got[4])
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
