@@ -1294,6 +1294,53 @@ def op_d7_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D4-qualityclf",
+    oracle=None,  # learned model → recall oracle, not a value hash
+    doc="GPT-3-style learned quality filter (Brown et al. 2020 §A): "
+        "LogisticRegression over HashingTF hashed-token vectors, "
+        "trained reference-vs-crawl, scored in one transform "
+        "projection. The synthetic corpus has no quality axis, so the "
+        "entry trains on a SEPARABLE construct — docs containing the "
+        "token 'spark' vs the rest — and the recall oracle checks the "
+        "learned decision recovers ≥95% of that exact set (plus an "
+        "exact-precision unit test on the same task); the mechanics "
+        "(featurize → distributed L-BFGS → score) are the production "
+        "path verbatim (ops/classifier.py).",
+    recall=RecallSpec(
+        r"""
+        SELECT doc_id FROM documents
+        WHERE list_contains(
+          list_filter(string_split_regex(lower(text), '\s+'), x -> x != ''),
+          'spark')
+        """,
+        ("doc_id",),
+        0.95,
+        exact_precision=False,  # a learned boundary has no precision proof
+    ),
+)
+def op_d4_qualityclf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.classifier import (
+        quality_scores, train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    has = docs.filter(F.array_contains(_tokens_lower("text"), "spark"))
+    lacks = docs.filter(~F.array_contains(_tokens_lower("text"), "spark"))
+    qm = train_quality_classifier(has, lacks)
+    return (
+        quality_scores(docs, qm)
+        .filter(F.col("quality_prob") > 0.5)
+        .select("doc_id")
+    )
+
+
+def _tokens_lower(text_col: str):
+    from filefilter_spark.ops.text import tokens
+
+    return tokens(F.lower(F.col(text_col)))
+
+
+@query(
     "OP-D7-dsir",
     oracle=r"""
     WITH toks AS (

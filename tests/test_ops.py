@@ -1735,3 +1735,30 @@ def test_dsir_logweights_favors_target_like_docs(spark):
     assert 5 not in got                       # no tokens, no features
     assert min(got[1], got[2]) > max(got[3], got[4])
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_classifier_separable_task_exact(spark):
+    # On a linearly separable construct the learned filter must reach
+    # BOTH perfect recall and perfect precision (the registry's recall
+    # oracle can only assert recall — exact_precision=False — so the
+    # precision half of the claim lives here).
+    import pyspark.sql.functions as SF
+
+    from filefilter_spark.ops.classifier import (
+        quality_scores, train_quality_classifier,
+    )
+    from filefilter_spark.ops.text import tokens as _tk
+
+    docs = spark.createDataFrame(
+        [(i, ("good clean prose spark here" if i % 3 == 0
+              else "noisy junk tokens everywhere"))
+         for i in range(120)],
+        "doc_id bigint, text string",
+    )
+    pos = docs.filter(SF.array_contains(_tk(SF.lower("text")), "spark"))
+    neg = docs.filter(~SF.array_contains(_tk(SF.lower("text")), "spark"))
+    qm = train_quality_classifier(pos, neg, n_features=1 << 12)
+    got = {r["doc_id"] for r in quality_scores(docs, qm)
+           .filter(SF.col("quality_prob") > 0.5).collect()}
+    want = {i for i in range(120) if i % 3 == 0}
+    assert got == want
