@@ -13,9 +13,11 @@ Spark shape (all public pyspark.ml — the same building blocks the
 IVF index already uses for k-means):
 
 - features: engine tokenization (``ops/text.tokens``, lowercased) →
-  ``HashingTF`` sparse term-frequency vectors (2^18 buckets default —
-  the hashing trick keeps the feature space fixed regardless of
-  vocabulary, exactly like DSIR's hashed n-grams);
+  sparse term-frequency vectors over ``pmod(hash(term), 2^18)``
+  buckets (the hashing trick keeps the feature space fixed regardless
+  of vocabulary, exactly like DSIR's hashed n-grams; see
+  :func:`_bucket` for why the bucketing is SQL ``hash`` rather than
+  ``HashingTF``'s);
 - model: ``LogisticRegression`` (distributed L-BFGS; each iteration
   is one tree-aggregated gradient pass over the hashed vectors — no
   per-row Python, no driver-sized state beyond the coefficient
@@ -55,16 +57,60 @@ class QualityModel:
     n_features: int
 
 
+def _bucket(col, n_features: int):
+    """Term → feature bucket: ``pmod(hash(term), n)``. ``F.hash`` is
+    Spark's Murmur3_x86_32(seed 42) — computable in pure SQL on both
+    the training and scoring side, which is what lets scoring skip ml
+    entirely. (Deliberately NOT ``HashingTF``: since SPARK-23469 its
+    string hash is ``hashUnsafeBytes2``, which has no SQL twin — a
+    model featurized with it could only be scored through
+    ``model.transform``.)"""
+    return F.pmod(F.hash(col), F.lit(n_features)).cast("long")
+
+
 def _featurize(df: DataFrame, text_col: str, n_features: int,
                extra_cols: list) -> DataFrame:
-    from pyspark.ml.feature import HashingTF
+    """(extra_cols..., features: SparseVector) — term-frequency vectors
+    over :func:`_bucket` buckets. The SparseVector assembly is a
+    per-row UDF on (sorted indices, counts) arrays: acceptable here
+    because featurize feeds TRAINING only, whose input is a
+    reference-vs-crawl sample by design; the corpus-sized scoring path
+    never builds vectors at all (see :func:`quality_scores`)."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
 
-    tf = HashingTF(inputCol="__tk", outputCol="features",
-                   numFeatures=n_features)
+    @F.udf(returnType=VectorUDT())
+    def to_vec(pairs):
+        return SparseVector(
+            n_features, [p["b"] for p in pairs], [float(p["c"]) for p in pairs]
+        )
+
+    rid = F.monotonically_increasing_id().alias("__rid")
     toks = df.select(
-        *extra_cols, tokens(F.lower(F.col(text_col))).alias("__tk")
+        rid, *extra_cols, tokens(F.lower(F.col(text_col))).alias("__tk")
     )
-    return tf.transform(toks).drop("__tk")
+    counts = (
+        toks.select("__rid", F.explode_outer("__tk").alias("__t"))
+        .withColumn("__b", _bucket(F.col("__t"), n_features))
+        .groupBy("__rid", "__b")
+        .agg(F.count("__t").alias("__c"))
+        .groupBy("__rid")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("__b").isNotNull(),
+                        F.struct(F.col("__b").alias("b"), F.col("__c").alias("c")),
+                    )
+                )
+            ).alias("__pairs")
+        )
+    )
+    return (
+        toks.drop("__tk")
+        .join(counts, "__rid")
+        .withColumn("features", to_vec("__pairs"))
+        .drop("__rid", "__pairs")
+    )
 
 
 def train_quality_classifier(
@@ -101,12 +147,60 @@ def quality_scores(
     score_col: str = "quality_prob",
 ) -> DataFrame:
     """Score documents with a trained filter: ``(id_col, score_col)``
-    with score = P(reference | doc). One featurize + transform
-    projection — no shuffle, no Python in the row path."""
-    from pyspark.ml.functions import vector_to_array
+    with score = P(reference | doc) = sigmoid(intercept + Σ w·tf).
 
-    feats = _featurize(df, text_col, qm.n_features, [F.col(id_col)])
-    return qm.model.transform(feats).select(
-        F.col(id_col),
-        F.element_at(vector_to_array("probability"), 2).alias(score_col),
+    Scoring deliberately does NOT go through ``model.transform``:
+
+    - ``HashingTF``'s term→bucket map is murmur3(seed 42) mod
+      numFeatures — byte-identical to SQL ``pmod(hash(term), n)``
+      (``F.hash`` IS Spark's Murmur3_x86_32 with seed 42; parity is
+      pinned by a unit test) — so the linear margin is expressible as
+      pure JVM SQL: explode tokens, pmod-hash to buckets, broadcast-
+      join the NONZERO coefficient table, one map-combined sum per
+      doc. Fully codegen'd, no VectorUDT materialization, and the
+      broadcast is only the nonzero weights instead of the model
+      riding every task closure — the better plan at corpus scale.
+    - It also sidesteps a Spark 4.1 session-state trap: an ml
+      ``transform``'s prediction-UDF closure drags the session's
+      ``ObservationManager`` into task serialization, which throws
+      ``NotSerializableException`` the moment any ``df.observe()``
+      Observation has been registered in the session (as this
+      engine's Pipeline does per stage). Native scoring has no such
+      closure.
+
+    Docs with zero tokens (or only zero-weight buckets) still score:
+    the left join back onto the id frame gives them
+    ``sigmoid(intercept)``, matching an all-zero feature vector.
+    """
+    import numpy as np
+    import pandas as pd
+
+    coefs = np.asarray(qm.model.coefficients.toArray(), dtype=np.float64)
+    intercept = float(qm.model.intercept)
+    nz = np.flatnonzero(coefs)
+    wdf = df.sparkSession.createDataFrame(
+        pd.DataFrame({"__bucket": nz.astype("int64"), "__w": coefs[nz]}),
+        "__bucket long, __w double",
+    )
+    contrib = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__t"),
+        )
+        .withColumn(
+            "__bucket",
+            F.pmod(F.hash("__t"), F.lit(qm.n_features)).cast("long"),
+        )
+        .join(F.broadcast(wdf), "__bucket")
+        .groupBy(id_col)
+        .agg(F.sum("__w").alias("__margin"))
+    )
+    margin = F.lit(intercept) + F.coalesce(F.col("__margin"), F.lit(0.0))
+    return (
+        df.select(F.col(id_col))
+        .join(contrib, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))).alias(score_col),
+        )
     )

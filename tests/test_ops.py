@@ -1762,3 +1762,62 @@ def test_quality_classifier_separable_task_exact(spark):
            .filter(SF.col("quality_prob") > 0.5).collect()}
     want = {i for i in range(120) if i % 3 == 0}
     assert got == want
+
+
+def test_quality_scores_match_ml_transform(spark):
+    # The native JVM scorer (pmod-hash buckets -> broadcast nonzero
+    # weights -> sigmoid) must reproduce model.transform's
+    # probabilities on the SAME featurization to double precision --
+    # the two paths are the same linear model, differently executed.
+    import pyspark.sql.functions as SF
+    from pyspark.ml.functions import vector_to_array
+
+    from filefilter_spark.ops.classifier import (
+        _featurize, quality_scores, train_quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common spark word{i % 3}") for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    qm = train_quality_classifier(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"),
+        n_features=1 << 12, max_iter=10,
+    )
+    native = {r["doc_id"]: r["quality_prob"]
+              for r in quality_scores(docs, qm).collect()}
+    feats = _featurize(docs, "text", qm.n_features, [SF.col("doc_id")])
+    via_ml = {r["doc_id"]: r["p"]
+              for r in qm.model.transform(feats).select(
+                  "doc_id",
+                  SF.element_at(vector_to_array("probability"), 2).alias("p"),
+              ).collect()}
+    assert set(native) == set(via_ml)
+    assert all(abs(native[d] - via_ml[d]) < 1e-9 for d in native)
+
+
+def test_quality_scores_survive_observed_session(spark):
+    # Regression: scoring must not go through ml transform, whose
+    # prediction-UDF closure drags the session ObservationManager into
+    # task serialization and throws once ANY df.observe() Observation
+    # exists in the session (as every Pipeline run registers).
+    import pyspark.sql.functions as SF
+    from pyspark.sql import Observation
+
+    from filefilter_spark.ops.classifier import (
+        quality_scores, train_quality_classifier,
+    )
+
+    obs = Observation("poison_probe")
+    spark.range(10).observe(obs, SF.count(SF.lit(1)).alias("n")).collect()
+    docs = spark.createDataFrame(
+        [(i, "spark good" if i % 2 else "junk bad") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    qm = train_quality_classifier(
+        docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
+        n_features=1 << 12, max_iter=10,
+    )
+    got = {r["doc_id"] for r in quality_scores(docs, qm)
+           .filter(SF.col("quality_prob") > 0.5).collect()}
+    assert got == {i for i in range(40) if i % 2}
