@@ -35,6 +35,7 @@ VALID_ACTION_TYPES = {
     "linededup", "spandedup", "quota", "chunk", "decontaminate", "domainfilter",
     "textstats", "perplexity", "expect",
     "dedupbest", "temperature", "bpe",
+    "dsir", "qualityfilter", "safesplit",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",
 }

@@ -12,6 +12,9 @@ from filefilter_spark.stages.pandas_stage import PandasStage
 from filefilter_spark.stages.udf_stage import UdfStage
 from filefilter_spark.stages.corpus_stage import (
     BpeStage,
+    DsirStage,
+    QualityFilterStage,
+    SafeSplitStage,
     ChunkStage,
     DecontaminateStage,
     DedupStage,
@@ -51,6 +54,9 @@ STAGE_TYPES = {
     "dedupbest": KeepBestStage,
     "temperature": TemperatureStage,
     "bpe": BpeStage,
+    "dsir": DsirStage,
+    "qualityfilter": QualityFilterStage,
+    "safesplit": SafeSplitStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
 }
@@ -58,6 +64,7 @@ STAGE_TYPES = {
 __all__ = [
     "SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage",
     "DedupStage", "SplitStage", "SampleStage", "LineDedupStage",
+    "DsirStage", "QualityFilterStage", "SafeSplitStage",
     "SpanDedupStage",
     "QuotaStage", "ChunkStage", "DecontaminateStage", "DomainFilterStage",
     "TextStatsStage", "PerplexityStage", "ExpectStage", "MediaStage",

@@ -301,6 +301,106 @@ class TemperatureStage(Stage):
         )
 
 
+class DsirStage(Stage):
+    """Attach DSIR importance log-weights
+    (``ops.corpus.dsir_logweights``) as ``n_feats``/``logw`` columns.
+    The target distribution is the incoming frame filtered by the
+    ``targetWhere`` SQL predicate (e.g. ``"lang = 'en'"`` or
+    ``"source = 'wiki'"``); docs with no features get NULL scores
+    (left join) so downstream filters decide their fate explicitly.
+    Add a later ``sql`` stage ``WHERE logw > …`` (or a ``quota``/top-k
+    stage on ``logw``) to perform the actual selection."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.corpus import dsir_logweights
+
+        cfg = self.cfg.action_config
+        if not cfg.get("targetWhere"):
+            raise ValueError("dsir stage requires actionConfig.targetWhere")
+        id_col = cfg.get("idField", "doc_id")
+        scores = dsir_logweights(
+            df,
+            df.filter(cfg["targetWhere"]),
+            text_col=cfg.get("textField", "text"),
+            id_col=id_col,
+            n_hex=int(cfg.get("nHex", 3)),
+            alpha=float(cfg.get("alpha", 1.0)),
+        )
+        return df.join(scores, id_col, "left")
+
+
+class QualityFilterStage(Stage):
+    """GPT-3-style learned quality filter from YAML
+    (``ops.classifier``): train reference-vs-crawl on the incoming
+    frame split by the ``positiveWhere`` predicate (an eager training
+    job at apply() time by design — the coefficients must exist before
+    the scoring plan is built), attach ``quality_prob``, and, when
+    ``minProb`` is set, keep only rows at or above it."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import pyspark.sql.functions as F
+
+        from filefilter_spark.ops.classifier import (
+            quality_scores, train_quality_classifier,
+        )
+
+        cfg = self.cfg.action_config
+        if not cfg.get("positiveWhere"):
+            raise ValueError(
+                "qualityfilter stage requires actionConfig.positiveWhere"
+            )
+        text_col = cfg.get("textField", "text")
+        id_col = cfg.get("idField", "doc_id")
+        pos = df.filter(cfg["positiveWhere"])
+        neg = df.filter(f"NOT ({cfg['positiveWhere']})")
+        qm = train_quality_classifier(
+            pos, neg,
+            text_col=text_col,
+            n_features=int(cfg.get("nFeatures", 1 << 18)),
+            max_iter=int(cfg.get("maxIter", 50)),
+            reg_param=float(cfg.get("regParam", 1e-3)),
+        )
+        scores = quality_scores(df, qm, text_col=text_col, id_col=id_col)
+        out = df.join(scores, id_col, "left")
+        if cfg.get("minProb") is not None:
+            out = out.filter(
+                F.col("quality_prob") >= float(cfg["minProb"])
+            )
+        return out
+
+
+class SafeSplitStage(Stage):
+    """Near-dup-leakage-safe hash split
+    (``ops.corpus.leakage_safe_split``): Jaccard pair generation at
+    ``jaccardThreshold`` feeds connected components, and the split
+    hash is keyed on each doc's cluster representative — no near-dup
+    pair can straddle the train/test boundary."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.corpus import leakage_safe_split
+        from filefilter_spark.ops.dedup import token_jaccard_pairs
+
+        cfg = self.cfg.action_config
+        weights = cfg.get("weights")
+        if weights is not None:
+            weights = {str(k): float(v) for k, v in weights.items()}
+        pairs = token_jaccard_pairs(
+            df,
+            threshold=float(cfg.get("jaccardThreshold", 0.5)),
+            shingle_n=int(cfg.get("shingleN", 3)),
+            id_col=cfg.get("idField", "doc_id"),
+            text_col=cfg.get("textField", "text"),
+        )
+        return leakage_safe_split(
+            df,
+            pairs,
+            id_col=cfg.get("idField", "doc_id"),
+            weights=weights,
+            seed=int(cfg.get("seed", 42)),
+            split_col=cfg.get("splitField", "split"),
+        )
+
+
 class BpeStage(Stage):
     """Attach a BPE subword segmentation as ``outField``
     (``ops.bpe``) — tokenizer training AND/OR application from YAML.

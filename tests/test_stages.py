@@ -605,3 +605,55 @@ filters:
     t = {r["doc_id"]: r["bpe_tokens"] for r in trained}
     r = {r["doc_id"]: r["bpe_tokens"] for r in reloaded}
     assert t == r and all(v for v in t.values())
+
+
+def test_dsir_qualityfilter_safesplit_stages(spark):
+    # The three r8 selection stages from YAML: dsir attaches logw with
+    # target-like docs scoring higher; qualityfilter trains on a
+    # separable predicate and keeps only positives at minProb;
+    # safesplit assigns identical splits to exact-duplicate texts.
+    import pyspark.sql.functions as SF
+
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    docs = spark.createDataFrame(
+        [(i,
+          "good clean spark prose here" if i % 2 else "junk noise tokens",
+          "en" if i % 2 else "xx")
+         for i in range(40)] + [(100, "good clean spark prose here", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+
+    dsir = Pipeline(spark, load_config_str("""
+filters:
+  - name: w
+    actionType: dsir
+    actionConfig: {targetWhere: "lang = 'en'"}
+""")).run(docs).df
+    rows = {r["doc_id"]: r["logw"] for r in dsir.collect()}
+    assert min(v for d, v in rows.items() if d % 2 or d == 100) > \
+        max(v for d, v in rows.items() if d % 2 == 0 and d != 100)
+
+    kept = Pipeline(spark, load_config_str("""
+filters:
+  - name: q
+    actionType: qualityfilter
+    actionConfig:
+      positiveWhere: "lang = 'en'"
+      nFeatures: 4096
+      maxIter: 10
+      minProb: 0.5
+""")).run(docs).df
+    assert {r["doc_id"] for r in kept.collect()} == \
+        {i for i in range(40) if i % 2} | {100}
+
+    split = Pipeline(spark, load_config_str("""
+filters:
+  - name: s
+    actionType: safesplit
+    actionConfig: {jaccardThreshold: 0.9}
+""")).run(docs).df
+    by_split = {r["doc_id"]: r["split"] for r in split.collect()}
+    odd_splits = {by_split[d] for d in by_split if d % 2 or d == 100}
+    assert len(odd_splits) == 1  # identical texts = one cluster = one split
