@@ -22,8 +22,9 @@ IVF index already uses for k-means):
   is one tree-aggregated gradient pass over the hashed vectors — no
   per-row Python, no driver-sized state beyond the coefficient
   vector);
-- scoring: one ``model.transform`` projection; the probability column
-  is extracted JVM-side via ``vector_to_array``.
+- scoring: pure JVM SQL — NOT ``model.transform`` — replaying the
+  same SQL-hash bucketing and folding the broadcast nonzero
+  coefficients (see :func:`quality_scores`).
 
 At 100 TB the standard deployment trains on a SAMPLE (reference corpus
 vs a few-million-doc crawl sample — the coefficient vector only needs
@@ -75,7 +76,17 @@ def _featurize(df: DataFrame, text_col: str, n_features: int,
     per-row UDF on (sorted indices, counts) arrays: acceptable here
     because featurize feeds TRAINING only, whose input is a
     reference-vs-crawl sample by design; the corpus-sized scoring path
-    never builds vectors at all (see :func:`quality_scores`)."""
+    never builds vectors at all (see :func:`quality_scores`).
+
+    One LINEAR plan — the per-doc counts fold inside a single
+    aggregate over the exploded tokens, with ``extra_cols`` carried as
+    ``first()`` alongside. (An earlier shape joined two subtrees of
+    the same plan on ``monotonically_increasing_id``; if the upstream
+    frame had nondeterministic row order — a sample, a round-robin
+    repartition — recomputation of one side could renumber rows and
+    silently misalign features with labels. With no second subtree
+    there is nothing to misalign: the id is only ever a grouping key
+    within one lineage.)"""
     from pyspark.ml.linalg import SparseVector, VectorUDT
 
     @F.udf(returnType=VectorUDT())
@@ -84,15 +95,18 @@ def _featurize(df: DataFrame, text_col: str, n_features: int,
             n_features, [p["b"] for p in pairs], [float(p["c"]) for p in pairs]
         )
 
-    rid = F.monotonically_increasing_id().alias("__rid")
+    extras = [c.alias(f"__x{i}") for i, c in enumerate(extra_cols)]
     toks = df.select(
-        rid, *extra_cols, tokens(F.lower(F.col(text_col))).alias("__tk")
+        F.monotonically_increasing_id().alias("__rid"), *extras,
+        tokens(F.lower(F.col(text_col))).alias("__tk"),
     )
-    counts = (
-        toks.select("__rid", F.explode_outer("__tk").alias("__t"))
+    xnames = [c for c in toks.columns if c.startswith("__x")]
+    pairs_agg = (
+        toks.select("__rid", *xnames, F.explode_outer("__tk").alias("__t"))
         .withColumn("__b", _bucket(F.col("__t"), n_features))
         .groupBy("__rid", "__b")
-        .agg(F.count("__t").alias("__c"))
+        .agg(F.count("__t").alias("__c"),
+             *[F.first(x).alias(x) for x in xnames])
         .groupBy("__rid")
         .agg(
             F.sort_array(
@@ -102,14 +116,14 @@ def _featurize(df: DataFrame, text_col: str, n_features: int,
                         F.struct(F.col("__b").alias("b"), F.col("__c").alias("c")),
                     )
                 )
-            ).alias("__pairs")
+            ).alias("__pairs"),
+            *[F.first(x).alias(x) for x in xnames],
         )
     )
-    return (
-        toks.drop("__tk")
-        .join(counts, "__rid")
-        .withColumn("features", to_vec("__pairs"))
-        .drop("__rid", "__pairs")
+    out_names = df.select(*extra_cols).columns
+    return pairs_agg.select(
+        *[F.col(x).alias(n) for x, n in zip(xnames, out_names)],
+        to_vec("__pairs").alias("features"),
     )
 
 
@@ -151,15 +165,17 @@ def quality_scores(
 
     Scoring deliberately does NOT go through ``model.transform``:
 
-    - ``HashingTF``'s term→bucket map is murmur3(seed 42) mod
-      numFeatures — byte-identical to SQL ``pmod(hash(term), n)``
-      (``F.hash`` IS Spark's Murmur3_x86_32 with seed 42; parity is
-      pinned by a unit test) — so the linear margin is expressible as
-      pure JVM SQL: explode tokens, pmod-hash to buckets, broadcast-
-      join the NONZERO coefficient table, one map-combined sum per
-      doc. Fully codegen'd, no VectorUDT materialization, and the
-      broadcast is only the nonzero weights instead of the model
-      riding every task closure — the better plan at corpus scale.
+    - training featurized with :func:`_bucket`'s SQL
+      ``pmod(hash(term), n)`` (``HashingTF`` is deliberately never
+      used — since SPARK-23469 its string hash has no SQL twin; see
+      :func:`_bucket`), so scoring can replay the identical term→
+      bucket map in pure JVM SQL: explode tokens, pmod-hash to
+      buckets, broadcast-join the NONZERO coefficient table, one
+      map-combined sum per doc (parity with the fitted coefficients is
+      pinned by a unit test). Fully codegen'd, no VectorUDT
+      materialization, and the broadcast is only the nonzero weights
+      instead of the model riding every task closure — the better
+      plan at corpus scale.
     - It also sidesteps a Spark 4.1 session-state trap: an ml
       ``transform``'s prediction-UDF closure drags the session's
       ``ObservationManager`` into task serialization, which throws

@@ -1297,9 +1297,10 @@ def op_d7_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "OP-D4-qualityclf",
     oracle=None,  # learned model → recall oracle, not a value hash
     doc="GPT-3-style learned quality filter (Brown et al. 2020 §A): "
-        "LogisticRegression over HashingTF hashed-token vectors, "
-        "trained reference-vs-crawl, scored in one transform "
-        "projection. The synthetic corpus has no quality axis, so the "
+        "LogisticRegression over hashed-token vectors (SQL murmur3 "
+        "buckets), trained reference-vs-crawl, scored natively in SQL "
+        "by folding the broadcast nonzero coefficients (no "
+        "model.transform). The synthetic corpus has no quality axis, so the "
         "entry trains on a SEPARABLE construct — docs containing the "
         "token 'spark' vs the rest — and the recall oracle checks the "
         "learned decision recovers ≥95% of that exact set (plus an "

@@ -335,7 +335,16 @@ class QualityFilterStage(Stage):
     frame split by the ``positiveWhere`` predicate (an eager training
     job at apply() time by design — the coefficients must exist before
     the scoring plan is built), attach ``quality_prob``, and, when
-    ``minProb`` is set, keep only rows at or above it."""
+    ``minProb`` is set, keep only rows at or above it.
+
+    100 TB shape: TRAINING is bounded — each class is capped at
+    ``trainLimit`` rows (default 1,000,000; the coefficient vector
+    only needs enough data to estimate 2^18 weights) after an optional
+    ``trainFraction`` sample — so the one per-row VectorUDT featurize
+    UDF only ever touches a bounded sample regardless of corpus size.
+    SCORING stays full-corpus and UDF-free (the native SQL fold in
+    ``ops.classifier.quality_scores``). Set ``trainLimit: null`` to
+    train on everything (test/oracle use)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         import pyspark.sql.functions as F
@@ -353,6 +362,15 @@ class QualityFilterStage(Stage):
         id_col = cfg.get("idField", "doc_id")
         pos = df.filter(cfg["positiveWhere"])
         neg = df.filter(f"NOT ({cfg['positiveWhere']})")
+        frac = cfg.get("trainFraction")
+        if frac is not None:
+            seed = int(cfg.get("seed", 42))
+            pos = pos.sample(fraction=float(frac), seed=seed)
+            neg = neg.sample(fraction=float(frac), seed=seed)
+        limit = cfg.get("trainLimit", 1_000_000)
+        if limit is not None:
+            pos = pos.limit(int(limit))
+            neg = neg.limit(int(limit))
         qm = train_quality_classifier(
             pos, neg,
             text_col=text_col,
@@ -371,26 +389,61 @@ class QualityFilterStage(Stage):
 
 class SafeSplitStage(Stage):
     """Near-dup-leakage-safe hash split
-    (``ops.corpus.leakage_safe_split``): Jaccard pair generation at
-    ``jaccardThreshold`` feeds connected components, and the split
-    hash is keyed on each doc's cluster representative — no near-dup
-    pair can straddle the train/test boundary."""
+    (``ops.corpus.leakage_safe_split``): near-dup pair generation
+    feeds connected components, and the split hash is keyed on each
+    doc's cluster representative — no near-dup pair can straddle the
+    train/test boundary.
+
+    ``method`` selects the pair generator:
+
+    - ``jaccard`` (default): exact inverted-index token-Jaccard
+      (``ops.dedup.token_jaccard_pairs``) — exact pairs, cross-engine
+      oracle, but pair generation is bounded only by its
+      ``max_doc_freq`` posting cap; right at probe/dataset scale.
+    - ``minhash``: MinHash-LSH banding + exact-Jaccard verification
+      (``ops.dedup.minhash_near_dup``) — sub-quadratic candidate
+      generation, the web-scale path; exact precision, probabilistic
+      recall (~97% per-pair at the default 16×4 banding for J≥0.5).
+
+    Both feed the same ``leakage_safe_split``; a missed pair (minhash
+    recall) degrades to plain ``hash_split`` behavior for that pair
+    only — the failure mode is the status quo ante, never a wrong
+    split for clustered docs."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         from filefilter_spark.ops.corpus import leakage_safe_split
-        from filefilter_spark.ops.dedup import token_jaccard_pairs
+        from filefilter_spark.ops.dedup import (
+            minhash_near_dup, token_jaccard_pairs,
+        )
 
         cfg = self.cfg.action_config
         weights = cfg.get("weights")
         if weights is not None:
             weights = {str(k): float(v) for k, v in weights.items()}
-        pairs = token_jaccard_pairs(
-            df,
-            threshold=float(cfg.get("jaccardThreshold", 0.5)),
-            shingle_n=int(cfg.get("shingleN", 3)),
-            id_col=cfg.get("idField", "doc_id"),
-            text_col=cfg.get("textField", "text"),
-        )
+        method = str(cfg.get("method", "jaccard")).lower()
+        if method == "minhash":
+            pairs = minhash_near_dup(
+                df,
+                threshold=float(cfg.get("jaccardThreshold", 0.5)),
+                shingle_n=int(cfg.get("shingleN", 3)),
+                num_hashes=int(cfg.get("numHashes", 64)),
+                bands=int(cfg.get("bands", 16)),
+                seed=int(cfg.get("seed", 42)),
+                id_col=cfg.get("idField", "doc_id"),
+                text_col=cfg.get("textField", "text"),
+            )
+        elif method == "jaccard":
+            pairs = token_jaccard_pairs(
+                df,
+                threshold=float(cfg.get("jaccardThreshold", 0.5)),
+                shingle_n=int(cfg.get("shingleN", 3)),
+                id_col=cfg.get("idField", "doc_id"),
+                text_col=cfg.get("textField", "text"),
+            )
+        else:
+            raise ValueError(
+                f"safesplit method must be jaccard|minhash, got {method!r}"
+            )
         return leakage_safe_split(
             df,
             pairs,

@@ -1764,17 +1764,24 @@ def test_quality_classifier_separable_task_exact(spark):
     assert got == want
 
 
-def test_quality_scores_match_ml_transform(spark):
+def test_quality_scores_match_model_coefficients(spark):
     # The native JVM scorer (pmod-hash buckets -> broadcast nonzero
-    # weights -> sigmoid) must reproduce model.transform's
-    # probabilities on the SAME featurization to double precision --
-    # the two paths are the same linear model, differently executed.
+    # weights -> sigmoid) must reproduce sigmoid(intercept + tf . w)
+    # computed driver-side with numpy from the fitted model's
+    # coefficients, on the SAME featurization, to double precision --
+    # the same linear model, independently executed arithmetic.
+    # (Deliberately NOT via qm.model.transform: its prediction-UDF
+    # closure throws NotSerializableException in any session where a
+    # df.observe() Observation exists -- the exact trap
+    # classifier.py documents and the next test pins; calling it here
+    # made the full suite order-dependent in r8.)
+    import numpy as np
     import pyspark.sql.functions as SF
-    from pyspark.ml.functions import vector_to_array
 
     from filefilter_spark.ops.classifier import (
-        _featurize, quality_scores, train_quality_classifier,
+        _bucket, quality_scores, train_quality_classifier,
     )
+    from filefilter_spark.ops.text import tokens as _tk
 
     docs = spark.createDataFrame(
         [(i, f"tok{i % 7} common spark word{i % 3}") for i in range(60)],
@@ -1786,14 +1793,21 @@ def test_quality_scores_match_ml_transform(spark):
     )
     native = {r["doc_id"]: r["quality_prob"]
               for r in quality_scores(docs, qm).collect()}
-    feats = _featurize(docs, "text", qm.n_features, [SF.col("doc_id")])
-    via_ml = {r["doc_id"]: r["p"]
-              for r in qm.model.transform(feats).select(
-                  "doc_id",
-                  SF.element_at(vector_to_array("probability"), 2).alias("p"),
-              ).collect()}
-    assert set(native) == set(via_ml)
-    assert all(abs(native[d] - via_ml[d]) < 1e-9 for d in native)
+    # replay the training featurization (same tokens -> same SQL-hash
+    # buckets) and fold against the coefficient vector in numpy
+    counts = (
+        docs.select("doc_id",
+                    SF.explode(_tk(SF.lower("text"))).alias("__t"))
+        .withColumn("__b", _bucket(SF.col("__t"), qm.n_features))
+        .groupBy("doc_id", "__b").count().collect()
+    )
+    coefs = np.asarray(qm.model.coefficients.toArray(), dtype=np.float64)
+    margins = {i: float(qm.model.intercept) for i in range(60)}
+    for r in counts:
+        margins[r["doc_id"]] += coefs[r["__b"]] * r["count"]
+    want = {d: 1.0 / (1.0 + np.exp(-m)) for d, m in margins.items()}
+    assert set(native) == set(want)
+    assert all(abs(native[d] - want[d]) < 1e-9 for d in native)
 
 
 def test_quality_scores_survive_observed_session(spark):

@@ -657,3 +657,74 @@ filters:
     by_split = {r["doc_id"]: r["split"] for r in split.collect()}
     odd_splits = {by_split[d] for d in by_split if d % 2 or d == 100}
     assert len(odd_splits) == 1  # identical texts = one cluster = one split
+
+
+def test_qualityfilter_training_bounded_scoring_full(spark, monkeypatch):
+    # trainLimit must cap BOTH class frames fed to training (the only
+    # per-row-UDF path) while scoring still touches the full corpus --
+    # the 100 TB shape (VERDICT r8 #3). Wrap the trainer to observe
+    # the actual training inputs the stage hands it.
+    import filefilter_spark.ops.classifier as C
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    seen = {}
+    real = C.train_quality_classifier
+
+    def spy(pos, neg, **kw):
+        seen["pos"], seen["neg"] = pos.count(), neg.count()
+        return real(pos, neg, **kw)
+
+    monkeypatch.setattr(C, "train_quality_classifier", spy)
+    docs = spark.createDataFrame(
+        [(i, "good spark prose" if i % 2 else "junk noise") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    out = Pipeline(spark, load_config_str("""
+filters:
+  - name: q
+    actionType: qualityfilter
+    actionConfig:
+      positiveWhere: "text like '%spark%'"
+      nFeatures: 4096
+      maxIter: 10
+      trainLimit: 5
+""")).run(docs).df
+    assert seen["pos"] <= 5 and seen["neg"] <= 5
+    scored = out.collect()  # no minProb -> full corpus passes through, scored
+    assert len(scored) == 40
+    assert all(r["quality_prob"] is not None for r in scored)
+
+
+def test_safesplit_minhash_method_matches_jaccard(spark):
+    # method: minhash must produce a leakage-free split on the shared
+    # fixture via the sub-quadratic LSH pair generator; on this corpus
+    # (two exact-dup groups) its clusters equal the exact-Jaccard
+    # ones, so the realized split must match method: jaccard exactly.
+    import pytest as _pytest
+
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    docs = spark.createDataFrame(
+        [(i,
+          "good clean spark prose here" if i % 2 else "junk noise tokens xyz")
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+
+    def run(method):
+        return {r["doc_id"]: r["split"] for r in Pipeline(
+            spark, load_config_str(f"""
+filters:
+  - name: s
+    actionType: safesplit
+    actionConfig: {{jaccardThreshold: 0.9, method: {method}}}
+""")).run(docs).df.collect()}
+
+    jac, mh = run("jaccard"), run("minhash")
+    assert len({mh[d] for d in mh if d % 2}) == 1
+    assert len({mh[d] for d in mh if d % 2 == 0}) == 1
+    assert jac == mh
+    with _pytest.raises(ValueError, match="jaccard|minhash"):
+        run("simhash")
