@@ -45,6 +45,11 @@ HEADLINE = [
     "OP-D2-spans",   # cross-doc repeated-span report (substring dedup)
     "OP-D4-bpe",     # BPE trainer's corpus stage (histogram + pair agg)
     "OP-D1-keepbest",  # quality-argmax dedup survivor selection
+    # Added in r9 (the r8 operators join the committed perf series;
+    # see "added_queries" in the JSON for total comparability)
+    "OP-D7-dsir",    # DSIR importance weights (per-byte corpus cost)
+    "OP-D7-safesplit",  # leakage-safe split (jaccard pairs + CC + hash)
+    "OP-D4-qualityclf",  # learned quality filter (train + native score)
 ]
 
 
@@ -137,11 +142,13 @@ def main() -> None:
         "escalated_queries": escalated,
         "load_avg": [load1, load5, load15],
         "cpus": os.cpu_count(),
-        # Queries first present in this series at r5/r6 — subtract
+        # Queries first present in this series at r5/r6/r9 — subtract
         # these from "value" to compare totals against r4 and earlier
-        # (the three r6 names alone for r5 comparisons).
+        # (the r6 names for r5 comparisons; the r9 names for r6-r8).
         "added_queries": ["OP-D2-lines", "OP-D4-perplexity",
-                          "OP-D2-spans", "OP-D4-bpe", "OP-D1-keepbest"],
+                          "OP-D2-spans", "OP-D4-bpe", "OP-D1-keepbest",
+                          "OP-D7-dsir", "OP-D7-safesplit",
+                          "OP-D4-qualityclf"],
         # non-empty => a registry rename silently shrank the suite;
         # totals are NOT comparable until fixed
         "missing_queries": missing,

@@ -36,6 +36,7 @@ VALID_ACTION_TYPES = {
     "textstats", "perplexity", "expect",
     "dedupbest", "temperature", "bpe",
     "dsir", "qualityfilter", "safesplit",
+    "gopher", "entropy",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",
 }

@@ -451,3 +451,186 @@ def domain_filter(
         domain_col,
         "left_anti",
     )
+
+
+# The 8 "must contain >= 2 of" stopwords from Gopher's quality rules
+# (Rae et al. 2021, appendix A1.1).
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+) -> DataFrame:
+    """The Gopher document-quality rule battery (Rae et al. 2021,
+    appendix A1.1 — the filter set C4/MassiveText-lineage pipelines
+    standardized on), as one row per doc: the measured signals, a
+    boolean per rule, and ``keep`` = AND of all rules.
+
+    Signals / rules (thresholds are the paper's):
+
+    - ``n_words`` in [50, 100000]            → ``words_ok``
+    - ``mean_word_len`` in [3, 10]           → ``word_len_ok``
+    - ``symbol_ratio`` (('#' + '...') occurrences per word) ≤ 0.1
+                                             → ``symbol_ok``
+    - ``bullet_frac`` (lines starting with a bullet) ≤ 0.9
+                                             → ``bullet_ok``
+    - ``ellipsis_frac`` (lines ending with an ellipsis) ≤ 0.3
+                                             → ``ellipsis_ok``
+    - ``alpha_word_frac`` (words with ≥1 [A-Za-z]) ≥ 0.8
+                                             → ``alpha_ok``
+    - ``stopword_hits`` (distinct GOPHER_STOPWORDS present) ≥ 2
+                                             → ``stopword_ok``
+    - ``dup_line_frac`` (1 − distinct/total non-empty lines) ≤ 0.3
+                                             → ``dup_line_ok``
+    - ``dup_line_char_frac`` (chars in repeat line occurrences /
+      total line chars) ≤ 0.2                → ``dup_char_ok``
+
+    Spark shape: a PURE PROJECTION — every signal is an array/regex
+    expression over the row's own text (split/filter/aggregate/
+    array_distinct), so the op has ZERO shuffles and scales as a
+    map-only pass at any corpus size; the plan is one
+    WholeStageCodegen scan→project. Each signal let-binds its
+    token/line split once (``_bind``), so the row pays ~4 token splits
+    + ~3 line splits, not one per downstream reference — the bounded
+    constant-factor tradeoff of staying shuffle-free. Ratios are
+    rounded to 6 places so the values carry an exact cross-engine
+    oracle (duckdb list_* twins).
+
+    Divergence from the paper, stated: duplicate line/paragraph
+    detection is line-granular only (no paragraph tier — the synthetic
+    corpus is single-paragraph) and top-n-gram char fractions live in
+    :func:`repetition_score` instead of here.
+
+    ``id_col=None`` keeps EVERY incoming column and appends the
+    signal/rule columns instead of projecting down to the id — the
+    attach-in-place shape the zero-code ``gopher`` pipeline stage
+    uses (still a pure projection: no join, no shuffle).
+    """
+    t = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(""),
+    )
+    tk = tokens(t)
+    # non-empty-after-trim lines; blank separator lines carry no signal
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    fdiv = lambda num, den: F.when(  # noqa: E731 - local ratio helper
+        den > 0, F.round(num.cast("double") / den, 6)
+    ).otherwise(F.lit(0.0))
+
+    n_words = F.size(tk)
+    mean_word_len = _bind(tk, lambda a: F.when(
+        F.size(a) > 0,
+        F.round(
+            F.aggregate(a, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x)).cast("double")
+            / F.size(a), 6),
+    ).otherwise(F.lit(0.0)))
+    symbol_ratio = _bind(tk, lambda a: F.when(
+        F.size(a) > 0,
+        F.round((F.regexp_count(t, F.lit("#"))
+                 + F.regexp_count(t, F.lit(r"\.\.\."))).cast("double")
+                / F.size(a), 6),
+    ).otherwise(F.lit(0.0)))
+    bullet_frac = _bind(lines, lambda ln: fdiv(
+        F.size(F.filter(ln, lambda x: x.rlike("^([-*•]|[0-9]+[.)] )"))),
+        F.size(ln)))
+    ellipsis_frac = _bind(lines, lambda ln: fdiv(
+        F.size(F.filter(
+            ln, lambda x: x.endswith("...") | x.endswith("…"))),
+        F.size(ln)))
+    alpha_word_frac = _bind(tk, lambda a: fdiv(
+        F.size(F.filter(a, lambda x: x.rlike("[A-Za-z]"))), F.size(a)))
+    stopword_hits = F.size(F.array_intersect(
+        F.transform(tk, F.lower),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+    ))
+    dup_line_frac = _bind(lines, lambda ln: fdiv(
+        F.size(ln) - F.size(F.array_distinct(ln)), F.size(ln)))
+    line_chars = lambda ln: F.aggregate(  # noqa: E731
+        ln, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    dup_line_char_frac = _bind(lines, lambda ln: fdiv(
+        line_chars(ln) - line_chars(F.array_distinct(ln)), line_chars(ln)))
+
+    out = df.select(
+        *([F.col(id_col)] if id_col else ["*"]),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        stopword_hits.alias("stopword_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_line_char_frac.alias("dup_line_char_frac"),
+    )
+    rules = {
+        "words_ok": (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000),
+        "word_len_ok": (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0),
+        "symbol_ok": F.col("symbol_ratio") <= 0.1,
+        "bullet_ok": F.col("bullet_frac") <= 0.9,
+        "ellipsis_ok": F.col("ellipsis_frac") <= 0.3,
+        "alpha_ok": F.col("alpha_word_frac") >= 0.8,
+        "stopword_ok": F.col("stopword_hits") >= 2,
+        "dup_line_ok": F.col("dup_line_frac") <= 0.3,
+        "dup_char_ok": F.col("dup_line_char_frac") <= 0.2,
+    }
+    out = out.select("*", *[c.alias(n) for n, c in rules.items()])
+    keep = rules["words_ok"]
+    for name in list(rules)[1:]:
+        keep = keep & rules[name]
+    return out.withColumn("keep", keep)
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc Shannon entropy of the whitespace-token distribution,
+    in bits: ``H = log2(N) − (Σ c·log2 c)/N`` over per-token counts
+    ``c`` (N = token count). Low H flags gibberish/repetition
+    (one token looping → H≈0); high H at fixed N flags random-string
+    spam — the cheap distributional complement to
+    :func:`repetition_score` (positional n-gram repeats) and
+    perplexity (likelihood under a trained LM, ``bigram_nll``).
+
+    Returns ``(id_col, n_tokens, entropy)``; zero-token docs score
+    entropy 0.0 with n_tokens 0.
+
+    Spark shape: explode → count per (doc, token) — ONE shuffle,
+    map-side combinable (the same narrow-row posting shuffle the dedup
+    family uses; bodies never move) — then a per-doc sum. The
+    log2-identity form needs no second pass for N: both Σc and
+    Σ c·log2 c fold in the same aggregate. Rounded to 6 places for the
+    exact cross-engine oracle (last-ulp libm/sum-order differences sit
+    ~1e-15, far under the rounding quantum).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    counts = (
+        df.select(F.col(id_col), F.explode_outer(tokens(c)).alias("__t"))
+        .groupBy(id_col, "__t")
+        .agg(F.count("__t").alias("__c"))
+    )
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.sum(F.col("__c") * F.log2("__c")).alias("__clc"),
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.log2(F.col("n_tokens"))
+                    - F.col("__clc") / F.col("n_tokens"), 6),
+            ).otherwise(F.lit(0.0)).alias("entropy"),
+        )
+    )

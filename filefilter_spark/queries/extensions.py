@@ -2680,3 +2680,121 @@ def op_d2_spans_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.dedup import remove_duplicate_spans
 
     return remove_duplicate_spans(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "OP-D4-gopher",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, coalesce(text, '') AS t,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x != '') AS tk,
+             list_filter(list_transform(
+                 string_split(coalesce(text, ''), chr(10)), x -> trim(x)),
+                 x -> x != '') AS ln
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(tk) AS BIGINT) AS n_words,
+        CASE WHEN len(tk) > 0 THEN round(
+          CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+          / len(tk), 6) ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(tk) > 0 THEN round(
+          CAST(len(regexp_extract_all(t, '#'))
+               + len(regexp_extract_all(t, '\.\.\.')) AS DOUBLE)
+          / len(tk), 6) ELSE 0.0 END AS symbol_ratio,
+        CASE WHEN len(ln) > 0 THEN round(
+          CAST(len(list_filter(ln,
+               x -> regexp_matches(x, '^([-*•]|[0-9]+[.)] )'))) AS DOUBLE)
+          / len(ln), 6) ELSE 0.0 END AS bullet_frac,
+        CASE WHEN len(ln) > 0 THEN round(
+          CAST(len(list_filter(ln,
+               x -> ends_with(x, '...') OR ends_with(x, '…'))) AS DOUBLE)
+          / len(ln), 6) ELSE 0.0 END AS ellipsis_frac,
+        CASE WHEN len(tk) > 0 THEN round(
+          CAST(len(list_filter(tk,
+               x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          / len(tk), 6) ELSE 0.0 END AS alpha_word_frac,
+        CAST(len(list_filter(
+            ['the','be','to','of','and','that','have','with'],
+            s -> list_contains(list_transform(tk, x -> lower(x)), s)))
+          AS INTEGER) AS stopword_hits,
+        CASE WHEN len(ln) > 0 THEN round(
+          CAST(len(ln) - len(list_distinct(ln)) AS DOUBLE) / len(ln), 6)
+          ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN coalesce(list_sum(list_transform(ln, x -> length(x))), 0) > 0
+          THEN round(
+            CAST(list_sum(list_transform(ln, x -> length(x)))
+                 - list_sum(list_transform(list_distinct(ln),
+                                           x -> length(x))) AS DOUBLE)
+            / list_sum(list_transform(ln, x -> length(x))), 6)
+          ELSE 0.0 END AS dup_line_char_frac
+      FROM base
+    )
+    SELECT *,
+      (n_words BETWEEN 50 AND 100000) AS words_ok,
+      (mean_word_len BETWEEN 3.0 AND 10.0) AS word_len_ok,
+      (symbol_ratio <= 0.1) AS symbol_ok,
+      (bullet_frac <= 0.9) AS bullet_ok,
+      (ellipsis_frac <= 0.3) AS ellipsis_ok,
+      (alpha_word_frac >= 0.8) AS alpha_ok,
+      (stopword_hits >= 2) AS stopword_ok,
+      (dup_line_frac <= 0.3) AS dup_line_ok,
+      (dup_line_char_frac <= 0.2) AS dup_char_ok,
+      ((n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
+       AND stopword_hits >= 2 AND dup_line_frac <= 0.3
+       AND dup_line_char_frac <= 0.2) AS keep
+    FROM m
+    """,
+    doc="Gopher document-quality rule battery (Rae et al. 2021 A1.1): "
+        "word count/mean word length bands, symbol ('#'/'...') per-word "
+        "ratio, bullet-start and ellipsis-end line fractions, "
+        "alphabetic-word fraction, required-stopword hits, duplicate-"
+        "line count and char fractions — per-rule booleans + keep. "
+        "Pure projection, ZERO shuffles: every signal is an array/"
+        "regex expression over the row's own text "
+        "(ops/text.py gopher_rules).",
+)
+def op_d4_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import gopher_rules
+
+    return gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "OP-D4-entropy",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+                                x -> x != '')) AS t
+      FROM documents
+    ),
+    c AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+    h AS (
+      SELECT doc_id, sum(c) AS n_tokens,
+             round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+      FROM c GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_tokens, 0) AS BIGINT) AS n_tokens,
+           coalesce(h.entropy, 0.0) AS entropy
+    FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+    """,
+    doc="per-doc Shannon entropy of the token distribution in bits "
+        "(H = log2 N − (Σ c·log2 c)/N): low H flags looping/gibberish "
+        "repetition, high H at fixed N flags random-string spam — the "
+        "distributional complement to OP-D4-repetition (positional "
+        "repeats) and OP-D4-perplexity (model likelihood). One "
+        "map-combinable (doc,token) shuffle; the identity form folds "
+        "Σc and Σ c·log2 c in the same aggregate, no second corpus "
+        "pass (ops/text.py token_entropy).",
+)
+def op_d4_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import token_entropy
+
+    return token_entropy(load_table(spark, sf_dir, "documents"))

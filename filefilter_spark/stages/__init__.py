@@ -13,6 +13,8 @@ from filefilter_spark.stages.udf_stage import UdfStage
 from filefilter_spark.stages.corpus_stage import (
     BpeStage,
     DsirStage,
+    EntropyStage,
+    GopherStage,
     QualityFilterStage,
     SafeSplitStage,
     ChunkStage,
@@ -57,6 +59,8 @@ STAGE_TYPES = {
     "dsir": DsirStage,
     "qualityfilter": QualityFilterStage,
     "safesplit": SafeSplitStage,
+    "gopher": GopherStage,
+    "entropy": EntropyStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
 }
@@ -65,6 +69,7 @@ __all__ = [
     "SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage",
     "DedupStage", "SplitStage", "SampleStage", "LineDedupStage",
     "DsirStage", "QualityFilterStage", "SafeSplitStage",
+    "GopherStage", "EntropyStage",
     "SpanDedupStage",
     "QuotaStage", "ChunkStage", "DecontaminateStage", "DomainFilterStage",
     "TextStatsStage", "PerplexityStage", "ExpectStage", "MediaStage",

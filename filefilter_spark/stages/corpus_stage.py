@@ -454,6 +454,54 @@ class SafeSplitStage(Stage):
         )
 
 
+class GopherStage(Stage):
+    """Gopher quality-rule battery from YAML
+    (``ops.text.gopher_rules``, Rae et al. 2021 A1.1): append the
+    signal + per-rule boolean columns in place — a pure projection,
+    no join, no shuffle — and, when ``filter`` is true (the default),
+    keep only rows passing every rule (``keep``). Set
+    ``filter: false`` to attach the columns for a later ``sql``
+    stage to threshold differently."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import pyspark.sql.functions as F
+
+        from filefilter_spark.ops.text import gopher_rules
+
+        cfg = self.cfg.action_config
+        out = gopher_rules(
+            df, text_col=cfg.get("textField", "text"), id_col=None
+        )
+        if bool(cfg.get("filter", True)):
+            out = out.filter(F.col("keep"))
+        return out
+
+
+class EntropyStage(Stage):
+    """Attach per-doc token-distribution entropy
+    (``ops.text.token_entropy``) as ``n_tokens``/``entropy`` columns
+    via a left join on ``idField``; ``minEntropy``/``maxEntropy``
+    optionally filter (low = looping/gibberish, implausibly high at
+    fixed length = random-string spam)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import pyspark.sql.functions as F
+
+        from filefilter_spark.ops.text import token_entropy
+
+        cfg = self.cfg.action_config
+        id_col = cfg.get("idField", "doc_id")
+        scores = token_entropy(
+            df, text_col=cfg.get("textField", "text"), id_col=id_col
+        )
+        out = df.join(scores, id_col, "left")
+        if cfg.get("minEntropy") is not None:
+            out = out.filter(F.col("entropy") >= float(cfg["minEntropy"]))
+        if cfg.get("maxEntropy") is not None:
+            out = out.filter(F.col("entropy") <= float(cfg["maxEntropy"]))
+        return out
+
+
 class BpeStage(Stage):
     """Attach a BPE subword segmentation as ``outField``
     (``ops.bpe``) — tokenizer training AND/OR application from YAML.

@@ -1835,3 +1835,60 @@ def test_quality_scores_survive_observed_session(spark):
     got = {r["doc_id"] for r in quality_scores(docs, qm)
            .filter(SF.col("quality_prob") > 0.5).collect()}
     assert got == {i for i in range(40) if i % 2}
+
+
+def test_gopher_rules_battery(spark):
+    # Handcrafted fixtures pin each rule's semantics independently:
+    # a clean doc passes everything; each defective doc trips exactly
+    # the rule it was built to trip (plus the length band where the
+    # fixture is deliberately short).
+    from filefilter_spark.ops.text import gopher_rules
+
+    clean = ("the quick brown fox jumps over the lazy dog and then "
+             "runs off to be with that other fox which seems to have "
+             "a den withmore room " * 3)  # >50 words, stopwords, alpha
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    dup_lines = "same line here\n" * 8 + "one unique line"
+    ellipses = "\n".join(f"trailing thought {i}..." for i in range(10))
+    symbols = "# " * 60
+    docs = spark.createDataFrame(
+        [(0, clean), (1, bullets), (2, dup_lines), (3, ellipses),
+         (4, symbols), (5, ""), (6, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+
+    assert rows[0]["keep"] and all(
+        rows[0][k] for k in ("words_ok", "word_len_ok", "symbol_ok",
+                             "bullet_ok", "ellipsis_ok", "alpha_ok",
+                             "stopword_ok", "dup_line_ok", "dup_char_ok"))
+    assert rows[1]["bullet_frac"] == 1.0 and not rows[1]["bullet_ok"]
+    assert rows[2]["dup_line_frac"] == round(7 / 9, 6)
+    assert not rows[2]["dup_line_ok"] and not rows[2]["dup_char_ok"]
+    assert rows[3]["ellipsis_frac"] == 1.0 and not rows[3]["ellipsis_ok"]
+    assert rows[4]["symbol_ratio"] == 1.0 and not rows[4]["symbol_ok"]
+    assert not rows[4]["alpha_ok"] and not rows[4]["stopword_ok"]
+    for d in (5, 6):  # empty and NULL text: all-zero signals, dropped
+        assert rows[d]["n_words"] == 0 and not rows[d]["keep"]
+
+    # id_col=None attaches in place: all original columns survive
+    attached = gopher_rules(docs, id_col=None)
+    assert {"doc_id", "text", "keep", "n_words"} <= set(attached.columns)
+
+
+def test_token_entropy_exact_values(spark):
+    # Closed-form cases: uniform 4 tokens -> 2 bits; two tokens twice
+    # -> 1 bit; constant doc -> 0; empty/null -> 0 with n_tokens 0.
+    from filefilter_spark.ops.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b a b"), (2, "x x x x x"),
+         (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: (r["n_tokens"], r["entropy"])
+            for r in token_entropy(docs).collect()}
+    assert rows[0] == (4, 2.0)
+    assert rows[1] == (4, 1.0)
+    assert rows[2] == (5, 0.0)
+    assert rows[3] == (0, 0.0) and rows[4] == (0, 0.0)

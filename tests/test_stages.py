@@ -728,3 +728,44 @@ filters:
     assert jac == mh
     with _pytest.raises(ValueError, match="jaccard|minhash"):
         run("simhash")
+
+
+def test_gopher_and_entropy_stages(spark):
+    # gopher filters to rule-passing docs in place (filter: false
+    # attaches only); entropy attaches and thresholds via minEntropy.
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs off to be with that other fox which seems to have "
+            "a den with room " * 3)
+    docs = spark.createDataFrame(
+        [(i, good if i % 2 else "junk " * 60) for i in range(10)],
+        "doc_id bigint, text string",
+    )
+
+    kept = Pipeline(spark, load_config_str("""
+filters:
+  - name: g
+    actionType: gopher
+""")).run(docs).df
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == \
+        {i for i in range(10) if i % 2}  # 'junk'*60 fails stopword rule
+
+    tagged = Pipeline(spark, load_config_str("""
+filters:
+  - name: g
+    actionType: gopher
+    actionConfig: {filter: false}
+""")).run(docs).df
+    assert tagged.count() == 10 and "keep" in tagged.columns
+
+    ent = Pipeline(spark, load_config_str("""
+filters:
+  - name: e
+    actionType: entropy
+    actionConfig: {minEntropy: 0.5}
+""")).run(docs).df
+    # the 'junk junk ...' docs have entropy 0 -> filtered out
+    assert {r["doc_id"] for r in ent.select("doc_id").collect()} == \
+        {i for i in range(10) if i % 2}

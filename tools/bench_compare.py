@@ -19,6 +19,11 @@ HEADLINE = [
     # round-6 operators
     "OP-D2-spans", "OP-D4-bpe", "OP-D1-keepbest", "OP-D7-temperature",
     "OP-D3-project",
+    # round-8 operators (dsir/safesplit exact-oracle; qualityclf is
+    # recall-oracled — Spark wall-clock only, no DuckDB column)
+    "OP-D7-dsir", "OP-D7-safesplit", "OP-D4-qualityclf",
+    # round-9 operators (both exact-oracle)
+    "OP-D4-gopher", "OP-D4-entropy",
 ]
 
 

@@ -61,6 +61,10 @@ QUERIES = [
     # round-6: substring-dedup span report, keep-best dedup, BPE pair
     # counts (all exact-oracle, data-heavy)
     "OP-D2-spans", "OP-D1-keepbest", "OP-D4-bpe",
+    # round-9: DSIR importance weights — the one r8 op with per-byte
+    # corpus cost AND an exact oracle (qualityclf is recall-oracled;
+    # safesplit's cost is jaccard_pairs + CC, both already tabled)
+    "OP-D7-dsir",
 ]
 
 # Per-table columns that must be offset per copy so each copy is a
