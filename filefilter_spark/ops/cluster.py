@@ -1,0 +1,178 @@
+"""Deterministic distributed k-means over embedding columns (OP-D3).
+
+:mod:`pyspark.ml`'s KMeans (used by the IVF index builder as the
+default coarse quantizer) is the right tool when "a good clustering"
+is the goal — but it is NOT reproducible: k-means|| init draws from
+partition-order-dependent samples, and float centroid updates sum in
+task-completion order, so two runs (or one run with a retried task)
+can emit different assignments. For pipeline operators whose OUTPUT
+feeds dedup/split decisions (SemDeDup cells, IVF partitions,
+leakage-safe cluster keys), nondeterminism means a speculative
+re-execution can silently change which documents survive — the same
+class of bug as the nondeterministic-sample traps documented in
+``ops/corpus.py``.
+
+:func:`lloyd_kmeans` is the reproducible tier: Lloyd iterations over
+**quantized** embeddings.
+
+- Every component is quantized once to an integer grid
+  (``floor(x·scale + 0.5)`` — explicit floor-plus-half instead of
+  ``round()`` because engines disagree on double round-half modes).
+  All cross-row reductions are then exact BIGINT sums — associative,
+  commutative, identical under ANY partitioning, task order, retry,
+  or engine. The grid error (≤ 0.5/scale per component, default
+  5e-7) is orders of magnitude below cluster-boundary scale.
+- Init is the k lowest-id vectors (deterministic, no RNG). Real
+  deployments may pass better seeds via ``init_ids``; determinism is
+  preserved for any explicit choice.
+- The assignment distance folds ``(q_i/scale − c_i)²`` LEFT-TO-RIGHT
+  over the array (``zip_with`` + ``aggregate``): every term and the
+  fold order are fixed, so the double result is bit-identical in any
+  IEEE engine — the DuckDB oracle reproduces it with the
+  ``list_reduce([0.0] || …)`` recipe. Ties on distance go to the
+  lowest cluster index (``array_position`` returns the first match).
+- Centroid update: ``posexplode`` of the quantized array grouped by
+  ``(cluster, pos)``. Map-side combine bounds shuffle traffic at
+  ``partitions × k × d`` rows of three longs — independent of row
+  count — and the driver holds only the k×d centroid matrix.
+  Component means ``sum / (count·scale)`` are single exact-integer
+  IEEE divisions: bit-identical cross-engine. Empty clusters keep
+  their previous centroid (deterministic, documented rule).
+
+Total cost for ``iters`` rounds: ``iters+1`` scans of the quantized
+frame (cached narrow ints, never the text/original floats) — the
+unavoidable Lloyd shape; everything else is k×d-bounded.
+
+Reference parity: the reference engine has no clustering operator —
+this is part of the beyond-reference LLM-pipeline tier (SemDeDup,
+Abbas et al. 2023, clusters embeddings exactly this way before
+intra-cluster dedup).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def quantize_to_grid(col: str | Column, scale: float = 1e6) -> Column:
+    """``array<float> → array<bigint>``: per-component
+    ``floor(x·scale + 0.5)`` (round-half-up via floor so both engines
+    agree; ``F.round`` is HALF_UP but DuckDB ``round()`` on doubles is
+    not guaranteed to match at exact halves)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)),
+    )
+
+
+def _sq_dist(qd: Column, cent: Column) -> Column:
+    """Left-to-right fold of Σ (qd_i − cent_i)² — deterministic IEEE
+    double, reproduced bit-for-bit by the DuckDB oracle's
+    ``list_reduce`` fold."""
+    return F.aggregate(
+        F.zip_with(qd, cent, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(qframe: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Add ``cluster`` (0-based argmin, ties → lowest index) and
+    ``dist2`` columns against a centroid literal. Pure projection —
+    no shuffle; the centroid matrix rides into codegen as a literal."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+    )
+    # __scale rides as a literal column so qd stays an expression over
+    # the cached quantized frame only; ONE division per component (the
+    # oracle does the identical single q_i/scale division).
+    qd = F.transform(F.col("q"), lambda v: v / F.col("__scale"))
+    dists = F.transform(cent_lit, lambda c: _sq_dist(qd, c))
+    return qframe.withColumn("__dists", dists).select(
+        "*",
+        (F.array_position("__dists", F.array_min("__dists")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("__dists").alias("dist2"),
+    )
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e6,
+    init_ids: Sequence[int] | None = None,
+) -> DataFrame:
+    """Deterministic Lloyd k-means: returns
+    ``(id_col, cluster, dist2)`` — the assignment after ``iters``
+    centroid updates, ``dist2`` the squared Euclidean distance to the
+    final centroid (raw double; bit-identical cross-engine by
+    construction, see module docstring).
+
+    ``init_ids``: explicit seed row ids (any deterministic choice);
+    default = the ``k`` lowest ids.
+    """
+    spark = df.sparkSession
+    q0 = df.select(
+        F.col(id_col).alias("__id"),
+        quantize_to_grid(vec_col, scale).alias("q"),
+    )
+    qframe = q0.withColumn("__scale", F.lit(float(scale)))
+    # iters+1 passes read this narrow int frame, never the source.
+    qframe = qframe.persist()
+    try:
+        if init_ids is not None:
+            seeds = qframe.filter(F.col("__id").isin(list(init_ids)))
+        else:
+            seeds = qframe.orderBy("__id").limit(k)
+        seed_rows = seeds.orderBy("__id").limit(k).collect()
+        cents = [[v / scale for v in r["q"]] for r in seed_rows]
+
+        for _ in range(iters):
+            assigned = _assign(qframe, cents)
+            # Map-side-combined (cluster, pos) partial sums: shuffle is
+            # ≤ partitions × k × d rows; collect is exactly k×d + k.
+            sums = (
+                assigned.select(
+                    "cluster", F.posexplode("q").alias("pos", "qv")
+                )
+                .groupBy("cluster", "pos")
+                .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            by_cluster: dict[int, dict[int, tuple[int, int]]] = {}
+            for r in sums:
+                by_cluster.setdefault(r["cluster"], {})[r["pos"]] = (
+                    r["s"],
+                    r["n"],
+                )
+            new_cents = []
+            for ci, old in enumerate(cents):
+                comp = by_cluster.get(ci)
+                if not comp:  # empty cluster: keep previous centroid
+                    new_cents.append(old)
+                    continue
+                new_cents.append(
+                    [
+                        comp[p][0] / (comp[p][1] * scale)
+                        for p in range(len(old))
+                    ]
+                )
+            cents = new_cents
+
+        out = _assign(qframe, cents).select(
+            F.col("__id").alias(id_col), "cluster", "dist2"
+        )
+        # The persist must outlive the returned lazy frame's first
+        # action; localCheckpoint(eager) materializes the (tiny:
+        # id, int, double) result so the cache can be dropped now.
+        return out.localCheckpoint(eager=True)
+    finally:
+        qframe.unpersist()

@@ -2798,3 +2798,112 @@ def op_d4_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.text import token_entropy
 
     return token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "OP-D3-kmeans",
+    oracle=r"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    qd AS (
+      SELECT vec_id, q,
+             list_transform(q, v -> CAST(v AS DOUBLE) / 1000000.0) AS x
+      FROM q
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl,
+             x AS c
+      FROM (SELECT vec_id, x FROM qd ORDER BY vec_id LIMIT 8)
+    ),
+    a0 AS (
+      SELECT * FROM (
+        SELECT vec_id, q, cl,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        FROM (
+          SELECT qd.vec_id, qd.q, c.cl,
+                 list_reduce([0.0] || list_transform(list_zip(qd.x, c.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])),
+                   (a, b) -> a + b) AS d2
+          FROM qd CROSS JOIN c0 c))
+      WHERE rn = 1
+    ),
+    s0 AS (
+      SELECT cl, u.pos AS pos, sum(u.qv) AS s, count(*) AS n
+      FROM (SELECT cl,
+                   unnest(list_transform(q, (v, i) -> {'pos': i, 'qv': v}))
+                     AS u
+            FROM a0)
+      GROUP BY cl, u.pos
+    ),
+    c1r AS (
+      SELECT cl, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS c
+      FROM s0 GROUP BY cl
+    ),
+    c1 AS (
+      SELECT c0.cl, coalesce(c1r.c, c0.c) AS c
+      FROM c0 LEFT JOIN c1r ON c0.cl = c1r.cl
+    ),
+    a1 AS (
+      SELECT * FROM (
+        SELECT vec_id, q, cl,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+        FROM (
+          SELECT qd.vec_id, qd.q, c.cl,
+                 list_reduce([0.0] || list_transform(list_zip(qd.x, c.c),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])),
+                   (a, b) -> a + b) AS d2
+          FROM qd CROSS JOIN c1 c))
+      WHERE rn = 1
+    ),
+    s1 AS (
+      SELECT cl, u.pos AS pos, sum(u.qv) AS s, count(*) AS n
+      FROM (SELECT cl,
+                   unnest(list_transform(q, (v, i) -> {'pos': i, 'qv': v}))
+                     AS u
+            FROM a1)
+      GROUP BY cl, u.pos
+    ),
+    c2r AS (
+      SELECT cl, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS c
+      FROM s1 GROUP BY cl
+    ),
+    c2 AS (
+      SELECT c1.cl, coalesce(c2r.c, c1.c) AS c
+      FROM c1 LEFT JOIN c2r ON c1.cl = c2r.cl
+    )
+    SELECT vec_id, cl AS cluster, d2 AS dist2 FROM (
+      SELECT vec_id, cl, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+      FROM (
+        SELECT qd.vec_id, c.cl,
+               list_reduce([0.0] || list_transform(list_zip(qd.x, c.c),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])),
+                 (a, b) -> a + b) AS d2
+        FROM qd CROSS JOIN c2 c))
+    WHERE rn = 1
+    """,
+    doc="deterministic distributed Lloyd k-means (k=8, 2 iterations) "
+        "over 1e-6-quantized embeddings: (vec_id, cluster, dist2), "
+        "BIT-IDENTICAL across engines, partitionings, and task "
+        "retries because every cross-row reduction is an exact BIGINT "
+        "sum and every float op is a fixed-order IEEE fold — the "
+        "reproducible alternative to pyspark.ml KMeans for "
+        "assignments that feed dedup/split decisions (SemDeDup cells, "
+        "IVF partitions). Per-iteration shuffle is map-side-combined "
+        "(cluster, pos) partials: <= partitions x k x d rows of three "
+        "longs regardless of corpus size; the driver holds only the "
+        "k x d centroid matrix. The DuckDB oracle unrolls both "
+        "Lloyd iterations and reproduces every bit "
+        "(ops/cluster.py lloyd_kmeans).",
+)
+def op_d3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.cluster import lloyd_kmeans
+
+    return lloyd_kmeans(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )

@@ -1892,3 +1892,72 @@ def test_token_entropy_exact_values(spark):
     assert rows[1] == (4, 1.0)
     assert rows[2] == (5, 0.0)
     assert rows[3] == (0, 0.0) and rows[4] == (0, 0.0)
+
+
+def test_lloyd_kmeans_deterministic_and_correct(spark):
+    # Hand-placed 2-D points in two tight groups; k=2 seeded by the two
+    # lowest ids (one per group by construction) must recover the
+    # grouping, and the output must be IDENTICAL under a different
+    # input partitioning (the determinism contract that motivates the
+    # quantized design — ml.KMeans does not offer it).
+    from filefilter_spark.ops.cluster import lloyd_kmeans
+
+    pts = [
+        (0, [0.0, 0.0]), (2, [0.1, -0.1]), (4, [-0.1, 0.1]),
+        (1, [5.0, 5.0]), (3, [5.1, 4.9]), (5, [4.9, 5.1]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["vec_id"]: (r["cluster"], r["dist2"])
+           for r in lloyd_kmeans(df, k=2, iters=2).collect()}
+    assert {i for i, (c, _) in out.items() if c == 0} == {0, 2, 4}
+    assert {i for i, (c, _) in out.items() if c == 1} == {1, 3, 5}
+    # centroid of cluster 0 after any iteration = mean(0,.1,-.1)=0 etc;
+    # dist2 for vec 0 to centroid (0, 0) is 0.0 exactly on the grid
+    assert out[0][1] == 0.0
+
+    again = {r["vec_id"]: (r["cluster"], r["dist2"])
+             for r in lloyd_kmeans(df.repartition(7), k=2, iters=2)
+             .collect()}
+    assert again == out  # bit-identical under repartition
+
+
+def test_lloyd_kmeans_empty_cluster_keeps_seed(spark):
+    # A seed that captures no points (duplicate location, higher id)
+    # keeps its previous centroid instead of NaN-ing out.
+    from filefilter_spark.ops.cluster import lloyd_kmeans
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [9.0, 9.0]),
+         (3, [9.1, 9.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    # Seeds are ids 0,1 — the SAME point, so iteration 1 assigns every
+    # row to cluster 0 (distance ties go to the lowest index) and
+    # cluster 1 is EMPTY. The keep-previous-centroid rule holds it at
+    # [0,0]; after cluster 0's centroid moves to the global mean
+    # (~[4.5, 4.5]), iteration 2 lets the dormant centroid RECAPTURE
+    # the near-origin points — the reason the rule exists (a NaN or
+    # dropped centroid could never recover).
+    out = {r["vec_id"]: r["cluster"]
+           for r in lloyd_kmeans(df, k=2, iters=2).collect()}
+    assert len(out) == 4
+    assert out[0] == 1 and out[1] == 1  # recaptured by the kept seed
+    assert out[2] == 0 and out[3] == 0
+
+
+def test_lloyd_kmeans_init_ids(spark):
+    from filefilter_spark.ops.cluster import lloyd_kmeans
+
+    df = spark.createDataFrame(
+        [(10, [0.0]), (20, [1.0]), (30, [10.0]), (40, [11.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["cluster"]
+           for r in lloyd_kmeans(df, k=2, iters=1,
+                                 init_ids=[20, 30]).collect()}
+    # seeds 20 -> cluster 0, 30 -> cluster 1 (ordered by id)
+    assert out[10] == 0 and out[20] == 0
+    assert out[30] == 1 and out[40] == 1
