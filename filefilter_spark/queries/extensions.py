@@ -2907,3 +2907,75 @@ def op_d3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_kmeans(
         load_table(spark, sf_dir, "embeddings"), k=8, iters=2
     )
+
+
+def _zorder_oracle() -> str:
+    """Generate the OP-A9-zorder oracle: the same exact-integer
+    normalize + Morton interleave as ops/layout.py, unrolled to the
+    identical 32 shift/mask terms (bits=16, two columns — column
+    shift amounts aren't portable SQL, literal unrolling is)."""
+    terms = []
+    for i in range(16):
+        for c, u in enumerate(("up", "us")):
+            terms.append(f"(({u} >> {i}) & 1) * {1 << (i * 2 + c)}")
+    interleave = "\n             + ".join(terms)
+    return f"""
+    WITH b AS (
+      SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+             min(l_suppkey) AS slo, max(l_suppkey) AS shi
+      FROM lineitem
+    ),
+    u AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             ((l_partkey - plo) * 65535) // (phi - plo) AS up,
+             ((l_suppkey - slo) * 65535) // (shi - slo) AS us,
+             plo, phi, slo, shi
+      FROM lineitem CROSS JOIN b
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({interleave} AS BIGINT) AS zkey
+    FROM u
+    WHERE l_partkey BETWEEN plo AND plo + (phi - plo) // 10
+      AND l_suppkey BETWEEN slo AND slo + (shi - slo) // 10
+    """
+
+
+@query(
+    "OP-A9-zorder",
+    oracle=_zorder_oracle(),
+    doc="Z-order (Morton) layout sink + round-trip: lineitem written "
+        "range-partitioned and sorted by the bit-interleaved "
+        "(l_partkey, l_suppkey) key, read back, filtered to a 2-D "
+        "predicate box (lowest decile of both dims), and re-keyed — "
+        "verifying both the exact-integer key math (normalize DIV + "
+        "32 unrolled shift/mask terms, bit-identical cross-engine, "
+        "no floats anywhere) and write/read completeness. The layout "
+        "is the 100 TB story: row groups become 2-D tiles so a "
+        "selective predicate on EITHER interleaved column prunes via "
+        "parquet min/max stats — measured by tools/zorder_probe.py "
+        "(SCALING.md zorder section) against a single-column sort "
+        "(ops/layout.py).",
+)
+def op_a9_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.layout import (
+        column_bounds,
+        with_zorder,
+        write_zordered,
+    )
+
+    from filefilter_spark.queries.inventory import _scratch
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    out = _scratch("a9z/lineitem_z")
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], bits=16,
+                   num_files=8)
+    bounds = column_bounds(li, ["l_partkey", "l_suppkey"])
+    (plo, phi), (slo, shi) = bounds["l_partkey"], bounds["l_suppkey"]
+    back = spark.read.parquet(out).filter(
+        F.col("l_partkey").between(plo, plo + (phi - plo) // 10)
+        & F.col("l_suppkey").between(slo, slo + (shi - slo) // 10)
+    )
+    return with_zorder(back, ["l_partkey", "l_suppkey"], bits=16,
+                       bounds=bounds)

@@ -1961,3 +1961,79 @@ def test_lloyd_kmeans_init_ids(spark):
     # seeds 20 -> cluster 0, 30 -> cluster 1 (ordered by id)
     assert out[10] == 0 and out[20] == 0
     assert out[30] == 1 and out[40] == 1
+
+
+def test_zorder_key_is_morton_curve(spark):
+    # bits=2 over a 4x4 integer grid must produce the canonical Morton
+    # order 0..15, each exactly once (x in even bits, y in odd).
+    from filefilter_spark.ops.layout import with_zorder
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long"
+    )
+    rows = with_zorder(df, ["x", "y"], bits=2).collect()
+    by_xy = {(r["x"], r["y"]): r["zkey"] for r in rows}
+    assert sorted(by_xy.values()) == list(range(16))
+    assert by_xy[(0, 0)] == 0 and by_xy[(1, 0)] == 1
+    assert by_xy[(0, 1)] == 2 and by_xy[(3, 3)] == 15
+
+
+def test_zorder_degenerate_and_clamped(spark):
+    from filefilter_spark.ops.layout import with_zorder
+
+    # constant column -> contributes 0 to every key (no divide-by-zero)
+    df = spark.createDataFrame([(1, 7), (2, 7), (3, 7)], "x long, y long")
+    ks = [r["zkey"] for r in with_zorder(df, ["x", "y"], bits=4).collect()]
+    assert len(set(ks)) == 3  # x still discriminates
+    # explicit bounds narrower than the data: out-of-range rows clamp
+    # to the edge cells instead of corrupting the key
+    ks2 = {
+        r["x"]: r["zkey"]
+        for r in with_zorder(
+            df, ["x"], bits=4, bounds={"x": (2, 3)}
+        ).collect()
+    }
+    assert ks2[1] == ks2[2]  # clamped to lo edge
+
+
+def test_write_zordered_roundtrip_and_stats(spark, tmp_path):
+    # Round-trip preserves every row; the written files' footer stats
+    # must show BOTH columns' per-file ranges narrowed vs the full
+    # domain for most files (the property scan pruning feeds on) —
+    # a partkey-only sort would leave suppkey spanning ~full domain
+    # in every file.
+    import pyarrow.parquet as pq
+
+    from filefilter_spark.ops.layout import write_zordered
+
+    n = 4096
+    df = spark.range(n).selectExpr(
+        "id", "CAST(id % 64 AS LONG) AS a",
+        "CAST((id * 37) % 64 AS LONG) AS b",
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, ["a", "b"], bits=6, num_files=16)
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    assert {r["id"] for r in back.select("id").collect()} == set(range(n))
+
+    import os
+
+    narrow_a = narrow_b = total = 0
+    for fn in os.listdir(out):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, fn)).metadata
+        names = {md.schema.column(i).name: i
+                 for i in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            total += 1
+            sa = rg.column(names["a"]).statistics
+            sb = rg.column(names["b"]).statistics
+            if sa.max - sa.min <= 32:
+                narrow_a += 1
+            if sb.max - sb.min <= 32:
+                narrow_b += 1
+    assert total >= 8
+    assert narrow_a >= total // 2 and narrow_b >= total // 2
