@@ -50,6 +50,9 @@ HEADLINE = [
     "OP-D7-dsir",    # DSIR importance weights (per-byte corpus cost)
     "OP-D7-safesplit",  # leakage-safe split (jaccard pairs + CC + hash)
     "OP-D4-qualityclf",  # learned quality filter (train + native score)
+    # New in r9
+    "OP-D3-kmeans",  # deterministic Lloyd k-means (3 corpus passes)
+    "OP-A9-zorder",  # Z-order layout sink + box-filtered round-trip
 ]
 
 
@@ -148,7 +151,8 @@ def main() -> None:
         "added_queries": ["OP-D2-lines", "OP-D4-perplexity",
                           "OP-D2-spans", "OP-D4-bpe", "OP-D1-keepbest",
                           "OP-D7-dsir", "OP-D7-safesplit",
-                          "OP-D4-qualityclf"],
+                          "OP-D4-qualityclf", "OP-D3-kmeans",
+                          "OP-A9-zorder"],
         # non-empty => a registry rename silently shrank the suite;
         # totals are NOT comparable until fixed
         "missing_queries": missing,

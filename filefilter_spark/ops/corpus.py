@@ -295,6 +295,58 @@ def contamination(
     )
 
 
+def marginal_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document marginal novelty in ingest order: the share of the
+    doc's distinct word n-grams whose FIRST occurrence (minimum
+    ``id_col``) is this doc — i.e. how much content each document adds
+    that no earlier document already carried. The corpus-curation
+    complement to :func:`contamination` (which scores overlap against
+    an EXTERNAL reference): aggregated by source/batch it ranks feeds
+    by new-content contribution and tracks dedup pressure as a crawl
+    grows; a near-zero tail is the signal to stop ingesting a source.
+
+    Returns ``(id_col, n_shingles, n_novel, novelty)`` — novelty is
+    the raw IEEE quotient of two ints (cross-engine exact, same
+    convention as ``contamination``).
+
+    Shape: each shingle TYPE credits exactly one doc (its min-id
+    holder), so the op is two independent map-combinable aggregations
+    over one posting explode — ``groupBy(shingle).min(id)`` then a
+    per-doc count of credits, plus a per-doc posting count — joined
+    doc-to-doc at the end. Deliberately NOT a window
+    (``min(id) over (partition by shingle)`` has no partial
+    aggregation: a stop-phrase shingle's entire posting list lands on
+    one reducer) and NOT a posting self-join (same skew on the probe
+    side). The cost is the explode feeding two aggregations — two
+    passes over one subtree, the same recompute-beats-materialize
+    trade the perplexity ×64 probe measured (SCALING.md): both
+    aggregations are skew-proof, shuffle shingle→partial-count rows
+    (types, not occurrences), and the final join is doc-bounded.
+    """
+    posting = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("__t")
+    )
+    first = posting.groupBy("__t").agg(F.min(id_col).alias("__fd"))
+    novel = first.groupBy(F.col("__fd").alias(id_col)).agg(
+        F.count("*").alias("n_novel")
+    )
+    tot = posting.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    return (
+        tot.join(novel, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0).cast("long")).alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_shingles"))
+    )
+
+
 def rate_cutoff_hex(rate: float) -> str | None:
     """Keep-rate -> md5-prefix cutoff hex (None = keep everything).
     Shared with the SQL oracle so both engines compare identical

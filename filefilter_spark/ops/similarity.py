@@ -358,6 +358,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    method: str = "ml",
 ):
     """IVF (inverted-file) coarse quantizer: KMeans the corpus into
     ``n_lists`` centroid cells; every vector is assigned to its nearest
@@ -365,7 +366,63 @@ def build_ivf_index(
     list). At scale the assigned table is written partitioned by
     ``cell`` so probes are partition-pruned reads — the same storage
     trick as the LSH buckets, with data-adaptive cells instead of
-    random hyperplanes."""
+    random hyperplanes.
+
+    ``method``: ``"ml"`` (default) uses ``pyspark.ml`` KMeans —
+    better cells via k-means|| init, but assignments are NOT
+    reproducible across runs/retries; ``"lloyd"`` uses
+    :func:`filefilter_spark.ops.cluster.lloyd_kmeans` — deterministic
+    bit-stable cells (see that module's docstring), the right choice
+    when the index is written once and probed forever, or when cell
+    membership feeds dedup/split decisions."""
+    if method == "lloyd":
+        from filefilter_spark.ops.cluster import lloyd_kmeans
+
+        arrs = df.select(
+            F.col(id_col), _as_double_array(vec_col).alias("__arr")
+        )
+        assigned = (
+            lloyd_kmeans(df, k=n_lists, iters=2, vec_col=vec_col,
+                         id_col=id_col)
+            .withColumnRenamed("cluster", "cell")
+            .join(arrs, id_col)
+            .select(id_col, "__arr", "cell")
+        )
+        # Centroids via the same exact-integer reduction as the
+        # clusterer (quantize → BIGINT sums → one division): a plain
+        # avg() would sum doubles in partition order and break the
+        # bit-stability contract this method exists for.
+        from filefilter_spark.ops.cluster import quantize_to_grid
+
+        scale = 1e6
+        cent_rows = (
+            assigned.select(
+                "cell",
+                F.posexplode(quantize_to_grid(F.col("__arr"), scale))
+                .alias("p", "v"),
+            )
+            .groupBy("cell", "p")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("p", (F.col("s") / (F.col("n") * scale))
+                                 .alias("m"))
+                    )
+                ).alias("c")
+            )
+            .collect()
+        )
+        centroids_by_cell = {
+            r["cell"]: [e["m"] for e in r["c"]] for r in cent_rows
+        }
+        dim = len(next(iter(centroids_by_cell.values())))
+        centroids = [
+            centroids_by_cell.get(i, [0.0] * dim) for i in range(n_lists)
+        ]
+        return assigned, centroids
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -389,14 +446,18 @@ def ivf_topk_cosine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
+    method: str = "ml",
 ) -> DataFrame:
     """IVF ANN top-k: score the query against the (driver-side, tiny)
     centroid table, probe the ``n_probe`` nearest cells, exact-rerank
     only those vectors. Complements :func:`lsh_topk_cosine` — IVF cells
-    adapt to the data distribution, LSH needs no training pass."""
+    adapt to the data distribution, LSH needs no training pass.
+    ``method`` as in :func:`build_ivf_index`."""
     import math
 
-    assigned, centroids = build_ivf_index(df, n_lists, vec_col, id_col, seed)
+    assigned, centroids = build_ivf_index(
+        df, n_lists, vec_col, id_col, seed, method=method
+    )
 
     def cos(a: Sequence[float], b: Sequence[float]) -> float:
         d = sum(x * y for x, y in zip(a, b))

@@ -2979,3 +2979,42 @@ def op_a9_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return with_zorder(back, ["l_partkey", "l_suppkey"], bits=16,
                        bounds=bounds)
+
+
+@query(
+    "OP-D7-novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '') tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, list_distinct(CASE WHEN len(tk) >= 3
+          THEN [array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)]
+          ELSE [array_to_string(tk, ' ')] END) AS sh
+      FROM toks
+    ),
+    posting AS (SELECT doc_id, unnest(sh) AS t FROM sh),
+    first AS (SELECT t, min(doc_id) AS fd FROM posting GROUP BY t),
+    novel AS (SELECT fd AS doc_id, count(*) AS n_novel FROM first GROUP BY fd),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM posting GROUP BY doc_id)
+    SELECT tot.doc_id, n_shingles,
+           coalesce(n_novel, 0) AS n_novel,
+           CAST(coalesce(n_novel, 0) AS DOUBLE) / n_shingles AS novelty
+    FROM tot LEFT JOIN novel ON tot.doc_id = novel.doc_id
+    """,
+    doc="marginal novelty in ingest order: share of each doc's distinct "
+        "3-gram shingles first seen in THIS doc (min-doc_id credit) — "
+        "ranks sources by new-content contribution and tracks dedup "
+        "pressure as a crawl grows; the self-referential complement to "
+        "OP-D7-contamination's external-reference overlap. Two "
+        "map-combinable aggregations over one posting explode, no "
+        "window and no posting self-join (both would put a stop-phrase "
+        "shingle's whole posting list on one reducer); final join is "
+        "doc-bounded (ops/corpus.py marginal_novelty).",
+)
+def op_d7_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import marginal_novelty
+
+    return marginal_novelty(load_table(spark, sf_dir, "documents"))

@@ -2037,3 +2037,66 @@ def test_write_zordered_roundtrip_and_stats(spark, tmp_path):
                 narrow_b += 1
     assert total >= 8
     assert narrow_a >= total // 2 and narrow_b >= total // 2
+
+
+def test_ivf_lloyd_method_deterministic_and_recalls(spark, embeddings):
+    # method="lloyd" gives bit-stable cell assignments (identical under
+    # repartition — ml.KMeans offers no such contract) and the probe
+    # path still recovers the query's neighborhood.
+    from filefilter_spark.ops.similarity import (
+        build_ivf_index,
+        ivf_topk_cosine,
+        topk_cosine,
+    )
+
+    a1, c1 = build_ivf_index(embeddings, n_lists=8, method="lloyd")
+    a2, c2 = build_ivf_index(
+        embeddings.repartition(13), n_lists=8, method="lloyd"
+    )
+    cells1 = {r["vec_id"]: r["cell"] for r in a1.collect()}
+    cells2 = {r["vec_id"]: r["cell"] for r in a2.collect()}
+    assert cells1 == cells2
+    assert c1 == c2  # centroid matrices identical too
+
+    qv = [float(x)
+          for x in embeddings.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r["vec_id"] for r in topk_cosine(embeddings, qv, k=10).collect()]
+    approx = [r["vec_id"]
+              for r in ivf_topk_cosine(embeddings, qv, k=10,
+                                       method="lloyd").collect()]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5, f"IVF(lloyd) recall@10 = {overlap}/10"
+    assert approx[0] == 0
+
+
+def test_marginal_novelty_first_occurrence_credit(spark):
+    # doc 0 is all-new; doc 1 repeats doc 0 verbatim (novelty 0); doc 2
+    # shares a 3-token overlap window with doc 0; doc 3 is disjoint.
+    from filefilter_spark.ops.corpus import marginal_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "gamma delta epsilon zeta"),
+            (3, "eta theta iota kappa"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in marginal_novelty(docs).collect()}
+    # 4 tokens -> 2 distinct trigram shingles per doc
+    assert rows[0]["n_shingles"] == 2 and rows[0]["novelty"] == 1.0
+    assert rows[1]["n_novel"] == 0 and rows[1]["novelty"] == 0.0
+    # doc 2: shingles {"gamma delta epsilon", "delta epsilon zeta"} are
+    # both unseen (doc 0's are "alpha beta gamma"/"beta gamma delta")
+    assert rows[2]["novelty"] == 1.0
+    assert rows[3]["novelty"] == 1.0
+    # ingest-order dependence: swapping ids moves the credit
+    swapped = spark.createDataFrame(
+        [(5, "alpha beta gamma delta"), (4, "alpha beta gamma delta")],
+        "doc_id bigint, text string",
+    )
+    srows = {r["doc_id"]: r["n_novel"]
+             for r in marginal_novelty(swapped).collect()}
+    assert srows[4] == 2 and srows[5] == 0

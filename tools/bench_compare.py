@@ -22,8 +22,8 @@ HEADLINE = [
     # round-8 operators (dsir/safesplit exact-oracle; qualityclf is
     # recall-oracled — Spark wall-clock only, no DuckDB column)
     "OP-D7-dsir", "OP-D7-safesplit", "OP-D4-qualityclf",
-    # round-9 operators (both exact-oracle)
-    "OP-D4-gopher", "OP-D4-entropy",
+    # round-9 operators (all exact-oracle)
+    "OP-D4-gopher", "OP-D4-entropy", "OP-D3-kmeans", "OP-A9-zorder",
 ]
 
 
