@@ -3018,3 +3018,55 @@ def op_d7_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.corpus import marginal_novelty
 
     return marginal_novelty(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# OP-D3-pca — distributed PCA: exact-integer covariance (ops/pca.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "OP-D3-pca",
+    oracle=r"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT vec_id, CAST(u.i - 1 AS INTEGER) AS i, u.v AS v
+      FROM (SELECT vec_id,
+                   unnest(list_transform(q, (v, i) -> {'i': i, 'v': v})) AS u
+            FROM q)
+    ),
+    s AS (
+      SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS s
+      FROM pos a JOIN pos b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
+    ),
+    m AS (SELECT i, sum(v) AS m FROM pos GROUP BY i),
+    n AS (SELECT count(*) AS n FROM q)
+    SELECT s.i, s.j,
+           (CAST(s.s AS DOUBLE)
+              - CAST(mi.m AS DOUBLE) * CAST(mj.m AS DOUBLE)
+                / CAST(n.n AS DOUBLE))
+             / ((CAST(n.n AS DOUBLE) - 1.0) * 100000000.0) AS cov
+    FROM s JOIN m mi ON s.i = mi.i JOIN m mj ON s.j = mj.i CROSS JOIN n
+    """,
+    doc="distributed PCA, covariance pass (ops/pca.py): exact-integer "
+        "d x d second moments folded per-partition with one numpy matmul "
+        "per Arrow batch (mapInPandas emits d(d+1)/2+d+1 partial rows per "
+        "partition — independent of n), merged by one tiny groupBy — the "
+        "decorrelation/whitening front end SemDeDup-style embedding "
+        "curation runs before clustering. The covariance formula is a "
+        "fixed-order double expression over exact int64 moments, so the "
+        "oracle matches bit-for-bit; eigh stays driver-side on the d x d "
+        "matrix (tested in tests/test_ops.py, not oracle-able: DuckDB has "
+        "no eigensolver).",
+)
+def op_d3_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.pca import covariance
+
+    return covariance(load_table(spark, sf_dir, "embeddings"))

@@ -2100,3 +2100,69 @@ def test_marginal_novelty_first_occurrence_credit(spark):
     srows = {r["doc_id"]: r["n_novel"]
              for r in marginal_novelty(swapped).collect()}
     assert srows[4] == 2 and srows[5] == 0
+
+
+def test_pca_covariance_exact_and_partition_invariant(spark):
+    # Known 2-D data: covariance must equal numpy.cov to grid
+    # precision, and be bit-identical under a different partitioning
+    # (all cross-row sums are int64).
+    import numpy as np
+
+    from filefilter_spark.ops.pca import covariance
+
+    pts = [(i, [float(x), float(y)]) for i, (x, y) in
+           enumerate([(1.0, 2.0), (3.0, 5.0), (0.5, -1.0), (2.5, 4.0)])]
+    df = spark.createDataFrame(pts, "vec_id bigint, embedding array<double>")
+    got = {(r["i"], r["j"]): r["cov"] for r in covariance(df).collect()}
+    ref = np.cov(np.array([p[1] for p in pts]).T)
+    for (i, j), c in got.items():
+        assert abs(c - ref[i][j]) < 1e-3, (i, j, c, ref[i][j])
+    re_got = {(r["i"], r["j"]): r["cov"]
+              for r in covariance(df.repartition(7)).collect()}
+    assert re_got == got  # exact, not approximate
+
+
+def test_pca_fit_project_whiten(spark):
+    # Anisotropic Gaussian-ish cloud (seeded): each eigenvalue
+    # matches the sample variance of the projected
+    # scores; whitened scores have ~unit variance; components are
+    # orthonormal.
+    import numpy as np
+
+    from filefilter_spark.ops.pca import fit_pca, project
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(400, 3) * np.array([5.0, 1.0, 0.2])
+    rot, _ = np.linalg.qr(rng.randn(3, 3))
+    data = base @ rot.T
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(data)],
+        "vec_id bigint, embedding array<double>",
+    )
+    model = fit_pca(df, k=3)
+    comps = np.array(model.components)
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    scores = np.array(
+        [r["pca"] for r in
+         project(df, model).orderBy("vec_id").collect()]
+    )
+    v = scores.var(axis=0, ddof=1)
+    assert np.allclose(v, model.eigenvalues, rtol=1e-3)
+    assert model.eigenvalues[0] > model.eigenvalues[1] > model.eigenvalues[2]
+    white = np.array(
+        [r["pca"] for r in
+         project(df, model, whiten=True).orderBy("vec_id").collect()]
+    )
+    assert np.allclose(white.var(axis=0, ddof=1), 1.0, rtol=1e-3)
+
+
+def test_pca_moments_overflow_guard(spark):
+    import pytest as _pytest
+
+    from filefilter_spark.ops.pca import quantized_moments
+
+    df = spark.createDataFrame(
+        [(0, [1.0]), (1, [1.0])], "vec_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="2\\^63|OverflowError"):
+        quantized_moments(df, scale=4e9).collect()
