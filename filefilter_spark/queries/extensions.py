@@ -3070,3 +3070,83 @@ def op_d3_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.pca import covariance
 
     return covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# OP-D7-shuffle / OP-D7-curriculum — deterministic global ordering
+# (ops/order.py: bucket-parallel exact rank, no single-partition sort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "OP-D7-shuffle",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('r9:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pos
+    FROM documents
+    """,
+    doc="reproducible global corpus shuffle: 1-based position in the "
+        "permutation ordered by md5(seed:doc_id) — same seed, same "
+        "permutation on any partitioning/cluster/engine (no "
+        "orderBy(rand()), which is nondeterministic under task retry). "
+        "Computed bucket-parallel (ops/order.py ranked_by): md5-prefix "
+        "buckets + per-bucket row_number + cumulative bucket offsets "
+        "from one <=4096-row agg — the oracle's single-partition "
+        "row_number OVER (ORDER BY ...) is exactly what this avoids at "
+        "100 TB.",
+)
+def op_d7_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.order import deterministic_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, id_col="doc_id", seed="r9")
+
+
+@query(
+    "OP-D7-curriculum",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, CAST(length(coalesce(text, '')) AS BIGINT) AS score
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score, doc_id) AS r,
+             count(*) OVER () AS n
+      FROM base
+    ),
+    p AS (
+      SELECT doc_id, score,
+             CAST(((r - 1) * 4) // n AS INTEGER) AS phase
+      FROM r
+    )
+    SELECT doc_id, phase,
+           row_number() OVER (
+             ORDER BY phase, md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS pos
+    FROM p
+    """,
+    doc="curriculum ordering (Bengio et al. 2009 for LLM pretraining): "
+        "rank docs by a difficulty score (here: char length, short -> "
+        "long), split the rank range into 4 contiguous equal phases by "
+        "EXACT integer rank arithmetic (((rank-1)*phases) div n — no "
+        "approximate quantiles, so phase boundaries are "
+        "partition-independent and cross-engine exact), then "
+        "deterministically md5-shuffle within each phase. Both rank "
+        "passes are bucket-parallel (ops/order.py) — no global sort.",
+)
+def op_d7_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.order import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return curriculum_order(
+        docs,
+        F.length(F.coalesce(F.col("text"), F.lit(""))),
+        id_col="doc_id",
+        phases=4,
+        seed="cur",
+        lo=0.0,
+        hi=4096.0,
+    ).select("doc_id", "phase", "pos")
