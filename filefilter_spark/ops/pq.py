@@ -1,0 +1,255 @@
+"""Product quantization (PQ) for embedding search at corpus scale
+(OP-D3). Jégou et al. 2011, "Product Quantization for Nearest
+Neighbor Search".
+
+Why this exists next to IVF/LSH (``ops/similarity.py``): at 100 TB the
+binding constraint is the *memory footprint of the index itself*. PQ
+splits each d-dim vector into ``m`` subvectors and replaces each with
+the id of its nearest per-subspace centroid — ``m`` small ints per
+vector (m=8, k=16 → 8 codes ≈ 4 bytes vs 256 bytes of float32 at
+d=64). Search then never touches vectors: a query builds an m×k
+look-up table of subspace distances once, and each candidate's
+approximate distance is ``Σ_s LUT[s][code_s]`` — table lookups and
+adds, no floating-point vector math per row (ADC, asymmetric distance
+computation).
+
+Determinism contract (same discipline as ``ops/cluster.py``, which
+documents the full rationale): embeddings are quantized once to an
+integer grid; all cross-row reductions are exact int64 sums; every
+per-row distance is a fixed left-to-right double fold; argmin ties go
+to the lowest centroid id. Result: bit-identical output under any
+partitioning/retry, and an exact DuckDB oracle.
+
+Plan shapes:
+
+- :func:`fit_pq_codebooks` — seeds = the k lowest-id vectors'
+  subvectors (no RNG); ``iters`` optional Lloyd rounds refine ALL m
+  subspaces in one distributed loop per round (explode to
+  ``(s, cluster, pos)`` partials, map-side combined: shuffle ≤
+  ``partitions × m × k × (d/m) = partitions × k × d`` rows per round
+  — independent of n; the driver holds only the m×k×(d/m) = k×d
+  codebook).
+- :func:`pq_encode` — pure projection: the codebook rides into
+  codegen as a nested array literal; per row m argmins over k folds.
+  No shuffle, no UDF. Output is the m-code array — the thing a
+  100 TB deployment persists instead of the vectors.
+- :func:`pq_adc_topk` — pure projection + ``orderBy().limit()``
+  (TakeOrderedAndProject: per-partition heap + driver merge, no
+  global sort): the LUT is built driver-side from the query vector
+  (m×k doubles) and folded per row in subspace order.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+Codebooks = list[list[list[float]]]  # [subspace][centroid][component]
+
+
+def _grid(col: Column, scale: float) -> Column:
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale)) + F.lit(0.5)),
+    )
+
+
+def _fold_sq(diffs: Column) -> Column:
+    """Left-to-right Σ v² fold — the cross-engine-exact reduction
+    (DuckDB: ``list_reduce([0.0] || …)``)."""
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _cents_lit(codebooks: Codebooks) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in book])
+            for book in codebooks
+        ]
+    )
+
+
+def _chunked(qd: Column, m: int, sub: int) -> Column:
+    """array<double> → array of m subvector slices (order s = 0..m−1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: F.slice(qd, s * sub + 1, sub),
+    )
+
+
+def _code_expr(qd: Column, codebooks: Codebooks, scale: float) -> Column:
+    """Per-row m-code array: for each subspace, argmin over its k
+    centroids of the deterministic squared-distance fold (ties →
+    lowest centroid id via first-match ``array_position``)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cents = _cents_lit(codebooks)
+    chunks = _chunked(qd, m, sub)
+
+    def code_of(chunk: Column, s: Column) -> Column:
+        dists = F.transform(
+            F.element_at(cents, s + 1),
+            lambda c: _fold_sq(
+                F.zip_with(chunk, c, lambda x, y: (x - y) * (x - y))
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return F.transform(chunks, code_of)
+
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e6,
+) -> Codebooks:
+    """Deterministic PQ codebooks: ``codebooks[s][c]`` is the c-th
+    centroid of subspace s (d/m components). Seeds are the k lowest-id
+    vectors' subvectors; ``iters`` Lloyd rounds refine all subspaces
+    together (see module docstring for the per-round shuffle bound).
+    Empty clusters keep their previous centroid."""
+    qframe = df.select(
+        F.col(id_col).alias("__id"), _grid(F.col(vec_col), scale).alias("q")
+    )
+    seed_rows = qframe.orderBy("__id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"fit_pq_codebooks: need >= {k} rows")
+    d = len(seed_rows[0]["q"])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books: Codebooks = [
+        [
+            [q / scale for q in r["q"][s * sub : (s + 1) * sub]]
+            for r in seed_rows
+        ]
+        for s in range(m)
+    ]
+    if iters == 0:
+        return books
+    qd = F.transform(F.col("q"), lambda v: v / F.lit(float(scale)))
+    qframe = qframe.persist()
+    try:
+        for _ in range(iters):
+            codes = qframe.select(
+                "__id", "q", _code_expr(qd, books, scale).alias("codes")
+            )
+            # (s, cluster, pos-in-subspace) exact-integer partial sums;
+            # map-side combine bounds the shuffle at P × k × d rows.
+            sums = (
+                codes.select(
+                    F.posexplode("q").alias("pos", "qv"), "codes"
+                )
+                .select(
+                    (F.col("pos") / sub).cast("int").alias("s"),
+                    F.element_at(
+                        "codes", (F.col("pos") / sub).cast("int") + 1
+                    ).alias("c"),
+                    (F.col("pos") % sub).alias("p"),
+                    "qv",
+                )
+                .groupBy("s", "c", "p")
+                .agg(F.sum("qv").alias("sum"), F.count("*").alias("n"))
+                .collect()
+            )
+            acc: dict[tuple[int, int], dict[int, tuple[int, int]]] = {}
+            for r in sums:
+                acc.setdefault((r["s"], r["c"]), {})[r["p"]] = (
+                    r["sum"],
+                    r["n"],
+                )
+            new_books: Codebooks = []
+            for s in range(m):
+                book = []
+                for c in range(k):
+                    comp = acc.get((s, c))
+                    if not comp:
+                        book.append(books[s][c])
+                    else:
+                        book.append(
+                            [
+                                comp[p][0] / (comp[p][1] * scale)
+                                for p in range(sub)
+                            ]
+                        )
+                new_books.append(book)
+            books = new_books
+        return books
+    finally:
+        qframe.unpersist()
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e6,
+    out_col: str = "codes",
+) -> DataFrame:
+    """``(id, codes)`` — the m-code compressed representation. Pure
+    projection (codebook literal in codegen): no shuffle, no UDF."""
+    qd = F.transform(
+        _grid(F.col(vec_col), scale), lambda v: v / F.lit(float(scale))
+    )
+    return df.select(
+        F.col(id_col), _code_expr(qd, codebooks, scale).alias(out_col)
+    )
+
+
+def adc_lut(
+    query: Sequence[float], codebooks: Codebooks, scale: float = 1e6
+) -> list[list[float]]:
+    """m×k table of squared distances from the (grid-quantized) query
+    subvectors to every centroid — Python-float left-to-right folds,
+    bit-identical to the engine-side recipe."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qq = [float(math.floor(x * scale + 0.5)) / scale for x in query]
+    lut = []
+    for s in range(m):
+        row = []
+        for cent in codebooks[s]:
+            acc = 0.0
+            for i in range(sub):
+                dv = qq[s * sub + i] - cent[i]
+                acc = acc + dv * dv
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    codebooks: Codebooks,
+    query: Sequence[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Top-k by asymmetric PQ distance: ``adc = Σ_s LUT[s][code_s]``
+    folded in subspace order (deterministic), ties → lowest id.
+    ``orderBy(adc, id).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition heaps, driver merges k rows."""
+    lut = adc_lut(query, codebooks, scale)
+    lut_lit = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    terms = F.transform(
+        F.col(codes_col),
+        lambda c, s: F.element_at(F.element_at(lut_lit, s + 1), c + 1),
+    )
+    adc = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return (
+        codes_df.select(F.col(id_col), adc.alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(topk)
+    )

@@ -3150,3 +3150,96 @@ def op_d7_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo=0.0,
         hi=4096.0,
     ).select("doc_id", "phase", "pos")
+
+
+# ---------------------------------------------------------------------------
+# OP-D3-pq — product quantization ANN (ops/pq.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "OP-D3-pq",
+    oracle=r"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    qd AS (
+      SELECT vec_id,
+             list_transform(q, v -> CAST(v AS DOUBLE) / 1000000.0) AS x
+      FROM q
+    ),
+    subs AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS s),
+    cent AS (
+      SELECT subs.s,
+             CAST(row_number() OVER (PARTITION BY subs.s
+                                     ORDER BY seed.vec_id) - 1 AS INTEGER)
+               AS c,
+             list_slice(seed.x, subs.s * 8 + 1, subs.s * 8 + 8) AS cv
+      FROM (SELECT vec_id, x FROM qd ORDER BY vec_id LIMIT 16) seed
+      CROSS JOIN subs
+    ),
+    chunk AS (
+      SELECT qd.vec_id, subs.s,
+             list_slice(qd.x, subs.s * 8 + 1, subs.s * 8 + 8) AS cx
+      FROM qd CROSS JOIN subs
+    ),
+    assign AS (
+      SELECT vec_id, s, c FROM (
+        SELECT ch.vec_id, ch.s, cent.c,
+               row_number() OVER (
+                 PARTITION BY ch.vec_id, ch.s
+                 ORDER BY list_reduce(
+                   [0.0] || list_transform(list_zip(ch.cx, cent.cv),
+                                           p -> (p[1]-p[2])*(p[1]-p[2])),
+                   (a, b) -> a + b), cent.c) AS rn
+        FROM chunk ch JOIN cent ON ch.s = cent.s)
+      WHERE rn = 1
+    ),
+    lut AS (
+      SELECT cent.s, cent.c,
+             list_reduce(
+               [0.0] || list_transform(list_zip(qv.cx, cent.cv),
+                                       p -> (p[1]-p[2])*(p[1]-p[2])),
+               (a, b) -> a + b) AS v
+      FROM cent JOIN (SELECT s, cx FROM chunk WHERE vec_id = 0) qv
+        ON cent.s = qv.s
+    )
+    SELECT vec_id, adc FROM (
+      SELECT a.vec_id,
+             list_reduce([0.0] || list(l.v ORDER BY a.s),
+                         (x, y) -> x + y) AS adc
+      FROM assign a JOIN lut l ON a.s = l.s AND a.c = l.c
+      GROUP BY a.vec_id)
+    ORDER BY adc, vec_id LIMIT 10
+    """,
+    doc="product quantization ANN (Jegou et al. 2011, ops/pq.py): 64-dim "
+        "embeddings split into 8 subspaces, each mapped to its nearest of "
+        "16 deterministic per-subspace centroids (codes = 8 small ints — "
+        "32x smaller than float64; what a 100 TB index persists instead "
+        "of vectors), then top-10 by asymmetric distance: the query "
+        "(lowest vec_id) builds an 8x16 LUT driver-side and each row "
+        "folds Sum_s LUT[s][code_s] — table lookups, no per-row vector "
+        "math. Encode and search are pure codegen projections (codebook "
+        "and LUT ride as literals); TakeOrderedAndProject for the top-k. "
+        "All folds fixed left-to-right on grid-quantized values: exact "
+        "cross-engine (codebook seeds here; Lloyd-refined tier is "
+        "pytest-pinned in tests/test_ops.py).",
+)
+def op_d3_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.pq import (
+        fit_pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, m=8, k=16, iters=0)
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    codes = pq_encode(emb, books)
+    return pq_adc_topk(
+        codes, books, [float(x) for x in qrow["embedding"]], topk=10
+    )

@@ -2239,3 +2239,94 @@ def test_curriculum_order_phases_and_intra_phase_shuffle(spark):
     assert [r["phase"] for r in ordered] == sorted(
         r["phase"] for r in ordered
     )
+
+
+def test_pq_encode_deterministic_and_bounded(spark):
+    from filefilter_spark.ops.pq import fit_pq_codebooks, pq_encode
+
+    from filefilter_spark.queries.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = fit_pq_codebooks(emb, m=8, k=16, iters=0)
+    codes = {r["vec_id"]: r["codes"]
+             for r in pq_encode(emb, books).collect()}
+    assert all(len(c) == 8 and all(0 <= v < 16 for v in c)
+               for c in codes.values())
+    # seeds encode as themselves (their own subvectors are centroids)
+    assert codes[0] == [0] * 8 and codes[5] == [5] * 8
+    re_codes = {r["vec_id"]: r["codes"]
+                for r in pq_encode(emb.repartition(11), books).collect()}
+    assert re_codes == codes
+
+
+def test_pq_lloyd_refinement_reduces_quantization_error(spark):
+    # One Lloyd round must not increase total quantization error
+    # (k-means objective is non-increasing), and refined books stay
+    # deterministic under repartition.
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.pq import (
+        _chunked,
+        _code_expr,
+        _fold_sq,
+        _grid,
+        fit_pq_codebooks,
+    )
+    from filefilter_spark.queries.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    def total_err(books):
+        qd = F.transform(
+            _grid(F.col("embedding"), 1e6), lambda v: v / F.lit(1e6)
+        )
+        cents = F.array(
+            *[F.array(*[F.array(*[F.lit(float(v)) for v in c])
+                        for c in book]) for book in books]
+        )
+        chunks = _chunked(qd, 8, 8)
+        codes = _code_expr(qd, books, 1e6)
+        err = F.aggregate(
+            F.zip_with(
+                chunks,
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda ch, s: _fold_sq(
+                    F.zip_with(
+                        ch,
+                        F.element_at(
+                            F.element_at(cents, s + 1),
+                            F.element_at(codes, s + 1) + 1,
+                        ),
+                        lambda x, y: (x - y) * (x - y),
+                    )
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        return emb.agg(F.sum(err)).collect()[0][0]
+
+    b0 = fit_pq_codebooks(emb, m=8, k=16, iters=0)
+    b1 = fit_pq_codebooks(emb, m=8, k=16, iters=1)
+    assert total_err(b1) <= total_err(b0)
+    b1r = fit_pq_codebooks(emb.repartition(9), m=8, k=16, iters=1)
+    assert b1 == b1r  # exact-integer centroid updates
+
+
+def test_pq_adc_topk_finds_query_first(spark):
+    from filefilter_spark.ops.pq import (
+        fit_pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from filefilter_spark.queries.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = fit_pq_codebooks(emb, m=8, k=16, iters=1)
+    codes = pq_encode(emb, books)
+    q = emb.filter("vec_id = 42").collect()[0]["embedding"]
+    top = pq_adc_topk(codes, books, [float(x) for x in q], topk=5).collect()
+    # the query's own code-cell distance is minimal (ADC of its own
+    # reconstruction) — it must appear in the top-5
+    assert 42 in [r["vec_id"] for r in top]
+    assert top[0]["adc"] <= top[-1]["adc"]

@@ -25,6 +25,7 @@ HEADLINE = [
     # round-9 operators (all exact-oracle)
     "OP-D4-gopher", "OP-D4-entropy", "OP-D3-kmeans", "OP-A9-zorder",
     "OP-D7-novelty", "OP-D3-pca", "OP-D7-shuffle", "OP-D7-curriculum",
+    "OP-D3-pq",
 ]
 
 
