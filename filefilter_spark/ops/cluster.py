@@ -131,7 +131,9 @@ def lloyd_kmeans(
         if init_ids is not None:
             seeds = qframe.filter(F.col("__id").isin(list(init_ids)))
         else:
-            seeds = qframe.orderBy("__id").limit(k)
+            seeds = qframe
+        # one TakeOrderedAndProject serves both branches (sorted,
+        # deterministic collect order)
         seed_rows = seeds.orderBy("__id").limit(k).collect()
         cents = [[v / scale for v in r["q"]] for r in seed_rows]
 

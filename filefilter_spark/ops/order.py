@@ -72,6 +72,20 @@ def hex_prefix_bucket(key: Column, hex_chars: int = 3) -> Column:
     return F.conv(F.substring(key, 1, hex_chars), 16, 10).cast("int")
 
 
+def _check_reserved(df: DataFrame, names: Sequence[str], op: str) -> None:
+    """Raise instead of silently overwriting: these operators stage
+    internal working columns (and outputs) via ``withColumn``, which
+    REPLACES an existing column of the same name — an input frame
+    already carrying one would come back corrupted with no warning."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: input already has column(s) {clash} — these names "
+            "are reserved (internal working/output columns); rename "
+            "them before calling"
+        )
+
+
 def ranked_by(
     df: DataFrame,
     bucket: Column,
@@ -83,7 +97,9 @@ def ranked_by(
     ``bucket`` must be monotone non-decreasing along ``order_by`` —
     i.e. sorting by ``(bucket, *order_by)`` equals sorting by
     ``order_by`` alone. Callers own that invariant (prefix buckets
-    and clamped score ranges satisfy it by construction)."""
+    and clamped score ranges satisfy it by construction). Raises if
+    the input already carries ``__bucket``/``__offset``/``pos_col``."""
+    _check_reserved(df, ["__bucket", "__offset", pos_col], "ranked_by")
     with_bucket = df.withColumn("__bucket", bucket)
     counts = with_bucket.groupBy("__bucket").agg(F.count("*").alias("__cnt"))
     # ≤`buckets` rows: the unpartitioned window here sorts bucket IDS,
@@ -121,7 +137,9 @@ def deterministic_shuffle(
     ``md5(seed:id), id`` (the id tiebreak makes even an md5 collision
     deterministic). ``16^hex_chars`` buckets (default 4096); raise
     ``hex_chars`` so a bucket's rows fit one task's sort at the
-    target scale."""
+    target scale. Raises if the input already carries ``__key`` (or
+    any :func:`ranked_by` reserved name)."""
+    _check_reserved(df, ["__key"], "deterministic_shuffle")
     key = md5_key(id_col, seed)
     out = df.withColumn("__key", key)
     return ranked_by(
@@ -173,8 +191,15 @@ def curriculum_order(
 
     ``lo``/``hi``/``score_buckets`` tune the internal score bucketing
     only (see :func:`range_bucket`) — they affect balance, never
-    values.
+    values. Raises if the input already carries any of the working
+    or output names (``__score``/``__rank``/``__key``/``__n``/
+    ``phase``/``pos``).
     """
+    _check_reserved(
+        df,
+        ["__score", "__rank", "__key", "__n", "phase", "pos"],
+        "curriculum_order",
+    )
     s = F.col(score_col) if isinstance(score_col, str) else score_col
     ranked = ranked_by(
         df.withColumn("__score", s.cast("double")),

@@ -24,10 +24,15 @@ Design — one pass, exact-integer moments, driver-side eigh:
   ``ops/cluster.quantize_to_grid``); all cross-row sums are then
   int64 — associative, commutative, identical under any retry or
   repartition, and reproduced exactly by the DuckDB oracle. Overflow
-  bound (docstring-enforced, checked at runtime per batch): with
-  ``|x| ≤ xmax`` the Gram sum needs ``n·(scale·xmax)² < 2^63`` —
-  at the default ``scale=1e4`` and unit-normalized embeddings that
-  is n ≲ 9e10 rows.
+  bound: with ``|x| ≤ xmax`` the Gram sum needs
+  ``n·(scale·xmax)² < 2^63`` — at the default ``scale=1e4`` and
+  unit-normalized embeddings that is n ≲ 9e10 rows. Enforced TWICE
+  at runtime: per batch inside the fold (partition-local n — keeps
+  the numpy accumulators exact) and, because partition-local checks
+  cannot see global n, again with the GLOBAL row count where it is
+  visible — ``fit_pca`` checks the collected moments, ``covariance``
+  carries an ``assert_true`` in its plan; both use the merged
+  cross-partition grid peak the moments frame now ships.
 - **Covariance from moments** is a fixed-shape double expression over
   exact integers — ``(S_ij − m_i·m_j/n) / ((n−1)·scale²)`` with an
   explicit cast/operation order — so the float result is
@@ -61,15 +66,19 @@ def quantized_moments(
 ) -> DataFrame:
     """Exact-integer second moments of a vector column, one pass.
 
-    Returns ``(i, j, s)`` with three row kinds:
+    Returns ``(i, j, s)`` with four row kinds:
 
     - ``i ≥ 0, j ≥ i``: ``s = Σ_rows q_i·q_j`` (upper-triangle Gram),
     - ``i ≥ 0, j = -1``: ``s = Σ_rows q_i`` (column sums),
     - ``i = -1, j = -1``: ``s = n`` (row count),
+    - ``i = -2, j = -2``: ``s = max_rows |q|`` (grid-value peak —
+      merged with MAX, not SUM; consumers use it to enforce the
+      GLOBAL overflow bound ``n·peak² < 2^62``, which the
+      partition-local check inside ``fold`` cannot see),
 
     where ``q = floor(x·scale + 0.5)`` per component. Per-partition
-    partials are merged by one ``groupBy(i, j).sum`` — shuffle traffic
-    is ``partitions × (d(d+1)/2 + d + 1)`` rows of three ints,
+    partials are merged by one ``groupBy(i, j)`` agg — shuffle traffic
+    is ``partitions × (d(d+1)/2 + d + 2)`` rows of three ints,
     independent of row count.
     """
     sc = float(scale)
@@ -78,14 +87,19 @@ def quantized_moments(
         gram = None
         col_sum = None
         n = 0
+        peak = 0.0  # running max |q| across ALL batches seen so far
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             q = np.floor(x * sc + 0.5).astype(np.int64)
-            # int64 overflow guard: worst-case |Σ q_i q_j| after this
-            # batch (see module docstring bound).
-            peak = float(np.abs(q).max(initial=0.0))
+            # int64 overflow guard — PARTITION-LOCAL only (n here is
+            # this partition's running count): it keeps the numpy
+            # accumulators exact. `peak` is a running max across
+            # batches so an early large-|q| batch still bounds later
+            # growth. The cross-partition (global-n) bound is enforced
+            # where global n is visible: fit_pca / covariance.
+            peak = max(peak, float(np.abs(q).max(initial=0.0)))
             if gram is None:
                 d = q.shape[1]
                 gram = np.zeros((d, d), dtype=np.int64)
@@ -104,17 +118,31 @@ def quantized_moments(
             return
         d = gram.shape[0]
         iu, ju = np.triu_indices(d)
-        out_i = np.concatenate([iu, np.arange(d), [-1]])
-        out_j = np.concatenate([ju, np.full(d, -1), [-1]])
-        out_s = np.concatenate([gram[iu, ju], col_sum, [n]])
+        out_i = np.concatenate([iu, np.arange(d), [-1], [-2]])
+        out_j = np.concatenate([ju, np.full(d, -1), [-1], [-2]])
+        out_s = np.concatenate([gram[iu, ju], col_sum, [n], [int(peak)]])
         yield pd.DataFrame({"i": out_i, "j": out_j, "s": out_s})
 
     partials = df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
     return (
         partials.mapInPandas(fold, _MOMENT_SCHEMA)
         .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"))
+        # peak rows (i = -2) merge with MAX (a max of maxes); every
+        # other row kind is an exact int64 SUM.
+        .agg(
+            F.when(F.col("i") == -2, F.max("s"))
+            .otherwise(F.sum("s"))
+            .alias("s")
+        )
     )
+
+
+_GLOBAL_BOUND_MSG = (
+    "quantized_moments: GLOBAL n·(scale·|x|max)² ≥ 2^62 — every "
+    "partition passed its local check but the merged Gram sums can "
+    "exceed int64; lower `scale` (grid error is 0.5/scale per "
+    "component; cross-engine exactness holds at any scale)"
+)
 
 
 def covariance(
@@ -132,6 +160,9 @@ def covariance(
     """
     mom = quantized_moments(df, vec_col=vec_col, scale=scale)
     n_row = mom.filter(F.col("i") == -1).select(F.col("s").alias("n"))
+    peak_row = mom.filter(F.col("i") == -2).select(
+        F.col("s").alias("__peak")
+    )
     means = mom.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
         F.col("i").alias("mi_pos"), F.col("s").alias("m")
     )
@@ -153,13 +184,23 @@ def covariance(
         )
         .drop("mj_pos")
         .crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(peak_row))
     )
     nd = F.col("n").cast("double")
+    # Global overflow bound (the partition-local check in
+    # quantized_moments cannot see global n): evaluated per output row
+    # (d² rows — trivial) via assert_true, which raises loudly if the
+    # merged moments could have wrapped int64. The isNull() filter
+    # forces evaluation so column pruning can't drop the assert.
+    pk = F.col("__peak").cast("double")
+    guard = F.assert_true(
+        nd * pk * pk < F.lit(float(2**62)), F.lit(_GLOBAL_BOUND_MSG)
+    )
     cov = (
         F.col("s").cast("double")
         - F.col("mi").cast("double") * F.col("mj").cast("double") / nd
     ) / ((nd - F.lit(1.0)) * F.lit(scale2))
-    return out.select("i", "j", cov.alias("cov"))
+    return out.filter(guard.isNull()).select("i", "j", cov.alias("cov"))
 
 
 class PCAModel(NamedTuple):
@@ -185,10 +226,13 @@ def fit_pca(
     so the basis is unique and reproducible."""
     rows = quantized_moments(df, vec_col=vec_col, scale=scale).collect()
     n = 0
+    peak = 0
     sums: dict[int, int] = {}
     grams: dict[tuple[int, int], int] = {}
     for r in rows:
-        if r["i"] == -1:
+        if r["i"] == -2:
+            peak = r["s"]
+        elif r["i"] == -1:
             n = r["s"]
         elif r["j"] == -1:
             sums[r["i"]] = r["s"]
@@ -196,6 +240,13 @@ def fit_pca(
             grams[(r["i"], r["j"])] = r["s"]
     if n < 2:
         raise ValueError("fit_pca needs at least 2 rows")
+    # Global overflow bound: the per-partition check inside
+    # quantized_moments sees only its partition's n, so P partitions
+    # can each pass while the merged Gram wraps. Here global n and the
+    # global grid peak are both visible — enforce the documented
+    # n·(scale·|x|max)² < 2^62 bound before trusting the moments.
+    if n * peak * peak >= 2**62:
+        raise OverflowError(_GLOBAL_BOUND_MSG)
     d = max(sums) + 1
     m = np.array([sums[i] for i in range(d)], dtype=np.float64)
     g = np.zeros((d, d), dtype=np.float64)
@@ -228,9 +279,12 @@ def project(
     eps: float = 1e-12,
 ) -> DataFrame:
     """Append ``out_col = array<double>`` of the k component scores
-    ``vᵀ(x − μ)`` (whitened: ``/√(λ+eps)``). Pure column algebra — the
-    k×d matrix and mean ride as literals into whole-stage codegen; one
-    left-to-right fold per component, no UDF, no shuffle."""
+    ``vᵀ(x − μ)`` (whitened: ``/√(max(λ,0)+eps)`` — eigh on a
+    near-singular covariance returns tiny NEGATIVE eigenvalues, which
+    unclamped would make the sqrt NaN and poison the whitened column).
+    Pure column algebra — the k×d matrix and mean ride as literals
+    into whole-stage codegen; one left-to-right fold per component, no
+    UDF, no shuffle."""
     emb = F.col(vec_col).cast("array<double>")
     mean_lit = F.array(*[F.lit(v) for v in model.mean])
     centered = F.zip_with(emb, mean_lit, lambda x, mu: x - mu)
@@ -243,6 +297,7 @@ def project(
             lambda acc, t: acc + t,
         )
         if whiten:
-            s = s / F.lit(float(np.sqrt(model.eigenvalues[ci] + eps)))
+            ev = max(float(model.eigenvalues[ci]), 0.0)
+            s = s / F.lit(float(np.sqrt(ev + eps)))
         scores.append(s)
     return df.withColumn(out_col, F.array(*scores))

@@ -80,10 +80,14 @@ def _chunked(qd: Column, m: int, sub: int) -> Column:
     )
 
 
-def _code_expr(qd: Column, codebooks: Codebooks, scale: float) -> Column:
+def _code_expr(qd: Column, codebooks: Codebooks) -> Column:
     """Per-row m-code array: for each subspace, argmin over its k
     centroids of the deterministic squared-distance fold (ties →
-    lowest centroid id via first-match ``array_position``)."""
+    lowest centroid id via first-match ``array_position``).
+
+    ``qd`` must ALREADY be on the caller's grid (quantize → /scale) —
+    this expression takes no scale of its own, so codebook build and
+    encode cannot drift onto different grids."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     cents = _cents_lit(codebooks)
@@ -139,7 +143,7 @@ def fit_pq_codebooks(
     try:
         for _ in range(iters):
             codes = qframe.select(
-                "__id", "q", _code_expr(qd, books, scale).alias("codes")
+                "__id", "q", _code_expr(qd, books).alias("codes")
             )
             # (s, cluster, pos-in-subspace) exact-integer partial sums;
             # map-side combine bounds the shuffle at P × k × d rows.
@@ -200,7 +204,7 @@ def pq_encode(
         _grid(F.col(vec_col), scale), lambda v: v / F.lit(float(scale))
     )
     return df.select(
-        F.col(id_col), _code_expr(qd, codebooks, scale).alias(out_col)
+        F.col(id_col), _code_expr(qd, codebooks).alias(out_col)
     )
 
 
@@ -253,3 +257,4 @@ def pq_adc_topk(
         .orderBy("adc", id_col)
         .limit(topk)
     )
+

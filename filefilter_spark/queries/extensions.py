@@ -3205,7 +3205,8 @@ def op_d7_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
                [0.0] || list_transform(list_zip(qv.cx, cent.cv),
                                        p -> (p[1]-p[2])*(p[1]-p[2])),
                (a, b) -> a + b) AS v
-      FROM cent JOIN (SELECT s, cx FROM chunk WHERE vec_id = 0) qv
+      FROM cent JOIN (SELECT s, cx FROM chunk
+                      WHERE vec_id = (SELECT min(vec_id) FROM qd)) qv
         ON cent.s = qv.s
     )
     SELECT vec_id, adc FROM (

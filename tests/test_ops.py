@@ -2285,7 +2285,7 @@ def test_pq_lloyd_refinement_reduces_quantization_error(spark):
                         for c in book]) for book in books]
         )
         chunks = _chunked(qd, 8, 8)
-        codes = _code_expr(qd, books, 1e6)
+        codes = _code_expr(qd, books)
         err = F.aggregate(
             F.zip_with(
                 chunks,
@@ -2330,3 +2330,113 @@ def test_pq_adc_topk_finds_query_first(spark):
     # reconstruction) — it must appear in the top-5
     assert 42 in [r["vec_id"] for r in top]
     assert top[0]["adc"] <= top[-1]["adc"]
+
+
+def test_pca_global_overflow_guard_cross_partition(spark):
+    # ADVICE r10 (medium): the partition-local check sees only its own
+    # n, so P partitions can each pass while the MERGED Gram wraps
+    # int64. Construct exactly that: scale=1e9, x=1.5 -> q=1.5e9,
+    # q^2 = 2.25e18 < 2^62 (~4.61e18) per single-row partition, but
+    # the 4-row global sum 9e18 >= 2^62. Both consumers must raise
+    # loudly via the merged grid-peak row.
+    import pytest as _pytest
+
+    from filefilter_spark.ops.pca import covariance, fit_pca
+
+    rdd = spark.sparkContext.parallelize(
+        [(i, [1.5, 1.5]) for i in range(4)], 4
+    )
+    df = spark.createDataFrame(rdd, "vec_id bigint, embedding array<double>")
+    with _pytest.raises(Exception, match="GLOBAL"):
+        fit_pca(df, k=1, scale=1e9)
+    with _pytest.raises(Exception, match="GLOBAL"):
+        covariance(df, scale=1e9).collect()
+    # sanity: the same data is fine at a scale inside the bound
+    assert len(covariance(df, scale=1e4).collect()) == 3
+
+
+def test_pca_whiten_clamps_negative_eigenvalues(spark):
+    # ADVICE r10: eigh on a near-singular covariance returns tiny
+    # NEGATIVE eigenvalues (order ||cov||*machine-eps, which can
+    # exceed the 1e-12 jitter); unclamped, sqrt(ev + eps) is NaN and
+    # poisons the whitened column.
+    import math
+
+    from filefilter_spark.ops.pca import PCAModel, project
+
+    model = PCAModel(
+        mean=[0.0, 0.0],
+        eigenvalues=[1.0, -1e-9],  # the eigh near-zero artifact
+        components=[[1.0, 0.0], [0.0, 1.0]],
+    )
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    row = project(df, model, whiten=True).collect()[0]["pca"]
+    assert all(math.isfinite(v) for v in row), row
+
+
+def test_order_reserved_column_collision_raises(spark):
+    # ADVICE r10: the ordering ops stage internal/output columns via
+    # withColumn, which silently REPLACES same-named input columns —
+    # they must raise instead.
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from filefilter_spark.ops.order import (
+        curriculum_order,
+        deterministic_shuffle,
+        ranked_by,
+    )
+
+    base = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    with _pytest.raises(ValueError, match="reserved"):
+        deterministic_shuffle(base.withColumn("pos", F.lit(0)))
+    with _pytest.raises(ValueError, match="reserved"):
+        deterministic_shuffle(base.withColumn("__key", F.lit("x")))
+    with _pytest.raises(ValueError, match="reserved"):
+        curriculum_order(base.withColumn("phase", F.lit(0)), F.lit(0.5))
+    with _pytest.raises(ValueError, match="reserved"):
+        curriculum_order(base.withColumn("__rank", F.lit(0)), F.lit(0.5))
+    with _pytest.raises(ValueError, match="reserved"):
+        ranked_by(
+            base.withColumn("__bucket", F.lit(0)), F.lit(0), [F.col("doc_id")]
+        )
+
+
+def test_pq_registry_query_vector_pinning_parity(spark, tmp_path):
+    # ADVICE r10: the OP-D3-pq oracle used to hardcode vec_id = 0
+    # while the Spark side picks the min-id row — silently diverging
+    # on any corpus whose ids don't start at 0. Both now pin to
+    # min(vec_id); prove parity on a shifted-id copy of the corpus.
+    import duckdb
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    from filefilter_spark.queries import extensions  # noqa: F401 - registers
+    from filefilter_spark.queries.registry import REGISTRY
+
+    t = papq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    t = t.set_column(
+        t.schema.get_field_index("vec_id"),
+        "vec_id",
+        pc.add(t["vec_id"], 1000),
+    )
+    papq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    spec = REGISTRY["OP-D3-pq"]
+    got = {
+        (r["vec_id"], round(r["adc"], 9))
+        for r in spec.builder(spark, str(tmp_path)).collect()
+    }
+    with duckdb.connect() as con:
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/embeddings.parquet')"
+        )
+        want = {
+            (r[0], round(r[1], 9)) for r in con.execute(spec.oracle).fetchall()
+        }
+    assert got == want and len(got) == 10
+    assert min(i for i, _ in got) >= 1000  # really the shifted corpus
+
