@@ -486,6 +486,10 @@ def gopher_rules(
                                              → ``dup_line_ok``
     - ``dup_line_char_frac`` (chars in repeat line occurrences /
       total line chars) ≤ 0.2                → ``dup_char_ok``
+    - ``dup_para_frac`` (same, over ``\\n\\n``-split paragraphs) ≤ 0.3
+                                             → ``dup_para_ok``
+    - ``dup_para_char_frac`` (chars in repeat paragraph occurrences /
+      total paragraph chars) ≤ 0.2           → ``dup_para_char_ok``
 
     Spark shape: a PURE PROJECTION — every signal is an array/regex
     expression over the row's own text (split/filter/aggregate/
@@ -498,10 +502,10 @@ def gopher_rules(
     rounded to 6 places so the values carry an exact cross-engine
     oracle (duckdb list_* twins).
 
-    Divergence from the paper, stated: duplicate line/paragraph
-    detection is line-granular only (no paragraph tier — the synthetic
-    corpus is single-paragraph) and top-n-gram char fractions live in
-    :func:`repetition_score` instead of here.
+    Divergence from the paper, stated: top-n-gram char fractions live
+    in :func:`repetition_score` instead of here. (The paragraph dup
+    tier — previously missing — landed in r11: paragraphs are
+    ``\\n\\n``-split, trimmed, non-empty, same recipe as lines.)
 
     ``id_col=None`` keeps EVERY incoming column and appends the
     signal/rule columns instead of projecting down to the id — the
@@ -516,6 +520,13 @@ def gopher_rules(
     # non-empty-after-trim lines; blank separator lines carry no signal
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    # paragraphs: non-overlapping left-to-right "\n\n" splits — the
+    # same convention DuckDB's string_split applies, so the oracle
+    # matches piece-for-piece
+    paras = F.filter(
+        F.transform(F.split(t, "\n\n"), lambda x: F.trim(x)),
         lambda x: x != "",
     )
     fdiv = lambda num, den: F.when(  # noqa: E731 - local ratio helper
@@ -555,6 +566,10 @@ def gopher_rules(
         ln, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
     dup_line_char_frac = _bind(lines, lambda ln: fdiv(
         line_chars(ln) - line_chars(F.array_distinct(ln)), line_chars(ln)))
+    dup_para_frac = _bind(paras, lambda pr: fdiv(
+        F.size(pr) - F.size(F.array_distinct(pr)), F.size(pr)))
+    dup_para_char_frac = _bind(paras, lambda pr: fdiv(
+        line_chars(pr) - line_chars(F.array_distinct(pr)), line_chars(pr)))
 
     out = df.select(
         *([F.col(id_col)] if id_col else ["*"]),
@@ -567,6 +582,8 @@ def gopher_rules(
         stopword_hits.alias("stopword_hits"),
         dup_line_frac.alias("dup_line_frac"),
         dup_line_char_frac.alias("dup_line_char_frac"),
+        dup_para_frac.alias("dup_para_frac"),
+        dup_para_char_frac.alias("dup_para_char_frac"),
     )
     rules = {
         "words_ok": (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000),
@@ -579,6 +596,8 @@ def gopher_rules(
         "stopword_ok": F.col("stopword_hits") >= 2,
         "dup_line_ok": F.col("dup_line_frac") <= 0.3,
         "dup_char_ok": F.col("dup_line_char_frac") <= 0.2,
+        "dup_para_ok": F.col("dup_para_frac") <= 0.3,
+        "dup_para_char_ok": F.col("dup_para_char_frac") <= 0.2,
     }
     out = out.select("*", *[c.alias(n) for n, c in rules.items()])
     keep = rules["words_ok"]

@@ -2691,7 +2691,11 @@ def op_d2_spans_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
                          x -> x != '') AS tk,
              list_filter(list_transform(
                  string_split(coalesce(text, ''), chr(10)), x -> trim(x)),
-                 x -> x != '') AS ln
+                 x -> x != '') AS ln,
+             list_filter(list_transform(
+                 string_split(coalesce(text, ''), chr(10) || chr(10)),
+                 x -> trim(x)),
+                 x -> x != '') AS pr
       FROM documents
     ),
     m AS (
@@ -2729,7 +2733,17 @@ def op_d2_spans_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - list_sum(list_transform(list_distinct(ln),
                                            x -> length(x))) AS DOUBLE)
             / list_sum(list_transform(ln, x -> length(x))), 6)
-          ELSE 0.0 END AS dup_line_char_frac
+          ELSE 0.0 END AS dup_line_char_frac,
+        CASE WHEN len(pr) > 0 THEN round(
+          CAST(len(pr) - len(list_distinct(pr)) AS DOUBLE) / len(pr), 6)
+          ELSE 0.0 END AS dup_para_frac,
+        CASE WHEN coalesce(list_sum(list_transform(pr, x -> length(x))), 0) > 0
+          THEN round(
+            CAST(list_sum(list_transform(pr, x -> length(x)))
+                 - list_sum(list_transform(list_distinct(pr),
+                                           x -> length(x))) AS DOUBLE)
+            / list_sum(list_transform(pr, x -> length(x))), 6)
+          ELSE 0.0 END AS dup_para_char_frac
       FROM base
     )
     SELECT *,
@@ -2742,19 +2756,23 @@ def op_d2_spans_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
       (stopword_hits >= 2) AS stopword_ok,
       (dup_line_frac <= 0.3) AS dup_line_ok,
       (dup_line_char_frac <= 0.2) AS dup_char_ok,
+      (dup_para_frac <= 0.3) AS dup_para_ok,
+      (dup_para_char_frac <= 0.2) AS dup_para_char_ok,
       ((n_words BETWEEN 50 AND 100000)
        AND (mean_word_len BETWEEN 3.0 AND 10.0)
        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
        AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8
        AND stopword_hits >= 2 AND dup_line_frac <= 0.3
-       AND dup_line_char_frac <= 0.2) AS keep
+       AND dup_line_char_frac <= 0.2 AND dup_para_frac <= 0.3
+       AND dup_para_char_frac <= 0.2) AS keep
     FROM m
     """,
     doc="Gopher document-quality rule battery (Rae et al. 2021 A1.1): "
         "word count/mean word length bands, symbol ('#'/'...') per-word "
         "ratio, bullet-start and ellipsis-end line fractions, "
         "alphabetic-word fraction, required-stopword hits, duplicate-"
-        "line count and char fractions — per-rule booleans + keep. "
+        "line AND duplicate-paragraph count/char fractions (paragraphs "
+        "= trimmed non-empty \\n\\n splits) — per-rule booleans + keep. "
         "Pure projection, ZERO shuffles: every signal is an array/"
         "regex expression over the row's own text "
         "(ops/text.py gopher_rules).",

@@ -1851,9 +1851,17 @@ def test_gopher_rules_battery(spark):
     dup_lines = "same line here\n" * 8 + "one unique line"
     ellipses = "\n".join(f"trailing thought {i}..." for i in range(10))
     symbols = "# " * 60
+    # paragraph tier (r11): repeating a whole paragraph trips BOTH
+    # tiers (its lines repeat too); repeating single lines spread
+    # across distinct paragraphs trips ONLY the line tier — the pair
+    # pins that the tiers measure different granularities.
+    para = "aaa bbb\nccc ddd"
+    dup_paras = "\n\n".join([para, para, para, "eee fff"])
+    dup_lines_only = "same\nuniq1\n\nsame\nuniq2\n\nsame\nuniq3"
     docs = spark.createDataFrame(
         [(0, clean), (1, bullets), (2, dup_lines), (3, ellipses),
-         (4, symbols), (5, ""), (6, None)],
+         (4, symbols), (5, ""), (6, None), (7, dup_paras),
+         (8, dup_lines_only)],
         "doc_id bigint, text string",
     )
     rows = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
@@ -1861,7 +1869,8 @@ def test_gopher_rules_battery(spark):
     assert rows[0]["keep"] and all(
         rows[0][k] for k in ("words_ok", "word_len_ok", "symbol_ok",
                              "bullet_ok", "ellipsis_ok", "alpha_ok",
-                             "stopword_ok", "dup_line_ok", "dup_char_ok"))
+                             "stopword_ok", "dup_line_ok", "dup_char_ok",
+                             "dup_para_ok", "dup_para_char_ok"))
     assert rows[1]["bullet_frac"] == 1.0 and not rows[1]["bullet_ok"]
     assert rows[2]["dup_line_frac"] == round(7 / 9, 6)
     assert not rows[2]["dup_line_ok"] and not rows[2]["dup_char_ok"]
@@ -1870,6 +1879,17 @@ def test_gopher_rules_battery(spark):
     assert not rows[4]["alpha_ok"] and not rows[4]["stopword_ok"]
     for d in (5, 6):  # empty and NULL text: all-zero signals, dropped
         assert rows[d]["n_words"] == 0 and not rows[d]["keep"]
+    # 4 paragraphs, 2 distinct -> 0.5; chars 3*15+7=52, distinct 15+7=22
+    assert rows[7]["dup_para_frac"] == 0.5 and not rows[7]["dup_para_ok"]
+    assert rows[7]["dup_para_char_frac"] == round((52 - 22) / 52, 6)
+    assert not rows[7]["dup_para_char_ok"]
+    assert not rows[7]["dup_line_ok"]  # whole-para repeat trips lines too
+    # 6 lines / 4 distinct -> 1/3 trips the line tier; all 3 paragraphs
+    # distinct -> paragraph tier clean
+    assert rows[8]["dup_line_frac"] == round(2 / 6, 6)
+    assert not rows[8]["dup_line_ok"]
+    assert rows[8]["dup_para_frac"] == 0.0 and rows[8]["dup_para_ok"]
+    assert rows[8]["dup_para_char_ok"]
 
     # id_col=None attaches in place: all original columns survive
     attached = gopher_rules(docs, id_col=None)
