@@ -53,10 +53,20 @@ HEADLINE = [
     # New in r9
     "OP-D3-kmeans",  # deterministic Lloyd k-means (3 corpus passes)
     "OP-A9-zorder",  # Z-order layout sink + box-filtered round-trip
+    # Added in r11 (the two r9-tail ops with real per-row fold cost —
+    # PQ encode/ADC and the Gopher projection battery; the remaining
+    # r9 tail ops are sub-second scheduler-floor singles, excluded
+    # per SCALING.md "bench exclusions")
+    "OP-D3-pq",      # PQ codebooks + encode + ADC top-k
+    "OP-D4-gopher",  # Gopher quality-rule battery (pure projection)
 ]
 
 
 def main() -> None:
+    try:
+        load_launch = os.getloadavg()[0]
+    except OSError:  # pragma: no cover - non-unix
+        load_launch = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -127,6 +137,22 @@ def main() -> None:
     except OSError:  # pragma: no cover - non-unix
         load1 = load5 = load15 = None
 
+    # Adjudicating note when the box is loud at measurement time (r9
+    # and r10 were both captured under load1 ~8-10 with nothing in the
+    # JSON saying so — the reader had to dig it out of load_avg).
+    load_note = None
+    loud = max(x for x in (load_launch, load1) if x is not None) \
+        if (load_launch is not None or load1 is not None) else None
+    if loud is not None and loud > 2.0:
+        fmt = lambda v: "?" if v is None else f"{v:.1f}"  # noqa: E731
+        load_note = (
+            f"load1 {fmt(load_launch)} at launch / {fmt(load1)} at "
+            f"report on {os.cpu_count()} cpus — timings captured under "
+            "external load; round-over-round drift in this file is "
+            "suspect (the min-of-warm-reps estimator absorbs most of "
+            "it, not all)"
+        )
+
     print(json.dumps({
         "metric": "total_wall_sec",
         "value": round(sum(times.values()), 3),
@@ -144,15 +170,19 @@ def main() -> None:
         "rep_spread": spreads,
         "escalated_queries": escalated,
         "load_avg": [load1, load5, load15],
+        "load1_at_launch": load_launch,
+        "load_note": load_note,
         "cpus": os.cpu_count(),
-        # Queries first present in this series at r5/r6/r9 — subtract
-        # these from "value" to compare totals against r4 and earlier
-        # (the r6 names for r5 comparisons; the r9 names for r6-r8).
+        # Queries first present in this series at r5/r6/r9/r11 —
+        # subtract these from "value" to compare totals against r4 and
+        # earlier (the r6 names for r5 comparisons; the r9 names for
+        # r6-r8; the r11 names for r9-r10).
         "added_queries": ["OP-D2-lines", "OP-D4-perplexity",
                           "OP-D2-spans", "OP-D4-bpe", "OP-D1-keepbest",
                           "OP-D7-dsir", "OP-D7-safesplit",
                           "OP-D4-qualityclf", "OP-D3-kmeans",
-                          "OP-A9-zorder"],
+                          "OP-A9-zorder",
+                          "OP-D3-pq", "OP-D4-gopher"],
         # non-empty => a registry rename silently shrank the suite;
         # totals are NOT comparable until fixed
         "missing_queries": missing,
