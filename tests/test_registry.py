@@ -66,3 +66,29 @@ def test_driver_window_covers_core_surface(entry):
     )
     missing = [n for n in required if n not in first50]
     assert not missing, f"outside the driver's 50-entry window: {missing}"
+
+
+def test_oracle_full_artifact_covers_registry(entry):
+    """The newest committed ORACLE_FULL_r*.json must cover the
+    registry at HEAD exactly — it trailed HEAD by 4 entries for two
+    rounds (VERDICT r10 #2); this makes that impossible to ship."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    arts = sorted(
+        glob.glob(os.path.join(repo, "ORACLE_FULL_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)", p).group(1)),
+    )
+    assert arts, "no ORACLE_FULL artifact committed"
+    with open(arts[-1]) as f:
+        data = json.load(f)
+    names = {e["name"] for e in data["entries"]}
+    qs = set(entry.queries())
+    assert names == qs, (
+        f"{os.path.basename(arts[-1])} trails HEAD: "
+        f"missing {sorted(qs - names)}; stale {sorted(names - qs)}"
+    )
+    assert data["n_fail"] == 0 and data["n_err"] == 0
