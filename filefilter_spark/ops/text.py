@@ -11,7 +11,7 @@ DuckDB oracles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 # Tiny in-expression stopword lists for the language-ID heuristic.
 # (A real pipeline broadcasts a bigger lexicon; the heuristic shape —
@@ -603,6 +603,168 @@ def gopher_rules(
     keep = rules["words_ok"]
     for name in list(rules)[1:]:
         keep = keep & rules[name]
+    return out.withColumn("keep", keep)
+
+
+# Gopher A1.1 repetition thresholds (Rae et al. 2021): a doc is
+# removed when the most-frequent n-gram covers more than this char
+# fraction (top tier) or when characters inside ANY duplicated n-gram
+# exceed it (dup tier).
+GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The OTHER half of Gopher's repetition battery (Rae et al. 2021
+    A1.1): character-fraction signals over word n-grams, completing
+    :func:`gopher_rules`' line/paragraph tier. Per doc:
+
+    - ``top_{2,3,4}gram_char_frac`` — characters claimed by the MOST
+      FREQUENT n-gram across all its occurrences
+      (``count × n-gram token chars``) over total token chars; ties on
+      count break to the lexicographically smallest n-gram so the
+      result is deterministic.
+    - ``dup_{5..10}gram_char_frac`` — characters of token positions
+      covered by ANY n-gram occurring ≥2 times (position-coverage, so
+      overlapping duplicate occurrences are NOT double-counted) over
+      total token chars.
+    - per-rule booleans at the paper's thresholds
+      (:data:`GOPHER_TOP_NGRAM_THRESHOLDS` /
+      :data:`GOPHER_DUP_NGRAM_THRESHOLDS`) and ``keep`` = AND.
+
+    Accounting convention, stated: numerators and the denominator
+    count TOKEN characters only (inter-token separators excluded on
+    both sides — the whitespace run between tokens has no stable
+    width). Fractions round to 6dp for the exact cross-engine oracle.
+
+    Spark shape: unlike the pure-projection :func:`gopher_rules`,
+    counting an n-gram's occurrences needs a per-(doc, n, gram)
+    aggregation — one posexploded gram stream feeds ONE map-combining
+    groupBy; the top tier is a WindowGroupLimit over (doc, n) and the
+    dup tier a position-coverage join keyed by (doc, n, gram) /
+    (doc, position), so every shuffle key is doc-scoped (bounded by
+    doc length × 9 n-values — no corpus-global hot key at any scale).
+    A per-row O(S²) array-expression count would avoid the shuffle
+    but blows up quadratically on 100k-word Gopher-bound docs; the
+    exploded aggregation is linear.
+    """
+    top_ns = sorted(GOPHER_TOP_NGRAM_THRESHOLDS)
+    dup_ns = sorted(GOPHER_DUP_NGRAM_THRESHOLDS)
+    all_ns = top_ns + dup_ns
+    t = F.coalesce(
+        F.col(text_col) if isinstance(text_col, str) else text_col,
+        F.lit(""),
+    )
+    toks = df.select(F.col(id_col).alias("__id"), tokens(t).alias("tk"))
+    toks = toks.select(
+        "__id", "tk",
+        F.aggregate(
+            "tk", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("total_chars"),
+    )
+
+    def per_n(tk: Column, n: int) -> Column:
+        # 1-based start positions of every word n-gram; docs shorter
+        # than n tokens contribute nothing (their fracs are 0)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                i.alias("i"),
+                F.array_join(F.slice(tk, i, n), " ").alias("gram"),
+            ),
+        )
+        return F.when(F.size(tk) >= n, grams).otherwise(
+            F.array().cast("array<struct<n:int,i:int,gram:string>>")
+        )
+
+    ex = toks.select(
+        "__id",
+        F.explode(
+            F.flatten(F.array(*[per_n(F.col("tk"), n) for n in all_ns]))
+        ).alias("g"),
+    ).select("__id", "g.n", "g.i", "g.gram")
+    counts = ex.groupBy("__id", "n", "gram").agg(F.count("*").alias("cnt"))
+
+    # top tier: chars claimed by the most-frequent gram per (doc, n)
+    w = Window.partitionBy("__id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
+    top = (
+        counts.filter(F.col("n").isin([int(n) for n in top_ns]))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "__id", "n",
+            (F.col("cnt") * (F.length("gram") - (F.col("n") - 1)))
+            .cast("long").alias("chars"),
+        )
+    )
+    # dup tier: token positions covered by any gram with count >= 2
+    dup = counts.filter(
+        F.col("n").isin([int(n) for n in dup_ns]) & (F.col("cnt") >= 2)
+    )
+    covered = (
+        ex.join(dup.select("__id", "n", "gram"), ["__id", "n", "gram"])
+        .select(
+            "__id", "n",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.col("n") - 1)
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    tok_len = toks.select(
+        "__id", F.posexplode("tk").alias("j0", "tok")
+    ).select("__id", (F.col("j0") + 1).alias("j"), F.length("tok").alias("ln"))
+    dup_chars = (
+        covered.join(tok_len, ["__id", "j"])
+        .groupBy("__id", "n")
+        .agg(F.sum("ln").alias("chars"))
+    )
+
+    wide = (
+        top.unionByName(dup_chars)
+        .withColumn("__key", F.concat(F.lit("n"), F.col("n")))
+        .groupBy("__id")
+        .pivot("__key", [f"n{n}" for n in all_ns])
+        .agg(F.first("chars"))
+    )
+    out = toks.select("__id", "total_chars").join(wide, "__id", "left")
+
+    cols = [F.col("__id").alias(id_col)]
+    rules: dict[str, Column] = {}
+    for n in top_ns:
+        frac = F.round(
+            F.coalesce(F.col(f"n{n}"), F.lit(0)).cast("double")
+            / F.greatest(F.col("total_chars"), F.lit(1)),
+            6,
+        )
+        cols.append(frac.alias(f"top_{n}gram_char_frac"))
+        rules[f"top_{n}gram_ok"] = (
+            F.col(f"top_{n}gram_char_frac")
+            <= GOPHER_TOP_NGRAM_THRESHOLDS[n]
+        )
+    for n in dup_ns:
+        frac = F.round(
+            F.coalesce(F.col(f"n{n}"), F.lit(0)).cast("double")
+            / F.greatest(F.col("total_chars"), F.lit(1)),
+            6,
+        )
+        cols.append(frac.alias(f"dup_{n}gram_char_frac"))
+        rules[f"dup_{n}gram_ok"] = (
+            F.col(f"dup_{n}gram_char_frac")
+            <= GOPHER_DUP_NGRAM_THRESHOLDS[n]
+        )
+    out = out.select(*cols)
+    out = out.select("*", *[c.alias(nm) for nm, c in rules.items()])
+    keep = None
+    for nm in rules:
+        keep = F.col(nm) if keep is None else keep & F.col(nm)
     return out.withColumn("keep", keep)
 
 

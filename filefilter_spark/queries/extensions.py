@@ -2784,6 +2784,115 @@ def op_d4_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D4-gopher-rep",
+    oracle=r"""
+    WITH ns AS (SELECT CAST(unnest([2,3,4,5,6,7,8,9,10]) AS INTEGER) AS n),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ),
+    tot AS (
+      SELECT doc_id,
+             coalesce(list_sum(list_transform(tk, x -> length(x))), 0)
+               AS total_chars
+      FROM toks
+    ),
+    ex AS (
+      SELECT t.doc_id, ns.n, CAST(u.i AS INTEGER) AS i,
+             array_to_string(t.tk[u.i:u.i + ns.n - 1], ' ') AS gram
+      FROM toks t, ns, unnest(range(1, len(t.tk) - ns.n + 2)) u(i)
+      WHERE len(t.tk) >= ns.n
+    ),
+    counts AS (
+      SELECT doc_id, n, gram, count(*) AS cnt FROM ex GROUP BY ALL
+    ),
+    top AS (
+      SELECT doc_id, n, cnt * (length(gram) - (n - 1)) AS chars
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                                         ORDER BY cnt DESC, gram) AS rk
+            FROM counts WHERE n IN (2, 3, 4))
+      WHERE rk = 1
+    ),
+    cov AS (
+      SELECT DISTINCT e.doc_id, e.n, CAST(u.j AS INTEGER) AS j
+      FROM ex e
+      JOIN counts c ON e.doc_id = c.doc_id AND e.n = c.n AND e.gram = c.gram,
+           unnest(range(e.i, e.i + e.n)) u(j)
+      WHERE c.n >= 5 AND c.cnt >= 2
+    ),
+    tl AS (
+      SELECT doc_id, generate_subscripts(tk, 1) AS j, length(unnest(tk)) AS ln
+      FROM toks
+    ),
+    dupc AS (
+      SELECT cov.doc_id, cov.n, sum(tl.ln) AS chars
+      FROM cov JOIN tl ON cov.doc_id = tl.doc_id AND cov.j = tl.j
+      GROUP BY ALL
+    ),
+    chars AS (SELECT * FROM top UNION ALL SELECT * FROM dupc),
+    f AS (
+      SELECT t.doc_id,
+        round(coalesce(max(CASE WHEN c.n = 2 THEN c.chars END), 0)::DOUBLE
+              / greatest(t.total_chars, 1), 6) AS top_2gram_char_frac,
+        round(coalesce(max(CASE WHEN c.n = 3 THEN c.chars END), 0)::DOUBLE
+              / greatest(t.total_chars, 1), 6) AS top_3gram_char_frac,
+        round(coalesce(max(CASE WHEN c.n = 4 THEN c.chars END), 0)::DOUBLE
+              / greatest(t.total_chars, 1), 6) AS top_4gram_char_frac,
+        round(coalesce(max(CASE WHEN c.n = 5 THEN c.chars END), 0)::DOUBLE
+              / greatest(t.total_chars, 1), 6) AS dup_5gram_char_frac,
+        round(coalesce(max(CASE WHEN c.n = 6 THEN c.chars END), 0)::DOUBLE
+              / greatest(t.total_chars, 1), 6) AS dup_6gram_char_frac,
+        round(coalesce(max(CASE WHEN c.n = 7 THEN c.chars END), 0)::DOUBLE
+              / greatest(t.total_chars, 1), 6) AS dup_7gram_char_frac,
+        round(coalesce(max(CASE WHEN c.n = 8 THEN c.chars END), 0)::DOUBLE
+              / greatest(t.total_chars, 1), 6) AS dup_8gram_char_frac,
+        round(coalesce(max(CASE WHEN c.n = 9 THEN c.chars END), 0)::DOUBLE
+              / greatest(t.total_chars, 1), 6) AS dup_9gram_char_frac,
+        round(coalesce(max(CASE WHEN c.n = 10 THEN c.chars END), 0)::DOUBLE
+              / greatest(t.total_chars, 1), 6) AS dup_10gram_char_frac
+      FROM tot t LEFT JOIN chars c USING (doc_id)
+      GROUP BY t.doc_id, t.total_chars
+    )
+    SELECT *,
+      (top_2gram_char_frac <= 0.20) AS top_2gram_ok,
+      (top_3gram_char_frac <= 0.18) AS top_3gram_ok,
+      (top_4gram_char_frac <= 0.16) AS top_4gram_ok,
+      (dup_5gram_char_frac <= 0.15) AS dup_5gram_ok,
+      (dup_6gram_char_frac <= 0.14) AS dup_6gram_ok,
+      (dup_7gram_char_frac <= 0.13) AS dup_7gram_ok,
+      (dup_8gram_char_frac <= 0.12) AS dup_8gram_ok,
+      (dup_9gram_char_frac <= 0.11) AS dup_9gram_ok,
+      (dup_10gram_char_frac <= 0.10) AS dup_10gram_ok,
+      (top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+       AND top_4gram_char_frac <= 0.16 AND dup_5gram_char_frac <= 0.15
+       AND dup_6gram_char_frac <= 0.14 AND dup_7gram_char_frac <= 0.13
+       AND dup_8gram_char_frac <= 0.12 AND dup_9gram_char_frac <= 0.11
+       AND dup_10gram_char_frac <= 0.10) AS keep
+    FROM f
+    """,
+    doc="Gopher repetition battery, char-fraction tier (Rae et al. 2021 "
+        "A1.1 — completes OP-D4-gopher's line/paragraph tier): "
+        "top-2/3/4-gram char fraction (most-frequent n-gram's chars "
+        "across all occurrences; count ties break lexicographic) and "
+        "dup-5..10-gram char fraction (token positions covered by any "
+        "n-gram occurring >=2x — coverage, not double-counted), paper "
+        "thresholds as booleans + keep. Token chars only on both sides "
+        "of every ratio (separators excluded). One posexploded gram "
+        "stream -> one map-combining count, a WindowGroupLimit top "
+        "pick, and a doc-scoped position-coverage join: every shuffle "
+        "key is (doc, n[, gram]) so no corpus-global hot key exists at "
+        "any scale (ops/text.py gopher_repetition; a per-row array "
+        "count would be O(len^2) on 100k-word docs, rejected).",
+)
+def op_d4_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.text import gopher_repetition
+
+    return gopher_repetition(load_table(spark, sf_dir, "documents"))
+
+
+@query(
     "OP-D4-entropy",
     oracle=r"""
     WITH toks AS (

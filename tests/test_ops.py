@@ -2515,3 +2515,62 @@ def test_ivfpq_composed_recall_and_determinism(spark):
         indexed, books, cents, q, topk=1_000_000, n_probe=4
     ).count()
     assert 0 < probed_n < emb.count()
+
+
+def test_gopher_repetition_char_fractions(spark):
+    # Closed-form fixtures for the char-fraction tier (r11): values
+    # computed by hand; token chars only (separators excluded) on both
+    # sides of every ratio.
+    from filefilter_spark.ops.text import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # "ab cd " x4: top bigram is "ab cd" (4 occurrences of 4
+            # token chars... "ab cd" token chars = 4) over total 16;
+            # but "cd ab" x3 also repeats — count ties break to the
+            # lexicographically smallest, and 4 > 3 anyway.
+            (0, "ab cd " * 4),
+            # all-distinct 50 tokens: every n-gram unique; top-n claims
+            # its own chars once (small at this length), dup tiers 0.
+            # (A SHORT distinct doc legitimately fails: one 4-gram of a
+            # 12-token doc claims 33% of chars — the paper applies
+            # these rules after gopher_rules' 50-word floor.)
+            (1, " ".join(f"w{i:02d}" for i in range(50))),
+            # a repeated 5-gram inside otherwise-unique filler: dup5
+            # covers exactly the two occurrences' positions
+            (2, "p q r s t " + "x1 x2 x3 " + "p q r s t"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in gopher_repetition(docs).collect()}
+
+    # doc 0: 8 tokens of 2 chars, total 16. top bigram "ab cd" count 4,
+    # chars 4*4=16 -> 1.0; dup5: 5-grams ("ab cd ab cd ab" etc.) each
+    # occur twice across the 4 start positions -> all 8 positions
+    # covered -> 1.0
+    assert rows[0]["top_2gram_char_frac"] == 1.0
+    assert not rows[0]["top_2gram_ok"]
+    assert rows[0]["dup_5gram_char_frac"] == 1.0 and not rows[0]["keep"]
+    # doc 1: 50 3-char tokens, total 150; top bigram = 6 chars once
+    # -> 6/150; top 4-gram 12/150 = 0.08 <= 0.16; no duplicated
+    # n-gram of any size
+    assert rows[1]["top_2gram_char_frac"] == round(6 / 150, 6)
+    assert rows[1]["top_4gram_char_frac"] == round(12 / 150, 6)
+    assert rows[1]["dup_5gram_char_frac"] == 0.0
+    assert rows[1]["keep"] is True
+    # doc 2: tokens p q r s t x1 x2 x3 p q r s t — total chars
+    # 5*1 + 3*2 + 5*1 = 16; the 5-gram "p q r s t" occurs twice,
+    # covering 10 one-char positions -> 10/16; no 6-gram repeats
+    assert rows[2]["dup_5gram_char_frac"] == round(10 / 16, 6)
+    assert not rows[2]["dup_5gram_ok"]
+    assert rows[2]["dup_6gram_char_frac"] == 0.0
+    # empty doc: all zeros, keeps
+    assert rows[3]["top_2gram_char_frac"] == 0.0 and rows[3]["keep"]
+
+    # partition invariance (deterministic tie-breaks, exact sums)
+    re_rows = {r["doc_id"]: r.asDict()
+               for r in gopher_repetition(docs.repartition(7)).collect()}
+    assert re_rows == rows
+
