@@ -268,6 +268,48 @@ def pq_adc_topk(
     )
 
 
+def hash_sample(
+    df: DataFrame, frac: float, id_col: str = "vec_id",
+    salt: str = "ivfpq",
+) -> DataFrame:
+    """Deterministic content-addressed sample: keep rows whose
+    ``md5(salt:id)`` 32-bit hex prefix falls under ``frac`` — the
+    same rows on any partitioning, cluster size, retry, or engine
+    (``df.sample`` is none of those). The standard way to fit an
+    index/codebook on a sliver of a 100 TB corpus reproducibly."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"hash_sample: frac {frac} outside (0, 1]")
+    if frac == 1.0:
+        return df
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"),
+                           F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return df.filter(key < F.lit(int(frac * 2**32)))
+
+
+def _residual_expr(
+    qd: Column, cell: Column, centroids: Sequence[Sequence[float]],
+    scale: float,
+) -> Column:
+    """``x − centroid[cell]`` with the centroid grid-quantized the
+    same way as ``x`` (both operands on the grid → the difference is
+    exact and cross-engine-stable)."""
+    cents_q = F.array(*[
+        F.array(*[
+            F.lit(float(math.floor(v * scale + 0.5)) / scale) for v in c
+        ])
+        for c in centroids
+    ])
+    return F.zip_with(
+        qd, F.element_at(cents_q, cell + 1), lambda x, c: x - c
+    )
+
+
 def build_ivfpq_index(
     df: DataFrame,
     n_lists: int = 16,
@@ -277,6 +319,8 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: float = 1e6,
+    residual: bool = False,
+    fit_frac: float = 1.0,
 ):
     """IVF×PQ composed index (Jégou et al. 2011 §IV: coarse quantizer
     + product codes): Lloyd k-means assigns every vector to one of
@@ -295,24 +339,88 @@ def build_ivfpq_index(
     Both tiers are the deterministic variants (``lloyd_kmeans`` cells,
     exact-integer PQ codebooks): the index is bit-identical under any
     partitioning/retry — the property a write-once/probe-forever
-    index needs. PQ codes are of the RAW vectors (not residuals
-    against the cell centroid — a documented simplification: one
-    shared codebook, so codes are cell-independent and the encode pass
-    needs no join)."""
+    index needs.
+
+    ``residual=True`` is the paper's §IV shape: PQ quantizes
+    ``x − centroid[cell]`` instead of ``x`` (residuals are smaller and
+    more isotropic than raw vectors, so the same m×k code budget
+    spends its resolution where it matters; one shared residual
+    codebook across cells, as in the paper's IVFADC). The centroid is
+    grid-quantized like ``x`` so the residual stays exact. Search must
+    then build one LUT per probed cell from the QUERY's residual —
+    :func:`ivfpq_topk` handles both variants. Measured on the
+    synthetic corpus (near-isotropic by construction; sf0.01, single
+    query, r11): ADC-only recall 0.3 → 0.4, refine-recall 0.9 → 0.8 —
+    a wash here; the variant exists for real-world anisotropic
+    embeddings where residual energy ≪ vector energy.
+
+    ``fit_frac < 1`` fits BOTH tiers (cells + codebooks) on a
+    :func:`hash_sample` of the corpus — the standard 100 TB practice
+    (the fit is a k×d-bounded iterative job; assignment and encode
+    remain single-pass projections over the full data). The sample is
+    content-addressed, so the index stays bit-reproducible. Measured
+    caveat (sf0.01 synthetic corpus, single query, r11): sampling
+    CHANGES the deterministic seed set (k lowest ids of the sample),
+    and the shallow Lloyd runs used here (2 coarse iters, ``iters``
+    codebook rounds) are seed-sensitive — single-query refine-recall
+    read 0.9 full-fit vs 0.4 at fit_frac=0.5 with coarse recall
+    0.9 → 0.6. Sampled fits should raise ``n_probe``/``iters`` and
+    validate recall on held-out queries before trusting the index."""
     from filefilter_spark.ops.similarity import build_ivf_index
 
-    assigned, centroids = build_ivf_index(
-        df, n_lists=n_lists, vec_col=vec_col, id_col=id_col,
+    fit_df = hash_sample(df, fit_frac, id_col=id_col)
+    _, centroids = build_ivf_index(
+        fit_df, n_lists=n_lists, vec_col=vec_col, id_col=id_col,
         method="lloyd",
     )
+    # assign the FULL corpus to the fitted cells (pure projection —
+    # same deterministic argmin fold as the clusterer)
+    from filefilter_spark.ops.cluster import _assign, quantize_to_grid
+
+    qf = df.select(
+        F.col(id_col).alias("__id"),
+        quantize_to_grid(vec_col, scale).alias("q"),
+    ).withColumn("__scale", F.lit(float(scale)))
+    # assignment uses the clusterer's own (exact-arithmetic) centroid
+    # values, so full-corpus cells agree with the fit's cells
+    assigned = _assign(qf, centroids).select(
+        F.col("__id").alias(id_col), F.col("cluster").alias("cell")
+    )
+    if residual:
+        qd = F.transform(
+            _grid(F.col(vec_col), scale), lambda v: v / F.lit(float(scale))
+        )
+        res_frame = df.join(assigned, id_col).select(
+            F.col(id_col),
+            _residual_expr(qd, F.col("cell"), centroids, scale)
+            .alias("__res"),
+            "cell",
+        )
+        fit_res = hash_sample(res_frame, fit_frac, id_col=id_col)
+        books = fit_pq_codebooks(
+            fit_res, m=m, k=k, iters=iters, vec_col="__res",
+            id_col=id_col, scale=scale,
+        )
+        # regrid the residual for encoding — the same normalization
+        # fit_pq_codebooks applied when fitting, so encode and fit
+        # argue over identical values (no ulp drift at tie boundaries)
+        res_qd = F.transform(
+            _grid(F.col("__res"), scale), lambda v: v / F.lit(float(scale))
+        )
+        indexed = res_frame.select(
+            F.col(id_col),
+            _code_expr(res_qd, books).alias("codes"),
+            "cell",
+        )
+        return indexed, books, centroids
     books = fit_pq_codebooks(
-        df, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
+        fit_df, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
         scale=scale,
     )
     codes = pq_encode(
         df, books, vec_col=vec_col, id_col=id_col, scale=scale
     )
-    indexed = codes.join(assigned.select(id_col, "cell"), id_col)
+    indexed = codes.join(assigned, id_col)
     return indexed, books, centroids
 
 
@@ -329,6 +437,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     codes_col: str = "codes",
     scale: float = 1e6,
+    residual: bool = False,
 ) -> DataFrame:
     """ANN top-k over an IVF×PQ index: score the query against the
     driver-side centroid table (n_lists rows — tiny), probe the
@@ -362,8 +471,24 @@ def ivfpq_topk(
     probe = sorted(
         range(len(centroids)), key=lambda i: (sqd(centroids[i]), i)
     )[:n_probe]
-    lut = adc_lut(query, codebooks, scale)
-    adc = _adc_expr(codes_col, lut)
+    if residual:
+        # residual codes (build_ivfpq_index residual=True): the code
+        # approximates x − centroid[cell], so each probed cell needs
+        # its OWN LUT built from the query's residual against that
+        # cell (Jégou §V: one LUT per probed list). n_probe is small —
+        # a when-chain over probed cells keeps it one codegen pass.
+        adc = None
+        for c in probe:
+            cq = [
+                float(math.floor(v * scale + 0.5)) / scale
+                for v in centroids[c]
+            ]
+            qr = [a - b for a, b in zip(qq, cq)]
+            term = _adc_expr(codes_col, adc_lut(qr, codebooks, scale))
+            cond = F.col("cell") == c
+            adc = F.when(cond, term) if adc is None else adc.when(cond, term)
+    else:
+        adc = _adc_expr(codes_col, adc_lut(query, codebooks, scale))
     shortlist_n = topk if refine <= 0 else refine * topk
     shortlist = (
         indexed.filter(F.col("cell").isin(probe))

@@ -2574,3 +2574,70 @@ def test_gopher_repetition_char_fractions(spark):
                for r in gopher_repetition(docs.repartition(7)).collect()}
     assert re_rows == rows
 
+
+def test_ivfpq_residual_and_sampled_fit(spark):
+    # r11 follow-ons to the composed index: residual encoding (Jegou
+    # IVFADC shape — per-probed-cell LUTs) and content-addressed
+    # sampled fit. Both must be bit-reproducible under repartition;
+    # residual must hold the registry recall floor.
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from filefilter_spark.ops.pq import (
+        build_ivfpq_index,
+        hash_sample,
+        ivfpq_topk,
+    )
+    from filefilter_spark.queries.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    q = [float(x) for x in
+         emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    qlit = F.array(*[F.lit(v) for v in q])
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), qlit,
+                   lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda a, v: a + v)
+    exact = {r["vec_id"] for r in
+             emb.select("vec_id", d2.alias("d2"))
+                .orderBy("d2", "vec_id").limit(10).collect()}
+
+    # hash_sample: deterministic, partition-invariant, ~frac-sized
+    ids = {r["vec_id"] for r in hash_sample(emb, 0.5).collect()}
+    assert 0.35 * n <= len(ids) <= 0.65 * n
+    ids_re = {r["vec_id"]
+              for r in hash_sample(emb.repartition(9), 0.5).collect()}
+    assert ids_re == ids
+    assert hash_sample(emb, 1.0) is emb
+    with _pytest.raises(ValueError, match="frac"):
+        hash_sample(emb, 0.0)
+
+    # residual: recall holds the floor, index bit-identical under
+    # repartition
+    idx, books, cents = build_ivfpq_index(
+        emb, n_lists=16, m=8, k=16, iters=1, residual=True)
+    got = [r["vec_id"] for r in
+           ivfpq_topk(idx, books, cents, q, topk=10, n_probe=4,
+                      refine=5, vectors=emb, residual=True).collect()]
+    assert len(set(got) & exact) / 10 >= 0.6
+    i2, b2, c2 = build_ivfpq_index(
+        emb.repartition(7), n_lists=16, m=8, k=16, iters=1,
+        residual=True)
+    assert b2 == books and c2 == cents
+    codes1 = {r["vec_id"]: r["codes"] for r in idx.collect()}
+    codes2 = {r["vec_id"]: r["codes"] for r in i2.collect()}
+    assert codes2 == codes1
+
+    # sampled fit: runs end-to-end and reproduces exactly
+    s1, sb1, sc1 = build_ivfpq_index(
+        emb, n_lists=16, m=8, k=16, iters=1, fit_frac=0.5)
+    s2, sb2, sc2 = build_ivfpq_index(
+        emb.repartition(11), n_lists=16, m=8, k=16, iters=1,
+        fit_frac=0.5)
+    assert sb2 == sb1 and sc2 == sc1
+    r1 = [r["vec_id"] for r in
+          ivfpq_topk(s1, sb1, sc1, q, topk=10, n_probe=4).collect()]
+    r2 = [r["vec_id"] for r in
+          ivfpq_topk(s2, sb2, sc2, q, topk=10, n_probe=4).collect()]
+    assert r1 == r2 and len(r1) == 10
