@@ -321,6 +321,7 @@ def build_ivfpq_index(
     scale: float = 1e6,
     residual: bool = False,
     fit_frac: float = 1.0,
+    coarse_iters: int = 2,
 ):
     """IVF×PQ composed index (Jégou et al. 2011 §IV: coarse quantizer
     + product codes): Lloyd k-means assigns every vector to one of
@@ -361,17 +362,18 @@ def build_ivfpq_index(
     content-addressed, so the index stays bit-reproducible. Measured
     caveat (sf0.01 synthetic corpus, single query, r11): sampling
     CHANGES the deterministic seed set (k lowest ids of the sample),
-    and the shallow Lloyd runs used here (2 coarse iters, ``iters``
-    codebook rounds) are seed-sensitive — single-query refine-recall
-    read 0.9 full-fit vs 0.4 at fit_frac=0.5 with coarse recall
-    0.9 → 0.6. Sampled fits should raise ``n_probe``/``iters`` and
-    validate recall on held-out queries before trusting the index."""
+    and shallow Lloyd runs are seed-sensitive — single-query
+    refine-recall read 0.9 full-fit vs 0.4 at fit_frac=0.5 with the
+    default ``coarse_iters=2``; raising ``coarse_iters`` to 6 recovers
+    0.6 (converged: 8 iters reads the same). Sampled fits should
+    raise ``coarse_iters``/``iters``/``n_probe`` and validate recall
+    on held-out queries before trusting the index."""
     from filefilter_spark.ops.similarity import build_ivf_index
 
     fit_df = hash_sample(df, fit_frac, id_col=id_col)
     _, centroids = build_ivf_index(
         fit_df, n_lists=n_lists, vec_col=vec_col, id_col=id_col,
-        method="lloyd",
+        method="lloyd", coarse_iters=coarse_iters,
     )
     # assign the FULL corpus to the fitted cells (pure projection —
     # same deterministic argmin fold as the clusterer)

@@ -359,6 +359,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     seed: int = 7,
     method: str = "ml",
+    coarse_iters: int = 2,
 ):
     """IVF (inverted-file) coarse quantizer: KMeans the corpus into
     ``n_lists`` centroid cells; every vector is assigned to its nearest
@@ -382,7 +383,7 @@ def build_ivf_index(
             F.col(id_col), _as_double_array(vec_col).alias("__arr")
         )
         assigned = (
-            lloyd_kmeans(df, k=n_lists, iters=2, vec_col=vec_col,
+            lloyd_kmeans(df, k=n_lists, iters=coarse_iters, vec_col=vec_col,
                          id_col=id_col)
             .withColumnRenamed("cluster", "cell")
             .join(arrs, id_col)
