@@ -647,12 +647,15 @@ def gopher_repetition(
     counting an n-gram's occurrences needs a per-(doc, n, gram)
     aggregation — one posexploded gram stream feeds ONE map-combining
     groupBy; the top tier is a WindowGroupLimit over (doc, n) and the
-    dup tier a position-coverage join keyed by (doc, n, gram) /
-    (doc, position), so every shuffle key is doc-scoped (bounded by
-    doc length × 9 n-values — no corpus-global hot key at any scale).
-    A per-row O(S²) array-expression count would avoid the shuffle
-    but blows up quadratically on 100k-word Gopher-bound docs; the
-    exploded aggregation is linear.
+    dup tier a position-coverage join keyed by (doc, n, gram), so
+    every shuffle key is doc-scoped (bounded by doc length × 9
+    n-values — no corpus-global hot key at any scale). Each gram row
+    carries its own token lengths, so coverage needs NO positional
+    re-scan: the corpus is read twice total (the gram stream + the
+    per-doc anchor), both column-pruned. A per-row O(S²)
+    array-expression count would avoid the shuffle but blows up
+    quadratically on 100k-word Gopher-bound docs; the exploded
+    aggregation is linear.
     """
     top_ns = sorted(GOPHER_TOP_NGRAM_THRESHOLDS)
     dup_ns = sorted(GOPHER_DUP_NGRAM_THRESHOLDS)
@@ -662,41 +665,63 @@ def gopher_repetition(
         F.lit(""),
     )
     toks = df.select(F.col(id_col).alias("__id"), tokens(t).alias("tk"))
-    toks = toks.select(
+    base = toks.select(
         "__id", "tk",
+        F.transform("tk", F.length).alias("tklens"),
+    ).select(
+        "__id", "tk", "tklens",
         F.aggregate(
-            "tk", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            "tklens", F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("total_chars"),
     )
 
-    def per_n(tk: Column, n: int) -> Column:
+    def per_n(tk: Column, tklens: Column, n: int) -> Column:
         # 1-based start positions of every word n-gram; docs shorter
-        # than n tokens contribute nothing (their fracs are 0)
+        # than n tokens contribute nothing (their fracs are 0). Each
+        # gram row CARRIES its n token lengths so the dup-coverage
+        # tier never has to re-scan the corpus for them.
         grams = F.transform(
             F.sequence(F.lit(1), F.size(tk) - (n - 1)),
             lambda i: F.struct(
                 F.lit(n).alias("n"),
                 i.alias("i"),
                 F.array_join(F.slice(tk, i, n), " ").alias("gram"),
+                F.slice(tklens, i, n).alias("lens"),
             ),
         )
         return F.when(F.size(tk) >= n, grams).otherwise(
-            F.array().cast("array<struct<n:int,i:int,gram:string>>")
+            F.array().cast(
+                "array<struct<n:int,i:int,gram:string,lens:array<int>>>"
+            )
         )
 
-    ex = toks.select(
-        "__id",
-        F.explode(
-            F.flatten(F.array(*[per_n(F.col("tk"), n) for n in all_ns]))
-        ).alias("g"),
-    ).select("__id", "g.n", "g.i", "g.gram")
-    counts = ex.groupBy("__id", "n", "gram").agg(F.count("*").alias("cnt"))
+    def gram_stream(ns: list[int]) -> DataFrame:
+        return base.select(
+            "__id",
+            F.explode(
+                F.flatten(
+                    F.array(*[
+                        per_n(F.col("tk"), F.col("tklens"), n) for n in ns
+                    ])
+                )
+            ).alias("g"),
+        ).select("__id", "g.n", "g.i", "g.gram", "g.lens")
+
+    # Tiers take disjoint n-sets, so each gets its OWN gram stream —
+    # one corpus scan per tier plus the per-doc anchor (three
+    # column-pruned scans total), and neither branch pays the other's
+    # gram generation or shuffle payload (the top tier needs no
+    # occurrence positions at all).
 
     # top tier: chars claimed by the most-frequent gram per (doc, n)
+    counts = (
+        gram_stream(top_ns)
+        .groupBy("__id", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
     w = Window.partitionBy("__id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
     top = (
-        counts.filter(F.col("n").isin([int(n) for n in top_ns]))
-        .withColumn("__rk", F.row_number().over(w))
+        counts.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .select(
             "__id", "n",
@@ -704,27 +729,38 @@ def gopher_repetition(
             .cast("long").alias("chars"),
         )
     )
-    # dup tier: token positions covered by any gram with count >= 2
-    dup = counts.filter(
-        F.col("n").isin([int(n) for n in dup_ns]) & (F.col("cnt") >= 2)
-    )
+    # dup tier: token positions covered by any gram with count >= 2.
+    # ONE aggregation carries count + occurrences (start + lengths,
+    # doc-bounded per gram) so no join back to the stream is needed;
+    # each position's char length rides in from the gram's own `lens`
+    # (identical from every covering gram, so DISTINCT collapses
+    # them; collect_list order is irrelevant under explode+distinct).
     covered = (
-        ex.join(dup.select("__id", "n", "gram"), ["__id", "n", "gram"])
+        gram_stream(dup_ns)
+        .groupBy("__id", "n", "gram")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.collect_list(F.struct("i", "lens")).alias("occ"),
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("__id", "n", F.explode("occ").alias("o"))
         .select(
             "__id", "n",
             F.explode(
-                F.sequence(F.col("i"), F.col("i") + F.col("n") - 1)
-            ).alias("j"),
+                F.arrays_zip(
+                    F.sequence(
+                        F.col("o.i"), F.col("o.i") + F.col("n") - 1
+                    ).alias("j"),
+                    F.col("o.lens").alias("ln"),
+                )
+            ).alias("z"),
         )
+        .select("__id", "n", "z.j", "z.ln")
         .distinct()
     )
-    tok_len = toks.select(
-        "__id", F.posexplode("tk").alias("j0", "tok")
-    ).select("__id", (F.col("j0") + 1).alias("j"), F.length("tok").alias("ln"))
     dup_chars = (
-        covered.join(tok_len, ["__id", "j"])
-        .groupBy("__id", "n")
-        .agg(F.sum("ln").alias("chars"))
+        covered.groupBy("__id", "n")
+        .agg(F.sum("ln").cast("long").alias("chars"))
     )
 
     wide = (
@@ -734,7 +770,7 @@ def gopher_repetition(
         .pivot("__key", [f"n{n}" for n in all_ns])
         .agg(F.first("chars"))
     )
-    out = toks.select("__id", "total_chars").join(wide, "__id", "left")
+    out = base.select("__id", "total_chars").join(wide, "__id", "left")
 
     cols = [F.col("__id").alias(id_col)]
     rules: dict[str, Column] = {}
