@@ -26,6 +26,9 @@ HEADLINE = [
     "OP-D4-gopher", "OP-D4-entropy", "OP-D3-kmeans", "OP-A9-zorder",
     "OP-D7-novelty", "OP-D3-pca", "OP-D7-shuffle", "OP-D7-curriculum",
     "OP-D3-pq",
+    # round-11 operators (gopher-rep exact-oracle; ivfpq is
+    # recall-oracled — Spark wall-clock only, no DuckDB column)
+    "OP-D4-gopher-rep", "OP-D3-ivfpq",
 ]
 
 
