@@ -713,29 +713,48 @@ def gopher_repetition(
     # gram generation or shuffle payload (the top tier needs no
     # occurrence positions at all).
 
-    # top tier: chars claimed by the most-frequent gram per (doc, n)
-    counts = (
+    # top tier: chars claimed by the most-frequent gram per (doc, n).
+    # min over struct(-cnt, gram) IS the (count desc, gram asc) argmax
+    # — a map-combinable aggregate, no window sort.
+    top = (
         gram_stream(top_ns)
         .groupBy("__id", "n", "gram")
         .agg(F.count("*").alias("cnt"))
-    )
-    w = Window.partitionBy("__id", "n").orderBy(F.desc("cnt"), F.asc("gram"))
-    top = (
-        counts.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
+        .groupBy("__id", "n")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("negc"),
+                    F.col("gram").alias("gram"),
+                )
+            ).alias("b")
+        )
         .select(
             "__id", "n",
-            (F.col("cnt") * (F.length("gram") - (F.col("n") - 1)))
-            .cast("long").alias("chars"),
+            (
+                (-F.col("b.negc"))
+                * (F.length("b.gram") - (F.col("n") - 1))
+            ).cast("long").alias("chars"),
         )
     )
     # dup tier: token positions covered by any gram with count >= 2.
     # ONE aggregation carries count + occurrences (start + lengths,
-    # doc-bounded per gram) so no join back to the stream is needed;
-    # each position's char length rides in from the gram's own `lens`
-    # (identical from every covering gram, so DISTINCT collapses
-    # them; collect_list order is irrelevant under explode+distinct).
-    covered = (
+    # doc-bounded per gram); the per-(doc, n) coverage dedup then runs
+    # as a pure array expression — flatten the occurrences into
+    # (position, length) pairs, array_distinct (every covering gram
+    # reports the same length for a position), fold the lengths — so
+    # no position row ever crosses an exchange.
+    occ_pairs = F.flatten(
+        F.transform(
+            F.col("occs"),
+            lambda o: F.zip_with(
+                F.sequence(o["i"], o["i"] + F.col("n") - 1),
+                o["lens"],
+                lambda j, ln: F.struct(j.alias("j"), ln.alias("ln")),
+            ),
+        )
+    )
+    dup_chars = (
         gram_stream(dup_ns)
         .groupBy("__id", "n", "gram")
         .agg(
@@ -743,24 +762,16 @@ def gopher_repetition(
             F.collect_list(F.struct("i", "lens")).alias("occ"),
         )
         .filter(F.col("cnt") >= 2)
-        .select("__id", "n", F.explode("occ").alias("o"))
+        .groupBy("__id", "n")
+        .agg(F.flatten(F.collect_list("occ")).alias("occs"))
         .select(
             "__id", "n",
-            F.explode(
-                F.arrays_zip(
-                    F.sequence(
-                        F.col("o.i"), F.col("o.i") + F.col("n") - 1
-                    ).alias("j"),
-                    F.col("o.lens").alias("ln"),
-                )
-            ).alias("z"),
+            F.aggregate(
+                F.array_distinct(occ_pairs),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc + p["ln"],
+            ).alias("chars"),
         )
-        .select("__id", "n", "z.j", "z.ln")
-        .distinct()
-    )
-    dup_chars = (
-        covered.groupBy("__id", "n")
-        .agg(F.sum("ln").cast("long").alias("chars"))
     )
 
     wide = (
