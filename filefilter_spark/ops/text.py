@@ -11,7 +11,7 @@ DuckDB oracles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 
 # Tiny in-expression stopword lists for the language-ID heuristic.
 # (A real pipeline broadcasts a bigger lexicon; the heuristic shape —
@@ -645,16 +645,18 @@ def gopher_repetition(
 
     Spark shape: unlike the pure-projection :func:`gopher_rules`,
     counting an n-gram's occurrences needs a per-(doc, n, gram)
-    aggregation — one posexploded gram stream feeds ONE map-combining
-    groupBy; the top tier is a WindowGroupLimit over (doc, n) and the
-    dup tier a position-coverage join keyed by (doc, n, gram), so
-    every shuffle key is doc-scoped (bounded by doc length × 9
-    n-values — no corpus-global hot key at any scale). Each gram row
+    aggregation — each tier's posexploded gram stream feeds ONE
+    map-combining groupBy; the top pick is a further argmax-by-struct
+    aggregate (min over ``(-cnt, gram)`` — no window sort) and the dup
+    tier's position-coverage dedup is a per-(doc, n) array expression
+    over collected occurrences, so every shuffle key is doc-scoped
+    (bounded by doc length × 9 n-values — no corpus-global hot key at
+    any scale) and no position row crosses an exchange. Each gram row
     carries its own token lengths, so coverage needs NO positional
-    re-scan: the corpus is read twice total (the gram stream + the
-    per-doc anchor), both column-pruned. A per-row O(S²)
-    array-expression count would avoid the shuffle but blows up
-    quadratically on 100k-word Gopher-bound docs; the exploded
+    re-scan: the corpus is read three times total (one gram stream per
+    tier + the per-doc anchor), all column-pruned. A per-row O(S²)
+    array-expression count would avoid the shuffle entirely but blows
+    up quadratically on 100k-word Gopher-bound docs; the exploded
     aggregation is linear.
     """
     top_ns = sorted(GOPHER_TOP_NGRAM_THRESHOLDS)
