@@ -137,3 +137,63 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def input_bytes(spark, path: str) -> int:
+    """Total byte size under ``path`` via the Hadoop FileSystem API —
+    works on any store Spark can read (file:, hdfs:, s3a:), costs one
+    listing, reads no data."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(p).getLength())
+
+
+def compact_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    order_by: Sequence[str],
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> int:
+    """Small-files compaction — the standing operational chore of any
+    long-lived 100 TB table (streaming sinks, per-batch ingests, and
+    over-parallel writers each leave thousands of KB-sized files;
+    every later scan then pays one task + one open per file, and the
+    driver pays the listing). Rewrites ``in_path`` as
+    ``ceil(input_bytes / target_bytes)`` files at ``out_path``.
+
+    Determinism contract: callers MUST name a sort key (`order_by`) —
+    without one, which rows land in which output file depends on
+    scheduling, and the rewritten table would not be reproducible.
+    With it, the write is ``repartitionByRange(n, keys)`` +
+    ``sortWithinPartitions`` — one range-exchange shuffle (AQE-sized
+    sampling picks the split points), and each output file holds a
+    contiguous key range, so the compaction doubles as a cluster-by
+    layout: parquet min/max stats on the leading key become tight and
+    later key-range scans prune files.
+
+    Sizing note, stated: output file count is estimated from INPUT
+    bytes (one FileSystem listing, no data read). Same-format
+    compaction preserves compressed size closely; format conversions
+    (jsonl → parquet) should pass an explicit ``target_bytes`` scaled
+    by the expected ratio. Returns the number of files written."""
+    if not order_by:
+        raise ValueError(
+            "compact_files: order_by is required — unordered compaction "
+            "is not reproducible (file contents would depend on "
+            "scheduling)"
+        )
+    total = input_bytes(spark, in_path)
+    n_out = max(1, -(-total // int(target_bytes)))
+    df = spark.read.format(fmt).load(in_path)
+    keys = [F.col(c) for c in order_by]
+    (
+        df.repartitionByRange(n_out, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(out_path)
+    )
+    return n_out

@@ -3068,6 +3068,44 @@ def _zorder_oracle() -> str:
 
 
 @query(
+    "OP-A9-compact",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    """,
+    doc="small-files compaction round-trip: lineitem deliberately "
+        "shattered into 64 tiny parquet files, rewritten by "
+        "ops/layout.py compact_files as ceil(input_bytes/target) "
+        "range-clustered files (one FileSystem listing for sizing — "
+        "no data read; one range-exchange shuffle; each output file a "
+        "contiguous (l_orderkey, l_linenumber) range so the leading "
+        "key's parquet stats prune later scans), then re-read and "
+        "compared to the source — the standing operational chore of "
+        "any long-lived 100 TB table with streaming/per-batch "
+        "writers. Content equality is the oracle; the file-count "
+        "collapse and required-order contract are pinned in "
+        "tests/test_ops.py.",
+)
+def op_a9_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.layout import compact_files
+
+    from filefilter_spark.queries.inventory import _scratch
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+    src = _scratch("a9c/lineitem_small")
+    out = _scratch("a9c/lineitem_compact")
+    li.repartition(64).write.mode("overwrite").parquet(src)
+    compact_files(
+        spark, src, out,
+        order_by=["l_orderkey", "l_linenumber"],
+        target_bytes=1 << 20,
+    )
+    return spark.read.parquet(out)
+
+
+@query(
     "OP-A9-zorder",
     oracle=_zorder_oracle(),
     doc="Z-order (Morton) layout sink + round-trip: lineitem written "

@@ -2641,3 +2641,53 @@ def test_ivfpq_residual_and_sampled_fit(spark):
     r2 = [r["vec_id"] for r in
           ivfpq_topk(s2, sb2, sc2, q, topk=10, n_probe=4).collect()]
     assert r1 == r2 and len(r1) == 10
+
+
+def test_compact_files_collapses_and_clusters(spark, tmp_path):
+    # r11: small-files compaction — 64 shattered files collapse to the
+    # input-bytes/target estimate, content round-trips exactly, each
+    # output file holds a contiguous key range, and the
+    # reproducibility contract (order_by required) is enforced.
+    import glob
+
+    import pyarrow.parquet as papq
+    import pytest as _pytest
+
+    from filefilter_spark.ops.layout import compact_files, input_bytes
+    from filefilter_spark.queries.registry import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compact")
+    li.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 64
+
+    total = input_bytes(spark, src)
+    n = compact_files(
+        spark, src, out, order_by=["l_orderkey", "l_linenumber"],
+        target_bytes=max(1, total // 3),
+    )
+    files = sorted(glob.glob(f"{out}/part-*"))
+    assert len(files) == n <= 4  # ceil(total / (total//3)) is 3 or 4
+
+    # exact content round-trip
+    a = sorted(map(tuple, li.collect()))
+    b = sorted(map(tuple, spark.read.parquet(out).collect()))
+    assert a == b
+
+    # contiguous key ranges: per-file (min, max) of the leading key
+    # must not overlap across files
+    spans = []
+    for f in files:
+        t = papq.read_table(f, columns=["l_orderkey"])
+        if t.num_rows:
+            col = t["l_orderkey"].to_pylist()
+            spans.append((min(col), max(col)))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, spans
+
+    with _pytest.raises(ValueError, match="order_by"):
+        compact_files(spark, src, str(tmp_path / "x"), order_by=[])
