@@ -351,3 +351,47 @@ def test_observe_metrics_yaml_and_cli_surface(spark, _three_stage_pipeline, tmp_
     args = build_parser().parse_args(
         [src, str(c2), "out.csv", "--no-observe-metrics"])
     assert (False if args.no_observe_metrics else None) is False
+
+
+def test_gopher_rep_plan_shape(spark, sf_dir, queries):
+    # r11: the char-fraction repetition battery must keep its scale
+    # contracts — three column-pruned corpus scans (one gram stream
+    # per tier + the per-doc anchor), no sort-merge join, no window
+    # sort (the top pick is an argmax-by-struct aggregate), and
+    # map-side partial aggregation on the gram counts.
+    plan = _plan(queries["OP-D4-gopher-rep"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(scans) <= 3, plan.count("Scan parquet")
+    for s in scans:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"doc_id", "text"}, cols
+    assert re.search(r"HashAggregate", plan)
+
+
+def test_ivfpq_probe_is_filter_plus_take_ordered(spark, sf_dir):
+    # r11: the composed-index probe must stay a pruned scan + heap
+    # top-k — a cell filter feeding TakeOrderedAndProject, zero
+    # shuffle exchanges (the cell filter compiles to partition pruning
+    # once the index is persisted partitionBy(cell)).
+    from filefilter_spark.ops.pq import build_ivfpq_index, ivfpq_topk
+    from filefilter_spark.queries.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [float(x) for x in
+         emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    indexed, books, cents = build_ivfpq_index(
+        emb, n_lists=16, m=8, k=16, iters=0)
+    # persist the codes the way production would, so the probe plan is
+    # over the stored representation, not the build pipeline
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="ivfpq_plan_")
+    indexed.write.partitionBy("cell").mode("overwrite").parquet(out)
+    codes = spark.read.parquet(out)
+    plan = _plan(ivfpq_topk(codes, books, cents, q, topk=10, n_probe=4))
+    assert "TakeOrderedAndProject" in plan
+    assert _shuffle_count(plan) == 0
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), (
+        "probe filter did not reach partition pruning")
