@@ -375,55 +375,101 @@ def build_ivfpq_index(
         fit_df, n_lists=n_lists, vec_col=vec_col, id_col=id_col,
         method="lloyd", coarse_iters=coarse_iters,
     )
-    # assign the FULL corpus to the fitted cells (pure projection —
-    # same deterministic argmin fold as the clusterer)
-    from filefilter_spark.ops.cluster import _assign, quantize_to_grid
-
-    qf = df.select(
-        F.col(id_col).alias("__id"),
-        quantize_to_grid(vec_col, scale).alias("q"),
-    ).withColumn("__scale", F.lit(float(scale)))
-    # assignment uses the clusterer's own (exact-arithmetic) centroid
-    # values, so full-corpus cells agree with the fit's cells
-    assigned = _assign(qf, centroids).select(
-        F.col("__id").alias(id_col), F.col("cluster").alias("cell")
-    )
     if residual:
-        qd = F.transform(
-            _grid(F.col(vec_col), scale), lambda v: v / F.lit(float(scale))
-        )
-        res_frame = df.join(assigned, id_col).select(
-            F.col(id_col),
-            _residual_expr(qd, F.col("cell"), centroids, scale)
-            .alias("__res"),
-            "cell",
+        res_frame = _residual_frame(
+            df, centroids, vec_col=vec_col, id_col=id_col, scale=scale
         )
         fit_res = hash_sample(res_frame, fit_frac, id_col=id_col)
         books = fit_pq_codebooks(
             fit_res, m=m, k=k, iters=iters, vec_col="__res",
             id_col=id_col, scale=scale,
         )
-        # regrid the residual for encoding — the same normalization
+    else:
+        books = fit_pq_codebooks(
+            fit_df, m=m, k=k, iters=iters, vec_col=vec_col,
+            id_col=id_col, scale=scale,
+        )
+    indexed = ivfpq_encode_batch(
+        df, books, centroids, vec_col=vec_col, id_col=id_col,
+        scale=scale, residual=residual,
+    )
+    return indexed, books, centroids
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str,
+    id_col: str,
+    scale: float,
+) -> DataFrame:
+    """``(id, cell)`` for every row against FROZEN centroids — the
+    clusterer's own deterministic argmin fold, pure projection."""
+    from filefilter_spark.ops.cluster import _assign, quantize_to_grid
+
+    qf = df.select(
+        F.col(id_col).alias("__id"),
+        quantize_to_grid(vec_col, scale).alias("q"),
+    ).withColumn("__scale", F.lit(float(scale)))
+    return _assign(qf, centroids).select(
+        F.col("__id").alias(id_col), F.col("cluster").alias("cell")
+    )
+
+
+def _residual_frame(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str,
+    id_col: str,
+    scale: float,
+) -> DataFrame:
+    """``(id, __res, cell)``: each row's grid-exact residual against
+    its assigned (frozen) centroid."""
+    assigned = _assign_cells(df, centroids, vec_col, id_col, scale)
+    qd = F.transform(
+        _grid(F.col(vec_col), scale), lambda v: v / F.lit(float(scale))
+    )
+    return df.join(assigned, id_col).select(
+        F.col(id_col),
+        _residual_expr(qd, F.col("cell"), centroids, scale).alias("__res"),
+        "cell",
+    )
+
+
+def ivfpq_encode_batch(
+    df: DataFrame,
+    codebooks: Codebooks,
+    centroids: Sequence[Sequence[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e6,
+    residual: bool = False,
+) -> DataFrame:
+    """Assign + encode a batch against a FROZEN index (centroids and
+    codebooks unchanged) — the incremental-append path: a new ingest
+    lands in the existing ``partitionBy(cell)`` layout as pure
+    projections (grid-exact, so the same vector always produces the
+    same codes regardless of which batch delivered it), with no refit
+    and no reshuffle of existing data. This is also the encode stage
+    :func:`build_ivfpq_index` itself uses."""
+    if residual:
+        res_frame = _residual_frame(df, centroids, vec_col, id_col, scale)
+        # regrid the residual — the same normalization
         # fit_pq_codebooks applied when fitting, so encode and fit
         # argue over identical values (no ulp drift at tie boundaries)
         res_qd = F.transform(
             _grid(F.col("__res"), scale), lambda v: v / F.lit(float(scale))
         )
-        indexed = res_frame.select(
+        return res_frame.select(
             F.col(id_col),
-            _code_expr(res_qd, books).alias("codes"),
+            _code_expr(res_qd, codebooks).alias("codes"),
             "cell",
         )
-        return indexed, books, centroids
-    books = fit_pq_codebooks(
-        fit_df, m=m, k=k, iters=iters, vec_col=vec_col, id_col=id_col,
-        scale=scale,
-    )
+    assigned = _assign_cells(df, centroids, vec_col, id_col, scale)
     codes = pq_encode(
-        df, books, vec_col=vec_col, id_col=id_col, scale=scale
+        df, codebooks, vec_col=vec_col, id_col=id_col, scale=scale
     )
-    indexed = codes.join(assigned, id_col)
-    return indexed, books, centroids
+    return codes.join(assigned, id_col)
 
 
 def ivfpq_topk(

@@ -2691,3 +2691,31 @@ def test_compact_files_collapses_and_clusters(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="order_by"):
         compact_files(spark, src, str(tmp_path / "x"), order_by=[])
+
+
+def test_ivfpq_encode_batch_appends_consistently(spark):
+    # r11: incremental maintenance — a later batch encoded against the
+    # FROZEN index must produce exactly the codes/cells the original
+    # build gave the same vectors (so appends land in the existing
+    # partitionBy(cell) layout without refit or reshuffle).
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.pq import (
+        build_ivfpq_index,
+        ivfpq_encode_batch,
+    )
+    from filefilter_spark.queries.registry import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    for residual in (False, True):
+        indexed, books, cents = build_ivfpq_index(
+            emb, n_lists=16, m=8, k=16, iters=1, residual=residual)
+        built = {r["vec_id"]: (r["cell"], r["codes"])
+                 for r in indexed.collect()}
+        # "new ingest": the same vectors arriving under fresh ids
+        batch = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        appended = {r["vec_id"] - 100000: (r["cell"], r["codes"])
+                    for r in ivfpq_encode_batch(
+                        batch, books, cents, residual=residual).collect()}
+        assert appended == built, f"residual={residual}"
