@@ -36,7 +36,7 @@ VALID_ACTION_TYPES = {
     "textstats", "perplexity", "expect",
     "dedupbest", "temperature", "bpe",
     "dsir", "qualityfilter", "safesplit",
-    "gopher", "entropy",
+    "gopher", "gopherrep", "entropy",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",
 }

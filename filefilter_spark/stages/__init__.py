@@ -14,6 +14,7 @@ from filefilter_spark.stages.corpus_stage import (
     BpeStage,
     DsirStage,
     EntropyStage,
+    GopherRepStage,
     GopherStage,
     QualityFilterStage,
     SafeSplitStage,
@@ -60,6 +61,7 @@ STAGE_TYPES = {
     "qualityfilter": QualityFilterStage,
     "safesplit": SafeSplitStage,
     "gopher": GopherStage,
+    "gopherrep": GopherRepStage,
     "entropy": EntropyStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
@@ -69,7 +71,7 @@ __all__ = [
     "SqlStage", "PythonStage", "RestStage", "PandasStage", "UdfStage",
     "DedupStage", "SplitStage", "SampleStage", "LineDedupStage",
     "DsirStage", "QualityFilterStage", "SafeSplitStage",
-    "GopherStage", "EntropyStage",
+    "GopherStage", "GopherRepStage", "EntropyStage",
     "SpanDedupStage",
     "QuotaStage", "ChunkStage", "DecontaminateStage", "DomainFilterStage",
     "TextStatsStage", "PerplexityStage", "ExpectStage", "MediaStage",

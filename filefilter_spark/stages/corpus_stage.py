@@ -477,6 +477,31 @@ class GopherStage(Stage):
         return out
 
 
+class GopherRepStage(Stage):
+    """Gopher char-fraction repetition battery from YAML
+    (``ops.text.gopher_repetition``, Rae et al. 2021 A1.1 — the
+    top-n-gram / duplicated-n-gram tier that complements ``gopher``'s
+    pure-projection rules): per-doc fractions + booleans arrive via a
+    left join on ``idField`` (this tier genuinely aggregates, so it
+    cannot be a projection); ``filter: true`` (default) keeps only
+    rows passing every repetition rule."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import pyspark.sql.functions as F
+
+        from filefilter_spark.ops.text import gopher_repetition
+
+        cfg = self.cfg.action_config
+        id_col = cfg.get("idField", "doc_id")
+        scores = gopher_repetition(
+            df, text_col=cfg.get("textField", "text"), id_col=id_col
+        )
+        out = df.join(scores, id_col, "left")
+        if bool(cfg.get("filter", True)):
+            out = out.filter(F.col("keep")).drop("keep")
+        return out
+
+
 class EntropyStage(Stage):
     """Attach per-doc token-distribution entropy
     (``ops.text.token_entropy``) as ``n_tokens``/``entropy`` columns

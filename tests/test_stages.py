@@ -769,3 +769,35 @@ filters:
     # the 'junk junk ...' docs have entropy 0 -> filtered out
     assert {r["doc_id"] for r in ent.select("doc_id").collect()} == \
         {i for i in range(10) if i % 2}
+
+
+def test_gopherrep_stage(spark):
+    # r11: the char-fraction repetition tier as a zero-code stage —
+    # looping docs fail (top bigram claims ~all chars), varied docs
+    # pass; filter: false attaches the fractions instead.
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    varied = " ".join(f"tok{i:03d}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(i, varied if i % 2 else "loop beat " * 40) for i in range(10)],
+        "doc_id bigint, text string",
+    )
+
+    kept = Pipeline(spark, load_config_str("""
+filters:
+  - name: r
+    actionType: gopherrep
+""")).run(docs).df
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == \
+        {i for i in range(10) if i % 2}
+
+    tagged = Pipeline(spark, load_config_str("""
+filters:
+  - name: r
+    actionType: gopherrep
+    actionConfig: {filter: false}
+""")).run(docs).df
+    assert tagged.count() == 10
+    assert "top_2gram_char_frac" in tagged.columns
+    assert "dup_10gram_ok" in tagged.columns
