@@ -3185,6 +3185,76 @@ def op_d7_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marginal_novelty(load_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "OP-D5-ivfpq",
+    oracle=r"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+               AS q
+      FROM embeddings
+    ),
+    qd AS (
+      SELECT vec_id,
+             list_transform(q, v -> CAST(v AS DOUBLE) / 1000000.0) AS x
+      FROM q
+    ),
+    subs AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS s),
+    cent AS (
+      SELECT subs.s,
+             CAST(row_number() OVER (PARTITION BY subs.s
+                                     ORDER BY seed.vec_id) - 1 AS INTEGER)
+               AS c,
+             list_slice(seed.x, subs.s * 8 + 1, subs.s * 8 + 8) AS cv
+      FROM (SELECT vec_id, x FROM qd ORDER BY vec_id LIMIT 16) seed
+      CROSS JOIN subs
+    ),
+    chunk AS (
+      SELECT qd.vec_id, subs.s,
+             list_slice(qd.x, subs.s * 8 + 1, subs.s * 8 + 8) AS cx
+      FROM qd CROSS JOIN subs
+    ),
+    assign AS (
+      SELECT vec_id, s, c FROM (
+        SELECT ch.vec_id, ch.s, cent.c,
+               row_number() OVER (
+                 PARTITION BY ch.vec_id, ch.s
+                 ORDER BY list_reduce(
+                   [0.0] || list_transform(list_zip(ch.cx, cent.cv),
+                                           p -> (p[1]-p[2])*(p[1]-p[2])),
+                   (a, b) -> a + b), cent.c) AS rn
+        FROM chunk ch JOIN cent ON ch.s = cent.s)
+      WHERE rn = 1
+    )
+    SELECT vec_id, list(c ORDER BY s) AS codes FROM assign GROUP BY vec_id
+    """,
+    doc="streaming IVF x PQ index maintenance (OP-D5 x OP-D3, "
+        "streaming/jobs.py ivfpq_stream_ingest): embeddings arrive as "
+        "a file stream; every micro-batch is assigned + PQ-encoded "
+        "against the FROZEN index (ops/pq.py ivfpq_encode_batch — "
+        "grid-exact projections, so codes are batch-arrival-invariant) "
+        "and appended to the cell-partitioned code table; existing "
+        "data never reshuffles and probes stay partition-pruned as "
+        "the table grows. availableNow drains the bounded input; the "
+        "oracle recomputes the seeded PQ codes per vector in SQL "
+        "(cells carry no oracle: DuckDB sees codes only). Multi-batch "
+        "arrival invariance is pinned in tests/test_ops.py.",
+)
+def op_d5_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.pq import fit_pq_codebooks
+    from filefilter_spark.ops.similarity import build_ivf_index
+    from filefilter_spark.streaming.jobs import ivfpq_stream_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, m=8, k=16, iters=0)
+    _, cents = build_ivf_index(emb, n_lists=16, method="lloyd")
+    out = ivfpq_stream_ingest(
+        spark, f"{sf_dir}/embeddings.parquet", books, cents
+    )
+    return out.select("vec_id", "codes")
+
+
 # ---------------------------------------------------------------------------
 # OP-D3-pca — distributed PCA: exact-integer covariance (ops/pca.py)
 # ---------------------------------------------------------------------------

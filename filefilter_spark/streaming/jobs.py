@@ -610,3 +610,84 @@ def rate_soak(
         except Exception:
             pass
     return [out[b] for b in sorted(out)][:num_batches]
+
+
+def ivfpq_stream_ingest(
+    spark: SparkSession,
+    path: str,
+    codebooks,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    residual: bool = False,
+    timeout_sec: int = 300,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Continuous IVF×PQ index maintenance (OP-D5 × OP-D3): each
+    micro-batch of newly arrived embeddings is assigned + encoded
+    against a FROZEN index (``ops.pq.ivfpq_encode_batch`` — pure
+    grid-exact projections, so a vector gets the same codes no matter
+    which batch delivered it) and appended to the cell-partitioned
+    code table. Existing data never reshuffles; probes over the
+    growing table stay partition-pruned reads. ``availableNow`` drains
+    the bounded test input; an unbounded deployment runs the identical
+    plan with a durable checkpoint and a delta/iceberg sink."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from filefilter_spark.ops.pq import ivfpq_encode_batch
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(int(max_files_per_trigger))
+        )
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        # single-FILE dataset: stream its parent with a name glob
+        # (same contract as _events_stream — a directory named
+        # *.parquet must not take this branch)
+        base = os.path.dirname(path) or "."
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream = reader.parquet(base)
+    else:
+        stream = reader.parquet(path)
+    out_dir = _fb_scratch() + "/codes"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            ivfpq_encode_batch(
+                batch_df, codebooks, centroids,
+                vec_col=vec_col, id_col=id_col, residual=residual,
+            )
+            .write.partitionBy("cell")
+            .mode("append")
+            .parquet(out_dir)
+        )
+
+    ckpt_base = (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    ckpt = os.path.join(
+        ckpt_base, "ffspark_ckpt_ivfpq_" + _uuid.uuid4().hex[:8]
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination(timeout_sec)
+    finally:
+        if query.isActive:  # pragma: no cover
+            query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(out_dir):
+        raise ValueError(
+            "ivfpq_stream_ingest: the availableNow run produced no "
+            "micro-batches (no matching input files?) — nothing to read"
+        )
+    return spark.read.parquet(out_dir)

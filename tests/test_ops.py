@@ -2719,3 +2719,33 @@ def test_ivfpq_encode_batch_appends_consistently(spark):
                     for r in ivfpq_encode_batch(
                         batch, books, cents, residual=residual).collect()}
         assert appended == built, f"residual={residual}"
+
+
+def test_ivfpq_stream_ingest_matches_batch(spark, tmp_path):
+    # r11: streaming index maintenance — embeddings arriving across
+    # several micro-batches must land with exactly the codes/cells the
+    # one-shot batch encode gives them (grid-exact projections are
+    # batch-arrival-invariant), in a cell-partitioned layout.
+    import glob
+
+    from filefilter_spark.ops.pq import (
+        build_ivfpq_index,
+        ivfpq_encode_batch,
+    )
+    from filefilter_spark.queries.registry import load_table
+    from filefilter_spark.streaming.jobs import ivfpq_stream_ingest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    _, books, cents = (None, None, None)
+    indexed, books, cents = build_ivfpq_index(
+        emb, n_lists=16, m=8, k=16, iters=0)
+
+    src = str(tmp_path / "arrivals")
+    emb.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    got = ivfpq_stream_ingest(
+        spark, src, books, cents, max_files_per_trigger=1)
+    want = ivfpq_encode_batch(emb, books, cents)
+    g = {r["vec_id"]: (r["cell"], r["codes"]) for r in got.collect()}
+    w = {r["vec_id"]: (r["cell"], r["codes"]) for r in want.collect()}
+    assert g == w and len(g) == emb.count()
