@@ -312,6 +312,51 @@ def keep_neardup_survivors(
     return df.join(losers, id_col, "left_anti")
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Duplicate-aware sampling weights — dedup WITHOUT deletion:
+    every near-dup cluster member gets ``weight = 1/|cluster|``
+    (docs in no pair get 1.0), so however many copies a document has,
+    the cluster contributes one document's worth of expected training
+    mass while every variant stays available to the sampler. The
+    down-weight policy keeps phrasing diversity hard deletion throws
+    away and removes the duplicate over-representation that makes
+    models memorize boilerplate — the standard soft alternative to
+    :func:`keep_neardup_survivors`.
+
+    Exactness: ``1.0 / count`` on the same integers is one IEEE
+    division — identical cross-engine, so the op carries an exact
+    oracle. Scale shape: :func:`cluster_pairs` on the (narrow) pair
+    graph, one cluster-size count, one id-keyed left join back; the
+    corpus shuffles once on id and bodies never ride the pair graph.
+    """
+    if weight_col in df.columns:
+        raise ValueError(
+            f"soft_dedup_weights: input already has column "
+            f"{weight_col!r} — pass a different weight_col"
+        )
+    clusters = cluster_pairs(pairs, id_a, id_b)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("__csize")
+    )
+    member_w = (
+        clusters.join(sizes, "cluster_id")
+        .select(
+            F.col("doc_id").alias(id_col),
+            (F.lit(1.0) / F.col("__csize")).alias(weight_col),
+        )
+    )
+    return df.join(member_w, id_col, "left").withColumn(
+        weight_col, F.coalesce(F.col(weight_col), F.lit(1.0))
+    )
+
+
 def dedup_against(
     new: DataFrame,
     seen: DataFrame,

@@ -1389,6 +1389,53 @@ def op_d7_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D1-soft",
+    oracle=f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jp
+      UNION
+      SELECT id_b, id_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    cl AS (SELECT src AS doc_id, min(node) AS cluster_id
+           FROM reach GROUP BY src),
+    sz AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY cluster_id)
+    SELECT d.doc_id,
+           CASE WHEN cl.doc_id IS NULL THEN 1.0
+                ELSE 1.0 / sz.csize END AS weight
+    FROM documents d
+    LEFT JOIN cl ON d.doc_id = cl.doc_id
+    LEFT JOIN sz ON cl.cluster_id = sz.cluster_id
+    """,
+    doc="duplicate-aware sampling weights (soft dedup): every "
+        "Jaccard>=0.5 near-dup cluster member weighted 1/|cluster| "
+        "(singletons 1.0), so a cluster contributes one document's "
+        "worth of expected training mass while every variant stays "
+        "samplable — the down-weight alternative to hard survivor "
+        "selection (keeps phrasing diversity, removes duplicate "
+        "over-representation). 1.0/count is one IEEE division on the "
+        "same integers — exact cross-engine; pair graph is narrow "
+        "(ids only), bodies shuffle once on id "
+        "(ops/dedup.py soft_dedup_weights).",
+)
+def op_d1_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import (
+        soft_dedup_weights,
+        token_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    pairs = token_jaccard_pairs(docs, threshold=0.5, shingle_n=3)
+    return soft_dedup_weights(docs, pairs).select("doc_id", "weight")
+
+
+@query(
     "OP-D7-safesplit",
     oracle=f"""
     WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),

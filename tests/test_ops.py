@@ -2749,3 +2749,31 @@ def test_ivfpq_stream_ingest_matches_batch(spark, tmp_path):
     g = {r["vec_id"]: (r["cell"], r["codes"]) for r in got.collect()}
     w = {r["vec_id"]: (r["cell"], r["codes"]) for r in want.collect()}
     assert g == w and len(g) == emb.count()
+
+
+def test_soft_dedup_weights(spark):
+    # r11: down-weight-instead-of-drop dedup — a 3-member chain
+    # cluster (A~B, B~C) weighs 1/3 each, singletons 1.0, so total
+    # expected mass = distinct-content count; reserved-name collision
+    # raises.
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from filefilter_spark.ops.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id bigint, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    out = {r["doc_id"]: r["weight"]
+           for r in soft_dedup_weights(docs, pairs).collect()}
+    assert out[0] == out[1] == out[2] == 1.0 / 3
+    assert out[3] == 1.0
+    assert out[4] == out[5] == 0.5
+    # 6 docs, 3 distinct contents -> total mass 3
+    assert abs(sum(out.values()) - 3.0) < 1e-12
+
+    with _pytest.raises(ValueError, match="weight"):
+        soft_dedup_weights(docs.withColumn("weight", F.lit(2.0)), pairs)
