@@ -119,7 +119,12 @@ def main() -> None:
     )
     from filefilter_spark.ops.similarity import lsh_cosine_pairs, quantize_embeddings
     from filefilter_spark.ops.sketch import frequent_tokens
-    from filefilter_spark.ops.text import bigram_nll, quality_score, tfidf_top_terms
+    from filefilter_spark.ops.text import (
+        bigram_nll,
+        gopher_repetition,
+        quality_score,
+        tfidf_top_terms,
+    )
     from filefilter_spark.session import get_spark
 
     from pyspark.sql import functions as _F
@@ -272,6 +277,15 @@ def main() -> None:
             ),
             "bpe_pair_counts": lambda d=docs: noop_write(
                 char_pair_counts(word_histogram(d))
+            ),
+            # round-11 addition: the Gopher char-fraction repetition
+            # battery — two tiered gram streams into map-combining
+            # aggregations with doc-scoped keys, coverage dedup as a
+            # per-(doc, n) array expression. Gram generation is
+            # ~9 n-values x tokens per doc, so expected ~linear in
+            # text bytes with a visible constant factor.
+            "gopher_repetition": lambda d=docs: noop_write(
+                gopher_repetition(d)
             ),
         }
         for name, fn in ops.items():
