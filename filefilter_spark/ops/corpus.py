@@ -623,3 +623,66 @@ def dataset_report(
         F.min("__q").alias("q_min"),
         F.max("__q").alias("q_max"),
     )
+
+
+def mixture_budget(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    token_col: str = "n_chars",
+    group_col: str = "source",
+) -> DataFrame:
+    """Token-budget planning for a target mixture — the bookkeeping
+    step BEFORE :func:`weighted_sample`/:func:`temperature_sample`
+    execute a plan: given per-source target weights and a total token
+    budget, emit one row per source with what's available, what the
+    mixture asks for, and what that implies:
+
+    - ``n_docs`` / ``available_tokens`` — corpus-side facts (one
+      map-combining aggregation; output is sources-bounded, a
+      dataset-card-sized frame, never corpus rows),
+    - ``weight`` — the source's NORMALIZED target share (weights are
+      normalized over their own sum, so callers can pass unnormalized
+      ratios; sources absent from ``weights`` get 0),
+    - ``target_tokens`` — ``budget × weight``,
+    - ``rate`` — ``target/available``; **rate > 1 means the plan
+      repeats data** (the Muennighoff et al. 2023 data-constrained
+      regime): the mixture cannot be met with unique tokens,
+    - ``epochs`` — ``ceil(rate)``, how many passes over the source the
+      sampler needs to draw from.
+
+    All arithmetic is fixed-order double expressions over exact int64
+    sums and literal weights — exact cross-engine; ratios round to 6dp
+    for the oracle.
+    """
+    if token_budget <= 0:
+        raise ValueError("mixture_budget: token_budget must be positive")
+    tot = float(sum(weights.values()))
+    if tot <= 0:
+        raise ValueError("mixture_budget: weights must sum to > 0")
+    w_expr = F.lit(0.0)
+    for name, w in weights.items():
+        w_expr = F.when(
+            F.col(group_col) == name, F.lit(float(w) / tot)
+        ).otherwise(w_expr)
+    agg = df.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("available_tokens"),
+    )
+    weight = F.round(w_expr, 6)
+    target = F.round(F.lit(float(token_budget)) * w_expr, 6)
+    rate = F.round(
+        F.lit(float(token_budget)) * w_expr
+        / F.col("available_tokens").cast("double"),
+        6,
+    )
+    return agg.select(
+        group_col, "n_docs", "available_tokens",
+        weight.alias("weight"),
+        target.alias("target_tokens"),
+        rate.alias("rate"),
+        F.ceil(
+            F.lit(float(token_budget)) * w_expr
+            / F.col("available_tokens").cast("double")
+        ).cast("int").alias("epochs"),
+    )

@@ -1474,6 +1474,52 @@ def op_d7_safesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D7-budget",
+    oracle="""
+    WITH agg AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT *,
+        CASE WHEN source = 'src0' THEN 0.5 / 0.8
+             WHEN source = 'src1' THEN 0.2 / 0.8
+             WHEN source = 'src2' THEN 0.1 / 0.8
+             ELSE 0.0 END AS wn
+      FROM agg
+    )
+    SELECT source, n_docs, available_tokens,
+           round(wn, 6) AS weight,
+           round(1000000.0 * wn, 6) AS target_tokens,
+           round(1000000.0 * wn / CAST(available_tokens AS DOUBLE), 6)
+             AS rate,
+           CAST(ceil(1000000.0 * wn / CAST(available_tokens AS DOUBLE))
+                AS INTEGER) AS epochs
+    FROM w
+    """,
+    doc="mixture token budgeting (ops/corpus.py mixture_budget): the "
+        "planning table behind 'how many epochs of each source does a "
+        "1M-token run at this mixture need' — per source the available "
+        "tokens (one map-combining agg, sources-bounded output), the "
+        "normalized target share, target tokens, the implied sampling "
+        "rate (>1 = the data-constrained repetition regime, "
+        "Muennighoff et al. 2023), and epochs = ceil(rate). Runs "
+        "BEFORE weighted/temperature sampling executes the plan; "
+        "fixed-order double math over exact int64 sums and literal "
+        "weights — exact cross-engine.",
+)
+def op_d7_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import mixture_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_budget(
+        docs, {"src0": 0.5, "src1": 0.2, "src2": 0.1},
+        token_budget=1_000_000,
+    )
+
+
+@query(
     "OP-D7-pack",
     oracle="""
     SELECT doc_id, source, n_chars,

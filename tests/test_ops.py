@@ -2777,3 +2777,45 @@ def test_soft_dedup_weights(spark):
 
     with _pytest.raises(ValueError, match="weight"):
         soft_dedup_weights(docs.withColumn("weight", F.lit(2.0)), pairs)
+
+
+def test_mixture_budget_planning(spark):
+    # r11: token-budget planning — rate > 1 flags the data-constrained
+    # repetition regime and epochs = ceil(rate); absent sources get
+    # weight 0; unnormalized weights normalize over their own sum.
+    import pytest as _pytest
+
+    from filefilter_spark.ops.corpus import mixture_budget
+
+    docs = spark.createDataFrame(
+        [(i, "web" if i < 8 else "books", 100) for i in range(10)],
+        "doc_id bigint, source string, n_chars int",
+    )
+    # web: 800 tokens available; books: 200. Budget 1000 at 3:1 ->
+    # web target 750 (rate 0.9375, 1 epoch), books target 250
+    # (rate 1.25 -> REPEATS, 2 epochs).
+    rows = {r["source"]: r.asDict()
+            for r in mixture_budget(
+                docs, {"web": 3.0, "books": 1.0}, token_budget=1000
+            ).collect()}
+    assert rows["web"]["available_tokens"] == 800
+    assert rows["web"]["weight"] == 0.75
+    assert rows["web"]["target_tokens"] == 750.0
+    assert rows["web"]["rate"] == 0.9375 and rows["web"]["epochs"] == 1
+    assert rows["books"]["rate"] == 1.25 and rows["books"]["epochs"] == 2
+
+    # a source outside the mixture plans to zero
+    extra = docs.union(spark.createDataFrame(
+        [(99, "junk", 50)], "doc_id bigint, source string, n_chars int"))
+    rows2 = {r["source"]: r.asDict()
+             for r in mixture_budget(
+                 extra, {"web": 3.0, "books": 1.0}, token_budget=1000
+             ).collect()}
+    assert rows2["junk"]["weight"] == 0.0
+    assert rows2["junk"]["target_tokens"] == 0.0
+    assert rows2["junk"]["epochs"] == 0
+
+    with _pytest.raises(ValueError, match="token_budget"):
+        mixture_budget(docs, {"web": 1.0}, token_budget=0)
+    with _pytest.raises(ValueError, match="weights"):
+        mixture_budget(docs, {"web": 0.0}, token_budget=10)
