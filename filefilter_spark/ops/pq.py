@@ -37,6 +37,15 @@ Plan shapes:
   (TakeOrderedAndProject: per-partition heap + driver merge, no
   global sort): the LUT is built driver-side from the query vector
   (m×k doubles) and folded per row in subspace order.
+- :func:`build_ivfpq_index` / :func:`ivfpq_topk` — the composed tier
+  (Jégou §IV-V): deterministic Lloyd coarse cells hold the codes,
+  persisted ``partitionBy(cell)`` so a probe is a partition-pruned
+  read of ``n_probe/n_lists`` of the 32×-compressed table; optional
+  residual encoding, content-addressed sampled fit, exact rerank of
+  the ADC shortlist.
+- :func:`ivfpq_encode_batch` — assign + encode against a FROZEN
+  index: the incremental-append / streaming-ingest path (grid-exact,
+  batch-arrival-invariant codes).
 """
 
 from __future__ import annotations

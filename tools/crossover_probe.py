@@ -65,6 +65,10 @@ QUERIES = [
     # corpus cost AND an exact oracle (qualityclf is recall-oracled;
     # safesplit's cost is jaccard_pairs + CC, both already tabled)
     "OP-D7-dsir",
+    # round-11: the Gopher char-fraction repetition battery — per-byte
+    # gram materialization cost, exact oracle; the heaviest r11 row in
+    # bench_compare (~4x at sf0.1), so its curve belongs here
+    "OP-D4-gopher-rep",
 ]
 
 # Per-table columns that must be offset per copy so each copy is a
