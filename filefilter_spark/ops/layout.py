@@ -156,6 +156,7 @@ def compact_files(
     order_by: Sequence[str],
     target_bytes: int = 128 << 20,
     fmt: str = "parquet",
+    out_fmt: str | None = None,
 ) -> int:
     """Small-files compaction — the standing operational chore of any
     long-lived 100 TB table (streaming sinks, per-batch ingests, and
@@ -174,11 +175,16 @@ def compact_files(
     layout: parquet min/max stats on the leading key become tight and
     later key-range scans prune files.
 
+    ``out_fmt`` (default: same as ``fmt``) converts while compacting —
+    the standard ingestion chore jsonl → parquet is one pass: read the
+    shattered interchange files, range-cluster, land columnar.
+
     Sizing note, stated: output file count is estimated from INPUT
     bytes (one FileSystem listing, no data read). Same-format
     compaction preserves compressed size closely; format conversions
-    (jsonl → parquet) should pass an explicit ``target_bytes`` scaled
-    by the expected ratio. Returns the number of files written."""
+    should pass an explicit ``target_bytes`` scaled by the expected
+    ratio (jsonl → snappy parquet typically shrinks 3-10×). Returns
+    the number of files written."""
     if not order_by:
         raise ValueError(
             "compact_files: order_by is required — unordered compaction "
@@ -193,7 +199,7 @@ def compact_files(
         df.repartitionByRange(n_out, *keys)
         .sortWithinPartitions(*keys)
         .write.mode("overwrite")
-        .format(fmt)
+        .format(out_fmt or fmt)
         .save(out_path)
     )
     return n_out

@@ -2819,3 +2819,32 @@ def test_mixture_budget_planning(spark):
         mixture_budget(docs, {"web": 1.0}, token_budget=0)
     with _pytest.raises(ValueError, match="weights"):
         mixture_budget(docs, {"web": 0.0}, token_budget=10)
+
+
+def test_compact_files_jsonl_to_parquet(spark, tmp_path):
+    # r11: convert-while-compacting — the jsonl ingestion chore lands
+    # range-clustered parquet in one pass with content intact.
+    import glob
+
+    from filefilter_spark.ops.layout import compact_files
+    from filefilter_spark.queries.registry import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    src = str(tmp_path / "jsonl")
+    out = str(tmp_path / "pq")
+    li.repartition(16).write.json(src)
+    assert len(glob.glob(f"{src}/part-*")) == 16
+
+    compact_files(
+        spark, src, out, order_by=["l_orderkey", "l_linenumber"],
+        target_bytes=1 << 30, fmt="json", out_fmt="parquet",
+    )
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 1  # 1 GiB target swallows the tiny corpus
+    a = sorted((r["l_orderkey"], r["l_linenumber"], float(r["l_quantity"]))
+               for r in li.collect())
+    b = sorted((r["l_orderkey"], r["l_linenumber"], float(r["l_quantity"]))
+               for r in spark.read.parquet(out).collect())
+    assert a == b
