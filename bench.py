@@ -137,13 +137,14 @@ def main() -> None:
     except OSError:  # pragma: no cover - non-unix
         load1 = load5 = load15 = None
 
-    # Adjudicating note when the box is loud at measurement time (r9
-    # and r10 were both captured under load1 ~8-10 with nothing in the
-    # JSON saying so — the reader had to dig it out of load_avg).
+    # Adjudicating note when the box is loud at LAUNCH (r9 and r10
+    # were both captured under load1 ~8-10 with nothing in the JSON
+    # saying so — the reader had to dig it out of load_avg). The
+    # report-time load is recorded but does NOT trigger the note: the
+    # bench's own 32-thread work always drives load1 up mid-run, so a
+    # report-time threshold would flag every clean run as loaded.
     load_note = None
-    loud = max(x for x in (load_launch, load1) if x is not None) \
-        if (load_launch is not None or load1 is not None) else None
-    if loud is not None and loud > 2.0:
+    if load_launch is not None and load_launch > 2.0:
         fmt = lambda v: "?" if v is None else f"{v:.1f}"  # noqa: E731
         load_note = (
             f"load1 {fmt(load_launch)} at launch / {fmt(load1)} at "
