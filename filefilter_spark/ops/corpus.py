@@ -686,3 +686,65 @@ def mixture_budget(
             / F.col("available_tokens").cast("double")
         ).cast("int").alias("epochs"),
     )
+
+
+def assemble_packed_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    budget: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """The last mile of sequence packing: :func:`pack_sequences`
+    assigns docs to fixed-budget bins; this CONCATENATES each bin's
+    token streams in deterministic ``order_col`` order into one
+    training row — ``(part, bin_id, tokens, doc_ids, doc_offsets,
+    n_tokens)``, where ``doc_offsets[i]`` is the 0-based start of
+    ``doc_ids[i]`` inside ``tokens``: the document-boundary metadata a
+    packed-sequence trainer needs to reset position ids and mask
+    cross-document attention.
+
+    Shuffle shape: the per-shard packing window (one shuffle on
+    ``part_col``), then ONE groupBy on (part, bin) whose per-group
+    payload is bounded by ~``budget`` tokens plus the straddling doc —
+    never a whole shard. In-bin order is restored by ``array_sort``
+    over (order_col, tokens) structs and offsets are an exact integer
+    fold, so the result is partition-invariant and carries an exact
+    cross-engine oracle."""
+    cost = F.size(F.col(tokens_col))
+    binned = pack_sequences(
+        df, cost, budget, part_col=part_col, order_col=order_col
+    )
+    items = binned.groupBy(part_col, "bin_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("oid"),
+                    F.col(tokens_col).alias("tk"),
+                )
+            )
+        ).alias("docs")
+    )
+    toks = F.flatten(F.transform(F.col("docs"), lambda d: d["tk"]))
+    doc_ids = F.transform(F.col("docs"), lambda d: d["oid"])
+    # exclusive prefix sums of per-doc lengths — exact int64 fold
+    offsets = F.aggregate(
+        F.col("docs"),
+        F.struct(
+            F.lit(0).cast("long").alias("acc"),
+            F.array().cast("array<bigint>").alias("off"),
+        ),
+        lambda st, d: F.struct(
+            (st["acc"] + F.size(d["tk"])).cast("long").alias("acc"),
+            F.concat(st["off"], F.array(st["acc"])).alias("off"),
+        ),
+        lambda st: st["off"],
+    )
+    return items.select(
+        part_col,
+        "bin_id",
+        toks.alias("tokens"),
+        doc_ids.alias("doc_ids"),
+        offsets.alias("doc_offsets"),
+        F.size(toks).alias("n_tokens"),
+    )

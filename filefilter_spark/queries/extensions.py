@@ -1543,6 +1543,57 @@ def op_d7_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "OP-D7-pack-assemble",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\s+'), x -> x != '')
+               AS tk
+      FROM documents
+    ),
+    b AS (
+      SELECT *, CAST(floor(COALESCE(SUM(len(tk)) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 256.0) AS BIGINT) AS bin_id
+      FROM toks
+    ),
+    g AS (
+      SELECT source, bin_id,
+             flatten(list(tk ORDER BY doc_id)) AS tokens,
+             list(doc_id ORDER BY doc_id) AS doc_ids,
+             list(len(tk) ORDER BY doc_id) AS lens
+      FROM b GROUP BY source, bin_id
+    )
+    SELECT source, bin_id, tokens, doc_ids,
+           list_transform(range(1, len(lens) + 1),
+             i -> CAST(coalesce(list_sum(lens[1:i-1]), 0) AS BIGINT))
+             AS doc_offsets,
+           CAST(len(tokens) AS INTEGER) AS n_tokens
+    FROM g
+    """,
+    doc="packed-sequence assembly (ops/corpus.py "
+        "assemble_packed_sequences): the last mile after bin "
+        "assignment — each 256-token bin's documents concatenate in "
+        "doc_id order into one training row with doc_ids + 0-based "
+        "doc_offsets (the boundary metadata that resets position ids "
+        "and masks cross-document attention) and the packed length. "
+        "One per-shard packing window + one (shard, bin) groupBy whose "
+        "payload is bounded by ~budget tokens; in-bin order restored "
+        "by array_sort, offsets an exact int64 fold — "
+        "partition-invariant, exact cross-engine.",
+)
+def op_d7_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import assemble_packed_sequences
+    from filefilter_spark.ops.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens("text").alias("tk")
+    )
+    return assemble_packed_sequences(d, "tk", budget=256)
+
+
 _CONTAM_ORACLE = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x != '') tk

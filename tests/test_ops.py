@@ -2848,3 +2848,37 @@ def test_compact_files_jsonl_to_parquet(spark, tmp_path):
     b = sorted((r["l_orderkey"], r["l_linenumber"], float(r["l_quantity"]))
                for r in spark.read.parquet(out).collect())
     assert a == b
+
+
+def test_assemble_packed_sequences(spark):
+    # r11: packed-sequence assembly — closed-form fixture: budget 5,
+    # one shard, docs of sizes 3/3/2/4 pack as bins {0: [d0, d1]}
+    # (prev-cumsum 0, 3), {1: [d2, d3]} (prev 6, 8); offsets restart
+    # per bin; partition-invariant.
+    from filefilter_spark.ops.corpus import assemble_packed_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "s", ["a", "b", "c"]),
+            (1, "s", ["d", "e", "f"]),
+            (2, "s", ["g", "h"]),
+            (3, "s", ["i", "j", "k", "l"]),
+        ],
+        "doc_id bigint, source string, tk array<string>",
+    )
+    rows = {r["bin_id"]: r.asDict()
+            for r in assemble_packed_sequences(
+                docs, "tk", budget=5, part_col="source"
+            ).collect()}
+    assert rows[0]["doc_ids"] == [0, 1]
+    assert rows[0]["tokens"] == list("abcdef")
+    assert rows[0]["doc_offsets"] == [0, 3]
+    assert rows[0]["n_tokens"] == 6
+    assert rows[1]["doc_ids"] == [2, 3]
+    assert rows[1]["tokens"] == list("ghijkl")
+    assert rows[1]["doc_offsets"] == [0, 2]
+    re_rows = {r["bin_id"]: r.asDict()
+               for r in assemble_packed_sequences(
+                   docs.repartition(5), "tk", budget=5, part_col="source"
+               ).collect()}
+    assert re_rows == rows
