@@ -643,30 +643,49 @@ def gopher_repetition(
     both sides — the whitespace run between tokens has no stable
     width). Fractions round to 6dp for the exact cross-engine oracle.
 
-    Spark shape: unlike the pure-projection :func:`gopher_rules`,
-    counting an n-gram's occurrences needs a per-(doc, n, gram)
-    aggregation — each tier's posexploded gram stream feeds ONE
-    map-combining groupBy; the top pick is a further argmax-by-struct
-    aggregate (min over ``(-cnt, gram)`` — no window sort) and the dup
-    tier's position-coverage dedup is a per-(doc, n) array expression
-    over collected occurrences, so every shuffle key is doc-scoped
-    (bounded by doc length × 9 n-values — no corpus-global hot key at
-    any scale) and no position row crosses an exchange. Each gram row
-    carries its own token lengths, so coverage needs NO positional
-    re-scan: the corpus is read three times total (one gram stream per
-    tier + the per-doc anchor), all column-pruned. A per-row O(S²)
-    array-expression count would avoid the shuffle entirely but blows
-    up quadratically on 100k-word Gopher-bound docs; the exploded
-    aggregation is linear.
+    Spark shape: a PURE PROJECTION, like :func:`gopher_rules` — zero
+    shuffles, one column-pruned corpus scan. Every n-gram of a doc is
+    born in that doc's row, so per-(doc, n, gram) counting never needs
+    an exchange: per n the grams are materialized as a SORTED in-row
+    array of ``(gram, start)`` structs (``array_sort`` groups equal
+    grams into runs, O(S log S) per doc), then
+
+    - the top tier is one ``aggregate`` run-length scan whose
+      accumulator keeps the best ``(count, gram)`` — strict ``>`` on
+      the ascending-sorted stream IS the (count desc, gram asc)
+      argmax;
+    - the dup tier keeps elements whose sorted neighbor holds the same
+      gram (run length ≥ 2), expands their start positions, and
+      ``array_distinct``-folds token lengths — position coverage
+      without double-counting, all in-row.
+
+    The earlier implementation (r11) exploded two gram streams into
+    doc-scoped groupBys; correct and skew-free, but paying two
+    shuffles plus gram-string exchange payload for counts that are
+    per-row local. The rewrite removed both shuffles and two of the
+    three scans and took the sf0.1 wall clock under the 2×-of-DuckDB
+    contract bar. Memory stays bounded by doc length × 9 n-values —
+    the same in-row gram materialization the exploded form built
+    before its explode — and a per-row O(S²) ``array_contains``-style
+    count (rejected then, rejected now) is still quadratic on
+    100k-word Gopher-bound docs; the sort keeps it linearithmic.
     """
     top_ns = sorted(GOPHER_TOP_NGRAM_THRESHOLDS)
     dup_ns = sorted(GOPHER_DUP_NGRAM_THRESHOLDS)
-    all_ns = top_ns + dup_ns
     t = F.coalesce(
         F.col(text_col) if isinstance(text_col, str) else text_col,
         F.lit(""),
     )
-    toks = df.select(F.col(id_col).alias("__id"), tokens(t).alias("tk"))
+    sel = df.select(F.col(id_col).alias("__id"), t.alias("__text"))
+    # The heavy work is per-row compute, so parallelism is bounded by
+    # the INPUT split count. At cluster scale splits >> cores and this
+    # branch is a no-op; on a small/single-file input (splits < cores)
+    # one cheap round-robin shuffle of the raw (id, text) rows unlocks
+    # every core for the linearithmic gram work.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < par:
+        sel = sel.repartition(par)
+    toks = sel.select("__id", tokens(F.col("__text")).alias("tk"))
     base = toks.select(
         "__id", "tk",
         F.transform("tk", F.length).alias("tklens"),
@@ -677,139 +696,116 @@ def gopher_repetition(
         ).alias("total_chars"),
     )
 
-    def per_n(tk: Column, tklens: Column, n: int) -> Column:
-        # 1-based start positions of every word n-gram; docs shorter
-        # than n tokens contribute nothing (their fracs are 0). Each
-        # gram row CARRIES its n token lengths so the dup-coverage
-        # tier never has to re-scan the corpus for them.
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size(tk) - (n - 1)),
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                i.alias("i"),
-                F.array_join(F.slice(tk, i, n), " ").alias("gram"),
-                F.slice(tklens, i, n).alias("lens"),
-            ),
+    def sorted_grams(n: int, with_pos: bool) -> Column:
+        # sorted gram stream: array_sort groups equal grams into
+        # contiguous runs. The top tier sorts PLAIN STRINGS (it never
+        # uses positions — cheaper comparisons); the dup tier sorts
+        # (gram, 1-based start) structs, ordered (gram asc, start
+        # asc). Docs shorter than n tokens contribute an empty array
+        # (their fracs are 0).
+        def elem(i: Column) -> Column:
+            gram = F.array_join(F.slice("tk", i, n), " ")
+            if not with_pos:
+                return gram
+            return F.struct(gram.alias("gram"), i.alias("i"))
+
+        g = F.array_sort(
+            F.transform(F.sequence(F.lit(1), F.size("tk") - (n - 1)), elem)
         )
-        return F.when(F.size(tk) >= n, grams).otherwise(
-            F.array().cast(
-                "array<struct<n:int,i:int,gram:string,lens:array<int>>>"
+        empty = (
+            "array<struct<gram:string,i:int>>" if with_pos
+            else "array<string>"
+        )
+        return F.when(F.size("tk") >= n, g).otherwise(
+            F.array().cast(empty)
+        )
+
+    # Materialize each n's sorted array as its OWN column: the dup
+    # tier references its array several times (filter lambda peeks at
+    # both neighbors), and CollapseProject only inlines aliases that
+    # are cheap or single-use — the select boundary pins single
+    # evaluation of the build+sort.
+    staged = base.select(
+        "__id", "tklens", "total_chars",
+        *[sorted_grams(n, False).alias(f"__g{n}") for n in top_ns],
+        *[sorted_grams(n, True).alias(f"__g{n}") for n in dup_ns],
+    )
+
+    def top_chars(n: int) -> Column:
+        # run-length scan over the sorted stream; strict > keeps the
+        # FIRST maximal run, i.e. the lexicographically smallest gram
+        # among count ties. Gram token chars = length(gram) - (n-1)
+        # single-space separators.
+        arr = F.col(f"__g{n}")
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("bc"),
+            F.lit("").alias("bg"),
+        )
+
+        def step(a: Column, x: Column) -> Column:
+            run = F.when(
+                x.eqNullSafe(a["prev"]), a["run"] + 1
+            ).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.when(run > a["bc"], run).otherwise(a["bc"]).alias("bc"),
+                F.when(run > a["bc"], x)
+                .otherwise(a["bg"]).alias("bg"),
+            )
+
+        return F.aggregate(
+            arr, init, step,
+            lambda a: a["bc"] * (F.length(a["bg"]) - F.lit(n - 1)),
+        )
+
+    def dup_chars(n: int) -> Column:
+        # an element is part of a duplicated gram iff a sorted
+        # neighbor holds the same gram (run >= 2). F.get is 0-based
+        # and null out-of-bounds, so the edges compare against null
+        # (-> false) with no ANSI index error. Coverage: expand kept
+        # occurrences to their token positions, array_distinct so
+        # overlaps count once, fold token lengths by position.
+        arr = F.col(f"__g{n}")
+        dup = F.filter(
+            arr,
+            lambda x, k: (x["gram"] == F.get(arr, k - 1)["gram"])
+            | (x["gram"] == F.get(arr, k + 1)["gram"]),
+        )
+        pos = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    dup,
+                    lambda o: F.sequence(o["i"], o["i"] + F.lit(n - 1)),
+                )
             )
         )
-
-    def gram_stream(ns: list[int]) -> DataFrame:
-        return base.select(
-            "__id",
-            F.explode(
-                F.flatten(
-                    F.array(*[
-                        per_n(F.col("tk"), F.col("tklens"), n) for n in ns
-                    ])
-                )
-            ).alias("g"),
-        ).select("__id", "g.n", "g.i", "g.gram", "g.lens")
-
-    # Tiers take disjoint n-sets, so each gets its OWN gram stream —
-    # one corpus scan per tier plus the per-doc anchor (three
-    # column-pruned scans total), and neither branch pays the other's
-    # gram generation or shuffle payload (the top tier needs no
-    # occurrence positions at all).
-
-    # top tier: chars claimed by the most-frequent gram per (doc, n).
-    # min over struct(-cnt, gram) IS the (count desc, gram asc) argmax
-    # — a map-combinable aggregate, no window sort.
-    top = (
-        gram_stream(top_ns)
-        .groupBy("__id", "n", "gram")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("__id", "n")
-        .agg(
-            F.min(
-                F.struct(
-                    (-F.col("cnt")).alias("negc"),
-                    F.col("gram").alias("gram"),
-                )
-            ).alias("b")
+        return F.aggregate(
+            pos,
+            F.lit(0).cast("long"),
+            lambda a, j: a + F.get(F.col("tklens"), j - 1),
         )
-        .select(
-            "__id", "n",
-            (
-                (-F.col("b.negc"))
-                * (F.length("b.gram") - (F.col("n") - 1))
-            ).cast("long").alias("chars"),
-        )
-    )
-    # dup tier: token positions covered by any gram with count >= 2.
-    # ONE aggregation carries count + occurrences (start + lengths,
-    # doc-bounded per gram); the per-(doc, n) coverage dedup then runs
-    # as a pure array expression — flatten the occurrences into
-    # (position, length) pairs, array_distinct (every covering gram
-    # reports the same length for a position), fold the lengths — so
-    # no position row ever crosses an exchange.
-    occ_pairs = F.flatten(
-        F.transform(
-            F.col("occs"),
-            lambda o: F.zip_with(
-                F.sequence(o["i"], o["i"] + F.col("n") - 1),
-                o["lens"],
-                lambda j, ln: F.struct(j.alias("j"), ln.alias("ln")),
-            ),
-        )
-    )
-    dup_chars = (
-        gram_stream(dup_ns)
-        .groupBy("__id", "n", "gram")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.collect_list(F.struct("i", "lens")).alias("occ"),
-        )
-        .filter(F.col("cnt") >= 2)
-        .groupBy("__id", "n")
-        .agg(F.flatten(F.collect_list("occ")).alias("occs"))
-        .select(
-            "__id", "n",
-            F.aggregate(
-                F.array_distinct(occ_pairs),
-                F.lit(0).cast("long"),
-                lambda acc, p: acc + p["ln"],
-            ).alias("chars"),
-        )
-    )
 
-    wide = (
-        top.unionByName(dup_chars)
-        .withColumn("__key", F.concat(F.lit("n"), F.col("n")))
-        .groupBy("__id")
-        .pivot("__key", [f"n{n}" for n in all_ns])
-        .agg(F.first("chars"))
-    )
-    out = base.select("__id", "total_chars").join(wide, "__id", "left")
-
+    denom = F.greatest(F.col("total_chars"), F.lit(1))
     cols = [F.col("__id").alias(id_col)]
     rules: dict[str, Column] = {}
     for n in top_ns:
-        frac = F.round(
-            F.coalesce(F.col(f"n{n}"), F.lit(0)).cast("double")
-            / F.greatest(F.col("total_chars"), F.lit(1)),
-            6,
-        )
+        frac = F.round(top_chars(n).cast("double") / denom, 6)
         cols.append(frac.alias(f"top_{n}gram_char_frac"))
         rules[f"top_{n}gram_ok"] = (
             F.col(f"top_{n}gram_char_frac")
             <= GOPHER_TOP_NGRAM_THRESHOLDS[n]
         )
     for n in dup_ns:
-        frac = F.round(
-            F.coalesce(F.col(f"n{n}"), F.lit(0)).cast("double")
-            / F.greatest(F.col("total_chars"), F.lit(1)),
-            6,
-        )
+        frac = F.round(dup_chars(n).cast("double") / denom, 6)
         cols.append(frac.alias(f"dup_{n}gram_char_frac"))
         rules[f"dup_{n}gram_ok"] = (
             F.col(f"dup_{n}gram_char_frac")
             <= GOPHER_DUP_NGRAM_THRESHOLDS[n]
         )
-    out = out.select(*cols)
+    out = staged.select(*cols)
     out = out.select("*", *[c.alias(nm) for nm, c in rules.items()])
     keep = None
     for nm in rules:

@@ -3023,12 +3023,17 @@ def op_d4_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup-5..10-gram char fraction (token positions covered by any "
         "n-gram occurring >=2x — coverage, not double-counted), paper "
         "thresholds as booleans + keep. Token chars only on both sides "
-        "of every ratio (separators excluded). One posexploded gram "
-        "stream -> one map-combining count, a WindowGroupLimit top "
-        "pick, and a doc-scoped position-coverage join: every shuffle "
-        "key is (doc, n[, gram]) so no corpus-global hot key exists at "
-        "any scale (ops/text.py gopher_repetition; a per-row array "
-        "count would be O(len^2) on 100k-word docs, rejected).",
+        "of every ratio (separators excluded). Pure per-row projection "
+        "(r12): every n-gram of a doc is born in its row, so per n the "
+        "grams become a SORTED in-row array (array_sort groups equal "
+        "grams into runs, O(S log S)); the top pick is one aggregate() "
+        "run-length scan (strict > on the ascending stream = count "
+        "desc / gram asc argmax) and dup coverage keeps elements whose "
+        "sorted neighbor matches, expands positions, array_distinct, "
+        "folds token lengths. Zero shuffles beyond an input-splits<"
+        "cores round-robin rebalance, one column-pruned scan (ops/"
+        "text.py gopher_repetition; a per-row O(len^2) array count "
+        "stays rejected for 100k-word docs).",
 )
 def op_d4_gopher_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.text import gopher_repetition

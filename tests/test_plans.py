@@ -354,20 +354,22 @@ def test_observe_metrics_yaml_and_cli_surface(spark, _three_stage_pipeline, tmp_
 
 
 def test_gopher_rep_plan_shape(spark, sf_dir, queries):
-    # r11: the char-fraction repetition battery must keep its scale
-    # contracts — three column-pruned corpus scans (one gram stream
-    # per tier + the per-doc anchor), no sort-merge join, no window
-    # sort (the top pick is an argmax-by-struct aggregate), and
-    # map-side partial aggregation on the gram counts.
+    # r12: the char-fraction repetition battery is a pure per-row
+    # projection — ONE column-pruned corpus scan, no join, no window,
+    # no aggregation exchange. The only exchange permitted is the
+    # small-input round-robin rebalance (raw (id, text) rows, fires
+    # iff input splits < cores — a no-op at cluster scale).
     plan = _plan(queries["OP-D4-gopher-rep"](spark, sf_dir))
-    assert "SortMergeJoin" not in plan
+    assert "SortMergeJoin" not in plan and "Join" not in plan
     assert "Window" not in plan
+    assert "HashAggregate" not in plan
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    assert len(scans) <= 3, plan.count("Scan parquet")
+    assert len(scans) == 1, plan.count("Scan parquet")
     for s in scans:
         cols = {c.split(":")[0] for c in s.split(",")}
         assert cols <= {"doc_id", "text"}, cols
-    assert re.search(r"HashAggregate", plan)
+    assert _shuffle_count(plan) <= 1
+    assert "hashpartitioning" not in plan.lower()
 
 
 def test_ivfpq_probe_is_filter_plus_take_ordered(spark, sf_dir):
