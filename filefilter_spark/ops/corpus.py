@@ -390,6 +390,81 @@ def weighted_sample(
     return df.filter(prefix < cutoff)
 
 
+def repeat_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    salt: str = "#rep",
+) -> DataFrame:
+    """Execute a mixture plan whose rates may EXCEED 1 — the
+    data-constrained repetition regime (Muennighoff et al. 2023) that
+    :func:`mixture_budget` *plans* (``rate > 1`` / ``epochs =
+    ceil(rate)``) but :func:`weighted_sample` cannot *materialize*
+    (its cutoffs cap at keep-everything). A source at rate ``r``
+    yields ``floor(r)`` FULL epochs of its rows plus a fractional
+    epoch sampled at ``r - floor(r)`` — so realized token mass ≈
+    ``r × available`` per source. Emits an ``epoch`` column
+    (0-based) so downstream stages (and trainers) can distinguish the
+    copies; rate 0 drops the source, rates in (0, 1] degenerate to
+    one fractionally-sampled epoch.
+
+    Determinism: the fractional-epoch keep decision hashes
+    ``id || salt || seed || '#e' || epoch`` — the same md5-prefix
+    trick as :func:`weighted_sample` with the EPOCH FOLDED INTO THE
+    SALT, so each copy's fractional draw is independent,
+    bit-reproducible across engines/partitionings, and uncorrelated
+    with the '#mix'/'#temp'/split decisions.
+
+    Spark shape: pure projection + one row-generating ``explode`` of
+    a per-row kept-epochs array (when-chain literals per source — no
+    join, no shuffle, no RNG state). Output rows = input × rate,
+    linear at any scale; at 100 TB the explode runs inside the scan
+    stage and downstream ops see an ordinary DataFrame.
+    """
+    import math
+
+    for name, r in rates.items():
+        if r < 0:
+            raise ValueError(f"repeat_sample: rate must be >= 0: {name}={r}")
+    if default_rate < 0:
+        raise ValueError("repeat_sample: default_rate must be >= 0")
+
+    def arms(rate: float) -> tuple[int, str]:
+        full = int(math.floor(rate))
+        # fractional cutoff: f == 0 -> '00000000', which no md5 prefix
+        # is below, so integer rates get exactly `full` epochs.
+        return full, rate_cutoff_hex(rate - full) or "00000000"
+
+    d_full, d_cut = arms(default_rate)
+    nf: Column = F.lit(d_full)
+    fc: Column = F.lit(d_cut)
+    for name, rate in rates.items():
+        full, cut = arms(rate)
+        nf = F.when(F.col(group_col) == name, F.lit(full)).otherwise(nf)
+        fc = F.when(F.col(group_col) == name, F.lit(cut)).otherwise(fc)
+    kept = F.filter(
+        F.sequence(F.lit(0), nf),  # 0..floor inclusive; last = fractional
+        lambda e: (e < nf)
+        | (
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(f"{salt}{seed}#e"),
+                        e.cast("string"),
+                    )
+                ),
+                1, 8,
+            )
+            < fc
+        ),
+    )
+    return df.withColumn("epoch", F.explode(kept))
+
+
 def temperature_rates(
     counts: dict[str, int],
     alpha: float = 0.5,
@@ -647,9 +722,19 @@ def mixture_budget(
     - ``target_tokens`` — ``budget × weight``,
     - ``rate`` — ``target/available``; **rate > 1 means the plan
       repeats data** (the Muennighoff et al. 2023 data-constrained
-      regime): the mixture cannot be met with unique tokens,
+      regime): the mixture cannot be met with unique tokens —
+      :func:`repeat_sample` executes such plans,
     - ``epochs`` — ``ceil(rate)``, how many passes over the source the
       sampler needs to draw from.
+
+    A source named in ``weights`` but ABSENT from the corpus (or
+    present with zero/null token mass) still gets a plan row —
+    ``n_docs``/``available_tokens`` 0 and rate/epochs NULL
+    (unsatisfiable): a budgeted-but-missing source is exactly the
+    misconfiguration a budget planner exists to surface, so it must
+    not vanish from the plan. (The weight-keys frame is a literal
+    handful of rows full-outer joined onto the sources-bounded
+    aggregate — dataset-card-sized at any corpus scale.)
 
     All arithmetic is fixed-order double expressions over exact int64
     sums and literal weights — exact cross-engine; ratios round to 6dp
@@ -669,22 +754,42 @@ def mixture_budget(
         F.count("*").alias("n_docs"),
         F.sum(F.col(token_col).cast("long")).alias("available_tokens"),
     )
+    keys = df.sparkSession.createDataFrame(
+        [(n,) for n in sorted(weights)], f"{group_col} string"
+    )
+    agg = (
+        agg.join(keys, group_col, "full_outer")
+        .select(
+            group_col,
+            F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+            F.coalesce("available_tokens", F.lit(0).cast("long")).alias(
+                "available_tokens"
+            ),
+        )
+    )
     weight = F.round(w_expr, 6)
     target = F.round(F.lit(float(token_budget)) * w_expr, 6)
-    rate = F.round(
-        F.lit(float(token_budget)) * w_expr
-        / F.col("available_tokens").cast("double"),
-        6,
+    satisfiable = F.col("available_tokens") > 0
+    rate = F.when(
+        satisfiable,
+        F.round(
+            F.lit(float(token_budget)) * w_expr
+            / F.col("available_tokens").cast("double"),
+            6,
+        ),
     )
     return agg.select(
         group_col, "n_docs", "available_tokens",
         weight.alias("weight"),
         target.alias("target_tokens"),
         rate.alias("rate"),
-        F.ceil(
-            F.lit(float(token_budget)) * w_expr
-            / F.col("available_tokens").cast("double")
-        ).cast("int").alias("epochs"),
+        F.when(
+            satisfiable,
+            F.ceil(
+                F.lit(float(token_budget)) * w_expr
+                / F.col("available_tokens").cast("double")
+            ).cast("int"),
+        ).alias("epochs"),
     )
 
 
@@ -694,6 +799,7 @@ def assemble_packed_sequences(
     budget: int,
     part_col: str = "source",
     order_col: str = "doc_id",
+    sep_token=None,
 ) -> DataFrame:
     """The last mile of sequence packing: :func:`pack_sequences`
     assigns docs to fixed-budget bins; this CONCATENATES each bin's
@@ -703,6 +809,16 @@ def assemble_packed_sequences(
     ``doc_ids[i]`` inside ``tokens``: the document-boundary metadata a
     packed-sequence trainer needs to reset position ids and mask
     cross-document attention.
+
+    ``sep_token`` (r12): trainers almost always pack with an EOS/sep
+    token between documents — when set, it is inserted BETWEEN
+    consecutive streams (never before the first or after the last)
+    and ``doc_offsets`` point at each doc's first own token (past its
+    leading separator). Its type must match the token element type
+    (string tokens → string sep, int ids → int sep). Bin budgeting
+    happens on raw doc sizes, so a packed row may exceed ``budget``
+    by up to ``n_docs_in_bin − 1`` separator tokens; ``n_tokens``
+    counts them.
 
     Shuffle shape: the per-shard packing window (one shuffle on
     ``part_col``), then ONE groupBy on (part, bin) whose per-group
@@ -725,9 +841,22 @@ def assemble_packed_sequences(
             )
         ).alias("docs")
     )
-    toks = F.flatten(F.transform(F.col("docs"), lambda d: d["tk"]))
+    if sep_token is None:
+        toks = F.flatten(F.transform(F.col("docs"), lambda d: d["tk"]))
+    else:
+        sep = F.lit(sep_token)
+        toks = F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda d, i: F.when(i == F.lit(0), d["tk"]).otherwise(
+                    F.concat(F.array(sep), d["tk"])
+                ),
+            )
+        )
     doc_ids = F.transform(F.col("docs"), lambda d: d["oid"])
-    # exclusive prefix sums of per-doc lengths — exact int64 fold
+    # exclusive prefix sums of per-doc lengths — exact int64 fold;
+    # non-first docs start one past their leading separator (pad 1)
+    pad_val = 0 if sep_token is None else 1
     offsets = F.aggregate(
         F.col("docs"),
         F.struct(
@@ -735,8 +864,20 @@ def assemble_packed_sequences(
             F.array().cast("array<bigint>").alias("off"),
         ),
         lambda st, d: F.struct(
-            (st["acc"] + F.size(d["tk"])).cast("long").alias("acc"),
-            F.concat(st["off"], F.array(st["acc"])).alias("off"),
+            (
+                st["acc"]
+                + F.when(F.size(st["off"]) == 0, F.lit(0))
+                .otherwise(F.lit(pad_val))
+                + F.size(d["tk"])
+            ).cast("long").alias("acc"),
+            F.concat(
+                st["off"],
+                F.array(
+                    st["acc"]
+                    + F.when(F.size(st["off"]) == 0, F.lit(0))
+                    .otherwise(F.lit(pad_val))
+                ),
+            ).alias("off"),
         ),
         lambda st: st["off"],
     )

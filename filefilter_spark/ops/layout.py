@@ -203,3 +203,53 @@ def compact_files(
         .save(out_path)
     )
     return n_out
+
+
+def compact_partitioned(
+    spark,
+    in_path: str,
+    out_path: str,
+    partition_by: str,
+    order_by: Sequence[str],
+    target_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+) -> int:
+    """:func:`compact_files` for a HIVE-PARTITIONED table, preserving
+    the ``partition_by=`` directory layout that downstream partition
+    pruning depends on — the maintenance step a per-batch streaming
+    sink needs (``streaming.jobs.ivfpq_stream_ingest`` appends one
+    file set per cell per micro-batch; a long-lived index otherwise
+    degrades to thousands of KB files per cell, and every probe pays
+    one task + one open per file).
+
+    Same determinism contract as :func:`compact_files` (`order_by`
+    required), with the partition column as the LEADING range key:
+    ``repartitionByRange(n, partition_by, *order_by)`` +
+    ``sortWithinPartitions`` + ``write.partitionBy(partition_by)``.
+    Each output task holds a contiguous (partition, key) range, so a
+    small partition's rows land in ONE file under its ``partition=``
+    dir, an oversized partition splits across ``ceil(its bytes /
+    target)`` files, and within-file rows are key-sorted (tight
+    min/max stats). Content is untouched — rows, values, and the
+    pruning-relevant directory layout are identical pre/post; only
+    file boundaries move. Returns the task count (≥ output file
+    count lower bound; files = tasks + straddled partitions)."""
+    if not order_by:
+        raise ValueError(
+            "compact_partitioned: order_by is required — unordered "
+            "compaction is not reproducible (file contents would "
+            "depend on scheduling)"
+        )
+    total = input_bytes(spark, in_path)
+    n_out = max(1, -(-total // int(target_bytes)))
+    df = spark.read.format(fmt).load(in_path)
+    keys = [F.col(partition_by)] + [F.col(c) for c in order_by]
+    (
+        df.repartitionByRange(n_out, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .partitionBy(partition_by)
+        .format(fmt)
+        .save(out_path)
+    )
+    return n_out

@@ -515,7 +515,20 @@ def ivfpq_topk(
     (m=8, k=16 quantization error), while the 5·k shortlist CONTAINS
     0.9-1.0 of it — the refine read is ``refine·topk`` point lookups
     (id-pruned scan), so the composed cost stays
-    probed-cells-ADC + O(k) exact distances at any corpus size."""
+    probed-cells-ADC + O(k) exact distances at any corpus size.
+    **Default to ``refine >= 5`` for retrieval use**; ``refine=0`` is
+    the weak ADC-only tier and warns (use it only when approximate
+    ADC order is genuinely enough, e.g. candidate generation feeding
+    a downstream ranker)."""
+    if refine <= 0:
+        import warnings
+
+        warnings.warn(
+            "ivfpq_topk: refine=0 returns the ADC-only tier (measured "
+            "recall ~0.3-0.5 at m=8,k=16); pass refine>=5 with "
+            "`vectors` for the exact re-rank tier (recall ~0.9).",
+            stacklevel=2,
+        )
     qq = [float(math.floor(x * scale + 0.5)) / scale for x in query]
 
     def sqd(cent: Sequence[float]) -> float:

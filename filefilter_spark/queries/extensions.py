@@ -1481,21 +1481,33 @@ def op_d7_safesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(n_chars) AS BIGINT) AS available_tokens
       FROM documents GROUP BY source
     ),
+    keys AS (SELECT * FROM (VALUES ('src0'), ('src1'), ('src2'),
+                                   ('src_missing')) k(source)),
+    j AS (
+      SELECT source,
+             coalesce(n_docs, 0) AS n_docs,
+             coalesce(available_tokens, 0) AS available_tokens
+      FROM agg FULL OUTER JOIN keys USING (source)
+    ),
     w AS (
       SELECT *,
-        CASE WHEN source = 'src0' THEN 0.5 / 0.8
-             WHEN source = 'src1' THEN 0.2 / 0.8
-             WHEN source = 'src2' THEN 0.1 / 0.8
+        CASE WHEN source = 'src0' THEN 0.5 / 1.0
+             WHEN source = 'src1' THEN 0.2 / 1.0
+             WHEN source = 'src2' THEN 0.1 / 1.0
+             WHEN source = 'src_missing' THEN 0.2 / 1.0
              ELSE 0.0 END AS wn
-      FROM agg
+      FROM j
     )
     SELECT source, n_docs, available_tokens,
            round(wn, 6) AS weight,
            round(1000000.0 * wn, 6) AS target_tokens,
-           round(1000000.0 * wn / CAST(available_tokens AS DOUBLE), 6)
-             AS rate,
-           CAST(ceil(1000000.0 * wn / CAST(available_tokens AS DOUBLE))
-                AS INTEGER) AS epochs
+           CASE WHEN available_tokens > 0 THEN
+             round(1000000.0 * wn / CAST(available_tokens AS DOUBLE), 6)
+           END AS rate,
+           CASE WHEN available_tokens > 0 THEN
+             CAST(ceil(1000000.0 * wn / CAST(available_tokens AS DOUBLE))
+                  AS INTEGER)
+           END AS epochs
     FROM w
     """,
     doc="mixture token budgeting (ops/corpus.py mixture_budget): the "
@@ -1504,19 +1516,79 @@ def op_d7_safesplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens (one map-combining agg, sources-bounded output), the "
         "normalized target share, target tokens, the implied sampling "
         "rate (>1 = the data-constrained repetition regime, "
-        "Muennighoff et al. 2023), and epochs = ceil(rate). Runs "
-        "BEFORE weighted/temperature sampling executes the plan; "
-        "fixed-order double math over exact int64 sums and literal "
-        "weights — exact cross-engine.",
+        "Muennighoff et al. 2023, executed by OP-D7-epochs), and "
+        "epochs = ceil(rate). A budgeted-but-ABSENT source "
+        "(src_missing here) still gets a plan row with 0 available "
+        "and NULL rate/epochs — unsatisfiable surfaces instead of "
+        "vanishing. Runs BEFORE weighted/temperature sampling "
+        "executes the plan; fixed-order double math over exact int64 "
+        "sums and literal weights — exact cross-engine.",
 )
 def op_d7_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.corpus import mixture_budget
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_budget(
-        docs, {"src0": 0.5, "src1": 0.2, "src2": 0.1},
+        docs, {"src0": 0.5, "src1": 0.2, "src2": 0.1, "src_missing": 0.2},
         token_budget=1_000_000,
     )
+
+
+def _rep_cases_sql(
+    rates: dict[str, float], default_rate: float
+) -> tuple[str, str]:
+    """(floor-epochs CASE, fractional-cutoff CASE) mirroring
+    ops.corpus.repeat_sample — built from the SAME floor/cutoff
+    constants as the Spark side so both engines compare identical
+    literals (including any float-subtraction dust in ``r - floor(r)``)."""
+    import math
+
+    from filefilter_spark.ops.corpus import rate_cutoff_hex
+
+    def arms(rate: float) -> tuple[int, str]:
+        full = int(math.floor(rate))
+        return full, rate_cutoff_hex(rate - full) or "00000000"
+
+    nf_arms, fc_arms = [], []
+    for name, rate in rates.items():
+        full, cut = arms(rate)
+        nf_arms.append(f"WHEN '{name}' THEN {full}")
+        fc_arms.append(f"WHEN '{name}' THEN '{cut}'")
+    d_full, d_cut = arms(default_rate)
+    nf = f"CASE source {' '.join(nf_arms)} ELSE {d_full} END"
+    fc = f"CASE source {' '.join(fc_arms)} ELSE '{d_cut}' END"
+    return nf, fc
+
+
+_REP_RATES = {"src0": 2.4, "src1": 1.0, "src2": 0.5, "src3": 0.0}
+_REP_NF, _REP_FC = _rep_cases_sql(_REP_RATES, 1.0)
+
+
+@query(
+    "OP-D7-epochs",
+    oracle=f"""
+    SELECT doc_id, text, lang, source, n_chars, CAST(u.e AS INT) AS epoch
+    FROM documents, unnest(range(0, ({_REP_NF}) + 1)) u(e)
+    WHERE u.e < ({_REP_NF})
+       OR substr(md5(CAST(doc_id AS VARCHAR) || '#rep42#e'
+                     || CAST(u.e AS VARCHAR)), 1, 8) < ({_REP_FC})
+    """,
+    doc="epoch-repeat sampling (ops/corpus.py repeat_sample): EXECUTES "
+        "mixture plans whose rates exceed 1 — the data-constrained "
+        "repetition regime (Muennighoff et al. 2023) that OP-D7-budget "
+        "plans but a keep-rate filter cannot materialize. rate r -> "
+        "floor(r) full epochs + a fractional epoch at r-floor(r), "
+        "epoch index folded into the md5 salt so copies are "
+        "distinguishable and each fractional draw independent (here "
+        "src0 x2.4, src1 x1, src2 x0.5, src3 dropped, rest x1). Pure "
+        "projection + one row-generating explode — no join, no "
+        "shuffle, no RNG state; output rows = input x rate at any "
+        "scale.",
+)
+def op_d7_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import repeat_sample
+
+    return repeat_sample(load_table(spark, sf_dir, "documents"), _REP_RATES)
 
 
 @query(
@@ -1561,14 +1633,16 @@ def op_d7_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     g AS (
       SELECT source, bin_id,
-             flatten(list(tk ORDER BY doc_id)) AS tokens,
+             flatten(list_transform(list(tk ORDER BY doc_id),
+               t -> list_prepend('<eos>', t)))[2:] AS tokens,
              list(doc_id ORDER BY doc_id) AS doc_ids,
              list(len(tk) ORDER BY doc_id) AS lens
       FROM b GROUP BY source, bin_id
     )
     SELECT source, bin_id, tokens, doc_ids,
            list_transform(range(1, len(lens) + 1),
-             i -> CAST(coalesce(list_sum(lens[1:i-1]), 0) AS BIGINT))
+             i -> CAST(coalesce(list_sum(lens[1:i-1]), 0) + (i - 1)
+                       AS BIGINT))
              AS doc_offsets,
            CAST(len(tokens) AS INTEGER) AS n_tokens
     FROM g
@@ -1576,12 +1650,15 @@ def op_d7_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="packed-sequence assembly (ops/corpus.py "
         "assemble_packed_sequences): the last mile after bin "
         "assignment — each 256-token bin's documents concatenate in "
-        "doc_id order into one training row with doc_ids + 0-based "
-        "doc_offsets (the boundary metadata that resets position ids "
-        "and masks cross-document attention) and the packed length. "
-        "One per-shard packing window + one (shard, bin) groupBy whose "
-        "payload is bounded by ~budget tokens; in-bin order restored "
-        "by array_sort, offsets an exact int64 fold — "
+        "doc_id order, separated by an '<eos>' token (r12: inserted "
+        "BETWEEN docs, the way trainers pack), into one training row "
+        "with doc_ids + 0-based doc_offsets (each doc's first OWN "
+        "token, past its leading separator — the boundary metadata "
+        "that resets position ids and masks cross-document attention) "
+        "and the packed length incl. separators. One per-shard "
+        "packing window + one (shard, bin) groupBy whose payload is "
+        "bounded by ~budget tokens; in-bin order restored by "
+        "array_sort, offsets an exact int64 fold — "
         "partition-invariant, exact cross-engine.",
 )
 def op_d7_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,7 +1668,7 @@ def op_d7_pack_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", tokens("text").alias("tk")
     )
-    return assemble_packed_sequences(d, "tk", budget=256)
+    return assemble_packed_sequences(d, "tk", budget=256, sep_token="<eos>")
 
 
 _CONTAM_ORACLE = """
@@ -3334,9 +3411,7 @@ def op_d7_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marginal_novelty(load_table(spark, sf_dir, "documents"))
 
 
-@query(
-    "OP-D5-ivfpq",
-    oracle=r"""
+_IVFPQ_CODES_ORACLE = r"""
     WITH q AS (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
@@ -3377,7 +3452,12 @@ def op_d7_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE rn = 1
     )
     SELECT vec_id, list(c ORDER BY s) AS codes FROM assign GROUP BY vec_id
-    """,
+    """
+
+
+@query(
+    "OP-D5-ivfpq",
+    oracle=_IVFPQ_CODES_ORACLE,
     doc="streaming IVF x PQ index maintenance (OP-D5 x OP-D3, "
         "streaming/jobs.py ivfpq_stream_ingest): embeddings arrive as "
         "a file stream; every micro-batch is assigned + PQ-encoded "
@@ -3402,6 +3482,54 @@ def op_d5_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{sf_dir}/embeddings.parquet", books, cents
     )
     return out.select("vec_id", "codes")
+
+
+@query(
+    "OP-D5-ivfpq-compact",
+    oracle=_IVFPQ_CODES_ORACLE,
+    doc="streaming-index maintenance (ops/layout.py "
+        "compact_partitioned composed with streaming/jobs.py "
+        "ivfpq_stream_ingest): the per-batch appends accumulate one "
+        "file set per cell per micro-batch, so a long-lived index "
+        "degrades to thousands of KB files per cell; this compacts "
+        "WITHIN the cell= partition layout (partition col leads the "
+        "range keys, write.partitionBy preserves the dirs) so probe "
+        "partition pruning survives, rows sorted by vec_id for tight "
+        "min/max stats. The oracle is the SAME exact per-vector code "
+        "recomputation as OP-D5-ivfpq — proving compaction moved "
+        "file boundaries and NOTHING else; the file-count drop and "
+        "pruning preservation are pinned in tests/test_ops.py.",
+)
+def op_d5_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from filefilter_spark.ops.layout import compact_partitioned
+    from filefilter_spark.ops.pq import fit_pq_codebooks
+    from filefilter_spark.ops.similarity import build_ivf_index
+    from filefilter_spark.streaming.jobs import ivfpq_stream_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, m=8, k=16, iters=0)
+    _, cents = build_ivf_index(emb, n_lists=16, method="lloyd")
+    base = tempfile.mkdtemp(prefix="ffspark_ivfpq_idx_")
+    try:
+        idx = f"{base}/codes"
+        ivfpq_stream_ingest(
+            spark, f"{sf_dir}/embeddings.parquet", books, cents,
+            out_dir=idx,
+        )
+        compact_partitioned(spark, idx, f"{base}/compact", "cell",
+                            ["vec_id"])
+        # materialize before the scratch dir vanishes: the oracle
+        # compare collects AFTER this callable returns
+        out = spark.read.parquet(f"{base}/compact").select(
+            "vec_id", "codes"
+        )
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -482,17 +482,34 @@ class GopherRepStage(Stage):
     (``ops.text.gopher_repetition``, Rae et al. 2021 A1.1 — the
     top-n-gram / duplicated-n-gram tier that complements ``gopher``'s
     pure-projection rules): per-doc fractions + booleans arrive via a
-    left join on ``idField`` (this tier genuinely aggregates, so it
-    cannot be a projection); ``filter: true`` (default) keeps only
-    rows passing every repetition rule."""
+    left join on ``idField``; ``filter: true`` (default) keeps only
+    rows passing every repetition rule. The score/keep column names
+    are RESERVED on the input (raises on collision — e.g. a prior
+    ``gopherrep`` with ``filter: false`` must be renamed away first,
+    not silently duplicated into ambiguity); rows whose ``idField``
+    is NULL cannot be scored and are dropped when filtering (their
+    joined ``keep`` is NULL)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         import pyspark.sql.functions as F
 
-        from filefilter_spark.ops.text import gopher_repetition
+        from filefilter_spark.ops.order import _check_reserved
+        from filefilter_spark.ops.text import (
+            GOPHER_DUP_NGRAM_THRESHOLDS,
+            GOPHER_TOP_NGRAM_THRESHOLDS,
+            gopher_repetition,
+        )
 
         cfg = self.cfg.action_config
         id_col = cfg.get("idField", "doc_id")
+        reserved = (
+            [f"top_{n}gram_char_frac" for n in GOPHER_TOP_NGRAM_THRESHOLDS]
+            + [f"top_{n}gram_ok" for n in GOPHER_TOP_NGRAM_THRESHOLDS]
+            + [f"dup_{n}gram_char_frac" for n in GOPHER_DUP_NGRAM_THRESHOLDS]
+            + [f"dup_{n}gram_ok" for n in GOPHER_DUP_NGRAM_THRESHOLDS]
+            + ["keep"]
+        )
+        _check_reserved(df, reserved, "gopherrep")
         scores = gopher_repetition(
             df, text_col=cfg.get("textField", "text"), id_col=id_col
         )

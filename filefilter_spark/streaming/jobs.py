@@ -622,16 +622,22 @@ def ivfpq_stream_ingest(
     residual: bool = False,
     timeout_sec: int = 300,
     max_files_per_trigger: int | None = None,
+    out_dir: str | None = None,
 ) -> DataFrame:
     """Continuous IVF×PQ index maintenance (OP-D5 × OP-D3): each
     micro-batch of newly arrived embeddings is assigned + encoded
     against a FROZEN index (``ops.pq.ivfpq_encode_batch`` — pure
     grid-exact projections, so a vector gets the same codes no matter
     which batch delivered it) and appended to the cell-partitioned
-    code table. Existing data never reshuffles; probes over the
-    growing table stay partition-pruned reads. ``availableNow`` drains
-    the bounded test input; an unbounded deployment runs the identical
-    plan with a durable checkpoint and a delta/iceberg sink."""
+    code table at ``out_dir`` (default: session scratch — pass a real
+    path for a persistent index). Existing data never reshuffles;
+    probes over the growing table stay partition-pruned reads.
+    ``availableNow`` drains the bounded test input; an unbounded
+    deployment runs the identical plan with a durable checkpoint and
+    a delta/iceberg sink. Per-batch appends accumulate small files
+    per cell — run ``ops.layout.compact_partitioned(..., "cell",
+    ["vec_id"])`` periodically to restore file counts while
+    preserving the ``cell=`` layout probe pruning depends on."""
     import os
     import shutil
     import tempfile
@@ -654,7 +660,8 @@ def ivfpq_stream_ingest(
         stream = reader.parquet(base)
     else:
         stream = reader.parquet(path)
-    out_dir = _fb_scratch() + "/codes"
+    if out_dir is None:
+        out_dir = _fb_scratch() + "/codes"
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -680,7 +687,17 @@ def ivfpq_stream_ingest(
         .start()
     )
     try:
-        query.awaitTermination(timeout_sec)
+        # Unlike the windowed-aggregation helpers (whose partial
+        # results are legitimately useful), the output here is a
+        # PERSISTENT INDEX — returning a partially-ingested code
+        # table as if complete would silently lose vectors, so a
+        # timeout is an error, not a shrug.
+        if not query.awaitTermination(timeout_sec):  # pragma: no cover
+            raise TimeoutError(
+                f"ivfpq_stream_ingest: availableNow drain did not "
+                f"finish within {timeout_sec}s — the code table at "
+                f"{out_dir} is PARTIAL; raise timeout_sec and rerun"
+            )
     finally:
         if query.isActive:  # pragma: no cover
             query.stop()

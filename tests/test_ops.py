@@ -2507,6 +2507,17 @@ def test_ivfpq_composed_recall_and_determinism(spark):
     with _pytest.raises(ValueError, match="vectors"):
         ivfpq_topk(indexed, books, cents, q, refine=5)
 
+    # r12: refine=0 is the weak ADC-only tier (measured recall
+    # 0.3-0.5) — it must WARN so nobody lands on it silently; the
+    # registered refine>=1 shape must stay quiet
+    import warnings as _warnings
+    with _pytest.warns(UserWarning, match="ADC-only"):
+        ivfpq_topk(indexed, books, cents, q, topk=10, n_probe=4)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        ivfpq_topk(indexed, books, cents, q, topk=10, n_probe=4,
+                   refine=5, vectors=emb)
+
     # probe pruning is real: with an unbounded topk and no refine,
     # the ADC tier emits exactly the probed cells' rows — strictly
     # fewer than the corpus (Catalyst inlines the `cell` alias into
@@ -2743,12 +2754,47 @@ def test_ivfpq_stream_ingest_matches_batch(spark, tmp_path):
     src = str(tmp_path / "arrivals")
     emb.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
 
+    idx_dir = str(tmp_path / "index")
     got = ivfpq_stream_ingest(
-        spark, src, books, cents, max_files_per_trigger=1)
+        spark, src, books, cents, max_files_per_trigger=1,
+        out_dir=idx_dir)
     want = ivfpq_encode_batch(emb, books, cents)
     g = {r["vec_id"]: (r["cell"], r["codes"]) for r in got.collect()}
     w = {r["vec_id"]: (r["cell"], r["codes"]) for r in want.collect()}
     assert g == w and len(g) == emb.count()
+
+    # r12: per-cell compaction — the 4-micro-batch ingest left several
+    # files per cell= dir; compact_partitioned must collapse them
+    # while PRESERVING the cell= layout (probe pruning) and moving no
+    # rows/values
+    from filefilter_spark.ops.layout import compact_partitioned
+
+    def cell_files(d):
+        out = {}
+        for p in glob.glob(f"{d}/cell=*/*.parquet"):
+            cell = p.split("cell=")[1].split("/")[0]
+            out[cell] = out.get(cell, 0) + 1
+        return out
+
+    before = cell_files(idx_dir)
+    assert max(before.values()) > 1  # fragmentation actually happened
+
+    comp_dir = str(tmp_path / "compacted")
+    compact_partitioned(spark, idx_dir, comp_dir, "cell", ["vec_id"])
+    after = cell_files(comp_dir)
+    assert set(after) == set(before)          # same cell= dirs
+    assert all(v == 1 for v in after.values())  # one file per cell here
+    assert sum(after.values()) < sum(before.values())
+
+    comp = spark.read.parquet(comp_dir)
+    g2 = {r["vec_id"]: (r["cell"], r["codes"]) for r in comp.collect()}
+    assert g2 == g
+
+    # pruning survives: a cell filter reads strictly fewer rows than
+    # the table (partition dirs still drive the scan)
+    some_cell = int(next(iter(after)))
+    n = comp.filter(F.col("cell") == some_cell).count()
+    assert 0 < n < len(g2)
 
 
 def test_soft_dedup_weights(spark):
@@ -2820,6 +2866,68 @@ def test_mixture_budget_planning(spark):
     with _pytest.raises(ValueError, match="weights"):
         mixture_budget(docs, {"web": 0.0}, token_budget=10)
 
+    # r12: a budgeted-but-ABSENT source surfaces as an unsatisfiable
+    # plan row (0 available, NULL rate/epochs) instead of vanishing
+    rows3 = {r["source"]: r.asDict()
+             for r in mixture_budget(
+                 docs, {"web": 3.0, "books": 1.0, "ghost": 1.0},
+                 token_budget=1000,
+             ).collect()}
+    g = rows3["ghost"]
+    assert g["n_docs"] == 0 and g["available_tokens"] == 0
+    assert g["weight"] == 0.2 and g["target_tokens"] == 200.0
+    assert g["rate"] is None and g["epochs"] is None
+
+
+def test_repeat_sample_executes_epochs(spark):
+    # r12: repeat_sample materializes rate>1 plans — floor(r) full
+    # epochs + an independently-hashed fractional epoch, epoch column
+    # distinguishing the copies; realized token mass tracks
+    # rate x available per source.
+    from filefilter_spark.ops.corpus import mixture_budget, repeat_sample
+
+    docs = spark.createDataFrame(
+        [(i, "books" if i < 200 else ("junk" if i < 240 else "web"), 10)
+         for i in range(1000)],
+        "doc_id bigint, source string, n_chars int",
+    )
+    rates = {"books": 2.5, "web": 0.5, "junk": 0.0}
+    out = repeat_sample(docs, rates).cache()
+
+    # full epochs are exact copies: every books doc appears at epochs
+    # 0 and 1; epoch 2 is the fractional draw; junk vanishes
+    per_epoch = {(r["source"], r["epoch"]): r["n"] for r in
+                 out.groupBy("source", "epoch").count()
+                 .withColumnRenamed("count", "n").collect()}
+    assert per_epoch[("books", 0)] == 200 and per_epoch[("books", 1)] == 200
+    assert 0 < per_epoch[("books", 2)] < 200
+    assert not any(s == "junk" for s, _ in per_epoch)
+    # fractional epoch ~ 0.5 of its source (hash-uniform, n=760)
+    assert abs(per_epoch[("web", 0)] / 760 - 0.5) < 0.1
+
+    # realized token mass ~ rate x available (books: 2.5 x 2000)
+    realized = {r["source"]: r["t"] for r in
+                out.groupBy("source")
+                .agg(F.sum("n_chars").alias("t")).collect()}
+    assert abs(realized["books"] / 5000 - 1.0) < 0.1
+
+    # and it executes what mixture_budget PLANS: derive rates from a
+    # plan whose books row repeats, realize it, land near target
+    plan = {r["source"]: r["rate"] for r in mixture_budget(
+        docs, {"books": 2.0, "web": 1.0}, token_budget=9000
+    ).collect() if r["rate"] is not None}
+    got = {r["source"]: r["t"] for r in
+           repeat_sample(docs, plan).groupBy("source")
+           .agg(F.sum("n_chars").alias("t")).collect()}
+    assert abs(got["books"] / 6000 - 1.0) < 0.1   # 9000 * 2/3
+    assert abs(got["web"] / 3000 - 1.0) < 0.15    # 9000 * 1/3
+
+    # determinism + partition invariance
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, repeat_sample(docs.repartition(7), rates).collect()))
+    assert a == b
+    out.unpersist()
+
 
 def test_compact_files_jsonl_to_parquet(spark, tmp_path):
     # r11: convert-while-compacting — the jsonl ingestion chore lands
@@ -2882,3 +2990,16 @@ def test_assemble_packed_sequences(spark):
                    docs.repartition(5), "tk", budget=5, part_col="source"
                ).collect()}
     assert re_rows == rows
+
+    # r12: sep_token inserted BETWEEN docs (not before first / after
+    # last); offsets point past each doc's leading separator;
+    # n_tokens counts separators
+    sep = {r["bin_id"]: r.asDict()
+           for r in assemble_packed_sequences(
+               docs, "tk", budget=5, part_col="source", sep_token="<eos>"
+           ).collect()}
+    assert sep[0]["tokens"] == ["a", "b", "c", "<eos>", "d", "e", "f"]
+    assert sep[0]["doc_offsets"] == [0, 4]
+    assert sep[0]["n_tokens"] == 7
+    assert sep[1]["tokens"] == ["g", "h", "<eos>", "i", "j", "k", "l"]
+    assert sep[1]["doc_offsets"] == [0, 3]

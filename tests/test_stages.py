@@ -801,3 +801,13 @@ filters:
     assert tagged.count() == 10
     assert "top_2gram_char_frac" in tagged.columns
     assert "dup_10gram_ok" in tagged.columns
+
+    # r12: score/keep names are reserved — a second gopherrep over a
+    # filter:false output must raise, not duplicate into ambiguity
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="reserved"):
+        Pipeline(spark, load_config_str("""
+filters:
+  - name: r2
+    actionType: gopherrep
+""")).run(tagged)
