@@ -59,12 +59,32 @@ HEADLINE = [
     # per SCALING.md "bench exclusions")
     "OP-D3-pq",      # PQ codebooks + encode + ADC top-k
     "OP-D4-gopher",  # Gopher quality-rule battery (pure projection)
+    # Added in r12: the char-fraction repetition tier, now a
+    # shuffle-free in-row sort/scan battery — the series should track
+    # the rewrite (r11: exploded groupBys, 4.4x DuckDB at sf0.1;
+    # r12: 0.67x)
+    "OP-D4-gopher-rep",
 ]
 
 
 def main() -> None:
+    # Defer-while-loaded (r12, VERDICT r11 bench-hygiene step 2): a
+    # loaded box at launch produced the r11 noise round — annotating
+    # after the fact (load_note) keeps the series honest but still
+    # accumulates noise captures. Now the bench WAITS for quiet first:
+    # if load1 > 2 at launch, sleep 30 s and re-check, up to 10 times
+    # (~5 min); only an exhausted retry budget proceeds loaded, and
+    # the note then says so explicitly.
+    retries_exhausted = False
     try:
         load_launch = os.getloadavg()[0]
+        for _ in range(10):
+            if load_launch <= 2.0:
+                break
+            time.sleep(30)
+            load_launch = os.getloadavg()[0]
+        else:
+            retries_exhausted = True
     except OSError:  # pragma: no cover - non-unix
         load_launch = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,11 +167,12 @@ def main() -> None:
     if load_launch is not None and load_launch > 2.0:
         fmt = lambda v: "?" if v is None else f"{v:.1f}"  # noqa: E731
         load_note = (
-            f"load1 {fmt(load_launch)} at launch / {fmt(load1)} at "
-            f"report on {os.cpu_count()} cpus — timings captured under "
-            "external load; round-over-round drift in this file is "
-            "suspect (the min-of-warm-reps estimator absorbs most of "
-            "it, not all)"
+            f"load1 {fmt(load_launch)} at launch (after exhausting "
+            f"{'10x30s defer retries' if retries_exhausted else 'no retries?'}) "
+            f"/ {fmt(load1)} at report on {os.cpu_count()} cpus — "
+            "timings captured under external load; round-over-round "
+            "drift in this file is suspect (the min-of-warm-reps "
+            "estimator absorbs most of it, not all)"
         )
 
     print(json.dumps({
