@@ -659,6 +659,19 @@ def gopher_repetition(
       ``array_distinct``-folds token lengths — position coverage
       without double-counting, all in-row.
 
+    Every multiply-referenced intermediate (token array, lengths,
+    total, each dup tier's sorted array, the frac struct) is bound as
+    a higher-order-function LAMBDA VARIABLE via :func:`_bind`, never
+    as a projected alias: Catalyst's predicate-pushdown substitutes
+    aliases into filter conditions with no cost check, so a consumer
+    like ``.filter(keep)`` over an alias-staged version inlined the
+    gram construction into every reference site — nested, that went
+    combinatorial (hundreds of ``split`` copies in the physical plan;
+    a 500-doc pipeline took minutes). Lambda bindings are opaque to
+    every rewrite, so the whole battery is ONE self-contained
+    expression evaluated once per row regardless of what the caller
+    stacks on top.
+
     The earlier implementation (r11) exploded two gram streams into
     doc-scoped groupBys; correct and skew-free, but paying two
     shuffles plus gram-string exchange payload for counts that are
@@ -685,18 +698,8 @@ def gopher_repetition(
     par = df.sparkSession.sparkContext.defaultParallelism
     if sel.rdd.getNumPartitions() < par:
         sel = sel.repartition(par)
-    toks = sel.select("__id", tokens(F.col("__text")).alias("tk"))
-    base = toks.select(
-        "__id", "tk",
-        F.transform("tk", F.length).alias("tklens"),
-    ).select(
-        "__id", "tk", "tklens",
-        F.aggregate(
-            "tklens", F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("total_chars"),
-    )
 
-    def sorted_grams(n: int, with_pos: bool) -> Column:
+    def sorted_grams(tk: Column, n: int, with_pos: bool) -> Column:
         # sorted gram stream: array_sort groups equal grams into
         # contiguous runs. The top tier sorts PLAIN STRINGS (it never
         # uses positions — cheaper comparisons); the dup tier sorts
@@ -704,39 +707,26 @@ def gopher_repetition(
         # asc). Docs shorter than n tokens contribute an empty array
         # (their fracs are 0).
         def elem(i: Column) -> Column:
-            gram = F.array_join(F.slice("tk", i, n), " ")
+            gram = F.array_join(F.slice(tk, i, n), " ")
             if not with_pos:
                 return gram
             return F.struct(gram.alias("gram"), i.alias("i"))
 
         g = F.array_sort(
-            F.transform(F.sequence(F.lit(1), F.size("tk") - (n - 1)), elem)
+            F.transform(F.sequence(F.lit(1), F.size(tk) - (n - 1)), elem)
         )
         empty = (
             "array<struct<gram:string,i:int>>" if with_pos
             else "array<string>"
         )
-        return F.when(F.size("tk") >= n, g).otherwise(
-            F.array().cast(empty)
-        )
+        return F.when(F.size(tk) >= n, g).otherwise(F.array().cast(empty))
 
-    # Materialize each n's sorted array as its OWN column: the dup
-    # tier references its array several times (filter lambda peeks at
-    # both neighbors), and CollapseProject only inlines aliases that
-    # are cheap or single-use — the select boundary pins single
-    # evaluation of the build+sort.
-    staged = base.select(
-        "__id", "tklens", "total_chars",
-        *[sorted_grams(n, False).alias(f"__g{n}") for n in top_ns],
-        *[sorted_grams(n, True).alias(f"__g{n}") for n in dup_ns],
-    )
-
-    def top_chars(n: int) -> Column:
+    def top_chars(tk: Column, n: int) -> Column:
         # run-length scan over the sorted stream; strict > keeps the
         # FIRST maximal run, i.e. the lexicographically smallest gram
         # among count ties. Gram token chars = length(gram) - (n-1)
-        # single-space separators.
-        arr = F.col(f"__g{n}")
+        # single-space separators. The sorted array is referenced
+        # exactly once (by the aggregate), so no binding is needed.
         init = F.struct(
             F.lit(None).cast("string").alias("prev"),
             F.lit(0).cast("long").alias("run"),
@@ -757,18 +747,19 @@ def gopher_repetition(
             )
 
         return F.aggregate(
-            arr, init, step,
+            sorted_grams(tk, n, False), init, step,
             lambda a: a["bc"] * (F.length(a["bg"]) - F.lit(n - 1)),
         )
 
-    def dup_chars(n: int) -> Column:
+    def dup_chars(arr: Column, tklens: Column, n: int) -> Column:
         # an element is part of a duplicated gram iff a sorted
         # neighbor holds the same gram (run >= 2). F.get is 0-based
         # and null out-of-bounds, so the edges compare against null
         # (-> false) with no ANSI index error. Coverage: expand kept
         # occurrences to their token positions, array_distinct so
-        # overlaps count once, fold token lengths by position.
-        arr = F.col(f"__g{n}")
+        # overlaps count once, fold token lengths by position. `arr`
+        # and `tklens` MUST be lambda variables — arr is peeked at
+        # per element by the neighbor test.
         dup = F.filter(
             arr,
             lambda x, k: (x["gram"] == F.get(arr, k - 1)["gram"])
@@ -785,32 +776,75 @@ def gopher_repetition(
         return F.aggregate(
             pos,
             F.lit(0).cast("long"),
-            lambda a, j: a + F.get(F.col("tklens"), j - 1),
+            lambda a, j: a + F.get(tklens, j - 1),
         )
 
-    denom = F.greatest(F.col("total_chars"), F.lit(1))
+    frac_names = (
+        [f"top_{n}gram_char_frac" for n in top_ns]
+        + [f"dup_{n}gram_char_frac" for n in dup_ns]
+    )
+    thresholds = (
+        [GOPHER_TOP_NGRAM_THRESHOLDS[n] for n in top_ns]
+        + [GOPHER_DUP_NGRAM_THRESHOLDS[n] for n in dup_ns]
+    )
+
+    def fracs(tk: Column, tklens: Column, total: Column) -> Column:
+        denom = F.greatest(total, F.lit(1))
+        fields = [
+            F.round(top_chars(tk, n).cast("double") / denom, 6)
+            .alias(f"top_{n}gram_char_frac")
+            for n in top_ns
+        ]
+        for n in dup_ns:
+            # NB: single-parameter callback — pyspark dispatches on
+            # the callback's arity (incl. defaults), and a 2-param
+            # form would receive the element INDEX as its second
+            # argument. _bind invokes the callback eagerly, so closing
+            # over the loop variable is safe.
+            fields.append(
+                F.round(
+                    _bind(
+                        sorted_grams(tk, n, True),
+                        lambda arr: dup_chars(arr, tklens, n),  # noqa: B023
+                    ).cast("double") / denom,
+                    6,
+                ).alias(f"dup_{n}gram_char_frac")
+            )
+        return F.struct(*fields)
+
+    def battery(tk: Column) -> Column:
+        return _bind(
+            F.transform(tk, F.length),
+            lambda tklens: _bind(
+                F.aggregate(
+                    tklens, F.lit(0).cast("long"), lambda a, x: a + x
+                ),
+                lambda total: _bind(
+                    fracs(tk, tklens, total),
+                    lambda fr: F.struct(
+                        fr.alias("fr"),
+                        *[
+                            (fr[nm] <= thr).alias(nm.replace("_char_frac",
+                                                             "_ok"))
+                            for nm, thr in zip(frac_names, thresholds)
+                        ],
+                    ),
+                ),
+            ),
+        )
+
+    staged = sel.select(
+        "__id", _bind(tokens(F.col("__text")), battery).alias("__b")
+    )
+    b = F.col("__b")
     cols = [F.col("__id").alias(id_col)]
-    rules: dict[str, Column] = {}
-    for n in top_ns:
-        frac = F.round(top_chars(n).cast("double") / denom, 6)
-        cols.append(frac.alias(f"top_{n}gram_char_frac"))
-        rules[f"top_{n}gram_ok"] = (
-            F.col(f"top_{n}gram_char_frac")
-            <= GOPHER_TOP_NGRAM_THRESHOLDS[n]
-        )
-    for n in dup_ns:
-        frac = F.round(dup_chars(n).cast("double") / denom, 6)
-        cols.append(frac.alias(f"dup_{n}gram_char_frac"))
-        rules[f"dup_{n}gram_ok"] = (
-            F.col(f"dup_{n}gram_char_frac")
-            <= GOPHER_DUP_NGRAM_THRESHOLDS[n]
-        )
-    out = staged.select(*cols)
-    out = out.select("*", *[c.alias(nm) for nm, c in rules.items()])
+    cols += [b["fr"][nm].alias(nm) for nm in frac_names]
+    ok_names = [nm.replace("_char_frac", "_ok") for nm in frac_names]
+    cols += [b[ok].alias(ok) for ok in ok_names]
     keep = None
-    for nm in rules:
-        keep = F.col(nm) if keep is None else keep & F.col(nm)
-    return out.withColumn("keep", keep)
+    for ok in ok_names:
+        keep = b[ok] if keep is None else keep & b[ok]
+    return staged.select(*cols, keep.alias("keep"))
 
 
 def token_entropy(
