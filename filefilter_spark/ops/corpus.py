@@ -793,6 +793,62 @@ def mixture_budget(
     )
 
 
+def execute_budget(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    token_col: str = "n_tokens",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Plan AND execute a token-budgeted mixture in one call — the
+    composition :func:`mixture_budget` → :func:`repeat_sample` that a
+    data-constrained pretraining run actually wants: given target
+    ``weights`` and a ``token_budget``, aggregate per-source available
+    tokens, derive each source's sampling rate (``budget × normalized
+    weight / available`` — **may exceed 1**, the Muennighoff et al.
+    2023 repetition regime), and materialize it: ``floor(rate)`` full
+    epochs plus a hash-sampled fractional epoch per source, ``epoch``
+    column emitted. Sources not named in ``weights`` get no budget and
+    are dropped; a source named but absent/empty simply yields no rows
+    (its unsatisfiability is visible in :func:`mixture_budget`'s plan,
+    which callers should run first for the report).
+
+    Determinism contract: rates are computed from the EXACT int64
+    token sums and literal weight fractions with fixed-order double
+    arithmetic (``budget × (w/Σw) ÷ available``) — NOT from the
+    6dp-rounded ``rate`` column of the plan — so the derived md5
+    cutoffs are bit-identical on any engine repeating the same three
+    IEEE-754 operations; the keep decisions inherit
+    :func:`repeat_sample`'s partition-invariant hash contract.
+
+    Spark shape: one sources-bounded aggregate collected to the driver
+    (rows = #sources — dataset-card-sized at any corpus scale, the
+    same collect tier the PQ codebooks use) to derive literal rates,
+    then :func:`repeat_sample`'s pure projection + explode. Two jobs,
+    one tiny collect, zero wide shuffles of document rows.
+    """
+    total_w = float(sum(weights.values()))
+    if total_w <= 0:
+        raise ValueError("execute_budget: weights must sum > 0")
+    avail = {
+        r[group_col]: r["a"]
+        for r in df.groupBy(group_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("a"))
+        .collect()
+    }
+    rates: dict[str, float] = {}
+    for name, w in weights.items():
+        a = avail.get(name)
+        if a:
+            rates[name] = float(token_budget) * (w / total_w) / float(a)
+    return repeat_sample(
+        df, rates, default_rate=0.0, group_col=group_col,
+        id_col=id_col, seed=seed,
+    )
+
+
 def assemble_packed_sequences(
     df: DataFrame,
     tokens_col: str,

@@ -1591,6 +1591,59 @@ def op_d7_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeat_sample(load_table(spark, sf_dir, "documents"), _REP_RATES)
 
 
+_EXEC_BUDGET = 120_000
+_EXEC_WNORM = {"src0": 0.75, "src1": 0.25}  # already normalized
+
+
+@query(
+    "OP-D7-execute",
+    oracle=f"""
+    WITH agg AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    r AS (
+      SELECT source,
+             {float(_EXEC_BUDGET)!r} * (CASE source
+               WHEN 'src0' THEN {_EXEC_WNORM['src0']!r}
+               WHEN 'src1' THEN {_EXEC_WNORM['src1']!r} END)
+             / CAST(avail AS DOUBLE) AS rate
+      FROM agg
+      WHERE avail > 0 AND source IN ('src0', 'src1')
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+           CAST(u.e AS INT) AS epoch
+    FROM documents d JOIN r ON d.source = r.source,
+         unnest(range(0, CAST(floor(r.rate) AS BIGINT) + 1)) u(e)
+    WHERE u.e < floor(r.rate)
+       OR substr(md5(CAST(d.doc_id AS VARCHAR) || '#rep42#e'
+                     || CAST(u.e AS VARCHAR)), 1, 8)
+          < lpad(lower(to_hex(CAST(floor(
+                (r.rate - floor(r.rate)) * 4294967296.0) AS BIGINT))),
+                 8, '0')
+    """,
+    doc="one-call budgeted-mixture execution (ops/corpus.py "
+        "execute_budget = mixture_budget -> repeat_sample): given "
+        "target weights (src0 0.75 / src1 0.25) and a 120k-token "
+        "budget, derive each source's rate from the EXACT int64 token "
+        "sums and literal weight fractions (budget x wnorm / "
+        "available — fixed-order IEEE doubles, bit-identical across "
+        "engines, deliberately NOT the plan's 6dp-rounded rate "
+        "column), then materialize floor(rate) full epochs + a "
+        "hash-sampled fractional epoch per source; unbudgeted src2 "
+        "drops. One sources-bounded collect (rows = #sources) + the "
+        "pure-projection epoch explode — no wide shuffle of document "
+        "rows at any corpus size.",
+)
+def op_d7_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import execute_budget
+
+    return execute_budget(
+        load_table(spark, sf_dir, "documents"),
+        dict(_EXEC_WNORM), _EXEC_BUDGET, token_col="n_chars",
+    )
+
+
 @query(
     "OP-D7-pack",
     oracle="""

@@ -2929,6 +2929,44 @@ def test_repeat_sample_executes_epochs(spark):
     out.unpersist()
 
 
+def test_execute_budget_one_call(spark):
+    # r12: plan AND execute in one call — rates derived from the exact
+    # per-source token sums (books 2000, web 7600 tokens here), budget
+    # realized within sampling noise, unbudgeted source dropped,
+    # deterministic under repartitioning.
+    from filefilter_spark.ops.corpus import execute_budget
+
+    docs = spark.createDataFrame(
+        [(i, "books" if i < 200 else ("junk" if i < 240 else "web"), 10)
+         for i in range(1000)],
+        "doc_id bigint, source string, n_chars int",
+    )
+    out = execute_budget(
+        docs, {"books": 2.0, "web": 1.0}, 9000, token_col="n_chars"
+    ).cache()
+    got = {r["source"]: r["t"] for r in
+           out.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()}
+    assert set(got) == {"books", "web"}          # junk (unbudgeted) drops
+    assert abs(got["books"] / 6000 - 1.0) < 0.1  # 9000 * 2/3, rate 3.0
+    assert abs(got["web"] / 3000 - 1.0) < 0.15   # 9000 * 1/3, rate ~0.39
+    # books rate = 9000*(2/3)/2000 = 3.0 exactly -> epochs 0,1,2 full
+    eps = {r["epoch"] for r in
+           out.filter("source = 'books'").select("epoch").distinct()
+           .collect()}
+    assert eps == {0, 1, 2}
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, execute_budget(
+        docs.repartition(7), {"books": 2.0, "web": 1.0}, 9000,
+        token_col="n_chars").collect()))
+    assert a == b
+    out.unpersist()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum"):
+        execute_budget(docs, {"books": 0.0}, 10, token_col="n_chars")
+
+
 def test_compact_files_jsonl_to_parquet(spark, tmp_path):
     # r11: convert-while-compacting — the jsonl ingestion chore lands
     # range-clustered parquet in one pass with content intact.
