@@ -29,6 +29,9 @@ HEADLINE = [
     # round-11 operators (gopher-rep exact-oracle; ivfpq is
     # recall-oracled — Spark wall-clock only, no DuckDB column)
     "OP-D4-gopher-rep", "OP-D3-ivfpq",
+    # round-12 operators (both exact-oracle; epochs is the
+    # row-generating explode, execute adds the plan-derivation collect)
+    "OP-D7-epochs", "OP-D7-execute",
 ]
 
 
