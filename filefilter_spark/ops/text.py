@@ -516,94 +516,117 @@ def gopher_rules(
         F.col(text_col) if isinstance(text_col, str) else text_col,
         F.lit(""),
     )
-    tk = tokens(t)
-    # non-empty-after-trim lines; blank separator lines carry no signal
-    lines = F.filter(
-        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
-        lambda x: x != "",
-    )
-    # paragraphs: non-overlapping left-to-right "\n\n" splits — the
-    # same convention DuckDB's string_split applies, so the oracle
-    # matches piece-for-piece
-    paras = F.filter(
-        F.transform(F.split(t, "\n\n"), lambda x: F.trim(x)),
-        lambda x: x != "",
-    )
+
+    def split_trim(sep: str) -> Column:
+        # non-empty-after-trim pieces; blank separators carry no
+        # signal. Paragraphs use non-overlapping left-to-right "\n\n"
+        # splits — the same convention DuckDB's string_split applies,
+        # so the oracle matches piece-for-piece.
+        return F.filter(
+            F.transform(F.split(t, sep), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+
     fdiv = lambda num, den: F.when(  # noqa: E731 - local ratio helper
         den > 0, F.round(num.cast("double") / den, 6)
     ).otherwise(F.lit(0.0))
-
-    n_words = F.size(tk)
-    mean_word_len = _bind(tk, lambda a: F.when(
-        F.size(a) > 0,
-        F.round(
-            F.aggregate(a, F.lit(0).cast("long"),
-                        lambda acc, x: acc + F.length(x)).cast("double")
-            / F.size(a), 6),
-    ).otherwise(F.lit(0.0)))
-    symbol_ratio = _bind(tk, lambda a: F.when(
-        F.size(a) > 0,
-        F.round((F.regexp_count(t, F.lit("#"))
-                 + F.regexp_count(t, F.lit(r"\.\.\."))).cast("double")
-                / F.size(a), 6),
-    ).otherwise(F.lit(0.0)))
-    bullet_frac = _bind(lines, lambda ln: fdiv(
-        F.size(F.filter(ln, lambda x: x.rlike("^([-*•]|[0-9]+[.)] )"))),
-        F.size(ln)))
-    ellipsis_frac = _bind(lines, lambda ln: fdiv(
-        F.size(F.filter(
-            ln, lambda x: x.endswith("...") | x.endswith("…"))),
-        F.size(ln)))
-    alpha_word_frac = _bind(tk, lambda a: fdiv(
-        F.size(F.filter(a, lambda x: x.rlike("[A-Za-z]"))), F.size(a)))
-    stopword_hits = F.size(F.array_intersect(
-        F.transform(tk, F.lower),
-        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
-    ))
-    dup_line_frac = _bind(lines, lambda ln: fdiv(
-        F.size(ln) - F.size(F.array_distinct(ln)), F.size(ln)))
     line_chars = lambda ln: F.aggregate(  # noqa: E731
         ln, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
-    dup_line_char_frac = _bind(lines, lambda ln: fdiv(
-        line_chars(ln) - line_chars(F.array_distinct(ln)), line_chars(ln)))
-    dup_para_frac = _bind(paras, lambda pr: fdiv(
-        F.size(pr) - F.size(F.array_distinct(pr)), F.size(pr)))
-    dup_para_char_frac = _bind(paras, lambda pr: fdiv(
-        line_chars(pr) - line_chars(F.array_distinct(pr)), line_chars(pr)))
 
-    out = df.select(
-        *([F.col(id_col)] if id_col else ["*"]),
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_ratio"),
-        bullet_frac.alias("bullet_frac"),
-        ellipsis_frac.alias("ellipsis_frac"),
-        alpha_word_frac.alias("alpha_word_frac"),
-        stopword_hits.alias("stopword_hits"),
-        dup_line_frac.alias("dup_line_frac"),
-        dup_line_char_frac.alias("dup_line_char_frac"),
-        dup_para_frac.alias("dup_para_frac"),
-        dup_para_char_frac.alias("dup_para_char_frac"),
-    )
-    rules = {
-        "words_ok": (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000),
-        "word_len_ok": (F.col("mean_word_len") >= 3.0)
-        & (F.col("mean_word_len") <= 10.0),
-        "symbol_ok": F.col("symbol_ratio") <= 0.1,
-        "bullet_ok": F.col("bullet_frac") <= 0.9,
-        "ellipsis_ok": F.col("ellipsis_frac") <= 0.3,
-        "alpha_ok": F.col("alpha_word_frac") >= 0.8,
-        "stopword_ok": F.col("stopword_hits") >= 2,
-        "dup_line_ok": F.col("dup_line_frac") <= 0.3,
-        "dup_char_ok": F.col("dup_line_char_frac") <= 0.2,
-        "dup_para_ok": F.col("dup_para_frac") <= 0.3,
-        "dup_para_char_ok": F.col("dup_para_char_frac") <= 0.2,
+    # rule name -> (signal name, threshold predicate over the signal)
+    rule_defs: dict[str, tuple[str, object]] = {
+        "words_ok": ("n_words", lambda v: (v >= 50) & (v <= 100_000)),
+        "word_len_ok": ("mean_word_len", lambda v: (v >= 3.0) & (v <= 10.0)),
+        "symbol_ok": ("symbol_ratio", lambda v: v <= 0.1),
+        "bullet_ok": ("bullet_frac", lambda v: v <= 0.9),
+        "ellipsis_ok": ("ellipsis_frac", lambda v: v <= 0.3),
+        "alpha_ok": ("alpha_word_frac", lambda v: v >= 0.8),
+        "stopword_ok": ("stopword_hits", lambda v: v >= 2),
+        "dup_line_ok": ("dup_line_frac", lambda v: v <= 0.3),
+        "dup_char_ok": ("dup_line_char_frac", lambda v: v <= 0.2),
+        "dup_para_ok": ("dup_para_frac", lambda v: v <= 0.3),
+        "dup_para_char_ok": ("dup_para_char_frac", lambda v: v <= 0.2),
     }
-    out = out.select("*", *[c.alias(n) for n, c in rules.items()])
-    keep = rules["words_ok"]
-    for name in list(rules)[1:]:
-        keep = keep & rules[name]
-    return out.withColumn("keep", keep)
+    sig_names = [s for s, _ in rule_defs.values()]
+
+    def signals(tk: Column, ln: Column, pr: Column) -> Column:
+        return F.struct(
+            F.size(tk).alias("n_words"),
+            F.when(
+                F.size(tk) > 0,
+                F.round(
+                    F.aggregate(tk, F.lit(0).cast("long"),
+                                lambda acc, x: acc + F.length(x))
+                    .cast("double") / F.size(tk), 6),
+            ).otherwise(F.lit(0.0)).alias("mean_word_len"),
+            F.when(
+                F.size(tk) > 0,
+                F.round((F.regexp_count(t, F.lit("#"))
+                         + F.regexp_count(t, F.lit(r"\.\.\."))).cast("double")
+                        / F.size(tk), 6),
+            ).otherwise(F.lit(0.0)).alias("symbol_ratio"),
+            fdiv(
+                F.size(F.filter(
+                    ln, lambda x: x.rlike("^([-*•]|[0-9]+[.)] )"))),
+                F.size(ln)).alias("bullet_frac"),
+            fdiv(
+                F.size(F.filter(
+                    ln, lambda x: x.endswith("...") | x.endswith("…"))),
+                F.size(ln)).alias("ellipsis_frac"),
+            fdiv(
+                F.size(F.filter(tk, lambda x: x.rlike("[A-Za-z]"))),
+                F.size(tk)).alias("alpha_word_frac"),
+            F.size(F.array_intersect(
+                F.transform(tk, F.lower),
+                F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            )).alias("stopword_hits"),
+            fdiv(F.size(ln) - F.size(F.array_distinct(ln)),
+                 F.size(ln)).alias("dup_line_frac"),
+            fdiv(line_chars(ln) - line_chars(F.array_distinct(ln)),
+                 line_chars(ln)).alias("dup_line_char_frac"),
+            fdiv(F.size(pr) - F.size(F.array_distinct(pr)),
+                 F.size(pr)).alias("dup_para_frac"),
+            fdiv(line_chars(pr) - line_chars(F.array_distinct(pr)),
+                 line_chars(pr)).alias("dup_para_char_frac"),
+        )
+
+    def rules_of(sg: Column) -> Column:
+        keep = None
+        oks = []
+        for rule, (sig, pred) in rule_defs.items():
+            ok = pred(sg[sig])
+            oks.append(ok.alias(rule))
+            keep = ok if keep is None else keep & ok
+        return F.struct(sg.alias("sg"), *oks, keep.alias("keep"))
+
+    # One battery struct per row: tk/lines/paras are each split ONCE
+    # (shared lambda bindings across all signals — previously each
+    # signal bound its own split: ~5 token + ~4 line splits per row),
+    # and the frac struct is bound before the rule booleans so the
+    # keep AND-chain references bound values. See gopher_repetition
+    # for why bindings (not select aliases) are load-bearing: a
+    # downstream filter(keep) inlines aliases with no cost check.
+    battery = _bind(tokens(t), lambda tk: _bind(
+        split_trim("\n"), lambda ln: _bind(
+            split_trim("\n\n"), lambda pr: _bind(
+                signals(tk, ln, pr), rules_of))))
+
+    # Same small-input rebalance as gopher_repetition: per-row regex
+    # work is bounded by the INPUT split count, so when splits < cores
+    # (single-file toy inputs) one round-robin shuffle unlocks every
+    # core; at cluster scale splits >> cores and this never fires.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    base_cols = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
+    staged = df.select(*base_cols, battery.alias("__b"))
+    b = F.col("__b")
+    return staged.select(
+        *[c for c in staged.columns if c != "__b"],
+        *[b["sg"][s].alias(s) for s in sig_names],
+        *[b[r].alias(r) for r in rule_defs],
+        b["keep"].alias("keep"),
+    )
 
 
 # Gopher A1.1 repetition thresholds (Rae et al. 2021): a doc is
