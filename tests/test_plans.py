@@ -372,7 +372,29 @@ def test_gopher_rep_plan_shape(spark, sf_dir, queries):
     assert "hashpartitioning" not in plan.lower()
 
 
-def test_ivfpq_probe_is_filter_plus_take_ordered(spark, sf_dir):
+def test_gopher_stage_plans_bound_expression_duplication(spark, sf_dir):
+    # r12 regression pin: Catalyst's predicate pushdown substitutes
+    # project aliases into filter conditions with NO cost check, so a
+    # stage that filters on `keep` over an alias-staged battery
+    # inlines the gram/tokenize construction into every reference
+    # site — an early r12 draft hit 80 split() copies in the gopherrep
+    # stage plan (500 docs took minutes). The batteries now bind every
+    # multiply-referenced intermediate as a lambda variable (_bind),
+    # opaque to all rewrites; the residual split() copies are one per
+    # self-contained battery reference (filter condition + output),
+    # bounded regardless of consumer shape.
+    from filefilter_spark.config import StageConfig
+    from filefilter_spark.stages.corpus_stage import (
+        GopherRepStage, GopherStage,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for cls, at, bound in [(GopherStage, "gopher", 12),
+                           (GopherRepStage, "gopherrep", 15)]:
+        st = cls(spark, StageConfig(name="g", action_type=at))
+        plan = st.apply(docs)._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("split(")
+        assert n <= bound, f"{at}: {n} split() copies in plan (> {bound})"
     # r11: the composed-index probe must stay a pruned scan + heap
     # top-k — a cell filter feeding TakeOrderedAndProject, zero
     # shuffle exchanges (the cell filter compiles to partition pruning
