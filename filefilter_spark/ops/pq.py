@@ -519,7 +519,13 @@ def ivfpq_topk(
     **Default to ``refine >= 5`` for retrieval use**; ``refine=0`` is
     the weak ADC-only tier and warns (use it only when approximate
     ADC order is genuinely enough, e.g. candidate generation feeding
-    a downstream ranker)."""
+    a downstream ranker). At corpus scale the shortlist is the recall
+    lever, not the probe count: measured on the ×8–×64 fixtures
+    (SCALING.md "recall@10 vs n_probe/refine"), recall FALLS with
+    extra probed cells at fixed refine (coarse-ADC near-misses crowd
+    true neighbors out of a fixed-size shortlist) and ``refine=50``
+    restores 0.9 at 128k vectors — scale ``refine`` with corpus size,
+    keep ``n_probe`` modest."""
     if refine <= 0:
         import warnings
 

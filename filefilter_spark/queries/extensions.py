@@ -3843,7 +3843,12 @@ LIMIT 10
         "4/16ths of the 32x-compressed codes. All folds fixed "
         "left-to-right on grid values: index bit-identical under any "
         "partitioning (pinned in tests/test_ops.py). Recall-oracled "
-        "vs the exact L2 top-10 (floor 0.6, measured 0.9).",
+        "vs the exact L2 top-10 (floor 0.6, measured 0.9). Sizing at "
+        "scale (SCALING.md 'recall@10 vs n_probe/refine', measured on "
+        "the x8-x64 fixtures): recall FALLS with extra probed cells "
+        "at fixed refine — the ADC shortlist is the binding "
+        "constraint — so keep n_probe modest and scale refine with "
+        "corpus size (refine=50 restores 0.9 at 128k vectors).",
 )
 def op_d3_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.pq import build_ivfpq_index, ivfpq_topk
