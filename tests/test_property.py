@@ -275,3 +275,53 @@ def test_line_dedup_matches_python_reference(spark, docs):
         for r in line_dedup(df).collect()
     }
     assert got == _line_dedup_reference(docs)
+
+
+# --- repeat_sample: epoch-repeat semantics vs a direct reference ------------
+
+def _repeat_reference(rows, rates, default_rate=1.0, seed=42):
+    """Direct transcription of repeat_sample's documented semantics:
+    floor(rate) full epochs + a fractional epoch kept iff the md5
+    prefix of id||'#rep'||seed||'#e'||epoch clears the cutoff."""
+    import hashlib
+    import math
+
+    out = []
+    for doc_id, source in rows:
+        rate = rates.get(source, default_rate)
+        full = int(math.floor(rate))
+        frac = rate - full
+        cutoff = format(int(frac * (16 ** 8)), "08x")
+        for e in range(full + 1):
+            if e < full:
+                out.append((doc_id, source, e))
+            else:
+                h = hashlib.md5(
+                    f"{doc_id}#rep{seed}#e{e}".encode()).hexdigest()[:8]
+                if h < cutoff:
+                    out.append((doc_id, source, e))
+    return sorted(out)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    rates=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.one_of(st.integers(0, 3).map(float),
+                  st.floats(0.0, 3.5, allow_nan=False, width=32)
+                  .map(lambda x: round(x, 3))),
+        min_size=1, max_size=3,
+    ),
+    n=st.integers(min_value=1, max_value=60),
+)
+def test_repeat_sample_matches_python_reference(spark, rates, n):
+    from filefilter_spark.ops.corpus import repeat_sample
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    got = sorted(
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in repeat_sample(df, rates).collect()
+    )
+    assert got == _repeat_reference(rows, rates)
