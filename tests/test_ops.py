@@ -2796,6 +2796,21 @@ def test_ivfpq_stream_ingest_matches_batch(spark, tmp_path):
     n = comp.filter(F.col("cell") == some_cell).count()
     assert 0 < n < len(g2)
 
+    # r12: the threshold-gated maintenance call — a healthy table is a
+    # metadata-only no-op (nothing written), a fragmented one compacts
+    import os
+
+    from filefilter_spark.ops.layout import maybe_compact
+
+    noop_dir = str(tmp_path / "noop")
+    assert maybe_compact(spark, comp_dir, noop_dir, "cell", ["vec_id"],
+                         max_files_per_partition=16) is False
+    assert not os.path.exists(noop_dir)
+    auto_dir = str(tmp_path / "auto")
+    assert maybe_compact(spark, idx_dir, auto_dir, "cell", ["vec_id"],
+                         max_files_per_partition=1) is True
+    assert cell_files(auto_dir) == after
+
 
 def test_soft_dedup_weights(spark):
     # r11: down-weight-instead-of-drop dedup — a 3-member chain
