@@ -41,8 +41,11 @@ from tools.crossover_probe import build_scaled_dir, timed  # noqa: E402
 
 # data-heavy tail rows (round 6) — still converging at ×32
 # (+ r9: OP-D7-dsir, 4.66@×8 and falling in the main table — the one
-# r8 op with per-byte corpus cost and an exact oracle)
-TAIL = ["OP-D2-lines", "OP-D4-perplexity", "OP-D2-spans", "OP-D7-dsir"]
+# r8 op with per-byte corpus cost and an exact oracle; + r12:
+# OP-D4-gopher-rep so full reruns keep the rewritten projection's row
+# — measured 0.43/0.31/0.19 at ×8/×16/×32 in the r12 session)
+TAIL = ["OP-D2-lines", "OP-D4-perplexity", "OP-D2-spans", "OP-D7-dsir",
+        "OP-D4-gopher-rep"]
 # floor-bound rows (round 7) — ×8 ratio = job floor / small denominator
 FLOOR = ["OP-B11", "OP-B12", "OP-B22", "OP-D1", "OP-D3",
          "OP-D4-bpe", "OP-D7-temperature"]
