@@ -801,6 +801,7 @@ def execute_budget(
     group_col: str = "source",
     id_col: str = "doc_id",
     seed: int = 42,
+    max_groups: int = 100_000,
 ) -> DataFrame:
     """Plan AND execute a token-budgeted mixture in one call — the
     composition :func:`mixture_budget` → :func:`repeat_sample` that a
@@ -828,16 +829,28 @@ def execute_budget(
     same collect tier the PQ codebooks use) to derive literal rates,
     then :func:`repeat_sample`'s pure projection + explode. Two jobs,
     one tiny collect, zero wide shuffles of document rows.
+
+    ``max_groups`` is the loud-failure cap on that collect (the same
+    bounded-fan-in contract as :func:`temperature_sample`): a
+    high-cardinality ``group_col`` — an id column passed by mistake —
+    raises instead of silently pulling the corpus onto the driver.
     """
     total_w = float(sum(weights.values()))
     if total_w <= 0:
         raise ValueError("execute_budget: weights must sum > 0")
-    avail = {
-        r[group_col]: r["a"]
-        for r in df.groupBy(group_col)
+    limited = (
+        df.groupBy(group_col)
         .agg(F.sum(F.col(token_col).cast("long")).alias("a"))
+        .limit(max_groups + 1)
         .collect()
-    }
+    )
+    if len(limited) > max_groups:
+        raise ValueError(
+            f"execute_budget: > {max_groups} distinct {group_col!r} "
+            "groups — this is a per-SOURCE budgeting knob, not a "
+            "per-row one; pass a coarser group_col or raise max_groups"
+        )
+    avail = {r[group_col]: r["a"] for r in limited}
     rates: dict[str, float] = {}
     for name, w in weights.items():
         a = avail.get(name)

@@ -255,6 +255,45 @@ def compact_partitioned(
     return n_out
 
 
+def _partition_file_counts(
+    spark, in_path: str, partition_by: str
+) -> dict[str, int]:
+    """Data-file count per ``partition_by=`` directory under
+    ``in_path``, listed via the Hadoop FileSystem API — the same
+    store-agnostic tier as :func:`input_bytes` ("works on any store
+    Spark can read"), NOT a local ``glob``: a fragmentation gate that
+    only sees the local filesystem would silently no-op forever on
+    the s3a/hdfs tables a long-lived streaming index actually lives
+    on. Hidden entries (``_SUCCESS``, ``.crc``, checkpoints) are
+    excluded, matching what a parquet scan reads.
+
+    Raises when ``in_path`` has no ``partition_by=`` dirs at all —
+    that is a mis-pointed path or wrong partition column, and
+    returning "0 files, healthy" would hide it."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    prefix = f"{partition_by}="
+    counts: dict[str, int] = {}
+    for st in fs.listStatus(root):
+        part = st.getPath().getName()
+        if not (st.isDirectory() and part.startswith(prefix)):
+            continue
+        n = 0
+        for f in fs.listStatus(st.getPath()):
+            name = f.getPath().getName()
+            if f.isFile() and not name.startswith(("_", ".")):
+                n += 1
+        counts[part] = n
+    if not counts:
+        raise ValueError(
+            f"maybe_compact: no {prefix}* partition directories under "
+            f"{in_path!r} — wrong path or partition column? (a silent "
+            "'healthy' here would mask a never-firing compaction gate)"
+        )
+    return counts
+
+
 def maybe_compact(
     spark,
     in_path: str,
@@ -280,19 +319,17 @@ def maybe_compact(
     table size. Threshold guidance from the measured curve in
     SCALING.md ("probe cost vs fragmentation"): per-file fixed costs
     (listing, footer, task) track the micro-batch count, ~1.7× probe
-    cost at 64 batches even on a toy table."""
-    import glob as _glob
-    import os as _os
+    cost at 64 batches even on a toy table.
 
-    counts: dict[str, int] = {}
-    pat = _os.path.join(in_path, f"{partition_by}=*", "*")
-    for p in _glob.glob(pat):
-        name = _os.path.basename(p)
-        if name.startswith(("_", ".")):
-            continue
-        part = _os.path.basename(_os.path.dirname(p))
-        counts[part] = counts.get(part, 0) + 1
-    worst = max(counts.values(), default=0)
+    The listing goes through the Hadoop FileSystem API (the
+    :func:`input_bytes` pattern) so the gate fires on ANY store Spark
+    can read — file:, hdfs://, s3a:// — not just the local
+    filesystem; a table with no ``partition_by=`` directories at all
+    raises rather than silently reporting "healthy" forever."""
+    worst = max(
+        _partition_file_counts(spark, in_path, partition_by).values(),
+        default=0,
+    )
     if worst <= max_files_per_partition:
         return False
     compact_partitioned(

@@ -2812,6 +2812,54 @@ def test_ivfpq_stream_ingest_matches_batch(spark, tmp_path):
     assert cell_files(auto_dir) == after
 
 
+def test_maybe_compact_store_agnostic(spark, tmp_path):
+    # r13: the fragmentation gate lists via the Hadoop FileSystem API,
+    # not a local glob — a scheme-qualified URI (file:///…, the same
+    # resolution path as hdfs:// and s3a://) must count files and fire;
+    # the old glob.glob check matched NOTHING for any scheme-qualified
+    # path and returned False forever. Also: a mis-pointed path (no
+    # partition_by= dirs at all) raises instead of reporting healthy.
+    import os
+
+    import pytest as _pytest
+
+    from filefilter_spark.ops.layout import (
+        _partition_file_counts, maybe_compact,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 3, i, f"v{i}") for i in range(60)],
+        "cell int, vec_id bigint, payload string",
+    )
+    frag = str(tmp_path / "frag")
+    # 4 writer tasks per cell -> several files under each cell= dir
+    df.repartition(4).write.partitionBy("cell").parquet(frag)
+
+    uri = "file://" + frag  # scheme-qualified: glob.glob sees nothing
+    counts = _partition_file_counts(spark, uri, "cell")
+    assert set(counts) == {"cell=0", "cell=1", "cell=2"}
+    assert max(counts.values()) > 1
+
+    out = "file://" + str(tmp_path / "out")
+    assert maybe_compact(spark, uri, out, "cell", ["vec_id"],
+                         max_files_per_partition=1) is True
+    got = {(r["cell"], r["vec_id"], r["payload"])
+           for r in spark.read.parquet(out).collect()}
+    want = {(r["cell"], r["vec_id"], r["payload"]) for r in df.collect()}
+    assert got == want
+
+    # healthy table via the same URI tier: metadata-only no-op
+    noop = str(tmp_path / "noop")
+    assert maybe_compact(spark, out, noop, "cell", ["vec_id"],
+                         max_files_per_partition=16) is False
+    assert not os.path.exists(noop)
+
+    # wrong partition column / mis-pointed path: loud, not "healthy"
+    with _pytest.raises(ValueError, match="no bucket=.*directories"):
+        maybe_compact(spark, uri, str(tmp_path / "x"), "bucket",
+                      ["vec_id"])
+
+
 def test_soft_dedup_weights(spark):
     # r11: down-weight-instead-of-drop dedup — a 3-member chain
     # cluster (A~B, B~C) weighs 1/3 each, singletons 1.0, so total
@@ -2980,6 +3028,13 @@ def test_execute_budget_one_call(spark):
 
     with pytest.raises(ValueError, match="sum"):
         execute_budget(docs, {"books": 0.0}, 10, token_col="n_chars")
+
+    # r13: the per-source aggregate collect is loud-failure capped
+    # (same contract as temperature_sample) — an id column passed as
+    # group_col raises instead of pulling the corpus onto the driver
+    with pytest.raises(ValueError, match="coarser group_col"):
+        execute_budget(docs, {"books": 1.0}, 10, token_col="n_chars",
+                       group_col="doc_id", max_groups=100)
 
 
 def test_compact_files_jsonl_to_parquet(spark, tmp_path):

@@ -395,6 +395,9 @@ def test_gopher_stage_plans_bound_expression_duplication(spark, sf_dir):
         plan = st.apply(docs)._jdf.queryExecution().executedPlan().toString()
         n = plan.count("split(")
         assert n <= bound, f"{at}: {n} split() copies in plan (> {bound})"
+
+
+def test_ivfpq_probe_is_filter_plus_take_ordered(spark, sf_dir):
     # r11: the composed-index probe must stay a pruned scan + heap
     # top-k — a cell filter feeding TakeOrderedAndProject, zero
     # shuffle exchanges (the cell filter compiles to partition pruning
