@@ -481,6 +481,20 @@ def ivfpq_encode_batch(
     return codes.join(assigned, id_col)
 
 
+def _auto_refine(probed_pop: int, topk: int) -> int:
+    """Refine multiplier sized from the measured recall law
+    (SCALING.md "recall@10 vs n_probe/refine"): the exact-rerank
+    shortlist must track the PROBED population or coarse-ADC
+    near-misses crowd true neighbors out before the rerank sees
+    them. Shortlist = max(5·topk, probed_pop/16) reproduces both
+    measured 0.9-recall points — refine=5 at the sf0.01 index
+    (~500 probed rows) and refine=50 at 128k vectors / n_probe 4
+    of 64 lists (~8k probed rows)."""
+    if topk <= 0:
+        raise ValueError("ivfpq_topk: topk must be > 0")
+    return max(5, -(-int(probed_pop) // (16 * int(topk))))
+
+
 def ivfpq_topk(
     indexed: DataFrame,
     codebooks: Codebooks,
@@ -488,7 +502,7 @@ def ivfpq_topk(
     query: Sequence[float],
     topk: int = 10,
     n_probe: int = 4,
-    refine: int = 0,
+    refine: int | None = None,
     vectors: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -516,25 +530,22 @@ def ivfpq_topk(
     0.9-1.0 of it — the refine read is ``refine·topk`` point lookups
     (id-pruned scan), so the composed cost stays
     probed-cells-ADC + O(k) exact distances at any corpus size.
-    **Default to ``refine >= 5`` for retrieval use**; ``refine=0`` is
-    the weak ADC-only tier and warns (use it only when approximate
-    ADC order is genuinely enough, e.g. candidate generation feeding
-    a downstream ranker). At corpus scale the shortlist is the recall
-    lever, not the probe count: measured on the ×8–×64 fixtures
-    (SCALING.md "recall@10 vs n_probe/refine"), recall FALLS with
-    extra probed cells at fixed refine (coarse-ADC near-misses crowd
-    true neighbors out of a fixed-size shortlist) and ``refine=50``
-    restores 0.9 at 128k vectors — scale ``refine`` with corpus size,
-    keep ``n_probe`` modest."""
-    if refine <= 0:
-        import warnings
 
-        warnings.warn(
-            "ivfpq_topk: refine=0 returns the ADC-only tier (measured "
-            "recall ~0.3-0.5 at m=8,k=16); pass refine>=5 with "
-            "`vectors` for the exact re-rank tier (recall ~0.9).",
-            stacklevel=2,
-        )
+    ``refine=None`` (default, r13) **auto-sizes from the measured
+    law**: at corpus scale the shortlist is the recall lever, not the
+    probe count — measured on the ×8–×64 fixtures (SCALING.md
+    "recall@10 vs n_probe/refine"), recall FALLS with extra probed
+    cells at fixed refine (coarse-ADC near-misses crowd true
+    neighbors out of a fixed-size shortlist) and ``refine=50``
+    restores 0.9 at 128k vectors where ``refine=5`` reads 0.47. Auto
+    mode counts the probed cells' rows (one partition-pruned count —
+    n_probe/n_lists of the table's metadata, no full scan) and sets
+    ``refine = max(5, ceil(probed/16/topk))``, which reproduces both
+    measured 0.9-recall points (:func:`_auto_refine`); it requires
+    ``vectors``. A user probing a grown index thus keeps ~0.9 recall
+    without reading SCALING.md. ``refine=0`` stays available as the
+    EXPLICIT ADC-only opt-in (candidate generation feeding a
+    downstream ranker) — an informed choice, so it does not warn."""
     qq = [float(math.floor(x * scale + 0.5)) / scale for x in query]
 
     def sqd(cent: Sequence[float]) -> float:
@@ -547,6 +558,15 @@ def ivfpq_topk(
     probe = sorted(
         range(len(centroids)), key=lambda i: (sqd(centroids[i]), i)
     )[:n_probe]
+    if refine is None:
+        if vectors is None:
+            raise ValueError(
+                "ivfpq_topk: refine=None (auto) requires `vectors` for "
+                "the exact re-rank tier; pass refine=0 explicitly for "
+                "the ADC-only shortlist (measured recall ~0.3-0.5)"
+            )
+        probed_pop = indexed.filter(F.col("cell").isin(probe)).count()
+        refine = _auto_refine(probed_pop, topk)
     if residual:
         # residual codes (build_ivfpq_index residual=True): the code
         # approximates x − centroid[cell], so each probed cell needs

@@ -3847,8 +3847,11 @@ LIMIT 10
         "scale (SCALING.md 'recall@10 vs n_probe/refine', measured on "
         "the x8-x64 fixtures): recall FALLS with extra probed cells "
         "at fixed refine — the ADC shortlist is the binding "
-        "constraint — so keep n_probe modest and scale refine with "
-        "corpus size (refine=50 restores 0.9 at 128k vectors).",
+        "constraint — so the r13 refine=None default APPLIES that "
+        "law: one partition-pruned count of the probed cells sizes "
+        "refine = max(5, probed/16/topk), reproducing both measured "
+        "0.9-recall points (5 here, 50 at 128k vectors); this entry "
+        "runs the auto default.",
 )
 def op_d3_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.pq import build_ivfpq_index, ivfpq_topk
@@ -3859,5 +3862,5 @@ def op_d3_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivfpq_topk(
         indexed, books, cents, _query_vec(spark, sf_dir),
-        topk=10, n_probe=4, refine=5, vectors=emb,
+        topk=10, n_probe=4, vectors=emb,
     ).select("vec_id", F.round("dist2", 6).alias("dist2"))

@@ -2507,23 +2507,41 @@ def test_ivfpq_composed_recall_and_determinism(spark):
     with _pytest.raises(ValueError, match="vectors"):
         ivfpq_topk(indexed, books, cents, q, refine=5)
 
-    # r12: refine=0 is the weak ADC-only tier (measured recall
-    # 0.3-0.5) — it must WARN so nobody lands on it silently; the
-    # registered refine>=1 shape must stay quiet
-    import warnings as _warnings
-    with _pytest.warns(UserWarning, match="ADC-only"):
+    # r13: refine=None (the default) auto-sizes the shortlist from
+    # the measured recall law — so nobody lands on the weak ADC-only
+    # tier silently. The formula reproduces both measured 0.9-recall
+    # points (refine=5 at the sf0.01-shaped probed pop ~500,
+    # refine=50 at 128k vectors / n_probe 4 of 64 -> probed ~8000),
+    # and never drops below the 5x retrieval tier.
+    from filefilter_spark.ops.pq import _auto_refine
+    assert _auto_refine(500, 10) == 5
+    assert _auto_refine(8000, 10) == 50
+    assert _auto_refine(10, 10) == 5
+    assert _auto_refine(0, 10) == 5
+
+    # auto default end-to-end: same answer as the explicit refine=5
+    # shape here (probed pop at sf0.001 is far under 800), requires
+    # vectors, and explicit refine=0 is a quiet opt-in (no warning)
+    got_auto = [r["vec_id"] for r in
+                ivfpq_topk(indexed, books, cents, q, topk=10,
+                           n_probe=4, vectors=emb).collect()]
+    assert got_auto == got
+    with _pytest.raises(ValueError, match="refine=0 explicitly"):
         ivfpq_topk(indexed, books, cents, q, topk=10, n_probe=4)
+    import warnings as _warnings
     with _warnings.catch_warnings():
         _warnings.simplefilter("error")
         ivfpq_topk(indexed, books, cents, q, topk=10, n_probe=4,
+                   refine=0)
+        ivfpq_topk(indexed, books, cents, q, topk=10, n_probe=4,
                    refine=5, vectors=emb)
 
-    # probe pruning is real: with an unbounded topk and no refine,
+    # probe pruning is real: with an unbounded topk and refine=0,
     # the ADC tier emits exactly the probed cells' rows — strictly
     # fewer than the corpus (Catalyst inlines the `cell` alias into
     # the filter expression, so a plan-string name check can't see it)
     probed_n = ivfpq_topk(
-        indexed, books, cents, q, topk=1_000_000, n_probe=4
+        indexed, books, cents, q, topk=1_000_000, n_probe=4, refine=0
     ).count()
     assert 0 < probed_n < emb.count()
 
@@ -2648,9 +2666,11 @@ def test_ivfpq_residual_and_sampled_fit(spark):
         fit_frac=0.5)
     assert sb2 == sb1 and sc2 == sc1
     r1 = [r["vec_id"] for r in
-          ivfpq_topk(s1, sb1, sc1, q, topk=10, n_probe=4).collect()]
+          ivfpq_topk(s1, sb1, sc1, q, topk=10, n_probe=4,
+                     refine=0).collect()]
     r2 = [r["vec_id"] for r in
-          ivfpq_topk(s2, sb2, sc2, q, topk=10, n_probe=4).collect()]
+          ivfpq_topk(s2, sb2, sc2, q, topk=10, n_probe=4,
+                     refine=0).collect()]
     assert r1 == r2 and len(r1) == 10
 
 

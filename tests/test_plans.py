@@ -417,7 +417,8 @@ def test_ivfpq_probe_is_filter_plus_take_ordered(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="ivfpq_plan_")
     indexed.write.partitionBy("cell").mode("overwrite").parquet(out)
     codes = spark.read.parquet(out)
-    plan = _plan(ivfpq_topk(codes, books, cents, q, topk=10, n_probe=4))
+    plan = _plan(ivfpq_topk(codes, books, cents, q, topk=10, n_probe=4,
+                            refine=0))
     assert "TakeOrderedAndProject" in plan
     assert _shuffle_count(plan) == 0
     assert re.search(r"PartitionFilters: \[[^\]]*cell", plan), (

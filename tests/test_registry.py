@@ -92,3 +92,36 @@ def test_oracle_full_artifact_covers_registry(entry):
         f"missing {sorted(qs - names)}; stale {sorted(names - qs)}"
     )
     assert data["n_fail"] == 0 and data["n_err"] == 0
+
+
+def test_bench_compact_line_is_tail_safe():
+    """r13 (VERDICT r12 #4): the bench's FINAL stdout line must stay
+    parseable inside a bounded tail capture — the driver's 2,000-char
+    window held only fragments of the full JSON line from r9-r12
+    ("parsed": null). Pin the compact line under 1,000 chars even in
+    the worst realistic shape (every headline query escalated AND
+    missing, loaded box)."""
+    import json
+
+    import bench
+
+    worst = {
+        "metric": "total_wall_sec",
+        "value": 12345.678,
+        "unit": "sec",
+        "queries": {n: 99.999 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "estimator": "min_of_2_warm_plus_noise_rep",
+        "load1_at_launch": 31.9,
+        "load_note": "x" * 500,
+        "escalated_queries": list(bench.HEADLINE),
+        "added_queries": [n for n in bench.HEADLINE if n.count("-") > 1],
+        "missing_queries": list(bench.HEADLINE),
+    }
+    line = json.dumps(bench.compact_line(worst))
+    assert len(line) <= 1000, len(line)
+    # round-trips, and carries the scalars a series reader needs
+    back = json.loads(line)
+    assert back["value"] == 12345.678 and back["sf"] == 0.1
+    assert back["missing_queries"] == list(bench.HEADLINE)
+    assert "queries" not in back  # the big dict stays out of the tail
