@@ -37,6 +37,7 @@ VALID_ACTION_TYPES = {
     "dedupbest", "temperature", "bpe",
     "dsir", "qualityfilter", "safesplit",
     "gopher", "gopherrep", "entropy",
+    "epochs", "budget",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",
 }

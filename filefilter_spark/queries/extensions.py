@@ -2091,6 +2091,56 @@ def op_a8_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipe.run(load_table(spark, sf_dir, "documents")).df
 
 
+_EPOCHS_PIPE_NF, _EPOCHS_PIPE_FC = _rep_cases_sql(
+    {"src0": 2.4, "src2": 0.0}, 1.0
+)
+_EPOCHS_PIPE_YAML = """
+filters:
+  - name: drop_dupes
+    actionType: dedup
+  - name: repeat
+    actionType: epochs
+    actionConfig:
+      rates: {src0: 2.4, src2: 0.0}
+      defaultRate: 1.0
+"""
+
+
+@query(
+    "OP-A8-epochs",
+    oracle=f"""
+    WITH kept AS (
+      SELECT doc_id, text, lang, source, n_chars
+      FROM documents
+      WHERE doc_id IN (
+        SELECT min(doc_id) FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+      )
+    )
+    SELECT doc_id, text, lang, source, n_chars, CAST(u.e AS INT) AS epoch
+    FROM kept, unnest(range(0, ({_EPOCHS_PIPE_NF}) + 1)) u(e)
+    WHERE u.e < ({_EPOCHS_PIPE_NF})
+       OR substr(md5(CAST(doc_id AS VARCHAR) || '#rep42#e'
+                     || CAST(u.e AS VARCHAR)), 1, 8)
+          < ({_EPOCHS_PIPE_FC})
+    """,
+    doc="zero-code repetition tier (r13): dedup -> epochs as YAML "
+        "actionTypes folded into ONE lazy plan — the r12 repeat_sample "
+        "capability (rates may exceed 1: src0 x2.4 here, src2 dropped, "
+        "rest x1, 0-based epoch column distinguishing the copies) "
+        "reachable from the reference's config-driven surface "
+        "(stages/corpus_stage.py EpochsStage; BudgetStage is the "
+        "token-budget sibling). The sample actionType now raises with "
+        "a pointer here for rates above 1 instead of being a dead end.",
+)
+def op_a8_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    pipe = Pipeline(spark, load_config_str(_EPOCHS_PIPE_YAML))
+    return pipe.run(load_table(spark, sf_dir, "documents")).df
+
+
 @query(
     "OP-D4-quantiles",
     oracle="""

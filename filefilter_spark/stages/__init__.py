@@ -12,7 +12,9 @@ from filefilter_spark.stages.pandas_stage import PandasStage
 from filefilter_spark.stages.udf_stage import UdfStage
 from filefilter_spark.stages.corpus_stage import (
     BpeStage,
+    BudgetStage,
     DsirStage,
+    EpochsStage,
     EntropyStage,
     GopherRepStage,
     GopherStage,
@@ -56,6 +58,10 @@ STAGE_TYPES = {
     "expect": ExpectStage,
     "dedupbest": KeepBestStage,
     "temperature": TemperatureStage,
+    # r13: the repetition tier — rates that may exceed 1 (epochs) and
+    # one-call token-budget execution, both library-only before
+    "epochs": EpochsStage,
+    "budget": BudgetStage,
     "bpe": BpeStage,
     "dsir": DsirStage,
     "qualityfilter": QualityFilterStage,
@@ -76,5 +82,6 @@ __all__ = [
     "QuotaStage", "ChunkStage", "DecontaminateStage", "DomainFilterStage",
     "TextStatsStage", "PerplexityStage", "ExpectStage", "MediaStage",
     "KeepBestStage", "TemperatureStage", "BpeStage",
+    "EpochsStage", "BudgetStage",
     "STAGE_TYPES",
 ]

@@ -91,13 +91,24 @@ class SplitStage(Stage):
 
 
 class SampleStage(Stage):
-    """Per-group keep-rate sampling (``ops.corpus.weighted_sample``)."""
+    """Per-group keep-rate sampling (``ops.corpus.weighted_sample``).
+    Rates are fractions in [0, 1] — a rate above 1 (the
+    data-constrained repetition regime) is :class:`EpochsStage`'s job
+    and raises here with that pointer."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         from filefilter_spark.ops.corpus import weighted_sample
 
         cfg = self.cfg.action_config
         rates = {str(k): float(v) for k, v in (cfg.get("rates") or {}).items()}
+        over = {k: v for k, v in rates.items() if v > 1.0}
+        if over or float(cfg.get("defaultRate", 1.0)) > 1.0:
+            raise ValueError(
+                f"sample: rate(s) above 1 ({over or 'defaultRate'}) — "
+                "keep-rate sampling caps at keep-everything; use "
+                "actionType: epochs to materialize repetition "
+                "(floor(rate) full epochs + a fractional epoch)"
+            )
         return weighted_sample(
             df,
             rates,
@@ -617,4 +628,79 @@ class ExpectStage(Stage):
             not_null=[str(c) for c in cfg.get("notNull", [])],
             unique=[str(c) for c in cfg.get("unique", [])],
             ranges=ranges,
+        )
+
+
+class EpochsStage(Stage):
+    """Epoch-repeat execution from YAML (``ops.corpus.repeat_sample``,
+    Muennighoff et al. 2023): per-source rates may EXCEED 1 — a source
+    at rate ``r`` yields ``floor(r)`` full epochs plus a fractional
+    epoch, with a 0-based ``epoch`` column distinguishing the copies.
+    This is the capability ``sample`` (weighted_sample) cannot
+    materialize: its cutoffs cap at keep-everything, so a YAML user
+    could plan a data-constrained mixture but not execute it.
+
+    ``epoch`` is RESERVED on the input (raises on collision — a prior
+    epochs stage's output must be renamed away, not silently
+    overwritten by withColumn).
+
+    .. code-block:: yaml
+
+        - name: repeat
+          actionType: epochs
+          actionConfig:
+            rates: {books: 3.0, wiki: 1.5}
+            defaultRate: 1.0
+    """
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.corpus import repeat_sample
+        from filefilter_spark.ops.order import _check_reserved
+
+        cfg = self.cfg.action_config
+        _check_reserved(df, ["epoch"], "epochs")
+        return repeat_sample(
+            df,
+            {str(k): float(v) for k, v in (cfg.get("rates") or {}).items()},
+            default_rate=float(cfg.get("defaultRate", 1.0)),
+            group_col=cfg.get("groupField", "source"),
+            id_col=cfg.get("idField", "doc_id"),
+            seed=int(cfg.get("seed", 42)),
+        )
+
+
+class BudgetStage(Stage):
+    """One-call token-budget execution from YAML
+    (``ops.corpus.execute_budget``): given target ``weights`` and a
+    ``tokenBudget``, derive each source's rate from its ACTUAL
+    available tokens (one sources-bounded aggregate) and materialize
+    the mixture — epochs-with-repetition where rate > 1, fractional
+    sampling where rate < 1, unbudgeted sources dropped. ``epoch``
+    is RESERVED on the input like :class:`EpochsStage`.
+
+    .. code-block:: yaml
+
+        - name: mix
+          actionType: budget
+          actionConfig:
+            weights: {books: 2.0, web: 1.0}
+            tokenBudget: 9000000
+            tokenField: n_tokens
+    """
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.corpus import execute_budget
+        from filefilter_spark.ops.order import _check_reserved
+
+        cfg = self.cfg.action_config
+        _check_reserved(df, ["epoch"], "budget")
+        return execute_budget(
+            df,
+            {str(k): float(v) for k, v in (cfg.get("weights") or {}).items()},
+            int(cfg["tokenBudget"]),
+            token_col=cfg.get("tokenField", "n_tokens"),
+            group_col=cfg.get("groupField", "source"),
+            id_col=cfg.get("idField", "doc_id"),
+            seed=int(cfg.get("seed", 42)),
+            max_groups=int(cfg.get("maxGroups", 100_000)),
         )

@@ -811,3 +811,59 @@ filters:
   - name: r2
     actionType: gopherrep
 """)).run(tagged)
+
+
+def test_epochs_and_budget_stages(spark):
+    """r13: the repetition tier as zero-code actionTypes. Golden: a
+    4-doc corpus at rate 3.0 yields exactly epochs {0,1,2} per doc
+    (integer rate -> no fractional draw), rate-1.0 default passes
+    through at epoch 0, rate-0 drops; budget derives rates from the
+    actual token sums and emits the same epoch column; sample now
+    points rate>1 users here instead of dead-ending; `epoch` is
+    reserved on input for both."""
+    docs = spark.createDataFrame(
+        [(1, "books", 100), (2, "books", 100),
+         (3, "web", 100), (4, "junk", 100)],
+        "doc_id bigint, source string, n_tokens int",
+    )
+    out = run_yaml(spark, docs, """
+filters:
+  - name: repeat
+    actionType: epochs
+    actionConfig:
+      rates: {books: 3.0, junk: 0.0}
+""")
+    assert out.columns == ["doc_id", "source", "n_tokens", "epoch"]
+    got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    assert got == [(1, 0), (1, 1), (1, 2), (2, 0), (2, 1), (2, 2), (3, 0)]
+
+    # budget: books avail 200, web avail 100; budget 600 split 2:1
+    # -> books rate 400/200 = 2.0 (epochs 0,1), web rate 200/100 = 2.0
+    out2 = run_yaml(spark, docs, """
+filters:
+  - name: mix
+    actionType: budget
+    actionConfig:
+      weights: {books: 2.0, web: 1.0}
+      tokenBudget: 600
+""")
+    got2 = sorted((r["doc_id"], r["epoch"]) for r in out2.collect())
+    assert got2 == [(1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)]
+
+    # epoch reserved on input (the GopherRepStage guard pattern)
+    with pytest.raises(ValueError, match="reserved"):
+        run_yaml(spark, docs.withColumn("epoch", F.lit(9)), """
+filters:
+  - name: repeat
+    actionType: epochs
+""")
+
+    # sample redirects the repetition regime instead of dead-ending
+    with pytest.raises(ValueError, match="actionType: epochs"):
+        run_yaml(spark, docs, """
+filters:
+  - name: bad
+    actionType: sample
+    actionConfig:
+      rates: {books: 3.0}
+""")
