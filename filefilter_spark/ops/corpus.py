@@ -73,7 +73,7 @@ def hash_split(
 
 def dsir_logweights(
     source: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hex: int = 3,
@@ -99,71 +99,163 @@ def dsir_logweights(
     integer-hash buckets have no DuckDB twin). 4,096 buckets at the
     default matches the paper's 10k-bucket regime.
 
-    Scale shape: two bucket-count aggregations (each shuffles ≤ B
-    buckets per partition after map-side combine), a B-row ratio table
-    that broadcast-joins onto the exploded source features, and one
-    map-combined groupBy(doc_id). The source corpus is scanned twice
-    (count pass + score pass) — same trade as :func:`~filefilter_spark.
-    ops.text.bigram_nll`, and for the same reason: persisting here
-    would pin a cache into the returned lazy plan's lifetime, which
-    the caller can't manage. Returns ``(doc_id, n_feats, logw)``
-    (logw rounded to 6dp, the repo's cross-engine double-fold
-    tolerance); docs with zero tokens have no features and drop out.
+    Scale shape (r13 — the perplexity/gopher-rep settlement applied
+    here): ONE bucket-count job (when ``target`` is a Column
+    predicate over ``source`` — the common "target is a slice of the
+    corpus" case — a SINGLE tagged scan counts q and t together; an
+    arbitrary target frame tag-unions two streams), its ≤ B-row
+    result collected to the driver (the PQ-codebook collect tier —
+    structurally bounded by ``16**n_hex``, no cap needed), log-ratios
+    computed driver-side as Python floats (same fixed-order IEEE ops
+    both engines run), and the SCORING pass is then a PURE
+    PROJECTION: each doc folds an O(1) dense-array lookup over its
+    in-row feature array — zero joins, zero exchanges, no explode, no
+    groupBy(doc_id). The r12 shape broadcast-joined a lazily-derived
+    ratio table onto an exploded feature stream and shuffled ~2
+    feature-rows per token into a per-doc aggregate; measured at
+    sf0.1 that was the last data-heavy >2×-DuckDB bench row (3.8×).
+    The multiply-referenced token/feature arrays are staged as lambda
+    variables (``_bind``), NOT select aliases — see
+    :func:`~filefilter_spark.ops.text.gopher_repetition` for why that
+    is load-bearing (alias inlining under predicate pushdown has no
+    cost check).
+
+    Returns ``(doc_id, n_feats, logw)`` (logw rounded to 6dp, the
+    repo's cross-engine double-fold tolerance); docs with zero tokens
+    have no features and drop out (pre-filtered by a cheap ``\\S``
+    match, equivalent to a non-empty token array). NOTE: the bucket
+    counting runs EAGERLY at call time (one job); the returned frame
+    is lazy.
     """
+    import math
+
+    from filefilter_spark.ops.text import _bind
+
     n_buckets = 16 ** n_hex
 
-    def buckets(df: DataFrame, keep_id: bool) -> DataFrame:
-        toks = df.select(
-            *([F.col(id_col)] if keep_id else []),
-            tokens(F.lower(F.col(text_col))).alias("__tk"),
-        )
+    def feat_buckets(tk: Column) -> Column:
+        """Unigram+bigram md5-prefix buckets of a token array, in
+        position order (unigrams first) — one in-row array, no
+        explode needed by the consumer that can fold it."""
         bi = F.when(
-            F.size("__tk") >= 2,
+            F.size(tk) >= 2,
             F.transform(
-                F.sequence(F.lit(1), F.size("__tk") - 1),
+                F.sequence(F.lit(1), F.size(tk) - 1),
                 lambda i: F.concat(
-                    F.element_at(F.col("__tk"), i),
-                    F.lit(" "),
-                    F.element_at(F.col("__tk"), i + 1),
+                    F.element_at(tk, i), F.lit(" "), F.element_at(tk, i + 1)
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return toks.select(
-            *([F.col(id_col)] if keep_id else []),
-            F.explode(F.concat(F.col("__tk"), bi)).alias("__f"),
-        ).select(
-            *([F.col(id_col)] if keep_id else []),
-            F.substring(F.md5("__f"), 1, n_hex).alias("__b"),
+        return F.transform(
+            F.concat(tk, bi), lambda f: F.substring(F.md5(f), 1, n_hex)
         )
 
-    src_b = buckets(source, keep_id=True)
-    qc = src_b.groupBy("__b").agg(F.count("*").cast("double").alias("__qc"))
-    tc = buckets(target, keep_id=False).groupBy("__b").agg(
-        F.count("*").cast("double").alias("__tc")
+    barr = _bind(tokens(F.lower(F.col(text_col))), feat_buckets)
+
+    # One aggregation job: ≤ n_buckets rows after map-side combine,
+    # collected driver-side. A predicate target rides the SAME scan
+    # as a 0/1 tag (source is never read twice); a frame target
+    # tag-unions a second stream.
+    if isinstance(target, Column):
+        stream = source.select(
+            F.explode(barr).alias("__b"),
+            F.lit(1).alias("__q"),
+            target.cast("boolean").cast("int").alias("__t"),
+        )
+    else:
+        stream = source.select(
+            F.explode(barr).alias("__b"),
+            F.lit(1).alias("__q"), F.lit(0).alias("__t"),
+        ).unionByName(
+            target.select(
+                F.explode(barr).alias("__b"),
+                F.lit(0).alias("__q"), F.lit(1).alias("__t"),
+            )
+        )
+    counts = (
+        stream.groupBy("__b")
+        .agg(F.sum("__q").alias("__qc"), F.sum("__t").alias("__tc"))
+        .collect()
     )
-    nq = qc.agg(F.sum("__qc").alias("__nq"))
-    nt = tc.agg(F.sum("__tc").alias("__nt"))
+    nq = float(sum(r["__qc"] for r in counts))
+    nt = float(sum(r["__tc"] for r in counts))
     ab = float(alpha) * n_buckets
-    ratio = (
-        qc.join(tc, "__b", "left")
-        .na.fill({"__tc": 0.0})
-        .crossJoin(F.broadcast(nq))
-        .crossJoin(F.broadcast(nt))
-        .select(
-            "__b",
-            F.log(
-                ((F.col("__tc") + alpha) / (F.col("__nt") + ab))
-                / ((F.col("__qc") + alpha) / (F.col("__nq") + ab))
-            ).alias("__lr"),
+
+    def lr(qc: float, tc: float) -> float:
+        return math.log(
+            ((tc + alpha) / (nt + ab)) / ((qc + alpha) / (nq + ab))
         )
+
+    # Lookup structure choice is load-bearing: Catalyst's element_at
+    # on a literal MAP is a linear key scan (ArrayBasedMapData has no
+    # hash index), i.e. O(B) string compares per feature — measured
+    # 6x DuckDB at sf0.1, WORSE than the join it replaced. A DENSE
+    # literal array indexed by the bucket's integer value is one O(1)
+    # ordinal access. Buckets absent from the counts get the
+    # qc = tc = 0 ratio (cannot be hit by source rows — every source
+    # feature was counted — but defined rather than NULL). Dense only
+    # pays at the default scale (16**3 doubles = 32 KB of plan
+    # literal); above n_hex = 4 the array would bloat every task, so
+    # the sparse map (functional, slower) takes over.
+    default_lr = lr(0.0, 0.0)
+    if n_hex <= 4:
+        dense = [default_lr] * n_buckets
+        for r in counts:
+            dense[int(r["__b"], 16)] = lr(float(r["__qc"]), float(r["__tc"]))
+        # ONE parser call for the whole table: F.lit(list) pays a py4j
+        # round-trip per element (~2 s for 4,096 doubles — measured;
+        # it dwarfed the job it was feeding). repr() is shortest
+        # round-trip, so Catalyst's parse yields bit-identical doubles.
+        lrarr = F.expr(
+            "array(" + ",".join(f"{v!r}D" for v in dense) + ")"
+        )
+
+        def lookup(b: Column) -> Column:
+            # element_at is 1-based; b is the bucket's int value
+            return F.element_at(lrarr, b + 1)
+
+        def to_key(bks: Column) -> Column:
+            return F.transform(
+                bks, lambda s: F.conv(s, 16, 10).cast("int")
+            )
+    else:  # pragma: no cover - non-default plan-size fallback
+        # Sparse map (element_at on a literal map is a linear key
+        # scan — functional, far slower than the dense tier; only
+        # reachable at n_hex > 4 where a dense array would bloat
+        # every serialized task). Same one-parse literal trick;
+        # bucket keys are hex chars, so no quoting concerns.
+        ks = ",".join(f"'{r['__b']}'" for r in counts)
+        vs = ",".join(
+            f"{lr(float(r['__qc']), float(r['__tc']))!r}D" for r in counts
+        )
+        lrmap = F.expr(f"map_from_arrays(array({ks}),array({vs}))")
+
+        def lookup(b: Column) -> Column:
+            return F.coalesce(F.element_at(lrmap, b), F.lit(default_lr))
+
+        def to_key(bks: Column) -> Column:
+            return bks
+
+    def score(bks: Column) -> Column:
+        s = F.aggregate(
+            to_key(bks), F.lit(0.0), lambda acc, b: acc + lookup(b)
+        )
+        return F.struct(
+            F.size(bks).cast("long").alias("n_feats"),
+            F.round(s, 6).alias("logw"),
+        )
+
+    battery = _bind(
+        tokens(F.lower(F.col(text_col))),
+        lambda tk: _bind(feat_buckets(tk), score),
     )
-    return (
-        src_b.join(F.broadcast(ratio), "__b")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_feats"),
-            F.round(F.sum("__lr"), 6).alias("logw"),
-        )
+    staged = (
+        source.filter(F.col(text_col).rlike(r"\S"))
+        .select(F.col(id_col), battery.alias("__d"))
+    )
+    d = F.col("__d")
+    return staged.select(
+        id_col, d["n_feats"].alias("n_feats"), d["logw"].alias("logw")
     )
 
 

@@ -1378,14 +1378,18 @@ def _tokens_lower(text_col: str):
         "buckets (md5-hex-prefix buckets, 4096 cells, add-1 smoothing; "
         "target = the corpus's English slice) — the published recipe for "
         "selecting target-flavored training data from a general crawl. "
-        "Two bounded bucket aggs + broadcast ratio join + map-combined "
-        "doc fold (ops/corpus.py dsir_logweights).",
+        "r13 shape (ops/corpus.py dsir_logweights): ONE tagged counting "
+        "scan (the predicate target rides the source scan), a 4096-row "
+        "driver collect, then scoring as a zero-shuffle pure projection "
+        "folding an O(1) dense literal-array lookup over each doc's "
+        "in-row feature buckets — no explode, no join, no groupBy on "
+        "the scoring path.",
 )
 def op_d7_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from filefilter_spark.ops.corpus import dsir_logweights
 
     docs = load_table(spark, sf_dir, "documents", spread=True)
-    return dsir_logweights(docs, docs.filter(F.col("lang") == "en"))
+    return dsir_logweights(docs, F.col("lang") == "en")
 
 
 @query(

@@ -323,15 +323,18 @@ class DsirStage(Stage):
     stage on ``logw``) to perform the actual selection."""
 
     def apply(self, df: DataFrame) -> DataFrame:
+        import pyspark.sql.functions as F
+
         from filefilter_spark.ops.corpus import dsir_logweights
 
         cfg = self.cfg.action_config
         if not cfg.get("targetWhere"):
             raise ValueError("dsir stage requires actionConfig.targetWhere")
         id_col = cfg.get("idField", "doc_id")
+        # predicate target -> single tagged counting scan (r13)
         scores = dsir_logweights(
             df,
-            df.filter(cfg["targetWhere"]),
+            F.expr(cfg["targetWhere"]),
             text_col=cfg.get("textField", "text"),
             id_col=id_col,
             n_hex=int(cfg.get("nHex", 3)),

@@ -1711,8 +1711,13 @@ def test_leakage_safe_split_properties(spark, documents):
 
 def test_dsir_logweights_favors_target_like_docs(spark):
     # Docs resembling the target distribution must score higher logw
-    # than off-target docs; zero-token docs drop out; ratio join plans
-    # as a broadcast (the B-row table must never shuffle the corpus).
+    # than off-target docs; zero-token docs drop out. r13 plan shape:
+    # the SCORING pass is a pure projection — the bucket counts were
+    # collected at call time and the log-ratio table rides along as a
+    # literal map, so the returned plan has NO join, NO aggregate, NO
+    # exchange, one scan (the r12 shape broadcast-joined an exploded
+    # feature stream and shuffled a per-doc aggregate — the last
+    # data-heavy >2x-DuckDB bench row).
     import pyspark.sql.functions as SF
 
     from filefilter_spark.ops.corpus import dsir_logweights
@@ -1734,7 +1739,10 @@ def test_dsir_logweights_favors_target_like_docs(spark):
     got = {r["doc_id"]: r["logw"] for r in out.collect()}
     assert 5 not in got                       # no tokens, no features
     assert min(got[1], got[2]) > max(got[3], got[4])
-    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan and "Exchange" not in plan
+    assert "Generate" not in plan  # no explode on the scoring path
 
 
 def test_quality_classifier_separable_task_exact(spark):
