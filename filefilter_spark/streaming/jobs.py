@@ -623,6 +623,8 @@ def ivfpq_stream_ingest(
     timeout_sec: int = 300,
     max_files_per_trigger: int | None = None,
     out_dir: str | None = None,
+    maintain_every: int | None = None,
+    max_files_per_partition: int = 16,
 ) -> DataFrame:
     """Continuous IVF×PQ index maintenance (OP-D5 × OP-D3): each
     micro-batch of newly arrived embeddings is assigned + encoded
@@ -634,10 +636,23 @@ def ivfpq_stream_ingest(
     probes over the growing table stay partition-pruned reads.
     ``availableNow`` drains the bounded test input; an unbounded
     deployment runs the identical plan with a durable checkpoint and
-    a delta/iceberg sink. Per-batch appends accumulate small files
-    per cell — run ``ops.layout.compact_partitioned(..., "cell",
-    ["vec_id"])`` periodically to restore file counts while
-    preserving the ``cell=`` layout probe pruning depends on."""
+    a delta/iceberg sink.
+
+    Per-batch appends accumulate small files per cell.
+    ``maintain_every=N`` (r13) closes that loop IN-STREAM: after
+    every Nth micro-batch the threshold gate
+    (``ops.layout.maybe_compact`` — store-agnostic Hadoop-FS listing,
+    fires only past ``max_files_per_partition`` data files in some
+    ``cell=`` dir) rewrites the table via ``compact_partitioned``
+    into a sibling directory and swaps it in with Hadoop
+    ``FileSystem.rename`` (old table kept aside until the new one is
+    in place, then deleted — a crash between renames leaves the
+    ``__old`` copy intact). foreachBatch bodies run serially, so the
+    swap never races an append. On an object store the rename tier
+    is a copy — real deployments point a delta/iceberg catalog entry
+    at the compacted location instead; the gate and rewrite are the
+    same. Left unset, run ``compact_partitioned(..., "cell",
+    [id_col])`` on your own cadence."""
     import os
     import shutil
     import tempfile
@@ -663,6 +678,37 @@ def ivfpq_stream_ingest(
     if out_dir is None:
         out_dir = _fb_scratch() + "/codes"
 
+    def maintain(batch_id: int) -> None:
+        from filefilter_spark.ops.layout import maybe_compact
+
+        base = out_dir.rstrip("/")
+        tmp = f"{base}__compact{batch_id}"
+        try:
+            ran = maybe_compact(
+                spark, out_dir, tmp, "cell", [id_col],
+                max_files_per_partition=max_files_per_partition,
+            )
+        except ValueError:
+            # out_dir has no cell= dirs yet (every batch so far was
+            # empty) — nothing to maintain; the loud contract exists
+            # for user-pointed paths, and this one is internal
+            return
+        if not ran:
+            return
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(out_dir)
+        fs = p.getFileSystem(hconf)
+        old = jvm.org.apache.hadoop.fs.Path(f"{base}__old{batch_id}")
+        if not fs.rename(p, old):  # pragma: no cover - fs race
+            raise IOError(f"maintain: could not move {out_dir} aside")
+        if not fs.rename(
+            jvm.org.apache.hadoop.fs.Path(tmp), p
+        ):  # pragma: no cover - fs race
+            fs.rename(old, p)  # restore; old table was never touched
+            raise IOError(f"maintain: could not swap {tmp} into place")
+        fs.delete(old, True)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         (
             ivfpq_encode_batch(
@@ -673,6 +719,8 @@ def ivfpq_stream_ingest(
             .mode("append")
             .parquet(out_dir)
         )
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            maintain(batch_id)
 
     ckpt_base = (
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()

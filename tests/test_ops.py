@@ -2840,6 +2840,45 @@ def test_ivfpq_stream_ingest_matches_batch(spark, tmp_path):
     assert cell_files(auto_dir) == after
 
 
+def test_ivfpq_stream_ingest_inline_maintenance(spark, tmp_path):
+    # r13: maintain_every wires the threshold-gated compaction INTO
+    # the ingest loop — after every Nth micro-batch the gate checks
+    # fragmentation and swaps in a compacted table, without losing or
+    # changing a single code row and while preserving the cell=
+    # layout. With 6 single-file batches, maintain_every=2 and a
+    # 1-file threshold, the last maintenance (after batch 6) leaves
+    # exactly one data file per cell.
+    import glob
+
+    from filefilter_spark.ops.pq import build_ivfpq_index, ivfpq_encode_batch
+    from filefilter_spark.queries.registry import load_table
+    from filefilter_spark.streaming.jobs import ivfpq_stream_ingest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    indexed, books, cents = build_ivfpq_index(
+        emb, n_lists=16, m=8, k=16, iters=0)
+
+    src = str(tmp_path / "arrivals")
+    emb.repartition(6).write.parquet(src)  # 6 files -> 6 micro-batches
+    idx_dir = str(tmp_path / "index")
+    got = ivfpq_stream_ingest(
+        spark, src, books, cents, max_files_per_trigger=1,
+        out_dir=idx_dir, maintain_every=2, max_files_per_partition=1)
+
+    want = ivfpq_encode_batch(emb, books, cents)
+    g = {r["vec_id"]: (r["cell"], r["codes"]) for r in got.collect()}
+    w = {r["vec_id"]: (r["cell"], r["codes"]) for r in want.collect()}
+    assert g == w and len(g) == emb.count()
+
+    per_cell: dict[str, int] = {}
+    for p in glob.glob(f"{idx_dir}/cell=*/*.parquet"):
+        c = p.split("cell=")[1].split("/")[0]
+        per_cell[c] = per_cell.get(c, 0) + 1
+    assert per_cell and max(per_cell.values()) == 1, per_cell
+    # no leftover __old/__compact working dirs after the swap
+    assert not glob.glob(f"{idx_dir}__*")
+
+
 def test_maybe_compact_store_agnostic(spark, tmp_path):
     # r13: the fragmentation gate lists via the Hadoop FileSystem API,
     # not a local glob — a scheme-qualified URI (file:///…, the same
