@@ -51,7 +51,7 @@ Plan shapes:
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Mapping, Sequence
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -481,6 +481,22 @@ def ivfpq_encode_batch(
     return codes.join(assigned, id_col)
 
 
+def ivfpq_cell_counts(
+    indexed: DataFrame, cell_col: str = "cell"
+) -> dict[int, int]:
+    """Per-cell row counts of an IVF×PQ table — the n_lists-row
+    histogram :func:`ivfpq_topk`'s auto-refine sizing needs. Compute
+    it ONCE when the index is (re)built or after an ingest/compaction
+    cycle and pass it to every probe via ``cell_counts=``: the probe
+    then sizes its shortlist from the dict (driver-side sum over
+    n_probe keys, zero Spark jobs) instead of counting the probed
+    partitions per query. One map-combinable aggregation; the result
+    is n_lists entries — persist it next to the index (it is to the
+    auto-refine law what the centroid table is to the coarse probe)."""
+    rows = indexed.groupBy(cell_col).agg(F.count("*").alias("n")).collect()
+    return {int(r[cell_col]): int(r["n"]) for r in rows}
+
+
 def _auto_refine(probed_pop: int, topk: int) -> int:
     """Refine multiplier sized from the measured recall law
     (SCALING.md "recall@10 vs n_probe/refine"): the exact-rerank
@@ -509,6 +525,7 @@ def ivfpq_topk(
     codes_col: str = "codes",
     scale: float = 1e6,
     residual: bool = False,
+    cell_counts: Mapping[int, int] | None = None,
 ) -> DataFrame:
     """ANN top-k over an IVF×PQ index: score the query against the
     driver-side centroid table (n_lists rows — tiny), probe the
@@ -545,7 +562,14 @@ def ivfpq_topk(
     ``vectors``. A user probing a grown index thus keeps ~0.9 recall
     without reading SCALING.md. ``refine=0`` stays available as the
     EXPLICIT ADC-only opt-in (candidate generation feeding a
-    downstream ranker) — an informed choice, so it does not warn."""
+    downstream ranker) — an informed choice, so it does not warn.
+
+    ``cell_counts`` (r13): the :func:`ivfpq_cell_counts` histogram,
+    computed once per (re)build/ingest cycle. When provided, auto
+    mode sums the probed cells' entries driver-side — the per-query
+    sizing job disappears entirely, the right shape for an index
+    probed thousands of times between rebuilds. Cells absent from
+    the mapping count 0 (an empty cell has no file to count)."""
     qq = [float(math.floor(x * scale + 0.5)) / scale for x in query]
 
     def sqd(cent: Sequence[float]) -> float:
@@ -565,7 +589,10 @@ def ivfpq_topk(
                 "the exact re-rank tier; pass refine=0 explicitly for "
                 "the ADC-only shortlist (measured recall ~0.3-0.5)"
             )
-        probed_pop = indexed.filter(F.col("cell").isin(probe)).count()
+        if cell_counts is not None:
+            probed_pop = sum(int(cell_counts.get(c, 0)) for c in probe)
+        else:
+            probed_pop = indexed.filter(F.col("cell").isin(probe)).count()
         refine = _auto_refine(probed_pop, topk)
     if residual:
         # residual codes (build_ivfpq_index residual=True): the code

@@ -2534,6 +2534,25 @@ def test_ivfpq_composed_recall_and_determinism(spark):
                 ivfpq_topk(indexed, books, cents, q, topk=10,
                            n_probe=4, vectors=emb).collect()]
     assert got_auto == got
+
+    # r13: the once-per-rebuild histogram replaces the per-query
+    # sizing count — same answer, and provably ZERO count() jobs
+    # (DataFrame.count is poisoned for the duration of the plan
+    # build; only the sizing ran eagerly before).
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    from filefilter_spark.ops.pq import ivfpq_cell_counts
+    counts = ivfpq_cell_counts(indexed)
+    assert sum(counts.values()) == emb.count()
+    with mock.patch.object(
+        DataFrame, "count",
+        side_effect=AssertionError("auto-refine counted the corpus"),
+    ):
+        plan_cc = ivfpq_topk(indexed, books, cents, q, topk=10,
+                             n_probe=4, vectors=emb, cell_counts=counts)
+    assert [r["vec_id"] for r in plan_cc.collect()] == got
     with _pytest.raises(ValueError, match="refine=0 explicitly"):
         ivfpq_topk(indexed, books, cents, q, topk=10, n_probe=4)
     import warnings as _warnings

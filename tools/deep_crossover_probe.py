@@ -45,7 +45,11 @@ from tools.crossover_probe import build_scaled_dir, timed  # noqa: E402
 # OP-D4-gopher-rep so full reruns keep the rewritten projection's row
 # — measured 0.43/0.31/0.19 at ×8/×16/×32 in the r12 session)
 TAIL = ["OP-D2-lines", "OP-D4-perplexity", "OP-D2-spans", "OP-D7-dsir",
-        "OP-D4-gopher-rep"]
+        "OP-D4-gopher-rep",
+        # r13: the inverted-index Jaccard row — flat ~2.2× in the ×1-×8
+        # table; deep tail measured 2.09/1.70/1.81 pre-rewrite, under
+        # the bar from ×16 on (see SCALING.md "OP-D2 settled")
+        "OP-D2"]
 # floor-bound rows (round 7) — ×8 ratio = job floor / small denominator
 FLOOR = ["OP-B11", "OP-B12", "OP-B22", "OP-D1", "OP-D3",
          "OP-D4-bpe", "OP-D7-temperature"]
