@@ -139,9 +139,46 @@ def require_s3a(spark: SparkSession, path: str) -> None:
         )
 
 
+def elastic_conf(
+    min_executors: int = 0,
+    max_executors: int | None = None,
+    backlog_timeout: str = "1s",
+    idle_timeout: str = "60s",
+) -> dict[str, str]:
+    """Dynamic-executor-allocation conf — the cluster analog of the
+    reference's runtime thread scaling (OP-A13, ``filefilter.py:143-154``:
+    ``setNewThreads`` grows/shrinks per-filter consumer threads as the
+    operator edits the YAML). Batch Spark's unit of parallelism is the
+    executor, and its scaling loop is built in: with these keys set the
+    scheduler REQUESTS executors while tasks back up longer than
+    ``backlog_timeout`` and releases them after ``idle_timeout`` — the
+    same feedback (queue depth up → workers up) the reference runs by
+    hand, driven by load instead of a config edit.
+    ``shuffleTracking`` makes it work without an external shuffle
+    service (the common k8s/standalone deployment); executors holding
+    shuffle data for live jobs are exempt from idle release.
+
+    Local mode has a fixed in-process executor, so these keys are
+    inert on the test box — asserted present, exercised on clusters.
+    Pass the result to :func:`get_spark` as ``elastic=`` kwargs or
+    merge it into ``extra_conf``.
+    """
+    conf = {
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.shuffleTracking.enabled": "true",
+        "spark.dynamicAllocation.minExecutors": str(int(min_executors)),
+        "spark.dynamicAllocation.schedulerBacklogTimeout": backlog_timeout,
+        "spark.dynamicAllocation.executorIdleTimeout": idle_timeout,
+    }
+    if max_executors is not None:
+        conf["spark.dynamicAllocation.maxExecutors"] = str(int(max_executors))
+    return conf
+
+
 def get_spark(
     app_name: str = "filefilter_spark",
     s3: dict[str, str] | None = None,
+    elastic: bool | dict | None = None,
     **extra_conf: str,
 ) -> SparkSession:
     """Build (or get) a SparkSession with engine defaults.
@@ -151,12 +188,23 @@ def get_spark(
     ``s3`` takes short credential options (see :func:`s3_conf`) for
     ``s3://``/``s3a://`` inputs; requires the hadoop-aws + aws-sdk jars
     on the classpath (not bundled here — add via ``spark.jars.packages``).
+    ``elastic=True`` (or a dict of :func:`elastic_conf` kwargs) turns on
+    dynamic executor allocation — the OP-A13 worker-scaling analog.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name)
     if "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
-    conf = {**_DEFAULT_CONF, **(s3_conf(s3) if s3 else {}), **extra_conf}
+    if elastic:
+        elastic_c = elastic_conf(**({} if elastic is True else elastic))
+    else:
+        elastic_c = {}
+    conf = {
+        **_DEFAULT_CONF,
+        **elastic_c,
+        **(s3_conf(s3) if s3 else {}),
+        **extra_conf,
+    }
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -168,6 +168,28 @@ def test_s3_conf_mapping():
         s3_conf({"acess_key": "typo"})
 
 
+def test_elastic_conf_dynamic_allocation_keys():
+    # OP-A13's worker-scaling half: the reference grows/shrinks
+    # per-filter threads on a YAML edit (filefilter.py:143-154); the
+    # Spark analog is dynamic executor allocation, driven by task
+    # backlog instead of a config edit. elastic_conf() is that knob —
+    # shuffleTracking on so it works without an external shuffle
+    # service, and maxExecutors only when bounded.
+    from filefilter_spark.session import elastic_conf
+
+    c = elastic_conf()
+    assert c["spark.dynamicAllocation.enabled"] == "true"
+    assert c["spark.dynamicAllocation.shuffleTracking.enabled"] == "true"
+    assert c["spark.dynamicAllocation.minExecutors"] == "0"
+    assert c["spark.dynamicAllocation.schedulerBacklogTimeout"] == "1s"
+    assert "spark.dynamicAllocation.maxExecutors" not in c
+
+    c = elastic_conf(min_executors=2, max_executors=64, idle_timeout="120s")
+    assert c["spark.dynamicAllocation.minExecutors"] == "2"
+    assert c["spark.dynamicAllocation.maxExecutors"] == "64"
+    assert c["spark.dynamicAllocation.executorIdleTimeout"] == "120s"
+
+
 def test_s3_no_jars_no_boto3_fails_fast(spark, monkeypatch):
     """With neither the s3a jars nor boto3, an s3 path must fail at
     read_input time with an actionable message — not minutes later
