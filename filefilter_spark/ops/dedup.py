@@ -46,9 +46,9 @@ def _bucket_pairs(
     A self-join of a derived table makes Spark recompute the derivation
     for each side — for LSH banding that means hashing every document
     twice (measured ~2x the whole signature cost). Instead: group by
-    bucket, collect the (sorted) member ids, emit ordered pairs with a
-    two-step explode (no intermediate row ever holds more than one
-    member list). One pass over the input, one shuffle on bucket keys.
+    bucket, collect the member ids, emit each unordered pair once via
+    two chained explodes filtered to ``id_a < id_b``. One pass over
+    the input, one shuffle on bucket keys.
 
     ``max_bucket`` drops buckets larger than the cap — pair generation
     is inherently O(m²) per bucket, so one degenerate hot bucket (a
@@ -67,18 +67,24 @@ def _bucket_pairs(
         raise ValueError(f"id_col must not contain backticks: {id_col!r}")
     grouped = (
         df.groupBy(*bucket_cols)
-        .agg(F.expr(f"array_sort(collect_set(`{id_col}`))").alias("ids"))
+        .agg(F.expr(f"collect_set(`{id_col}`)").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket)
-    halves = grouped.selectExpr(
-        "explode(transform(ids, (x, i) ->"
-        " struct(x AS a, slice(ids, i + 2, size(ids)) AS rest))) AS h"
+    # Pair generation: two chained explodes + `id_a < id_b`, all inside
+    # whole-stage codegen (r13 — same rewrite as token_jaccard_pairs:
+    # the interpreted transform/slice prefix build allocated O(m²)
+    # nested structs in one row; measured faster at every size there).
+    # collect_set members are distinct, so the inequality alone emits
+    # each unordered pair exactly once per bucket; the final distinct
+    # collapses pairs sharing several buckets.
+    return (
+        grouped.selectExpr("explode(ids) AS id_a", "ids")
+        .selectExpr("id_a", "explode(ids) AS id_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
     )
-    return halves.selectExpr(
-        "h.a AS id_a", "explode(h.rest) AS id_b"
-    ).distinct()
 
 
 def _verify_jaccard(
@@ -1016,6 +1022,38 @@ def minhash_near_dup(
     return _verify_jaccard(candidates, docs, threshold)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """LSH band buckets ``(doc_id, band, bucket)`` — bands rows per
+    doc. The persistable half of MinHash-LSH: two docs are candidate
+    near-dups iff they share a (band, bucket) key, so a stored band
+    table lets an incremental/streaming ingest find candidates against
+    history WITHOUT re-hashing history (join on the keys; see
+    ``streaming.jobs.minhash_stream_dedup``). Same signature family
+    and parameters as :func:`minhash_near_dup` — the two agree row
+    for row."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, seed, shingle_n)
+    # One parsed expression instead of bands x (struct+lit+hash+slice)
+    # Column calls — same plan, ~0.2s less driver-side build latency
+    # (see _bucket_pairs docstring).
+    band_structs = ", ".join(
+        f"struct({i} AS band,"
+        f" hash(slice(minhash, {i * rows_per_band + 1}, {rows_per_band})) AS bucket)"
+        for i in range(bands)
+    )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS bb"
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def _minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -1027,19 +1065,9 @@ def _minhash_candidates(
     max_bucket: int | None,
 ) -> DataFrame:
     """Shared LSH-banding candidate generation for the minhash family."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, seed, shingle_n)
-    # One parsed expression instead of bands x (struct+lit+hash+slice)
-    # Column calls — same plan, ~0.2s less driver-side build latency
-    # (see _bucket_pairs docstring).
-    band_structs = ", ".join(
-        f"struct({i} AS band,"
-        f" hash(slice(minhash, {i * rows_per_band + 1}, {rows_per_band})) AS bucket)"
-        for i in range(bands)
+    banded = minhash_band_buckets(
+        df, id_col, text_col, num_hashes, bands, seed, shingle_n
     )
-    banded = sigs.selectExpr(
-        "doc_id", f"explode(array({band_structs})) AS bb"
-    ).select("doc_id", "bb.band", "bb.bucket")
     return _bucket_pairs(banded, ["band", "bucket"], max_bucket=max_bucket)
 
 

@@ -3639,6 +3639,72 @@ def op_d5_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+_NEARDUP_SURVIVOR_ORACLE = f"""
+    WITH RECURSIVE jp AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jp
+      UNION
+      SELECT id_b, id_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    losers AS (
+      SELECT src AS doc_id FROM reach GROUP BY src
+      HAVING src != min(node)
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """
+
+
+@query(
+    "OP-D5-neardup",
+    oracle=None,  # LSH recall is probabilistic → RecallSpec
+    # Exact-graph survivors are a structural SUBSET of LSH survivors on
+    # a single-batch drain (verified LSH pairs ⊆ exact pairs, so CCs
+    # only split; a doc that is min of its exact component is min of
+    # any sub-component containing it) — recall vs the exact-survivor
+    # oracle is 1.0 by construction, floored at 0.95; precision is NOT
+    # exact (an LSH-missed pair leaves an extra survivor in).
+    recall=RecallSpec(_NEARDUP_SURVIVOR_ORACLE, ("doc_id",), 0.95,
+                      exact_precision=False),
+    doc="streaming NEAR-dedup (OP-D5 x OP-D2, streaming/jobs.py "
+        "minhash_stream_dedup): documents arrive as a file stream; "
+        "each micro-batch is LSH-banded, candidates against the "
+        "survivor store come from ONE equi-join of batch bands vs the "
+        "PERSISTED band table (history never re-hashed), verified by "
+        "exact Jaccard reading only candidate texts, then the "
+        "remainder is near-deduped within-batch and survivors append "
+        "(docs + bands). Arrival-order-greedy across batches (first "
+        "copy wins — pinned against a sequential batch-op reference "
+        "in tests/test_ops.py); a single-batch drain equals the batch "
+        "pipeline exactly. Recall-oracled vs the exact-Jaccard "
+        "connected-component survivors.",
+)
+def op_d5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from filefilter_spark.streaming.jobs import minhash_stream_dedup
+
+    base = tempfile.mkdtemp(prefix="ffspark_neardup_store_")
+    try:
+        out = minhash_stream_dedup(
+            spark, f"{sf_dir}/documents.parquet",
+            threshold=0.5, shingle_n=3, out_dir=f"{base}/store",
+        ).select("doc_id")
+        # materialize before the scratch store vanishes: the oracle
+        # compare collects AFTER this callable returns
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # OP-D3-pca — distributed PCA: exact-integer covariance (ops/pca.py)
 # ---------------------------------------------------------------------------

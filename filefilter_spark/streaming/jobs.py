@@ -756,3 +756,174 @@ def ivfpq_stream_ingest(
             "micro-batches (no matching input files?) — nothing to read"
         )
     return spark.read.parquet(out_dir)
+
+
+def minhash_stream_dedup(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 1,
+    max_bucket: int = 4096,
+    timeout_sec: int = 300,
+    max_files_per_trigger: int | None = None,
+    out_dir: str | None = None,
+) -> DataFrame:
+    """Streaming NEAR-dedup (OP-D5 × OP-D2): continuously ingest
+    documents, keep only those with no MinHash-LSH-verified near-dup
+    (exact Jaccard ≥ ``threshold``) among previously ACCEPTED
+    survivors — the arrival-order-greedy policy every streaming dedup
+    implements (first copy wins; later paraphrases drop), composed
+    from the batch tier's own pieces so the two agree parameter for
+    parameter.
+
+    Per micro-batch (foreachBatch, bodies serial):
+
+    1. band the batch (``ops.dedup.minhash_band_buckets``) — history
+       is NEVER re-hashed: the survivor store persists its band table,
+       so cross-batch candidates are one equi-join of batch bands
+       against stored bands on (band, bucket). Hot store buckets past
+       ``max_bucket`` are dropped first (the same degenerate-bucket
+       bound as the batch op, here also capping the join fan-out).
+    2. exact-verify candidates (``_verify_jaccard``) reading ONLY the
+       candidate survivors' texts (id-semi-join into the store) —
+       batch docs matching history drop.
+    3. near-dup the remainder within-batch (``minhash_near_dup`` +
+       ``keep_neardup_survivors`` — CC min-id representative, the
+       batch tier's deterministic rule).
+    4. append survivors' rows to ``<out_dir>/docs`` and their bands to
+       ``<out_dir>/bands``.
+
+    Returns the survivor table. Cost per batch is O(batch + matching
+    buckets + candidates): the store is touched only through the
+    (band, bucket) join and the candidate-id lookup — at 100 TB both
+    store tables would be bucketed by their join key so the probe
+    reads shrink to the touched buckets; the scan-based form here is
+    plan-identical above the exchange. The survivor set depends on
+    arrival order ACROSS batches (inherent to any streaming dedup —
+    the stream defines who arrived first) but is deterministic within
+    a batch; a single-batch drain (``max_files_per_trigger=None``)
+    equals the batch pipeline exactly (pinned in tests).
+    ``availableNow`` drains the bounded test input; an unbounded
+    deployment runs the identical plan with a durable checkpoint.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from filefilter_spark.ops.dedup import (
+        _doc_tokens,
+        _verify_jaccard,
+        keep_neardup_survivors,
+        minhash_band_buckets,
+        minhash_near_dup,
+    )
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(int(max_files_per_trigger))
+        )
+    if path.endswith(".parquet") and not os.path.isdir(path):
+        base = os.path.dirname(path) or "."
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream = reader.parquet(base)
+    else:
+        stream = reader.parquet(path)
+    if out_dir is None:
+        out_dir = _fb_scratch() + "/neardup"
+    docs_dir = f"{out_dir}/docs"
+    bands_dir = f"{out_dir}/bands"
+
+    def band(df: DataFrame) -> DataFrame:
+        return minhash_band_buckets(
+            df, id_col, text_col, num_hashes, bands, seed, shingle_n
+        )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.select(F.col(id_col), F.col(text_col))
+        remaining = new
+        if os.path.isdir(docs_dir):
+            seen_bands = spark.read.parquet(bands_dir)
+            if max_bucket is not None:
+                hot = (
+                    seen_bands.groupBy("band", "bucket")
+                    .agg(F.count("*").alias("__n"))
+                    .filter(F.col("__n") > max_bucket)
+                    .select("band", "bucket")
+                )
+                seen_bands = seen_bands.join(
+                    F.broadcast(hot), ["band", "bucket"], "left_anti"
+                )
+            cross = (
+                band(new)
+                .join(
+                    seen_bands.withColumnRenamed("doc_id", "__seen"),
+                    ["band", "bucket"],
+                )
+                .select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("__seen").alias("id_b"),
+                )
+                .distinct()
+            )
+            cand_seen = spark.read.parquet(docs_dir).join(
+                cross.select(F.col("id_b").alias(id_col)).distinct(),
+                id_col,
+                "left_semi",
+            )
+            toks = _doc_tokens(new, id_col, text_col, shingle_n).unionByName(
+                _doc_tokens(cand_seen, id_col, text_col, shingle_n)
+            )
+            killed = (
+                _verify_jaccard(cross, toks, threshold)
+                .select(F.col("id_a").alias(id_col))
+                .distinct()
+            )
+            remaining = new.join(killed, id_col, "left_anti")
+        pairs_in = minhash_near_dup(
+            remaining, id_col, text_col, threshold,
+            num_hashes, bands, seed, shingle_n, max_bucket,
+        )
+        survivors = keep_neardup_survivors(remaining, pairs_in, id_col=id_col)
+        survivors.write.mode("append").parquet(docs_dir)
+        band(survivors).write.mode("append").parquet(bands_dir)
+
+    ckpt_base = (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    ckpt = os.path.join(
+        ckpt_base, "ffspark_ckpt_neardup_" + _uuid.uuid4().hex[:8]
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # Same contract as ivfpq_stream_ingest: the output is a
+        # PERSISTENT survivor corpus — a partial drain would silently
+        # admit documents whose earlier near-dup never got processed.
+        if not query.awaitTermination(timeout_sec):  # pragma: no cover
+            raise TimeoutError(
+                f"minhash_stream_dedup: availableNow drain did not "
+                f"finish within {timeout_sec}s — the survivor store at "
+                f"{out_dir} is PARTIAL; raise timeout_sec and rerun"
+            )
+    finally:
+        if query.isActive:  # pragma: no cover
+            query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not os.path.isdir(docs_dir):
+        raise ValueError(
+            "minhash_stream_dedup: the availableNow run produced no "
+            "micro-batches (no matching input files?) — nothing to read"
+        )
+    return spark.read.parquet(docs_dir)

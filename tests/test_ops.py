@@ -2898,6 +2898,78 @@ def test_ivfpq_stream_ingest_inline_maintenance(spark, tmp_path):
     assert not glob.glob(f"{idx_dir}__*")
 
 
+def test_minhash_stream_dedup_single_batch_equals_batch(spark, tmp_path):
+    # r13: a one-batch drain of the streaming near-dedup is exactly the
+    # batch pipeline (minhash_near_dup + keep_neardup_survivors) — the
+    # streaming op is composed from the batch tier's pieces, so the
+    # bounded case must agree row for row.
+    from filefilter_spark.ops.dedup import (
+        keep_neardup_survivors, minhash_near_dup)
+    from filefilter_spark.queries.registry import load_table
+    from filefilter_spark.streaming.jobs import minhash_stream_dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "arrivals")
+    docs.coalesce(1).write.parquet(src)
+
+    got = minhash_stream_dedup(
+        spark, src, threshold=0.5, shingle_n=3,
+        out_dir=str(tmp_path / "store"))
+    want = keep_neardup_survivors(
+        docs, minhash_near_dup(docs, threshold=0.5, shingle_n=3))
+    g = {r["doc_id"] for r in got.collect()}
+    w = {r["doc_id"] for r in want.collect()}
+    assert g == w and 0 < len(g) < docs.count()
+
+
+def test_minhash_stream_dedup_greedy_across_batches(spark, tmp_path):
+    # r13: multi-batch semantics — first arrival wins. Reference is a
+    # sequential loop over the SAME batches built from the batch ops
+    # (minhash_dedup_against re-hashes history; the stream joins the
+    # PERSISTED band table — two independent code paths that must
+    # produce the same verified pairs, hence the same survivors).
+    import time
+
+    from filefilter_spark.ops.dedup import (
+        keep_neardup_survivors, minhash_dedup_against, minhash_near_dup)
+    from filefilter_spark.queries.registry import load_table
+    from filefilter_spark.streaming.jobs import minhash_stream_dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    src = str(tmp_path / "arrivals")
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    got = minhash_stream_dedup(
+        spark, src, threshold=0.5, shingle_n=3, max_files_per_trigger=1,
+        out_dir=str(tmp_path / "store"))
+
+    store = None
+    for p in parts:
+        remaining = p
+        if store is not None:
+            seen_ids = {r["doc_id"] for r in store.collect()}
+            pairs = minhash_dedup_against(
+                p, store, threshold=0.5, shingle_n=3).collect()
+            killed = {r["id_a"] if r["id_b"] in seen_ids else r["id_b"]
+                      for r in pairs
+                      if (r["id_a"] in seen_ids) != (r["id_b"] in seen_ids)}
+            remaining = p.filter(~F.col("doc_id").isin(list(killed) or [-1]))
+        surv = keep_neardup_survivors(
+            remaining,
+            minhash_near_dup(remaining, threshold=0.5, shingle_n=3))
+        store = surv if store is None else store.unionByName(surv)
+        store = store.localCheckpoint()
+
+    g = {r["doc_id"] for r in got.collect()}
+    w = {r["doc_id"] for r in store.collect()}
+    assert g == w and 0 < len(g) < docs.count()
+
+
 def test_maybe_compact_store_agnostic(spark, tmp_path):
     # r13: the fragmentation gate lists via the Hadoop FileSystem API,
     # not a local glob — a scheme-qualified URI (file:///…, the same

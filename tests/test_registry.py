@@ -51,6 +51,10 @@ def test_oracles_cover_queries(entry):
         # entry carries a recall oracle on a separable construct
         # (RecallSpec; exact precision+recall pinned in test_ops) (r8)
         "OP-D4-qualityclf",
+        # streaming MinHash-LSH survivor store → recall oracle vs the
+        # exact-pair-graph survivors (structurally 1.0 on a single
+        # batch; greedy multi-batch pinned in test_ops) (r13)
+        "OP-D5-neardup",
     }, f"entries silently missing oracles: {sorted(rows_only)}"
 
 
