@@ -792,11 +792,17 @@ def minhash_stream_dedup(
     2. exact-verify candidates (``_verify_jaccard``) reading ONLY the
        candidate survivors' texts (id-semi-join into the store) —
        batch docs matching history drop.
-    3. near-dup the remainder within-batch (``minhash_near_dup`` +
-       ``keep_neardup_survivors`` — CC min-id representative, the
-       batch tier's deterministic rule).
+    3. near-dup the remainder within-batch (``_bucket_pairs`` over the
+       SAME banding pass + exact verify + ``keep_neardup_survivors`` —
+       CC min-id representative, the batch tier's deterministic rule;
+       the composition is plan-identical to ``minhash_near_dup``).
     4. append survivors' rows to ``<out_dir>/docs`` and their bands to
-       ``<out_dir>/bands``.
+       ``<out_dir>/bands`` — again filters of the step-1 banding.
+
+    The batch is banded (signatures + tokenize) exactly ONCE; steps
+    1/3/4 reuse the persisted band frame through id filters — at
+    100 TB the MinHash fold is the dominant per-batch cost, so the
+    single-pass shape is the difference between 1× and 3× ingest cost.
 
     Returns the survivor table. Cost per batch is O(batch + matching
     buckets + candidates): the store is touched only through the
@@ -816,12 +822,14 @@ def minhash_stream_dedup(
     import tempfile
     import uuid as _uuid
 
+    from pyspark.storagelevel import StorageLevel
+
     from filefilter_spark.ops.dedup import (
+        _bucket_pairs,
         _doc_tokens,
         _verify_jaccard,
         keep_neardup_survivors,
         minhash_band_buckets,
-        minhash_near_dup,
     )
 
     schema = spark.read.parquet(path).schema
@@ -848,52 +856,76 @@ def minhash_stream_dedup(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         new = batch_df.select(F.col(id_col), F.col(text_col))
-        remaining = new
-        if os.path.isdir(docs_dir):
-            seen_bands = spark.read.parquet(bands_dir)
-            if max_bucket is not None:
-                hot = (
-                    seen_bands.groupBy("band", "bucket")
-                    .agg(F.count("*").alias("__n"))
-                    .filter(F.col("__n") > max_bucket)
-                    .select("band", "bucket")
+        # ONE banding (hence one signature/tokenize) pass per batch —
+        # the cross-store probe, the within-batch candidates, and the
+        # survivors' band append all reuse it via id filters.
+        new_banded = band(new).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            remaining = new
+            if os.path.isdir(docs_dir):
+                seen_bands = spark.read.parquet(bands_dir)
+                if max_bucket is not None:
+                    hot = (
+                        seen_bands.groupBy("band", "bucket")
+                        .agg(F.count("*").alias("__n"))
+                        .filter(F.col("__n") > max_bucket)
+                        .select("band", "bucket")
+                    )
+                    seen_bands = seen_bands.join(
+                        F.broadcast(hot), ["band", "bucket"], "left_anti"
+                    )
+                cross = (
+                    new_banded.join(
+                        seen_bands.withColumnRenamed("doc_id", "__seen"),
+                        ["band", "bucket"],
+                    )
+                    .select(
+                        F.col("doc_id").alias("id_a"),
+                        F.col("__seen").alias("id_b"),
+                    )
+                    .distinct()
                 )
-                seen_bands = seen_bands.join(
-                    F.broadcast(hot), ["band", "bucket"], "left_anti"
+                cand_seen = spark.read.parquet(docs_dir).join(
+                    cross.select(F.col("id_b").alias(id_col)).distinct(),
+                    id_col,
+                    "left_semi",
                 )
-            cross = (
-                band(new)
-                .join(
-                    seen_bands.withColumnRenamed("doc_id", "__seen"),
+                toks = _doc_tokens(
+                    new, id_col, text_col, shingle_n
+                ).unionByName(
+                    _doc_tokens(cand_seen, id_col, text_col, shingle_n)
+                )
+                killed = (
+                    _verify_jaccard(cross, toks, threshold)
+                    .select(F.col("id_a").alias(id_col))
+                    .distinct()
+                )
+                remaining = new.join(killed, id_col, "left_anti")
+            rem_ids = remaining.select(F.col(id_col).alias("doc_id"))
+            pairs_in = _verify_jaccard(
+                _bucket_pairs(
+                    new_banded.join(rem_ids, "doc_id", "left_semi"),
                     ["band", "bucket"],
+                    max_bucket=max_bucket,
+                ),
+                _doc_tokens(remaining, id_col, text_col, shingle_n),
+                threshold,
+            )
+            survivors = keep_neardup_survivors(
+                remaining, pairs_in, id_col=id_col
+            )
+            survivors.write.mode("append").parquet(docs_dir)
+            (
+                new_banded.join(
+                    survivors.select(F.col(id_col).alias("doc_id")),
+                    "doc_id",
+                    "left_semi",
                 )
-                .select(
-                    F.col("doc_id").alias("id_a"),
-                    F.col("__seen").alias("id_b"),
-                )
-                .distinct()
+                .write.mode("append")
+                .parquet(bands_dir)
             )
-            cand_seen = spark.read.parquet(docs_dir).join(
-                cross.select(F.col("id_b").alias(id_col)).distinct(),
-                id_col,
-                "left_semi",
-            )
-            toks = _doc_tokens(new, id_col, text_col, shingle_n).unionByName(
-                _doc_tokens(cand_seen, id_col, text_col, shingle_n)
-            )
-            killed = (
-                _verify_jaccard(cross, toks, threshold)
-                .select(F.col("id_a").alias(id_col))
-                .distinct()
-            )
-            remaining = new.join(killed, id_col, "left_anti")
-        pairs_in = minhash_near_dup(
-            remaining, id_col, text_col, threshold,
-            num_hashes, bands, seed, shingle_n, max_bucket,
-        )
-        survivors = keep_neardup_survivors(remaining, pairs_in, id_col=id_col)
-        survivors.write.mode("append").parquet(docs_dir)
-        band(survivors).write.mode("append").parquet(bands_dir)
+        finally:
+            new_banded.unpersist()
 
     ckpt_base = (
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
