@@ -772,6 +772,7 @@ def minhash_stream_dedup(
     timeout_sec: int = 300,
     max_files_per_trigger: int | None = None,
     out_dir: str | None = None,
+    on_batch=None,
 ) -> DataFrame:
     """Streaming NEAR-dedup (OP-D5 × OP-D2): continuously ingest
     documents, keep only those with no MinHash-LSH-verified near-dup
@@ -803,6 +804,12 @@ def minhash_stream_dedup(
     1/3/4 reuse the persisted band frame through id filters — at
     100 TB the MinHash fold is the dominant per-batch cost, so the
     single-pass shape is the difference between 1× and 3× ingest cost.
+
+    ``on_batch`` (opt-in metrics hook) is called after each micro-batch
+    with ``{"batch_id", "seconds", "n_in", "n_survived"}`` — the
+    counts cost extra jobs, so leave it unset in production unless the
+    numbers feed a dashboard; SCALING.md's per-batch cost curve was
+    measured through it.
 
     Returns the survivor table. Cost per batch is O(batch + matching
     buckets + candidates): the store is touched only through the
@@ -855,6 +862,9 @@ def minhash_stream_dedup(
         )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
         new = batch_df.select(F.col(id_col), F.col(text_col))
         # ONE banding (hence one signature/tokenize) pass per batch —
         # the cross-store probe, the within-batch candidates, and the
@@ -914,6 +924,8 @@ def minhash_stream_dedup(
             survivors = keep_neardup_survivors(
                 remaining, pairs_in, id_col=id_col
             )
+            if on_batch is not None:
+                survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
             survivors.write.mode("append").parquet(docs_dir)
             (
                 new_banded.join(
@@ -924,6 +936,15 @@ def minhash_stream_dedup(
                 .write.mode("append")
                 .parquet(bands_dir)
             )
+            if on_batch is not None:
+                stats = {
+                    "batch_id": batch_id,
+                    "n_in": new.count(),
+                    "n_survived": survivors.count(),
+                }
+                survivors.unpersist()
+                stats["seconds"] = _time.time() - t0
+                on_batch(stats)
         finally:
             new_banded.unpersist()
 

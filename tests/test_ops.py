@@ -2944,9 +2944,10 @@ def test_minhash_stream_dedup_greedy_across_batches(spark, tmp_path):
         p.coalesce(1).write.mode("append").parquet(src)
         time.sleep(1.1)  # distinct mtimes -> deterministic batch order
 
+    batch_stats = []
     got = minhash_stream_dedup(
         spark, src, threshold=0.5, shingle_n=3, max_files_per_trigger=1,
-        out_dir=str(tmp_path / "store"))
+        out_dir=str(tmp_path / "store"), on_batch=batch_stats.append)
 
     store = None
     for p in parts:
@@ -2968,6 +2969,13 @@ def test_minhash_stream_dedup_greedy_across_batches(spark, tmp_path):
     g = {r["doc_id"] for r in got.collect()}
     w = {r["doc_id"] for r in store.collect()}
     assert g == w and 0 < len(g) < docs.count()
+
+    # the opt-in metrics hook saw every micro-batch, conserved rows,
+    # and its survivor counts sum to the final store
+    assert [s["batch_id"] for s in batch_stats] == [0, 1, 2]
+    assert sum(s["n_in"] for s in batch_stats) == docs.count()
+    assert sum(s["n_survived"] for s in batch_stats) == len(g)
+    assert all(s["seconds"] > 0 for s in batch_stats)
 
 
 def test_maybe_compact_store_agnostic(spark, tmp_path):
