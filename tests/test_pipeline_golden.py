@@ -107,3 +107,15 @@ def test_llm_pipeline_example_end_to_end(spark):
     for r in rows:
         by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
     assert len(by_lang) >= 2
+    # epoch repetition (r13 zero-code tier) materialized the mixture:
+    # over-weighted sources carry full-epoch copies, everything else
+    # stays epoch 0, and (doc_id, epoch) identifies each copy
+    assert "epoch" in cols
+    epochs_by_src = {}
+    for r in rows:
+        epochs_by_src.setdefault(r["source"], set()).add(r["epoch"])
+    assert max(epochs_by_src.get("src0", {0})) >= 1
+    flat = [e for s, es in epochs_by_src.items()
+            if s not in {"src0", "src1"} for e in es]
+    assert set(flat) == {0}
+    assert len({(r["doc_id"], r["epoch"]) for r in rows}) == len(rows)
