@@ -65,11 +65,13 @@ def _events_stream(
         # an availableNow drain process a directory in several batches
         # (and the hot-reload boundary observable in tests).
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if path.endswith(".parquet") and not os.path.isdir(path):
+    if path.endswith(".parquet") and not _is_directory(spark, path):
         # Single-FILE dataset: stream-read its parent with a glob on
         # the file name. A Spark-written DIRECTORY named *.parquet must
         # NOT take this branch — the glob is matched against the leaf
-        # part-*.parquet names and would silently select zero files.
+        # part-*.parquet names and would silently select zero files —
+        # so the test is the Hadoop-FS one (store-agnostic), not
+        # os.path.isdir.
         base, fname = os.path.dirname(path) or ".", os.path.basename(path)
         stream = reader.option("pathGlobFilter", fname).parquet(base)
     else:
@@ -418,6 +420,29 @@ def _fb_scratch() -> str:
     return f"{scratch_root('ffspark_fb_')}/{uuid.uuid4().hex[:8]}"
 
 
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Store-agnostic existence check via the Hadoop FileSystem API —
+    ``os.path.isdir`` is silently False for every scheme-qualified or
+    remote URI (file:, s3a://, hdfs://), the exact bug class
+    ``ops.layout.maybe_compact`` shipped with in r12. Any output-table
+    existence gate in this module must go through here."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _is_directory(spark: SparkSession, path: str) -> bool:
+    """Store-agnostic directory test (False for files AND missing
+    paths) — the single-file-vs-Spark-written-directory dispatch in
+    the stream readers must not rely on ``os.path.isdir`` (see
+    :func:`_dir_exists`)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
+
+
 def pipeline_foreach_batch(
     spark: SparkSession,
     path: str,
@@ -666,10 +691,11 @@ def ivfpq_stream_ingest(
         reader = reader.option(
             "maxFilesPerTrigger", str(int(max_files_per_trigger))
         )
-    if path.endswith(".parquet") and not os.path.isdir(path):
+    if path.endswith(".parquet") and not _is_directory(spark, path):
         # single-FILE dataset: stream its parent with a name glob
         # (same contract as _events_stream — a directory named
-        # *.parquet must not take this branch)
+        # *.parquet must not take this branch; Hadoop-FS test so the
+        # dispatch works on any store Spark can read)
         base = os.path.dirname(path) or "."
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         stream = reader.parquet(base)
@@ -750,7 +776,7 @@ def ivfpq_stream_ingest(
         if query.isActive:  # pragma: no cover
             query.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-    if not os.path.isdir(out_dir):
+    if not _dir_exists(spark, out_dir):
         raise ValueError(
             "ivfpq_stream_ingest: the availableNow run produced no "
             "micro-batches (no matching input files?) — nothing to read"
@@ -845,7 +871,7 @@ def minhash_stream_dedup(
         reader = reader.option(
             "maxFilesPerTrigger", str(int(max_files_per_trigger))
         )
-    if path.endswith(".parquet") and not os.path.isdir(path):
+    if path.endswith(".parquet") and not _is_directory(spark, path):
         base = os.path.dirname(path) or "."
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         stream = reader.parquet(base)
@@ -872,7 +898,7 @@ def minhash_stream_dedup(
         new_banded = band(new).persist(StorageLevel.MEMORY_AND_DISK)
         try:
             remaining = new
-            if os.path.isdir(docs_dir):
+            if _dir_exists(spark, docs_dir):
                 seen_bands = spark.read.parquet(bands_dir)
                 if max_bucket is not None:
                     hot = (
@@ -974,7 +1000,7 @@ def minhash_stream_dedup(
         if query.isActive:  # pragma: no cover
             query.stop()
         shutil.rmtree(ckpt, ignore_errors=True)
-    if not os.path.isdir(docs_dir):
+    if not _dir_exists(spark, docs_dir):
         raise ValueError(
             "minhash_stream_dedup: the availableNow run produced no "
             "micro-batches (no matching input files?) — nothing to read"

@@ -2978,6 +2978,33 @@ def test_minhash_stream_dedup_greedy_across_batches(spark, tmp_path):
     assert all(s["seconds"] > 0 for s in batch_stats)
 
 
+def test_minhash_stream_dedup_store_agnostic_uri(spark, tmp_path):
+    # r13: the survivor-store existence gate goes through the Hadoop
+    # FileSystem API. With os.path.isdir a scheme-qualified out_dir
+    # (file:///…, the same API surface as s3a://) reads as ABSENT every
+    # batch — history is never consulted and cross-batch near-dups
+    # silently survive. Two batches, second carries a near-dup of the
+    # first: it must drop.
+    import time
+
+    from filefilter_spark.streaming.jobs import minhash_stream_dedup
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    a2 = "the quick brown fox jumps over the lazy dog again and AGAIN"
+    b = "completely unrelated text about spark structured streaming"
+    src = str(tmp_path / "arrivals")
+    spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([(3, a2)], "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    got = minhash_stream_dedup(
+        spark, src, threshold=0.5, shingle_n=1, max_files_per_trigger=1,
+        out_dir=f"file://{tmp_path}/store")
+    assert {r["doc_id"] for r in got.collect()} == {1, 2}
+
+
 def test_maybe_compact_store_agnostic(spark, tmp_path):
     # r13: the fragmentation gate lists via the Hadoop FileSystem API,
     # not a local glob — a scheme-qualified URI (file:///…, the same
