@@ -372,6 +372,30 @@ def test_gopher_rep_plan_shape(spark, sf_dir, queries):
     assert "hashpartitioning" not in plan.lower()
 
 
+def test_jaccard_pair_generation_is_codegen(spark, sf_dir, queries):
+    # r13: token_jaccard_pairs generates pairs with two chained
+    # Generate(explode) nodes + an id-inequality filter — all codegen —
+    # instead of the interpreted transform/slice prefix build (measured
+    # 1.88->1.43s at sf0.1). Pin the shape: exactly one corpus scan
+    # pruned to (doc_id, text), >= 3 explodes (postings + the two
+    # pair-gen stages), no transform/slice HOF in pair generation, and
+    # two exchanges (token groupBy + pair agg).
+    plan = _plan(queries["OP-D2"](spark, sf_dir))
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(scans) == 1
+    assert {c.split(":")[0] for c in scans[0].split(",")} <= {"doc_id", "text"}
+    # postings explode + the two chained pair-gen explodes
+    assert len(re.findall(r"\(\d+\) Generate", plan)) == 3, plan
+    # shingles() itself uses transform+slice (per-row n-gram build) —
+    # pair generation must not: no HOF over the collected posting list
+    # survives anywhere in the plan
+    assert "slice(ds" not in plan and "transform(ds" not in plan
+    # token groupBy + pair agg; +1 tolerated for the spread rebalance
+    # (round-robin over raw rows, fires iff input splits < cores)
+    assert 2 <= _shuffle_count(plan) <= 3, _shuffle_count(plan)
+    assert plan.lower().count("hashpartitioning") <= 4  # 2 shuffles x2 mentions
+
+
 def test_gopher_stage_plans_bound_expression_duplication(spark, sf_dir):
     # r12 regression pin: Catalyst's predicate pushdown substitutes
     # project aliases into filter conditions with NO cost check, so a
