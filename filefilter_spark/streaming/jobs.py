@@ -443,6 +443,42 @@ def _is_directory(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(p) and fs.getFileStatus(p).isDirectory())
 
 
+def _n_data_files(spark: SparkSession, path: str) -> int:
+    """Count visible data files directly under ``path`` (Hadoop FS —
+    any store Spark can read; hidden _SUCCESS/.crc excluded)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return 0
+    return sum(
+        1
+        for st in fs.listStatus(p)
+        if st.isFile() and not st.getPath().getName()[0] in "._"
+    )
+
+
+def _swap_dirs(spark: SparkSession, live: str, tmp: str, tag) -> None:
+    """Atomically-as-the-store-allows replace ``live`` with ``tmp`` via
+    two Hadoop ``FileSystem.rename`` calls, keeping the old table aside
+    until the new one is in place (a crash between renames leaves the
+    ``__old`` copy intact). foreachBatch bodies run serially, so a swap
+    never races an append. On an object store the rename tier is a
+    copy — real deployments point a delta/iceberg catalog entry at the
+    compacted location instead; the gate and rewrite are the same."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(live)
+    fs = p.getFileSystem(hconf)
+    old = jvm.org.apache.hadoop.fs.Path(f"{live.rstrip('/')}__old{tag}")
+    if not fs.rename(p, old):  # pragma: no cover - fs race
+        raise IOError(f"maintain: could not move {live} aside")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p):  # pragma: no cover
+        fs.rename(old, p)  # restore; old table was never touched
+        raise IOError(f"maintain: could not swap {tmp} into place")
+    fs.delete(old, True)
+
+
 def pipeline_foreach_batch(
     spark: SparkSession,
     path: str,
@@ -721,19 +757,7 @@ def ivfpq_stream_ingest(
             return
         if not ran:
             return
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(out_dir)
-        fs = p.getFileSystem(hconf)
-        old = jvm.org.apache.hadoop.fs.Path(f"{base}__old{batch_id}")
-        if not fs.rename(p, old):  # pragma: no cover - fs race
-            raise IOError(f"maintain: could not move {out_dir} aside")
-        if not fs.rename(
-            jvm.org.apache.hadoop.fs.Path(tmp), p
-        ):  # pragma: no cover - fs race
-            fs.rename(old, p)  # restore; old table was never touched
-            raise IOError(f"maintain: could not swap {tmp} into place")
-        fs.delete(old, True)
+        _swap_dirs(spark, out_dir, tmp, batch_id)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -799,6 +823,8 @@ def minhash_stream_dedup(
     max_files_per_trigger: int | None = None,
     out_dir: str | None = None,
     on_batch=None,
+    maintain_every: int | None = None,
+    max_files_per_store: int = 64,
 ) -> DataFrame:
     """Streaming NEAR-dedup (OP-D5 × OP-D2): continuously ingest
     documents, keep only those with no MinHash-LSH-verified near-dup
@@ -836,6 +862,15 @@ def minhash_stream_dedup(
     counts cost extra jobs, so leave it unset in production unless the
     numbers feed a dashboard; SCALING.md's per-batch cost curve was
     measured through it.
+
+    ``maintain_every=N``: per-batch appends leave 2 files per batch
+    (docs + bands) forever — the same small-files drift
+    ``ivfpq_stream_ingest`` maintains against. After every Nth batch,
+    any store dir past ``max_files_per_store`` data files (Hadoop-FS
+    listing) is rewritten by ``ops.layout.compact_files`` (docs ordered
+    by id for tight row-group stats; bands by (band, bucket) so the
+    candidate equi-join's probe side row-group-prunes) and swapped in
+    via :func:`_swap_dirs`. Left unset, compact on your own cadence.
 
     Returns the survivor table. Cost per batch is O(batch + matching
     buckets + candidates): the store is touched only through the
@@ -886,6 +921,19 @@ def minhash_stream_dedup(
         return minhash_band_buckets(
             df, id_col, text_col, num_hashes, bands, seed, shingle_n
         )
+
+    def maintain(batch_id: int) -> None:
+        from filefilter_spark.ops.layout import compact_files
+
+        for d, order in (
+            (docs_dir, [id_col]),
+            (bands_dir, ["band", "bucket", "doc_id"]),
+        ):
+            if _n_data_files(spark, d) <= max_files_per_store:
+                continue
+            tmp = f"{d}__compact{batch_id}"
+            compact_files(spark, d, tmp, order)
+            _swap_dirs(spark, d, tmp, batch_id)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
@@ -971,6 +1019,8 @@ def minhash_stream_dedup(
                 survivors.unpersist()
                 stats["seconds"] = _time.time() - t0
                 on_batch(stats)
+            if maintain_every and (batch_id + 1) % maintain_every == 0:
+                maintain(batch_id)
         finally:
             new_banded.unpersist()
 

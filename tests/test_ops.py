@@ -3001,8 +3001,20 @@ def test_minhash_stream_dedup_store_agnostic_uri(spark, tmp_path):
 
     got = minhash_stream_dedup(
         spark, src, threshold=0.5, shingle_n=1, max_files_per_trigger=1,
-        out_dir=f"file://{tmp_path}/store")
+        out_dir=f"file://{tmp_path}/store",
+        maintain_every=1, max_files_per_store=1)
     assert {r["doc_id"] for r in got.collect()} == {1, 2}
+
+    # in-stream store maintenance (r13): with a 1-file threshold the
+    # docs and bands dirs each end compacted to one data file, through
+    # the same scheme-qualified URI, with no leftover working dirs
+    import glob
+
+    for d in ("store/docs", "store/bands"):
+        files = [p for p in glob.glob(f"{tmp_path}/{d}/*")
+                 if not p.rsplit("/", 1)[1].startswith(("_", "."))]
+        assert len(files) == 1, (d, files)
+    assert not glob.glob(f"{tmp_path}/store/*__*")
 
 
 def test_maybe_compact_store_agnostic(spark, tmp_path):
