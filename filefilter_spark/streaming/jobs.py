@@ -477,6 +477,12 @@ def _swap_dirs(spark: SparkSession, live: str, tmp: str, tag) -> None:
         fs.rename(old, p)  # restore; old table was never touched
         raise IOError(f"maintain: could not swap {tmp} into place")
     fs.delete(old, True)
+    # Spark's shared FileStatusCache serves the PRE-swap listing to the
+    # next read of this path — later batches would then chase deleted
+    # part files (FAILED_READ_FILE.FILE_NOT_EXIST, caught live by
+    # tools/neardup_stream_probe.py). Invalidate both the listing and
+    # any cached data keyed on the path.
+    spark.catalog.refreshByPath(live)
 
 
 def pipeline_foreach_batch(
@@ -1010,6 +1016,8 @@ def minhash_stream_dedup(
                 .write.mode("append")
                 .parquet(bands_dir)
             )
+            if maintain_every and (batch_id + 1) % maintain_every == 0:
+                maintain(batch_id)
             if on_batch is not None:
                 stats = {
                     "batch_id": batch_id,
@@ -1017,10 +1025,10 @@ def minhash_stream_dedup(
                     "n_survived": survivors.count(),
                 }
                 survivors.unpersist()
+                # seconds covers the WHOLE batch body, maintenance
+                # included — the probe's flatness claim must price it
                 stats["seconds"] = _time.time() - t0
                 on_batch(stats)
-            if maintain_every and (batch_id + 1) % maintain_every == 0:
-                maintain(batch_id)
         finally:
             new_banded.unpersist()
 

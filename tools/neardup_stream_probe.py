@@ -15,7 +15,10 @@ store-proportional term (e.g. the hot-bucket count agg, which scans
 the band table — bounded-size rows, but O(store) of them; at 100 TB
 that agg rides a bucketed layout instead).
 
-Usage: python tools/neardup_stream_probe.py [n_batches] [sf_dir]
+Usage: python tools/neardup_stream_probe.py [n_batches] [sf_dir] [maintain_every]
+(pass a third arg N > 0 to run the in-stream store compaction every
+N batches — the r13 maintenance loop — and price it inside the same
+per-batch series)
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    maintain_every = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     from pyspark.sql import functions as F
 
@@ -64,6 +68,8 @@ def main() -> None:
             spark, src, threshold=0.5, shingle_n=3,
             max_files_per_trigger=1, out_dir=f"{base}/store",
             on_batch=record, timeout_sec=1200,
+            maintain_every=maintain_every or None,
+            max_files_per_store=4,
         )
         total_survived = out.count()
         store = 0
