@@ -869,6 +869,15 @@ def minhash_stream_dedup(
     numbers feed a dashboard; SCALING.md's per-batch cost curve was
     measured through it.
 
+    Replay-safe under foreachBatch's at-least-once contract: a
+    replayed (or re-ingested) document shares every band with its
+    stored self, surfaces as a self-pair in the candidate join, and is
+    killed on id equality — so reprocessing a batch appends nothing
+    (pinned in tests by running the same arrivals through one store
+    twice). The uncovered window is a crash between the docs and bands
+    appends of ONE batch; a transactional table format (delta/iceberg)
+    closes it.
+
     ``maintain_every=N``: per-batch appends leave 2 files per batch
     (docs + bands) forever — the same small-files drift
     ``ivfpq_stream_ingest`` maintains against. After every Nth batch,
@@ -975,6 +984,20 @@ def minhash_stream_dedup(
                     )
                     .distinct()
                 )
+                # Replay idempotence for free: foreachBatch is
+                # at-least-once, and a REPLAYED document shares every
+                # band with its stored self, so it surfaces here as the
+                # self-pair (x, x) — kill it on id equality without any
+                # Jaccard read (the verify path would silently drop
+                # self-pairs: the melted side-join sees 4 rows for one
+                # doc_id and its n_sides == 2 guard rejects them). A
+                # replayed batch thus re-kills its own survivors and
+                # appends nothing; only docs whose every bucket is
+                # hot-capped escape (the standing LSH recall caveat).
+                killed_replay = cross.filter(
+                    F.col("id_a") == F.col("id_b")
+                ).select(F.col("id_a").alias(id_col))
+                cross = cross.filter(F.col("id_a") != F.col("id_b"))
                 cand_seen = spark.read.parquet(docs_dir).join(
                     cross.select(F.col("id_b").alias(id_col)).distinct(),
                     id_col,
@@ -988,6 +1011,7 @@ def minhash_stream_dedup(
                 killed = (
                     _verify_jaccard(cross, toks, threshold)
                     .select(F.col("id_a").alias(id_col))
+                    .unionByName(killed_replay)
                     .distinct()
                 )
                 remaining = new.join(killed, id_col, "left_anti")
@@ -1004,8 +1028,19 @@ def minhash_stream_dedup(
             survivors = keep_neardup_survivors(
                 remaining, pairs_in, id_col=id_col
             )
+            stats = None
             if on_batch is not None:
+                # Counts BEFORE the store writes: appending to docs_dir
+                # invalidates any cached plan that reads it (Spark
+                # recacheByPath), so a post-write survivors.count()
+                # would recompute against the just-appended store —
+                # where every survivor now self-pairs and "dies".
                 survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+                stats = {
+                    "batch_id": batch_id,
+                    "n_in": new.count(),
+                    "n_survived": survivors.count(),
+                }
             survivors.write.mode("append").parquet(docs_dir)
             (
                 new_banded.join(
@@ -1018,12 +1053,7 @@ def minhash_stream_dedup(
             )
             if maintain_every and (batch_id + 1) % maintain_every == 0:
                 maintain(batch_id)
-            if on_batch is not None:
-                stats = {
-                    "batch_id": batch_id,
-                    "n_in": new.count(),
-                    "n_survived": survivors.count(),
-                }
+            if stats is not None:
                 survivors.unpersist()
                 # seconds covers the WHOLE batch body, maintenance
                 # included — the probe's flatness claim must price it

@@ -3017,6 +3017,28 @@ def test_minhash_stream_dedup_store_agnostic_uri(spark, tmp_path):
     assert not glob.glob(f"{tmp_path}/store/*__*")
 
 
+def test_minhash_stream_dedup_reingest_is_idempotent(spark, tmp_path):
+    # r13: foreachBatch is at-least-once — a replayed/re-ingested doc
+    # must not duplicate in the survivor store. The replayed doc
+    # collides with its stored self in every band; the self-pair kills
+    # it on id equality. Run the SAME arrivals through one store twice:
+    # the second pass appends nothing.
+    from filefilter_spark.queries.registry import load_table
+    from filefilter_spark.streaming.jobs import minhash_stream_dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text").limit(100)
+    store = str(tmp_path / "store")
+    for i in range(2):
+        src = str(tmp_path / f"arrivals{i}")
+        docs.coalesce(1).write.parquet(src)
+        got = minhash_stream_dedup(
+            spark, src, threshold=0.5, shingle_n=3, out_dir=store)
+    out = got.collect()
+    assert len(out) == len({r["doc_id"] for r in out})  # no duplicates
+    assert 0 < len(out) <= 100
+
+
 def test_maybe_compact_store_agnostic(spark, tmp_path):
     # r13: the fragmentation gate lists via the Hadoop FileSystem API,
     # not a local glob — a scheme-qualified URI (file:///…, the same
