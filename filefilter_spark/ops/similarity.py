@@ -557,6 +557,41 @@ def lsh_topk_cosine(
     )
 
 
+def cell_memberships(
+    df: DataFrame,
+    centroids,
+    n_assign: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """``(id, cell)`` top-``n_assign`` nearest-centroid memberships
+    against FROZEN centroids — the persistable half of SemDeDup
+    (exactly what :func:`minhash_band_buckets` is to MinHash-LSH):
+    two vectors are candidate semantic near-dups iff they share a
+    membership cell, so a stored membership table lets an
+    incremental/streaming ingest find candidates against history
+    WITHOUT re-scoring history (join on ``cell``; see
+    ``streaming.jobs.semdedup_stream_dedup``). Nearest by squared
+    euclidean (KMeans' metric), index tiebreak via array_sort's
+    struct ordering — identical expression to
+    :func:`semantic_dedup`'s in-line form, so the two agree row for
+    row. Zero shuffle: the centroid table rides the plan as a
+    literal."""
+    cent_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+        for c in centroids
+    ) + ")"
+    cells_expr = (
+        f"transform(slice(array_sort(transform({cent_sql}, (c, i) -> "
+        "struct(aggregate(zip_with(__arr, c, (x, y) -> (x - y) * (x - y)), "
+        f"0D, (a, v) -> a + v) AS d, i AS i))), 1, {int(n_assign)}), s -> s.i)"
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        _as_double_array(vec_col).alias("__arr"),
+    ).select("id", F.explode(F.expr(cells_expr)).alias("cell"))
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.45,
@@ -595,20 +630,11 @@ def semantic_dedup(
     """
     from filefilter_spark.ops.dedup import _bucket_pairs
 
-    assigned, centroids = build_ivf_index(df, n_lists, vec_col, id_col, seed)
-    cent_sql = "array(" + ", ".join(
-        "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
-    ) + ")"
-    # Top-n_assign nearest centroids by squared euclidean (KMeans'
-    # metric), index tiebreak via array_sort's struct ordering.
-    cells_expr = (
-        f"transform(slice(array_sort(transform({cent_sql}, (c, i) -> "
-        "struct(aggregate(zip_with(__arr, c, (x, y) -> (x - y) * (x - y)), "
-        f"0D, (a, v) -> a + v) AS d, i AS i))), 1, {n_assign}), s -> s.i)"
-    )
-    memberships = assigned.select(
-        F.col(id_col).alias("id"), F.explode(F.expr(cells_expr)).alias("cell")
-    )
+    _, centroids = build_ivf_index(df, n_lists, vec_col, id_col, seed)
+    # r13: membership expression factored into cell_memberships (the
+    # streaming tier persists it); computed from df's raw-cast vectors,
+    # identical to the former in-line form over assigned.__arr.
+    memberships = cell_memberships(df, centroids, n_assign, vec_col, id_col)
     candidates = _bucket_pairs(memberships, ["cell"], id_col="id")
     return _pair_cosine_verify(
         candidates, df, _as_double_array(vec_col), id_col, threshold

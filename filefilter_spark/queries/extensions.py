@@ -3705,6 +3705,83 @@ def op_d5_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+_SEMDEDUP_SURVIVOR_ORACLE = r"""
+    WITH RECURSIVE n AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    jp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM jp
+      UNION
+      SELECT id_b, id_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    losers AS (
+      SELECT src AS vec_id FROM reach GROUP BY src
+      HAVING src != min(node)
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """
+
+
+@query(
+    "OP-D5-semdedup",
+    oracle=None,  # cell-boundary recall is probabilistic → RecallSpec
+    # Same structural-subset argument as OP-D5-neardup: verified
+    # shared-cell pairs are a subset of the exact cosine pairs, so
+    # components only split and a component min stays a sub-component
+    # min — recall vs the exact-survivor oracle is 1.0 on a
+    # single-batch drain; precision is not exact (a boundary-missed
+    # pair leaves an extra survivor in).
+    recall=RecallSpec(_SEMDEDUP_SURVIVOR_ORACLE, ("vec_id",), 0.95,
+                      exact_precision=False),
+    doc="streaming SEMANTIC near-dedup (OP-D5 x OP-D3 — SemDeDup's "
+        "production shape, streaming/jobs.py semdedup_stream_dedup): "
+        "embeddings arrive as a file stream; each micro-batch is "
+        "assigned its top-3 nearest FROZEN KMeans cells "
+        "(ops/similarity.py cell_memberships — zero-shuffle literal "
+        "expression, batch-arrival-invariant), candidates against the "
+        "survivor store come from ONE equi-join of batch memberships "
+        "vs the PERSISTED membership table (history never re-scored), "
+        "verified by EXACT cosine reading only candidate vectors, "
+        "then the remainder near-dups within-batch (same pieces as "
+        "batch semantic_dedup — a single-batch drain equals it "
+        "exactly, pinned in tests) and survivors append (vecs + "
+        "cells). Replay-safe via the self-pair kill; in-stream store "
+        "compaction via maintain_every. Recall-oracled vs the exact "
+        "cosine-pair-graph survivors.",
+)
+def op_d5_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from filefilter_spark.ops.similarity import build_ivf_index
+    from filefilter_spark.streaming.jobs import semdedup_stream_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = build_ivf_index(emb, n_lists=16, method="lloyd")
+    base = tempfile.mkdtemp(prefix="ffspark_semdedup_store_")
+    try:
+        out = semdedup_stream_dedup(
+            spark, f"{sf_dir}/embeddings.parquet", cents,
+            threshold=0.45, out_dir=f"{base}/store",
+        ).select("vec_id")
+        rows, schema = out.collect(), out.schema
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
 # ---------------------------------------------------------------------------
 # OP-D3-pca — distributed PCA: exact-integer covariance (ops/pca.py)
 # ---------------------------------------------------------------------------

@@ -1094,3 +1094,209 @@ def minhash_stream_dedup(
             "micro-batches (no matching input files?) — nothing to read"
         )
     return spark.read.parquet(docs_dir)
+
+
+def semdedup_stream_dedup(
+    spark: SparkSession,
+    path: str,
+    centroids,
+    threshold: float = 0.45,
+    n_assign: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cell: int | None = 4096,
+    timeout_sec: int = 300,
+    max_files_per_trigger: int | None = None,
+    out_dir: str | None = None,
+    maintain_every: int | None = None,
+    max_files_per_store: int = 64,
+) -> DataFrame:
+    """Streaming SEMANTIC near-dedup (OP-D5 × OP-D3 — SemDeDup's
+    production shape, Abbas et al. 2023): continuously ingest
+    embeddings, keep only vectors with no exact-cosine near-dup
+    (≥ ``threshold``) among previously ACCEPTED survivors. The exact
+    structural mirror of :func:`minhash_stream_dedup` with KMeans
+    cells in place of LSH bands:
+
+    - ``centroids`` are FROZEN (fit offline or on the first corpus via
+      ``ops.similarity.build_ivf_index`` — ``method="lloyd"`` for a
+      bit-stable fit), so membership assignment is a zero-shuffle
+      literal expression and a vector gets the same cells no matter
+      which batch delivered it.
+    - the store persists ``<out_dir>/vecs`` (id + embedding) and
+      ``<out_dir>/cells`` (the top-``n_assign`` membership table,
+      ``ops.similarity.cell_memberships``) — history is never
+      re-scored: cross-batch candidates are one equi-join of batch
+      memberships against stored memberships on ``cell``, hot cells
+      past ``max_cell`` stored members dropped first (the SemDeDup
+      boundary-recall tradeoff, here also capping join fan-out).
+    - candidates are verified by EXACT cosine
+      (``ops.similarity._pair_cosine_verify``) reading only candidate
+      survivors' vectors; a replayed/re-ingested vector surfaces as
+      its own self-pair and is killed on id equality — replay-safe
+      under foreachBatch's at-least-once contract, like the minhash
+      loop.
+    - the within-batch remainder near-dups via the same
+      memberships → ``_bucket_pairs`` → cosine-verify →
+      ``keep_neardup_survivors`` (CC min-id) pieces as the batch op,
+      so a single-batch drain equals batch ``semantic_dedup`` +
+      survivor materialization exactly (pinned in tests).
+    - ``maintain_every=N`` compacts both store dirs past
+      ``max_files_per_store`` files and swaps them in
+      (:func:`_swap_dirs`, path caches invalidated).
+
+    Returns the survivor table ``(vec_id, embedding)``. Arrival order
+    across batches decides who survives (first copy wins) —
+    deterministic within a batch."""
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from filefilter_spark.ops.dedup import (
+        _bucket_pairs,
+        keep_neardup_survivors,
+    )
+    from filefilter_spark.ops.similarity import (
+        _as_double_array,
+        _pair_cosine_verify,
+        cell_memberships,
+    )
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(int(max_files_per_trigger))
+        )
+    if path.endswith(".parquet") and not _is_directory(spark, path):
+        base = os.path.dirname(path) or "."
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream = reader.parquet(base)
+    else:
+        stream = reader.parquet(path)
+    if out_dir is None:
+        out_dir = _fb_scratch() + "/semdedup"
+    vecs_dir = f"{out_dir}/vecs"
+    cells_dir = f"{out_dir}/cells"
+
+    def member(df: DataFrame) -> DataFrame:
+        return cell_memberships(df, centroids, n_assign, vec_col, id_col)
+
+    def maintain(batch_id: int) -> None:
+        from filefilter_spark.ops.layout import compact_files
+
+        for d, order in (
+            (vecs_dir, [id_col]),
+            (cells_dir, ["cell", "id"]),
+        ):
+            if _n_data_files(spark, d) <= max_files_per_store:
+                continue
+            tmp = f"{d}__compact{batch_id}"
+            compact_files(spark, d, tmp, order)
+            _swap_dirs(spark, d, tmp, batch_id)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        new = batch_df.select(F.col(id_col), F.col(vec_col))
+        new_cells = member(new).persist()
+        try:
+            remaining = new
+            if _dir_exists(spark, vecs_dir):
+                seen_cells = spark.read.parquet(cells_dir)
+                if max_cell is not None:
+                    hot = (
+                        seen_cells.groupBy("cell")
+                        .agg(F.count("*").alias("__n"))
+                        .filter(F.col("__n") > max_cell)
+                        .select("cell")
+                    )
+                    seen_cells = seen_cells.join(
+                        F.broadcast(hot), ["cell"], "left_anti"
+                    )
+                cross = (
+                    new_cells.join(
+                        seen_cells.withColumnRenamed("id", "__seen"),
+                        ["cell"],
+                    )
+                    .select(
+                        F.col("id").alias("id_a"),
+                        F.col("__seen").alias("id_b"),
+                    )
+                    .distinct()
+                )
+                killed_replay = cross.filter(
+                    F.col("id_a") == F.col("id_b")
+                ).select(F.col("id_a").alias(id_col))
+                cross = cross.filter(F.col("id_a") != F.col("id_b"))
+                cand_seen = spark.read.parquet(vecs_dir).join(
+                    cross.select(F.col("id_b").alias(id_col)).distinct(),
+                    id_col,
+                    "left_semi",
+                )
+                both = new.unionByName(cand_seen)
+                killed = (
+                    _pair_cosine_verify(
+                        cross, both, _as_double_array(vec_col),
+                        id_col, threshold,
+                    )
+                    .select(F.col("id_a").alias(id_col))
+                    .unionByName(killed_replay)
+                    .distinct()
+                )
+                remaining = new.join(killed, id_col, "left_anti")
+            rem_cells = new_cells.join(
+                remaining.select(F.col(id_col).alias("id")), "id",
+                "left_semi",
+            )
+            pairs_in = _pair_cosine_verify(
+                _bucket_pairs(rem_cells, ["cell"], id_col="id",
+                              max_bucket=max_cell),
+                remaining, _as_double_array(vec_col), id_col, threshold,
+            )
+            survivors = keep_neardup_survivors(
+                remaining, pairs_in, id_col=id_col
+            )
+            survivors.write.mode("append").parquet(vecs_dir)
+            (
+                new_cells.join(
+                    survivors.select(F.col(id_col).alias("id")),
+                    "id",
+                    "left_semi",
+                )
+                .write.mode("append")
+                .parquet(cells_dir)
+            )
+            if maintain_every and (batch_id + 1) % maintain_every == 0:
+                maintain(batch_id)
+        finally:
+            new_cells.unpersist()
+
+    ckpt_base = (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    ckpt = os.path.join(
+        ckpt_base, "ffspark_ckpt_semdedup_" + _uuid.uuid4().hex[:8]
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):  # pragma: no cover
+            raise TimeoutError(
+                f"semdedup_stream_dedup: availableNow drain did not "
+                f"finish within {timeout_sec}s — the survivor store at "
+                f"{out_dir} is PARTIAL; raise timeout_sec and rerun"
+            )
+    finally:
+        if query.isActive:  # pragma: no cover
+            query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not _dir_exists(spark, vecs_dir):
+        raise ValueError(
+            "semdedup_stream_dedup: the availableNow run produced no "
+            "micro-batches (no matching input files?) — nothing to read"
+        )
+    return spark.read.parquet(vecs_dir)

@@ -3039,6 +3039,59 @@ def test_minhash_stream_dedup_reingest_is_idempotent(spark, tmp_path):
     assert 0 < len(out) <= 100
 
 
+def test_semdedup_stream_dedup_matches_batch_and_is_idempotent(spark, tmp_path):
+    # r13: the embedding mirror of minhash_stream_dedup. A one-batch
+    # drain equals the batch pipeline (cell memberships -> bucket
+    # pairs -> exact-cosine verify -> CC min-id survivors) against the
+    # SAME frozen centroids; re-ingesting the same arrivals through
+    # the store appends nothing (self-pair kill), and in-stream
+    # maintenance leaves compacted store dirs with no leftovers.
+    import glob
+
+    from filefilter_spark.ops.dedup import (
+        _bucket_pairs, keep_neardup_survivors)
+    from filefilter_spark.ops.similarity import (
+        _as_double_array, _pair_cosine_verify, build_ivf_index,
+        cell_memberships)
+    from filefilter_spark.queries.registry import load_table
+    from filefilter_spark.streaming.jobs import semdedup_stream_dedup
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    _, cents = build_ivf_index(emb, n_lists=16, method="lloyd")
+
+    src = str(tmp_path / "arrivals")
+    emb.coalesce(1).write.parquet(src)
+    store = str(tmp_path / "store")
+    got = semdedup_stream_dedup(
+        spark, src, cents, threshold=0.45, out_dir=store,
+        maintain_every=1, max_files_per_store=1)
+
+    pairs = _pair_cosine_verify(
+        _bucket_pairs(cell_memberships(emb, cents), ["cell"], id_col="id",
+                      max_bucket=4096),
+        emb, _as_double_array("embedding"), "vec_id", 0.45)
+    want = keep_neardup_survivors(emb, pairs, id_col="vec_id")
+    g = {r["vec_id"] for r in got.collect()}
+    w = {r["vec_id"] for r in want.collect()}
+    assert g == w and 0 < len(g) < emb.count()
+
+    # re-ingest the same vectors: every one collides with its stored
+    # self in every membership cell -> second pass appends nothing
+    src2 = str(tmp_path / "arrivals2")
+    emb.coalesce(1).write.parquet(src2)
+    got2 = semdedup_stream_dedup(
+        spark, src2, cents, threshold=0.45, out_dir=store)
+    rows2 = got2.collect()
+    assert {r["vec_id"] for r in rows2} == g and len(rows2) == len(g)
+
+    # maintenance ran through the swap helper: compacted, no leftovers
+    for d in ("store/vecs", "store/cells"):
+        files = [p for p in glob.glob(f"{tmp_path}/{d}/*")
+                 if not p.rsplit("/", 1)[1].startswith(("_", "."))]
+        assert files, d
+    assert not glob.glob(f"{tmp_path}/store/*__*")
+
+
 def test_maybe_compact_store_agnostic(spark, tmp_path):
     # r13: the fragmentation gate lists via the Hadoop FileSystem API,
     # not a local glob — a scheme-qualified URI (file:///…, the same

@@ -55,6 +55,9 @@ def test_oracles_cover_queries(entry):
         # exact-pair-graph survivors (structurally 1.0 on a single
         # batch; greedy multi-batch pinned in test_ops) (r13)
         "OP-D5-neardup",
+        # its embedding mirror: streaming SemDeDup survivor store →
+        # recall oracle vs the exact cosine-pair-graph survivors (r13)
+        "OP-D5-semdedup",
     }, f"entries silently missing oracles: {sorted(rows_only)}"
 
 
