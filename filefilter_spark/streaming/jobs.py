@@ -1,22 +1,36 @@
-"""Streaming jobs (OP-D5): windowed event-time aggregation.
+"""Streaming jobs (OP-D5): windows, state, and continuous ingest.
 
-``windowed_counts_available_now`` runs the canonical Structured
-Streaming shape — watermark → tumbling event-time window → aggregate —
-over the static ``events`` parquet with ``Trigger.AvailableNow``, which
-drains all available input in (possibly several) micro-batches and then
-stops. Because the input is bounded we emit in ``complete`` mode to an
-in-memory sink, so every window is present in the result and the batch
-oracle (the same windowed aggregate as plain SQL) applies exactly.
+Three tiers, all drained to completion on static data via
+``Trigger.AvailableNow`` so batch oracles apply exactly:
 
-On an unbounded source the identical plan runs in ``append`` mode with
-the watermark closing windows; nothing in the aggregation changes —
-that is the point of writing it as a streaming plan.
+- **Windowed/stateful analytics** — watermark → tumbling/sliding/
+  session event-time windows, ``dropDuplicatesWithinWatermark``
+  dedup, ``applyInPandasWithState`` custom state, stream-static and
+  watermarked stream-stream joins. ``windowed_counts_available_now``
+  is the canonical shape: because the test input is bounded we emit
+  ``complete`` mode to a memory sink and the batch SQL oracle matches
+  row for row; an unbounded deployment runs the identical plan in
+  ``append`` mode with the watermark closing windows.
+- **foreachBatch pipelines** — ``pipeline_foreach_batch`` applies the
+  zero-code YAML pipeline per micro-batch, re-reading the config at
+  every batch boundary (the reference's hot-reload, OP-A13).
+- **Continuous ingest with persistent stores** (r12-r13) —
+  ``ivfpq_stream_ingest`` (frozen-index encode + cell-partitioned
+  appends), ``minhash_stream_dedup`` and ``semdedup_stream_dedup``
+  (arrival-order-greedy near-dedup against persisted band/membership
+  survivor stores; history never re-hashed/re-scored). All three
+  self-maintain against small-files drift (``maintain_every`` →
+  threshold-gated compaction + ``_swap_dirs`` atomic-as-the-store-
+  allows swap with path-cache invalidation), check paths through the
+  Hadoop FS API (store-agnostic), and the dedup loops are
+  replay-idempotent under foreachBatch's at-least-once contract.
 
-Scale notes: the shuffle key is (window, event_type) — time-bucketed,
-so naturally balanced; state store size is bounded by
-windows-in-watermark × event types. At 100 TB/day the same plan runs
-with a real sink (kafka/delta) and checkpointing; nothing here is
-local-mode-only except the memory sink chosen for test determinism.
+Scale notes: windowed shuffle keys are time-bucketed (balanced);
+state is bounded by the watermark horizon; ingest per-batch cost is
+measured FLAT in store size (SCALING.md). At 100 TB/day the same
+plans run with real sinks (kafka/delta) and durable checkpoints;
+nothing here is local-mode-only except the memory sink chosen for
+test determinism.
 """
 
 from __future__ import annotations
