@@ -1122,6 +1122,7 @@ def semdedup_stream_dedup(
     timeout_sec: int = 300,
     max_files_per_trigger: int | None = None,
     out_dir: str | None = None,
+    on_batch=None,
     maintain_every: int | None = None,
     max_files_per_store: int = 64,
 ) -> DataFrame:
@@ -1158,6 +1159,10 @@ def semdedup_stream_dedup(
     - ``maintain_every=N`` compacts both store dirs past
       ``max_files_per_store`` files and swaps them in
       (:func:`_swap_dirs`, path caches invalidated).
+    - ``on_batch`` is the same opt-in metrics hook as the minhash
+      loop: ``{"batch_id", "seconds", "n_in", "n_survived"}`` per
+      micro-batch (counts taken BEFORE the store writes — see the
+      recacheByPath note there), feeding SCALING.md's cost curve.
 
     Returns the survivor table ``(vec_id, embedding)``. Arrival order
     across batches decides who survives (first copy wins) —
@@ -1166,6 +1171,8 @@ def semdedup_stream_dedup(
     import shutil
     import tempfile
     import uuid as _uuid
+
+    from pyspark.storagelevel import StorageLevel
 
     from filefilter_spark.ops.dedup import (
         _bucket_pairs,
@@ -1211,6 +1218,9 @@ def semdedup_stream_dedup(
             _swap_dirs(spark, d, tmp, batch_id)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t0 = _time.time()
         new = batch_df.select(F.col(id_col), F.col(vec_col))
         new_cells = member(new).persist()
         try:
@@ -1270,6 +1280,16 @@ def semdedup_stream_dedup(
             survivors = keep_neardup_survivors(
                 remaining, pairs_in, id_col=id_col
             )
+            stats = None
+            if on_batch is not None:
+                # counts BEFORE the store writes — see the minhash
+                # loop's recacheByPath note
+                survivors = survivors.persist(StorageLevel.MEMORY_AND_DISK)
+                stats = {
+                    "batch_id": batch_id,
+                    "n_in": new.count(),
+                    "n_survived": survivors.count(),
+                }
             survivors.write.mode("append").parquet(vecs_dir)
             (
                 new_cells.join(
@@ -1282,6 +1302,10 @@ def semdedup_stream_dedup(
             )
             if maintain_every and (batch_id + 1) % maintain_every == 0:
                 maintain(batch_id)
+            if stats is not None:
+                survivors.unpersist()
+                stats["seconds"] = _time.time() - t0
+                on_batch(stats)
         finally:
             new_cells.unpersist()
 

@@ -15,10 +15,11 @@ store-proportional term (e.g. the hot-bucket count agg, which scans
 the band table — bounded-size rows, but O(store) of them; at 100 TB
 that agg rides a bucketed layout instead).
 
-Usage: python tools/neardup_stream_probe.py [n_batches] [sf_dir] [maintain_every]
+Usage: python tools/neardup_stream_probe.py [n_batches] [sf_dir] [maintain_every] [op]
 (pass a third arg N > 0 to run the in-stream store compaction every
 N batches — the r13 maintenance loop — and price it inside the same
-per-batch series)
+per-batch series; fourth arg ``semdedup`` probes the embedding mirror
+``semdedup_stream_dedup`` over the embeddings table instead)
 """
 
 from __future__ import annotations
@@ -37,24 +38,33 @@ def main() -> None:
     n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     maintain_every = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    op = sys.argv[4] if len(sys.argv) > 4 else "minhash"
 
     from pyspark.sql import functions as F
 
     from filefilter_spark.queries.registry import load_table
     from filefilter_spark.session import get_spark
-    from filefilter_spark.streaming.jobs import minhash_stream_dedup
+    from filefilter_spark.streaming.jobs import (
+        minhash_stream_dedup,
+        semdedup_stream_dedup,
+    )
 
     spark = get_spark("neardup_stream_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if op == "semdedup":
+        rows = load_table(spark, sf_dir, "embeddings")
+        split_col = "vec_id"
+    else:
+        rows = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        split_col = "doc_id"
     base = tempfile.mkdtemp(prefix="ffspark_neardup_probe_")
     src = f"{base}/arrivals"
     try:
         # one file per hash-batch, written oldest-first so the file
         # source processes them in batch order
         for i in range(n_batches):
-            docs.filter(F.col("doc_id") % n_batches == i).coalesce(
+            rows.filter(F.col(split_col) % n_batches == i).coalesce(
                 1
             ).write.mode("append").parquet(src)
             time.sleep(1.05)  # distinct mtimes -> deterministic order
@@ -64,13 +74,25 @@ def main() -> None:
         def record(s: dict) -> None:
             stats.append(s)
 
-        out = minhash_stream_dedup(
-            spark, src, threshold=0.5, shingle_n=3,
-            max_files_per_trigger=1, out_dir=f"{base}/store",
-            on_batch=record, timeout_sec=1200,
-            maintain_every=maintain_every or None,
-            max_files_per_store=4,
-        )
+        if op == "semdedup":
+            from filefilter_spark.ops.similarity import build_ivf_index
+
+            _, cents = build_ivf_index(rows, n_lists=16, method="lloyd")
+            out = semdedup_stream_dedup(
+                spark, src, cents, threshold=0.45,
+                max_files_per_trigger=1, out_dir=f"{base}/store",
+                on_batch=record, timeout_sec=1200,
+                maintain_every=maintain_every or None,
+                max_files_per_store=4,
+            )
+        else:
+            out = minhash_stream_dedup(
+                spark, src, threshold=0.5, shingle_n=3,
+                max_files_per_trigger=1, out_dir=f"{base}/store",
+                on_batch=record, timeout_sec=1200,
+                maintain_every=maintain_every or None,
+                max_files_per_store=4,
+            )
         total_survived = out.count()
         store = 0
         for s in stats:
