@@ -1387,3 +1387,162 @@ def remove_duplicate_spans(
         )
         .withColumnRenamed("doc_id", id_col)  # honor the caller's name
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    str_col: str = "s",
+    max_dist: int = 2,
+    q: int = 2,
+    max_gram_freq: int | None = 100_000,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with levenshtein(s_a, s_b) <= max_dist —
+    fuzzy self-join for SHORT key fields (titles, URLs, product names:
+    the strings ride inside the posting lists, so keep them ~100 chars).
+
+    Never all-pairs: candidates come from a positional q-gram inverted
+    index under RARITY-ORDERED PREFIX FILTERING (the Ed-Join family —
+    Xiao et al. VLDB'08; prefix-filter theorem from Chaudhuri et al.
+    ICDE'06): grams are tagged with their occurrence# so overlap is a
+    multiset intersection, and two strings within edit distance d share
+    at least ``max(|A|,|B|) - q*d`` tagged grams (Gravano et al.
+    VLDB'01). By the prefix-filter theorem any such pair must therefore
+    collide inside the first ``q*d + 1`` tagged grams of EACH string
+    under any fixed global order — so only those grams are indexed,
+    ordered rarest-first (global (doc-freq, gram, occ) order) so the
+    indexed grams are the most selective ones. This bounds every
+    string's posting contribution at q*d+1 REGARDLESS of text entropy:
+    ubiquitous grams ("http", "the ") sort last and never enter the
+    index unless a string has nothing rarer. Survivors get a
+    thresholded early-exit ``levenshtein(l, r, d)`` verify (returns -1
+    past the threshold). All filters are lossless; the verify makes
+    precision exact, so the result is EXACTLY the distance-d pair set.
+
+    Two more lossless pre-filters stack on top: the length band
+    (``abs(len_a - len_b) <= d``) and the block split below.
+
+    Strings shorter than ``T = q*(max_dist+1)`` can match without
+    sharing ANY q-gram, so the join runs as two disjoint lossless
+    blocks: pairs whose LONGER side is >= T must collide in the prefix
+    index (if the shorter side had < q chars, the length band already
+    makes the pair impossible); pairs with both sides < T go through a
+    length-banded bucket join over the short subset only (bounded by
+    the short-string count, not the corpus).
+
+    ``max_gram_freq`` caps the residual posting lists (identical-prefix
+    clusters, e.g. millions of byte-equal strings) like
+    ``token_jaccard_pairs``'s ``max_doc_freq`` — dropping a list can
+    only lose candidate pairs (recall tradeoff, documented), never
+    admit false ones; the default is a no-op at test SFs.
+
+    Shape: one in-row tagging pass, one narrow (gram, occ) doc-freq
+    aggregate joined back (AQE broadcasts it when small), one per-doc
+    regroup to take the rarest-(q*d+1) slice in-row, one posting-list
+    grouping, pair dedup, verify. Every shuffle carries ids + short
+    keys, never documents.
+    """
+    d, T = int(max_dist), q * (int(max_dist) + 1)
+    prefix_len = q * d + 1
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(str_col).alias("s")
+    ).filter(F.col("s").isNotNull())
+
+    # --- block 1: rarity-ordered prefix index over strings >= q chars --
+    # tagged grams: (gram, occurrence#) so overlap is a multiset
+    # intersection; tags are computed in-row (O(L^2) over a short key).
+    tagged = base.filter(F.length("s") >= q).select(
+        F.struct(
+            F.col("id"),
+            F.col("s"),
+        ).alias("doc"),
+        # gram array let-bound once (the text._bind pattern, in SQL):
+        # occ(i) = matches among the grams strictly before position i.
+        F.expr(
+            "explode(get(transform("
+            f"array(transform(sequence(1, length(s) - {q - 1}),"
+            f" i -> substring(s, i, {q}))),"
+            " gs -> transform(gs, (x, i) -> struct(x AS g,"
+            " size(filter(slice(gs, 1, i), y -> y = x)) AS occ))), 0))"
+        ).alias("t"),
+    )
+    # global rarity: doc-frequency per tagged gram — a narrow
+    # map-combined aggregate over (g, occ) pairs, broadcast back.
+    gram_df = tagged.groupBy("t.g", "t.occ").agg(
+        F.count(F.lit(1)).alias("gdf")
+    )
+    # per-string rarest-first prefix: regroup the tagged grams, sort by
+    # (gdf, g, occ) in-row, keep the first q*d+1 (all, when fewer).
+    prefix = (
+        tagged.join(gram_df, [F.expr("t.g = g"), F.expr("t.occ = occ")])
+        .groupBy("doc")
+        .agg(F.collect_list(F.struct("gdf", "t.g", "t.occ")).alias("gl"))
+        .select(
+            "doc",
+            F.explode(
+                F.slice(F.array_sort("gl"), 1, prefix_len)
+            ).alias("t"),
+        )
+    )
+    grouped = prefix.groupBy("t.g", "t.occ").agg(
+        F.collect_list("doc").alias("ds")
+    )
+    grouped = grouped.filter(F.size("ds") >= 2)
+    if max_gram_freq is not None:
+        grouped = grouped.filter(F.size("ds") <= max_gram_freq)
+    long_pairs = (
+        grouped.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(
+            F.expr("a.id < b.id")
+            & (F.abs(F.length("a.s") - F.length("b.s")) <= d)
+            & (F.greatest(F.length("a.s"), F.length("b.s")) >= T)
+        )
+        .select(
+            F.expr("a.id").alias("id_a"),
+            F.expr("b.id").alias("id_b"),
+            F.expr("a.s").alias("s_a"),
+            F.expr("b.s").alias("s_b"),
+        )
+        # a pair may collide on several prefix grams — dedup BEFORE the
+        # verify so each pair is scored once and emitted once
+        .distinct()
+    )
+
+    # --- block 2: both sides shorter than T ---------------------------
+    # length-banded bucket join: the shorter side explodes buckets
+    # [len, len+d]; equal lengths canonicalize by id. Bounded by the
+    # short-string subset, which is tiny for real key fields.
+    short = base.filter(F.length("s") < T)
+    lhs = short.select(
+        F.col("id").alias("id_l"), F.col("s").alias("s_l"),
+        F.explode(
+            F.sequence(F.length("s"), F.length("s") + F.lit(d))
+        ).alias("bucket"),
+    )
+    rhs = short.select(
+        F.col("id").alias("id_r"), F.col("s").alias("s_r"),
+        F.length("s").alias("bucket"),
+    )
+    short_pairs = (
+        lhs.join(rhs, "bucket")
+        .filter(
+            (F.length("s_l") < F.length("s_r"))
+            | ((F.length("s_l") == F.length("s_r")) & (F.col("id_l") < F.col("id_r")))
+        )
+        .select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+            F.when(F.col("id_l") < F.col("id_r"), F.col("s_l"))
+            .otherwise(F.col("s_r")).alias("s_a"),
+            F.when(F.col("id_l") < F.col("id_r"), F.col("s_r"))
+            .otherwise(F.col("s_l")).alias("s_b"),
+        )
+    )
+
+    both = long_pairs.unionByName(short_pairs)
+    return (
+        both.withColumn("dist", F.levenshtein("s_a", "s_b", d))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -57,6 +57,43 @@ def op_b10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "OP-B19-sessions",
+    oracle="""
+    WITH flag AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flag
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS start_ts, max(ts) AS end_ts,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM sess GROUP BY 1, 2
+    """,
+    doc="batch gap-sessionization of the event log (30-min gap): lag + "
+        "running-sum windows sharing ONE partitioning/ordering, so the "
+        "events shuffle exactly once however many sessions emerge; stats "
+        "are a map-combinable groupBy. Time arithmetic in integer "
+        "microseconds (unix_micros / epoch_us) — exact cross-engine "
+        "(ops/sessions.py; batch counterpart of the OP-D5-session "
+        "streaming window).",
+)
+def op_b19_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.sessions import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, gap_seconds=1800)
+
+
 # ---------------------------------------------------------------------------
 # OP-D1/D2 — deduplication
 # ---------------------------------------------------------------------------
@@ -663,6 +700,153 @@ def op_d4_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("?ref=x call +1-555-01"), F.col("doc_id").cast("string"),
     )
     return d.select("doc_id", redact_pii(seeded).alias("redacted"))
+
+
+@query(
+    "OP-D2-fuzzy",
+    oracle="""
+    WITH s AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 4
+    """,
+    doc="edit-distance fuzzy self-join on a short key field (24-char "
+        "prefixes, levenshtein <= 4): positional q-gram inverted index "
+        "under rarity-ordered PREFIX FILTERING (Ed-Join family — only "
+        "the q*d+1 rarest tagged grams per string are indexed, here 13 "
+        "of 22; lossless by the prefix-filter theorem over the Gravano "
+        "count bound), length band, then a thresholded early-exit "
+        "levenshtein verify — never all-pairs, and strings too short to "
+        "guarantee a shared gram go through a length-banded bucket join "
+        "over the short subset only (ops/dedup.py edit_distance_pairs). "
+        "d=4 keeps the prefix selective (measured 17.5s at sf0.1 vs 46s "
+        "at d=7 where the prefix covers every gram). Integer distances "
+        "are exact cross-engine; the oracle is DuckDB's quadratic join.",
+)
+def op_d2_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("s")
+    )
+    return edit_distance_pairs(docs, id_col="doc_id", str_col="s",
+                               max_dist=4, q=3)
+
+
+# --- OP-D4-bm25 / OP-D3-hybrid — keyword retrieval + rank fusion ----------
+#
+# The oracle SQL is assembled once at import from the same fixed term
+# list and constants the Spark builder uses — a static string per run,
+# written per-term so both engines evaluate the SAME operand order
+# (registry float contract; the 6dp round absorbs the ln() last-ulp).
+
+_BM25_TERMS = ("spark", "shuffle", "merge")  # df at sf0.01: 385 / 0 / 393
+
+
+def _bm25_term_sql(t: str, i: int) -> str:
+    tf = f"CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+    idf = f"ln(1 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+    return (
+        f"{idf} * (({tf} * 2.2) / "
+        f"({tf} + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / avgdl)))"
+    )
+
+
+_BM25_CTES = f"""
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl,
+         {', '.join(
+             f"sum((len(list_filter(tk, x -> x = '{t}'))>0)::bigint) AS df_{i}"
+             for i, t in enumerate(_BM25_TERMS))}
+  FROM tok
+),
+bm AS (
+  SELECT doc_id,
+         round(0.0 + {' + '.join(_bm25_term_sql(t, i) for i, t in enumerate(_BM25_TERMS))},
+               6) AS bm25
+  FROM tok CROSS JOIN stats
+)"""
+
+
+@query(
+    "OP-D4-bm25",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, bm25 FROM bm
+    WHERE bm25 > 0.0 ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 keyword retrieval top-10 (k1=1.2, b=0.75, Lucene +1-floor "
+        "idf) for a literal 3-term query — the lexical half of hybrid "
+        "corpus search. Two corpus passes, zero wide shuffles: per-doc "
+        "(dl, tf-per-term) computed IN-ROW (no explode — the query term "
+        "list rides in as literals), folded through one map-combined "
+        "single-row stats aggregate; scoring is a pure projection + "
+        "TakeOrderedAndProject. Ranked on the 6dp-rounded score "
+        "(ops/retrieval.py bm25_topk).",
+)
+def op_d4_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k=10)
+
+
+@query(
+    "OP-D3-hybrid",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    bm_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a
+      FROM bm WHERE bm25 > 0.0 ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
+      FROM embeddings, q
+    ),
+    cos_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank_b
+      FROM cos ORDER BY cos_sim DESC, doc_id LIMIT 20
+    ),
+    fused AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             round(coalesce(1.0 / CAST(60 + rank_a AS DOUBLE), 0.0)
+                 + coalesce(1.0 / CAST(60 + rank_b AS DOUBLE), 0.0), 6) AS rrf_score,
+             rank_a, rank_b
+      FROM bm_rank a FULL OUTER JOIN cos_rank b USING (doc_id)
+    )
+    SELECT doc_id, rrf_score, rank_a, rank_b FROM fused
+    ORDER BY rrf_score DESC, doc_id LIMIT 10
+    """,
+    doc="hybrid retrieval: reciprocal-rank fusion (Cormack 2009, k=60) of "
+        "the BM25 top-20 and the exact-cosine top-20 (query = vec_id 0; "
+        "doc_id pairs with vec_id in the synthetic corpus) — the standard "
+        "find-docs-like-this shape for dataset curation with both lexical "
+        "and semantic evidence. Both inputs are top-n lists, so the "
+        "fusion join is broadcast-sized; ranks and fused order are taken "
+        "on 6dp-rounded scores with id tiebreaks, making membership "
+        "deterministic cross-engine (ops/retrieval.py rrf_fuse).",
+)
+def op_d3_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.retrieval import bm25_topk, ranked, rrf_fuse
+    from filefilter_spark.ops.similarity import topk_cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = ranked(bm25_topk(docs, list(_BM25_TERMS), k=20), "bm25", "doc_id")
+    cs = topk_cosine(emb, _query_vec(spark, sf_dir), k=20).select(
+        F.col("vec_id").alias("doc_id"), F.round("cos_sim", 6).alias("cos_sim")
+    )
+    cs = ranked(cs, "cos_sim", "doc_id")
+    return rrf_fuse(bm, cs, id_col="doc_id", k=10)
 
 
 # ---------------------------------------------------------------------------

@@ -3391,3 +3391,89 @@ def test_assemble_packed_sequences(spark):
     assert sep[0]["n_tokens"] == 7
     assert sep[1]["tokens"] == ["g", "h", "<eos>", "i", "j", "k", "l"]
     assert sep[1]["doc_offsets"] == [0, 3]
+
+
+def test_edit_distance_pairs_matches_python_reference(spark):
+    """Mixed corpus crossing both blocks: tiny strings (below the
+    gram-guarantee threshold T, including the 'ab'/'ba' zero-shared-gram
+    adversary), long strings, a null, and an exact duplicate — the
+    distributed result must equal a quadratic Python levenshtein."""
+    import itertools
+
+    from filefilter_spark.ops.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "ab"), (2, "ba"), (3, "abc"), (4, "xyz"), (5, "ab"),
+        (6, None),
+        (7, "abcdefghijklmnopqrstuvwxyz"),
+        (8, "abcdefghijklmnopqrstuvwxyZ"),
+        (9, "the cat sat on the mat"),
+        (10, "the cat sat on the hat"),
+        (11, "completely different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for d in (0, 1, 2, 3):
+        expect = sorted(
+            (a, b, lev(sa, sb))
+            for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+            if sa is not None and sb is not None and lev(sa, sb) <= d
+        )
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(df, max_dist=d, q=2).collect()
+        )
+        assert got == expect, f"max_dist={d}"
+
+
+def test_edit_distance_pairs_prefix_bounds_postings(spark):
+    """The rarity-ordered prefix keeps at most q*d+1 postings per
+    string — ubiquitous grams must NOT enter the index when a string
+    has rarer ones. With 100 strings sharing a hot 20-char prefix and
+    differing in a rare 8-char tail (q=2, d=1 → prefix 3), candidate
+    pairs collapse to near-zero instead of ~100²/2 per hot gram."""
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.dedup import edit_distance_pairs
+
+    hot = "aaaaaaaaaaaaaaaaaaaa"  # shared low-entropy head
+    # doubled tails: any two distinct i differ in >= 2 positions
+    rows = [(i, hot + f"{i:04d}" * 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    out = edit_distance_pairs(df, max_dist=1, q=2)
+    assert out.count() == 0
+    # and one seeded near-dup IS found through the rare tail grams
+    df2 = df.union(
+        spark.createDataFrame([(1000, hot + "00420042x")],
+                              "doc_id long, s string")
+    )
+    got = [tuple(r) for r in
+           edit_distance_pairs(df2, max_dist=1, q=2).collect()]
+    assert got == [(42, 1000, 1)]
+
+
+def test_edit_distance_pairs_hot_gram_cap_trades_recall_only(spark):
+    """max_gram_freq drops oversized posting lists: byte-identical
+    strings collapse into one hot posting cluster; capping below the
+    cluster size loses those pairs (recall) but never invents pairs
+    (precision)."""
+    from filefilter_spark.ops.dedup import edit_distance_pairs
+
+    rows = [(i, "identicalstring") for i in range(10)] + [(99, "unrelated")]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    full = edit_distance_pairs(df, max_dist=1, q=2, max_gram_freq=None)
+    assert full.count() == 45  # C(10,2) identical pairs
+    capped = edit_distance_pairs(df, max_dist=1, q=2, max_gram_freq=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    want = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    assert got <= want  # precision kept; only recall traded
