@@ -38,6 +38,8 @@ VALID_ACTION_TYPES = {
     "dsir", "qualityfilter", "safesplit",
     "gopher", "gopherrep", "entropy",
     "epochs", "budget",
+    # event/retrieval analytics stages (stages/analytics_stage.py)
+    "sessionize", "search",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",
 }

@@ -36,6 +36,7 @@ from filefilter_spark.stages.corpus_stage import (
     TextStatsStage,
 )
 from filefilter_spark.stages.media_stage import MediaStage
+from filefilter_spark.stages.analytics_stage import SearchStage, SessionizeStage
 
 STAGE_TYPES = {
     "sql": SqlStage,
@@ -69,6 +70,9 @@ STAGE_TYPES = {
     "gopher": GopherStage,
     "gopherrep": GopherRepStage,
     "entropy": EntropyStage,
+    # r13: event/retrieval analytics stages
+    "sessionize": SessionizeStage,
+    "search": SearchStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
 }
@@ -83,5 +87,6 @@ __all__ = [
     "TextStatsStage", "PerplexityStage", "ExpectStage", "MediaStage",
     "KeepBestStage", "TemperatureStage", "BpeStage",
     "EpochsStage", "BudgetStage",
+    "SessionizeStage", "SearchStage",
     "STAGE_TYPES",
 ]

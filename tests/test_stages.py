@@ -867,3 +867,66 @@ filters:
     actionConfig:
       rates: {books: 3.0}
 """)
+
+
+def test_sessionize_and_search_stages(spark):
+    """r13: event/retrieval analytics as zero-code actionTypes.
+    sessionize attaches gap-based ids (reserved-column-guarded);
+    search keeps the BM25 top-k rows with the score attached."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base, 7), (2, base + datetime.timedelta(seconds=100), 7),
+         (3, base + datetime.timedelta(seconds=5000), 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = run_yaml(spark, ev, """
+filters:
+  - name: tag
+    actionType: sessionize
+    actionConfig: {gapSeconds: 1800}
+""")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+    with pytest.raises(ValueError, match="reserved"):
+        run_yaml(spark, ev.withColumn("session_id", F.lit(0)), """
+filters:
+  - name: tag
+    actionType: sessionize
+""")
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark and more"),
+         (3, "nothing relevant here"), (4, "spark once")],
+        "doc_id long, text string",
+    )
+    hits = run_yaml(spark, docs, """
+filters:
+  - name: find
+    actionType: search
+    actionConfig:
+      terms: [spark]
+      k: 2
+""")
+    rows = hits.collect()
+    assert len(rows) == 2
+    assert {r["doc_id"] for r in rows} == {1, 4}  # highest tf, shortest dl
+    assert all(r["bm25"] > 0 for r in rows)
+    assert "text" in hits.columns  # original row survives the semi-join
+    with pytest.raises(ValueError, match="terms"):
+        run_yaml(spark, docs, """
+filters:
+  - name: find
+    actionType: search
+""")
+
+
+def test_stage_registry_matches_config_whitelist():
+    """Every dispatchable stage is configurable and vice versa — a new
+    actionType added to one map but not the other is a silent dead-end
+    (the sessionize/search addition tripped exactly this)."""
+    from filefilter_spark.config import VALID_ACTION_TYPES
+    from filefilter_spark.stages import STAGE_TYPES
+
+    assert set(STAGE_TYPES) == set(VALID_ACTION_TYPES)
