@@ -71,6 +71,9 @@ HEADLINE = [
     # the rewrite (r11: exploded groupBys, 4.4x DuckDB at sf0.1;
     # r12: 0.67x)
     "OP-D4-gopher-rep",
+    # Added in r13: BM25 keyword retrieval — two tokenize passes over
+    # the corpus (stats + scoring), real per-row fold cost like gopher
+    "OP-D4-bm25",
 ]
 
 

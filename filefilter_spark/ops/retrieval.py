@@ -101,6 +101,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     lowercase: bool = True,
+    stats: tuple[int, float, list[int]] | None = None,
 ) -> DataFrame:
     """BM25 top-k over a document table for a literal query.
 
@@ -109,11 +110,25 @@ def bm25_topk(
     Score per doc, summed left-to-right in query-term order:
 
         Σ_t idf_t * (tf_t * (k1+1)) / (tf_t + k1 * (1 - b + b*dl/avgdl))
+
+    ``stats`` accepts a precomputed :func:`bm25_corpus_stats` result
+    (for the SAME term list/order) so repeated queries against an
+    unchanged corpus skip the stats pass and pay only the scoring scan.
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
     terms = [t.lower() for t in query_terms] if lowercase else list(query_terms)
-    n, avgdl, dfs = bm25_corpus_stats(df, terms, text_col, lowercase=lowercase)
+    n, avgdl, dfs = (
+        stats
+        if stats is not None
+        else bm25_corpus_stats(df, terms, text_col, lowercase=lowercase)
+    )
+    if len(dfs) != len(terms):
+        raise ValueError(
+            f"bm25_topk: stats carries {len(dfs)} df values for "
+            f"{len(terms)} query terms — stats must come from "
+            "bm25_corpus_stats over the same term list"
+        )
     if n == 0 or avgdl == 0.0:
         return df.select(F.col(id_col), F.lit(0.0).alias("bm25")).limit(0)
     idfs = [bm25_idf(n, d) for d in dfs]

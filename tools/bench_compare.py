@@ -32,6 +32,12 @@ HEADLINE = [
     # round-12 operators (both exact-oracle; epochs is the
     # row-generating explode, execute adds the plan-derivation collect)
     "OP-D7-epochs", "OP-D7-execute",
+    # round-13 operators (all exact-oracle). OP-D2-fuzzy is the
+    # engine-contrast row: Spark runs the prefix-filtered q-gram index,
+    # DuckDB its quadratic levenshtein join — the oracle IS the naive
+    # algorithm, so this ratio compares an indexed join against
+    # all-pairs and is expected to fall with corpus size.
+    "OP-D4-bm25", "OP-D3-hybrid", "OP-B19-sessions", "OP-D2-fuzzy",
 ]
 
 

@@ -69,6 +69,16 @@ QUERIES = [
     # gram materialization cost, exact oracle; the heaviest r11 row in
     # bench_compare (~4x at sf0.1), so its curve belongs here
     "OP-D4-gopher-rep",
+    # round-13: edit-distance fuzzy join — Spark's prefix-filtered
+    # q-gram index vs DuckDB's quadratic oracle; the DuckDB side grows
+    # ~m^2 (like OP-B9's match count), so probe it at small multipliers
+    # only (x1/x2 via the `only` filter) and read the trend, not x8
+    "OP-D2-fuzzy",
+    # round-13: BM25 — two tokenize passes, per-byte cost both engines
+    "OP-D4-bm25",
+    # round-13: sessionization — one window shuffle vs DuckDB's
+    # in-memory windows; user_id offsetting keeps sessions closed
+    "OP-B19-sessions",
 ]
 
 # Per-table columns that must be offset per copy so each copy is a
