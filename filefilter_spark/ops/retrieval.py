@@ -195,3 +195,271 @@ def rrf_fuse(
         "rank_b",
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
+
+
+def bm25_batch_topk(
+    df: DataFrame,
+    queries: dict[str, Sequence[str]],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """BM25 top-k for EACH of a batch of term queries in ONE corpus
+    scan — the retrieval-evaluation shape (N eval queries against the
+    full corpus), the lexical twin of ``similarity.batch_topk_cosine``.
+
+    Returns (q_id, id_col, bm25, rank). Shape: one stats pass for the
+    UNION of all query terms (still a single map-combined one-row
+    aggregate — per-term hits are in-row), then one scoring scan that
+    computes every query's score from a per-row tf array bound ONCE
+    (the ``_bind`` let-binding: tokenize once, tf per union-term once,
+    each query's score indexes into that array), explodes to
+    (q_id, score) rows, and takes per-query top-k through a
+    rank-over-window that Spark rewrites to WindowGroupLimit — partial
+    per-partition top-k map-side, so the single shuffle carries at most
+    k·|queries| rows per partition, never the corpus.
+
+    Determinism contract matches :func:`bm25_topk`: rounded-score
+    ranking with id tiebreaks, fixed per-query term order.
+    """
+    if not queries:
+        raise ValueError("bm25_batch_topk: queries must be non-empty")
+    qids = list(queries)
+    norm_terms = {
+        q: ([t.lower() for t in ts] if lowercase else list(ts))
+        for q, ts in queries.items()
+    }
+    for q, ts in norm_terms.items():
+        if not ts:
+            raise ValueError(f"bm25_batch_topk: query {q!r} has no terms")
+    union_terms: list[str] = []
+    for ts in norm_terms.values():
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+    term_idx = {t: i for i, t in enumerate(union_terms)}
+
+    n, avgdl, dfs = bm25_corpus_stats(df, union_terms, text_col,
+                                      lowercase=lowercase)
+    if n == 0 or avgdl == 0.0:
+        return df.select(
+            F.lit("").alias("q_id"), F.col(id_col),
+            F.lit(0.0).alias("bm25"), F.lit(0).alias("rank"),
+        ).limit(0)
+    idf_by_term = {t: bm25_idf(n, d) for t, d in zip(union_terms, dfs)}
+
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+
+    def scores(tok: Column) -> Column:
+        dl = F.size(tok).cast("double")
+        norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+
+        def per_query(tfs: Column) -> Column:
+            structs = []
+            for q in qids:
+                total = F.lit(0.0)
+                for t in norm_terms[q]:
+                    tf = F.get(tfs, term_idx[t])
+                    total = total + F.lit(idf_by_term[t]) * (
+                        (tf * F.lit(k1 + 1.0)) / (tf + norm)
+                    )
+                structs.append(
+                    F.struct(
+                        F.lit(q).alias("q_id"),
+                        F.round(total, 6).alias("bm25"),
+                    )
+                )
+            return F.array(*structs)
+
+        return _bind(
+            F.array(*[
+                _per_term_tf(tok, t).cast("double") for t in union_terms
+            ]),
+            per_query,
+        )
+
+    exploded = (
+        df.select(F.col(id_col), _bind(tokens(src), scores).alias("qs"))
+        .select(F.col(id_col), F.explode("qs").alias("q"))
+        .select(F.col(id_col), F.col("q.q_id"), F.col("q.bm25"))
+        .filter(F.col("bm25") > 0.0)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "bm25", "rank")
+    )
+
+
+def build_text_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    lowercase: bool = True,
+) -> None:
+    """Persist an inverted index for BM25 so queries stop re-scanning
+    the corpus — the text twin of the IVF×PQ layout (``ops/pq.py``):
+    build once, then every query is a PARTITION-PRUNED read of only the
+    buckets its terms hash into.
+
+    Layout under ``path``:
+
+    * ``postings/`` — (doc id, dl, term, tf) rows, written
+      ``partitionBy(bucket)`` with ``bucket = pmod(xxhash64(term),
+      n_buckets)``; dl rides on every posting so scoring needs no doc
+      join.
+    * ``terms/``    — (term, df) per distinct term, same bucketing, so
+      the idf lookup is an equally pruned tiny read.
+    * ``stats/``    — one row (n_docs, sum_dl): exact int64s, from
+      which any engine reproduces avgdl bit-identically.
+
+    Build cost: one tokenize scan + one (id, term) aggregation — the
+    same postings shuffle tf-idf already pays. ``n_buckets`` bounds
+    file counts (the small-files maintenance loop — ``maybe_compact``
+    in ops/layout.py — applies to ``postings/`` unchanged).
+    """
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    # stats FIRST: an empty corpus must refuse loudly here — an empty
+    # partitioned postings write is unreadable (no schema to infer),
+    # which would surface later as an inscrutable read error.
+    stats = df.select(
+        _bind(tokens(src), lambda t: F.size(t)).alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )
+    if int(stats.first()["n_docs"]) == 0:
+        raise ValueError("build_text_index: empty corpus — nothing to index")
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+    toks = df.select(
+        F.col(id_col),
+        tokens(src).alias("toks"),
+    ).select(
+        id_col,
+        F.size("toks").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    postings = (
+        toks.groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
+    )
+    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    spark = df.sparkSession
+    pread = spark.read.parquet(f"{path}/postings")
+    # count DISTINCT docs, not rows: under the streaming ingest
+    # (text_index_stream_ingest) an at-least-once replay can append a
+    # batch's postings twice, and df must not inflate
+    terms = pread.groupBy("bucket", "term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    terms.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/terms"
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+    lowercase: bool = True,
+) -> DataFrame:
+    """BM25 top-k against a :func:`build_text_index` layout — the
+    100 TB query path: instead of two corpus scans, read ONLY the
+    postings buckets the query terms hash into (partition pruning,
+    plan-tested) plus a same-pruned df lookup and a one-row stats read.
+
+    Scoring: every posting row carries (tf, dl), so each term
+    contribution is row-local; per-doc scores are one map-combinable
+    groupBy(doc) sum over at most |query| rows per doc, then
+    TakeOrderedAndProject. Result semantics match :func:`bm25_topk`
+    exactly (same formula, same 6dp-rounded ranking) — the index is an
+    access path, not a different operator.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk_indexed: query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms] if lowercase else list(query_terms)
+    import pyspark.sql.functions as _F  # local alias for lambda clarity
+
+    srow = spark.read.parquet(f"{path}/stats").first()
+    n = int(srow["n_docs"])
+    if n == 0:
+        raise ValueError(f"bm25_topk_indexed: empty index at {path!r}")
+    avgdl = float(int(srow["sum_dl"])) / n
+
+    # term -> bucket must use the engine's own xxhash64 (there is no
+    # python twin of Spark's seed-42 xxhash64): one driver-local
+    # 1-row job hashes all query terms at once.
+    brow = spark.range(1).select(
+        *[
+            _F.pmod(_F.xxhash64(_F.lit(t)), _F.lit(n_buckets)).alias(f"b{i}")
+            for i, t in enumerate(terms)
+        ]
+    ).first()
+    buckets = sorted({int(brow[f"b{i}"]) for i in range(len(terms))})
+
+    # df lookup: the batch build writes a terms/ table (pruned tiny
+    # read); the STREAMING ingest does not maintain one (any cached df
+    # would go stale between micro-batches), so fall back to counting
+    # distinct docs over the same pruned postings read — exact under
+    # replays, cost bounded by the matching postings.
+    def _hadoop_dir_exists(p2: str) -> bool:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        hp = jvm.org.apache.hadoop.fs.Path(p2)
+        return hp.getFileSystem(conf).exists(hp)
+
+    if _hadoop_dir_exists(f"{path}/terms"):
+        tdf = (
+            spark.read.parquet(f"{path}/terms")
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .collect()
+        )
+    else:
+        tdf = (
+            spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.count_distinct(F.col(id_col)).alias("df"))
+            .collect()
+        )
+    df_by_term = {r["term"]: int(r["df"]) for r in tdf}
+    idf_by_term = {t: bm25_idf(n, df_by_term.get(t, 0)) for t in terms}
+
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        # replay shield: duplicate (doc, term) rows from an
+        # at-least-once streaming append carry identical tf/dl — keep
+        # one, or the per-doc sum double-counts. Runs on the PRUNED
+        # read, so the dedup cost is |matching postings|, not the index
+    ).dropDuplicates([id_col, "term"])
+    idf_expr = F.lit(0.0)
+    for t in terms:
+        idf_expr = F.when(F.col("term") == t, F.lit(idf_by_term[t])).otherwise(
+            idf_expr
+        )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    contrib = idf_expr * ((tf * F.lit(k1 + 1.0)) / (tf + norm))
+    return (
+        post.select(F.col(id_col), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        .filter(F.col("bm25") > 0.0)
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(k)
+    )

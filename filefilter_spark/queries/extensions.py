@@ -617,6 +617,47 @@ def op_d4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-D4-qualitygate",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN CAST(length(text) AS DOUBLE)
+                          / greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')), 1)
+                     BETWEEN 2.0 AND 12.0 THEN 0.3 ELSE 0.0 END)
+             + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) * 0.3, 6) AS q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn,
+             ceil(0.3 * count(*) OVER (PARTITION BY source)) AS cap
+      FROM scored
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d SEMI JOIN (SELECT doc_id FROM ranked WHERE rn <= cap) k
+      USING (doc_id)
+    """,
+    doc="percentile quality gate: keep the top 30% of every source by "
+        "the composite quality score — relative gating that adapts to "
+        "each source's score distribution instead of one global cutoff. "
+        "Ranks on the 6dp-rounded score (id tiebreak), cap = "
+        "ceil(frac * group count); ranking runs over a narrow "
+        "(group, score, id) projection with one window shuffle, bodies "
+        "return by id semi-join (ops/corpus.py keep_top_fraction).",
+)
+def op_d4_qualitygate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import keep_top_fraction
+    from filefilter_spark.ops.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return keep_top_fraction(
+        d, quality_score("text"), frac=0.3
+    ).select("doc_id", "source", "n_chars")
+
+
+@query(
     "OP-D4-fingerprint",
     oracle="""
     SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
@@ -796,6 +837,162 @@ def op_d4_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, list(_BM25_TERMS), k=10)
+
+
+@query(
+    "OP-D4-bm25-indexed",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, bm25 FROM bm
+    WHERE bm25 > 0.0 ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    doc="BM25 via a PERSISTED inverted index (build_text_index: postings "
+        "partitionBy(bucket=pmod(xxhash64(term), 64)) with dl riding on "
+        "every posting, a same-bucketed df table, a one-row exact-int "
+        "stats sidecar) — the 100 TB query path: the probe reads ONLY "
+        "the buckets the query terms hash into (PartitionFilters, "
+        "plan-tested) instead of re-scanning the corpus, the text twin "
+        "of OP-D3-ivfpq's partition-pruned cell probe. Same oracle as "
+        "OP-D4-bm25: the index is an access path, results are identical "
+        "(ops/retrieval.py bm25_topk_indexed).",
+)
+def op_d4_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from filefilter_spark.queries.inventory import _scratch
+
+    ix = _scratch("d4bm25ix/text_index")
+    docs = load_table(spark, sf_dir, "documents")
+    # 16 buckets at test SF (bounds the build's file churn); the
+    # library default is 64 — pruning behavior is identical
+    build_text_index(docs, ix, n_buckets=16)
+    return bm25_topk_indexed(spark, ix, list(_BM25_TERMS), k=10,
+                             n_buckets=16)
+
+
+@query(
+    "OP-D5-textindex",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, bm25 FROM bm
+    WHERE bm25 > 0.0 ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+    doc="streaming inverted-index maintenance (OP-D5 x OP-D4-bm25, "
+        "streaming/jobs.py text_index_stream_ingest): documents arrive "
+        "as a file stream (maxFilesPerTrigger=1 over a multi-file "
+        "layout, so the drain is MULTI-batch); each micro-batch is "
+        "tokenized to postings and appended to the bucket-partitioned "
+        "build_text_index layout — existing postings never reshuffle, "
+        "stats merge additively per batch (batch-id-idempotent under "
+        "at-least-once replay), df is computed fresh from the pruned "
+        "postings (no stale terms cache), and in-stream maintenance "
+        "(maintain_every=2) threshold-compacts fragmented buckets. The "
+        "oracle is OP-D4-bm25's exact SQL: a query against the "
+        "stream-grown index must equal the corpus-scan BM25 exactly.",
+)
+def op_d5_textindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.retrieval import bm25_topk_indexed
+    from filefilter_spark.queries.inventory import _scratch
+    from filefilter_spark.streaming.jobs import text_index_stream_ingest
+
+    src = _scratch("d5tix/docs_in")
+    ix = _scratch("d5tix/text_index")
+    # fresh index per invocation: a second run in the same process
+    # (bench min-of-2) would otherwise re-append the drained postings.
+    # (The query path is replay-shielded and would still be exact —
+    # this keeps the maintenance file counts deterministic too.)
+    import shutil
+
+    shutil.rmtree(ix, ignore_errors=True)
+    load_table(spark, sf_dir, "documents").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    text_index_stream_ingest(
+        spark, src, ix, n_buckets=16,
+        max_files_per_trigger=1, maintain_every=2,
+        max_files_per_partition=4,
+    )
+    return bm25_topk_indexed(spark, ix, list(_BM25_TERMS), k=10,
+                             n_buckets=16)
+
+
+# batch variant: three queries over the union-term stats, one scan
+_BM25_BATCH_QUERIES = {
+    "q_spark": ["spark", "merge"],
+    "q_window": ["window"],
+    "q_mixed": ["merge", "window", "shuffle"],
+}
+_BATCH_TERMS: list[str] = []
+for _ts in _BM25_BATCH_QUERIES.values():
+    for _t in _ts:
+        if _t not in _BATCH_TERMS:
+            _BATCH_TERMS.append(_t)
+
+
+def _bm25_batch_term_sql(t: str) -> str:
+    i = _BATCH_TERMS.index(t)
+    tf = f"CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+    idf = f"ln(1 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+    return (
+        f"{idf} * (({tf} * 2.2) / "
+        f"({tf} + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / avgdl)))"
+    )
+
+
+_BM25_BATCH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl,
+         {', '.join(
+             f"sum((len(list_filter(tk, x -> x = '{t}'))>0)::bigint) AS df_{i}"
+             for i, t in enumerate(_BATCH_TERMS))}
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         {', '.join(
+             "round(0.0 + "
+             + ' + '.join(_bm25_batch_term_sql(t) for t in ts)
+             + f", 6) AS s_{j}"
+             for j, ts in enumerate(_BM25_BATCH_QUERIES.values()))}
+  FROM tok CROSS JOIN stats
+),
+u AS ({' UNION ALL '.join(
+    f"SELECT '{q}' AS q_id, doc_id, s_{j} AS bm25 FROM scored"
+    for j, q in enumerate(_BM25_BATCH_QUERIES))}),
+r AS (
+  SELECT q_id, doc_id, bm25,
+         row_number() OVER (PARTITION BY q_id ORDER BY bm25 DESC, doc_id) AS rank
+  FROM u WHERE bm25 > 0.0
+)
+SELECT q_id, doc_id, bm25, CAST(rank AS INT) AS rank FROM r WHERE rank <= 5
+"""
+
+
+@query(
+    "OP-D4-bm25-batch",
+    oracle=_BM25_BATCH_ORACLE,
+    doc="multi-query BM25 (3 queries, top-5 each) in ONE corpus scan — "
+        "the retrieval-evaluation shape, lexical twin of OP-D3-batch: "
+        "one stats aggregate over the UNION of all query terms, a "
+        "scoring scan that binds the per-row tf array once and indexes "
+        "it per query, then per-query top-k through a rank window Spark "
+        "rewrites to WindowGroupLimit (partial per-partition top-k "
+        "map-side — the single shuffle carries <= k*|queries| rows per "
+        "partition, never the corpus; ops/retrieval.py bm25_batch_topk).",
+)
+def op_d4_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.retrieval import bm25_batch_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_batch_topk(docs, _BM25_BATCH_QUERIES, k=5)
 
 
 @query(

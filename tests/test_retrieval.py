@@ -157,3 +157,78 @@ def test_bm25_precomputed_stats_skip_stats_pass(spark, docs):
     assert [tuple(r) for r in reused.collect()] == base
     with pytest.raises(ValueError, match="same term list"):
         bm25_topk(docs, ["spark"], k=5, stats=stats)
+
+
+def test_bm25_batch_equals_per_query_topk(spark, docs):
+    """Each query's slice of the batch result == the single-query op
+    (idf depends only on (N, df_t), so union-stats scoring is
+    identical), with ranks matching the rounded-score order."""
+    from filefilter_spark.ops.retrieval import bm25_batch_topk, bm25_topk
+
+    queries = {"a": ["spark", "merge"], "b": ["window"]}
+    batch = bm25_batch_topk(docs, queries, k=5).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, terms in queries.items():
+        got = [(r["doc_id"], r["bm25"]) for r in
+               sorted(by_q[q], key=lambda r: r["rank"])]
+        want = [(r["doc_id"], r["bm25"]) for r in
+                bm25_topk(docs, terms, k=5).collect()]
+        assert got == want, q
+
+
+def test_bm25_batch_plan_window_group_limit(spark, docs):
+    """The per-query top-k must compile to WindowGroupLimit (partial
+    per-partition top-k map-side) and the scan side must stay
+    join-free: one Generate (the per-query explode), one window
+    shuffle."""
+    from filefilter_spark.ops.retrieval import bm25_batch_topk
+
+    plan = _plan(bm25_batch_topk(docs, {"a": ["spark"], "b": ["merge"]}, k=5))
+    tree = plan.split("\n\n")[0]
+    assert "WindowGroupLimit" in tree
+    assert "Join" not in tree
+    assert len(re.findall(r"\bGenerate\b", tree)) == 1
+    assert _shuffle_count(plan) == 1
+
+
+def test_bm25_batch_empty_query_raises(docs):
+    from filefilter_spark.ops.retrieval import bm25_batch_topk
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_batch_topk(docs, {})
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_batch_topk(docs, {"a": []})
+
+
+def test_bm25_indexed_matches_scan_and_prunes(spark, docs, tmp_path):
+    """The persisted-index path returns EXACTLY the scan path's result
+    (df=0 ghost term included), and the probe plan carries the bucket
+    partition filter — the corpus is never re-scanned."""
+    from filefilter_spark.ops.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    ix = str(tmp_path / "ix")
+    build_text_index(docs, ix, n_buckets=16)
+    terms = ["spark", "merge", "zzz_ghost"]
+    scan = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    via_ix = bm25_topk_indexed(spark, ix, terms, k=10, n_buckets=16)
+    assert [tuple(r) for r in via_ix.collect()] == scan
+    plan = _plan(via_ix)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+    # and the pruned read scans postings, not documents
+    assert "documents" not in plan.split("\n\n")[0].lower()
+
+
+def test_bm25_indexed_empty_corpus_refuses_at_build(spark, docs, tmp_path):
+    """An empty partitioned postings write would be unreadable later —
+    the build must refuse loudly up front."""
+    from filefilter_spark.ops.retrieval import build_text_index
+
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_text_index(docs.limit(0), str(tmp_path / "ix0"), n_buckets=4)
