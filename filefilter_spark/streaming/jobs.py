@@ -18,12 +18,16 @@ Three tiers, all drained to completion on static data via
   ``ivfpq_stream_ingest`` (frozen-index encode + cell-partitioned
   appends), ``minhash_stream_dedup`` and ``semdedup_stream_dedup``
   (arrival-order-greedy near-dedup against persisted band/membership
-  survivor stores; history never re-hashed/re-scored). All three
-  self-maintain against small-files drift (``maintain_every`` →
-  threshold-gated compaction + ``_swap_dirs`` atomic-as-the-store-
-  allows swap with path-cache invalidation), check paths through the
-  Hadoop FS API (store-agnostic), and the dedup loops are
-  replay-idempotent under foreachBatch's at-least-once contract.
+  survivor stores; history never re-hashed/re-scored), and
+  ``text_index_stream_ingest`` (per-batch postings appends to the
+  bucket-partitioned BM25 inverted index, batch-id-idempotent stats
+  merging; queries over the growing index equal the corpus-scan BM25
+  exactly). All four self-maintain against small-files drift
+  (``maintain_every`` → threshold-gated compaction + ``_swap_dirs``
+  atomic-as-the-store-allows swap with path-cache invalidation),
+  check paths through the Hadoop FS API (store-agnostic), and the
+  dedup/index loops are replay-idempotent under foreachBatch's
+  at-least-once contract.
 
 Scale notes: windowed shuffle keys are time-bucketed (balanced);
 state is bounded by the watermark horizon; ingest per-batch cost is
@@ -1338,3 +1342,162 @@ def semdedup_stream_dedup(
             "micro-batches (no matching input files?) — nothing to read"
         )
     return spark.read.parquet(vecs_dir)
+
+
+def text_index_stream_ingest(
+    spark: SparkSession,
+    path: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    timeout_sec: int = 300,
+    max_files_per_trigger: int | None = None,
+    maintain_every: int | None = None,
+    max_files_per_partition: int = 16,
+) -> DataFrame:
+    """Continuous inverted-index maintenance (OP-D5 × OP-D4-bm25): the
+    text twin of :func:`ivfpq_stream_ingest`. Each micro-batch of
+    newly arrived documents is tokenized into (doc, dl, term, tf)
+    postings and APPENDED to the bucket-partitioned layout of
+    ``ops.retrieval.build_text_index`` at ``out_dir`` — existing
+    postings never reshuffle, and ``bm25_topk_indexed`` queries over
+    the growing index stay partition-pruned reads at every point.
+
+    Correctness under streaming semantics:
+
+    * **stats** (n_docs, Σdl) are merged ADDITIVELY per batch from
+      exact int64s, tagged with the last applied ``batch_id`` so an
+      at-least-once foreachBatch replay is a no-op (idempotent stats).
+    * **postings** replays can double-append; the query path dedupes
+      (doc, term) on its pruned read and counts df as DISTINCT docs,
+      so scores are exact regardless.
+    * **no terms/ table is maintained** — a cached df would go stale
+      the moment the next batch lands; ``bm25_topk_indexed`` detects
+      the missing table and computes df from the pruned postings
+      instead (exact, always fresh).
+
+    ``maintain_every=N`` closes the small-files loop in-stream, same
+    as the IVF×PQ and near-dup stores: every Nth batch the
+    threshold gate (``ops.layout.maybe_compact``, store-agnostic
+    Hadoop-FS listing) rewrites fragmented buckets sorted by
+    (term, id) and swaps the table in atomically.
+
+    ``availableNow`` drains the bounded test input; an unbounded
+    deployment runs the identical plan with a durable checkpoint.
+    Returns the postings table at ``out_dir`` after the drain.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.text import tokens
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(int(max_files_per_trigger))
+        )
+    if path.endswith(".parquet") and not _is_directory(spark, path):
+        base = os.path.dirname(path) or "."
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream = reader.parquet(base)
+    else:
+        stream = reader.parquet(path)
+
+    post_dir = f"{out_dir}/postings"
+    stats_dir = f"{out_dir}/stats"
+
+    def merge_stats(batch_df: DataFrame, batch_id: int) -> None:
+        src = F.lower(F.col(text_col))
+        row = (
+            batch_df.select(F.size(tokens(src)).alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
+            .first()
+        )
+        bn, bs = int(row["n"]), int(row["s"] or 0)
+        n0, s0 = 0, 0
+        if _dir_exists(spark, stats_dir):
+            cur = spark.read.parquet(stats_dir).first()
+            if cur is not None:
+                last = (
+                    int(cur["last_batch_id"])
+                    if "last_batch_id" in cur.__fields__ else -1
+                )
+                if batch_id <= last:
+                    return  # replayed batch: stats already applied
+                n0, s0 = int(cur["n_docs"]), int(cur["sum_dl"])
+        spark.createDataFrame(
+            [(n0 + bn, s0 + bs, batch_id)],
+            "n_docs long, sum_dl long, last_batch_id long",
+        ).coalesce(1).write.mode("overwrite").parquet(stats_dir)
+
+    def maintain(batch_id: int) -> None:
+        from filefilter_spark.ops.layout import maybe_compact
+
+        tmp = f"{post_dir.rstrip('/')}__compact{batch_id}"
+        try:
+            ran = maybe_compact(
+                spark, post_dir, tmp, "bucket", ["term", id_col],
+                max_files_per_partition=max_files_per_partition,
+            )
+        except ValueError:
+            return  # no bucket= dirs yet (all batches empty so far)
+        if ran:
+            _swap_dirs(spark, post_dir, tmp, batch_id)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        src = F.lower(F.col(text_col))
+        postings = (
+            batch_df.select(
+                F.col(id_col), tokens(src).alias("toks")
+            )
+            .select(
+                id_col,
+                F.size("toks").alias("dl"),
+                F.explode("toks").alias("term"),
+            )
+            .groupBy(id_col, "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+            )
+        )
+        postings.write.partitionBy("bucket").mode("append").parquet(post_dir)
+        merge_stats(batch_df, batch_id)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            maintain(batch_id)
+
+    ckpt_base = (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    ckpt = os.path.join(
+        ckpt_base, "ffspark_ckpt_textix_" + _uuid.uuid4().hex[:8]
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):  # pragma: no cover
+            raise TimeoutError(
+                f"text_index_stream_ingest: availableNow drain did not "
+                f"finish within {timeout_sec}s — the index at {out_dir} "
+                f"is PARTIAL; raise timeout_sec and rerun"
+            )
+    finally:
+        if query.isActive:  # pragma: no cover
+            query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if not _dir_exists(spark, post_dir):
+        raise ValueError(
+            "text_index_stream_ingest: the availableNow run produced no "
+            "micro-batches (no matching input files?) — nothing to read"
+        )
+    return spark.read.parquet(post_dir)

@@ -3477,3 +3477,89 @@ def test_edit_distance_pairs_hot_gram_cap_trades_recall_only(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     want = {(r["id_a"], r["id_b"]) for r in full.collect()}
     assert got <= want  # precision kept; only recall traded
+
+
+def test_text_index_stream_ingest_matches_batch(spark, tmp_path):
+    """Multi-batch stream-grown index answers EXACTLY like the scan
+    path and the batch-built index, with in-stream maintenance on."""
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from filefilter_spark.streaming.jobs import text_index_stream_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "in")
+    docs.repartition(5).write.parquet(src)
+    six = str(tmp_path / "six")
+    text_index_stream_ingest(
+        spark, src, six, n_buckets=16,
+        max_files_per_trigger=1, maintain_every=2,
+        max_files_per_partition=2,
+    )
+    terms = ["spark", "merge"]
+    scan = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    got = [tuple(r) for r in
+           bm25_topk_indexed(spark, six, terms, k=10, n_buckets=16).collect()]
+    assert got == scan
+    bix = str(tmp_path / "bix")
+    build_text_index(docs, bix, n_buckets=16)
+    via_batch = [tuple(r) for r in
+                 bm25_topk_indexed(spark, bix, terms, k=10,
+                                   n_buckets=16).collect()]
+    assert got == via_batch
+
+
+def test_text_index_stream_reingest_is_idempotent(spark, tmp_path):
+    """An at-least-once replay (here: a full second drain into the same
+    index with a fresh checkpoint, the worst case) must not change
+    query results: stats merging is batch-id-gated and the query path
+    dedupes (doc, term) / counts df over distinct docs."""
+    from filefilter_spark.ops.retrieval import bm25_topk_indexed
+    from filefilter_spark.streaming.jobs import text_index_stream_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(src)
+    ix = str(tmp_path / "ix")
+    text_index_stream_ingest(spark, src, ix, n_buckets=8,
+                             max_files_per_trigger=1)
+    terms = ["spark", "merge"]
+    first = [tuple(r) for r in
+             bm25_topk_indexed(spark, ix, terms, k=10, n_buckets=8).collect()]
+    stats1 = spark.read.parquet(f"{ix}/stats").first()
+    text_index_stream_ingest(spark, src, ix, n_buckets=8,
+                             max_files_per_trigger=1)  # replay
+    second = [tuple(r) for r in
+              bm25_topk_indexed(spark, ix, terms, k=10, n_buckets=8).collect()]
+    stats2 = spark.read.parquet(f"{ix}/stats").first()
+    assert second == first
+    assert (stats2["n_docs"], stats2["sum_dl"]) == (
+        stats1["n_docs"], stats1["sum_dl"])
+
+
+def test_keep_top_fraction_exact_semantics(spark):
+    """ceil(frac*count) per group, rounded-score ranking, id tiebreak;
+    frac=1.0 keeps everything; bad frac raises."""
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.corpus import keep_top_fraction
+
+    rows = [
+        # group a: scores 5 > 4 > 3 > 2 > 1 → ceil(0.4*5)=2 kept
+        (1, "a", 5.0), (2, "a", 4.0), (3, "a", 3.0), (4, "a", 2.0),
+        (5, "a", 1.0),
+        # group b: tie on score → lowest id wins the single slot
+        (6, "b", 7.0), (7, "b", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, s double")
+    kept = {r["doc_id"] for r in
+            keep_top_fraction(df, F.col("s"), 0.4).collect()}
+    assert kept == {1, 2, 6}
+    assert keep_top_fraction(df, F.col("s"), 1.0).count() == 7
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="frac"):
+        keep_top_fraction(df, F.col("s"), 0.0)
