@@ -39,7 +39,7 @@ VALID_ACTION_TYPES = {
     "gopher", "gopherrep", "entropy",
     "epochs", "budget",
     # event/retrieval analytics stages (stages/analytics_stage.py)
-    "sessionize", "search",
+    "sessionize", "search", "qualitygate",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",
 }

@@ -1050,3 +1050,49 @@ def assemble_packed_sequences(
         offsets.alias("doc_offsets"),
         F.size(toks).alias("n_tokens"),
     )
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    score: Column,
+    frac: float,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``frac`` of rows per group by score — the
+    percentile quality gate ("keep the best 30% of every source"),
+    the relative counterpart to an absolute threshold: it adapts to
+    each source's score distribution instead of hard-coding a cutoff
+    that web crawl fails wholesale and books pass wholesale.
+
+    Exact, deterministic semantics: within each group, rows ranked by
+    the 6dp-ROUNDED score (descending, id tiebreak — the cross-engine
+    ranking guard) keep ranks 1..ceil(frac * group_count). ceil of the
+    same IEEE product is engine-portable, so the kept set is
+    reproducible across engines, reruns, and partitionings.
+
+    Scale shape: ranking runs over a NARROW (group, score, id)
+    projection — one window shuffle keyed by group; bodies come back
+    by id semi-join (AQE picks broadcast when the survivor set is
+    small). The per-group limit is data-dependent (ceil(frac*cnt)),
+    which is why this is a window + filter rather than the
+    WindowGroupLimit-rewritable constant-k form ``quota_sample`` uses.
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"keep_top_fraction: frac must be in (0, 1]: {frac}")
+    w = Window.partitionBy(group_col)
+    wo = w.orderBy(F.desc("__ktf_score"), F.asc(id_col))
+    ranked = df.select(
+        F.col(id_col), F.col(group_col),
+        F.round(score, 6).alias("__ktf_score"),
+    ).select(
+        id_col,
+        F.row_number().over(wo).alias("__ktf_rn"),
+        F.ceil(F.lit(float(frac)) * F.count(F.lit(1)).over(w)).alias(
+            "__ktf_cap"
+        ),
+    )
+    keep_ids = ranked.filter(F.col("__ktf_rn") <= F.col("__ktf_cap")).select(
+        id_col
+    )
+    return df.join(keep_ids, id_col, "semi")

@@ -37,6 +37,7 @@ from filefilter_spark.stages.corpus_stage import (
 )
 from filefilter_spark.stages.media_stage import MediaStage
 from filefilter_spark.stages.analytics_stage import SearchStage, SessionizeStage
+from filefilter_spark.stages.corpus_stage import QualityGateStage
 
 STAGE_TYPES = {
     "sql": SqlStage,
@@ -70,9 +71,10 @@ STAGE_TYPES = {
     "gopher": GopherStage,
     "gopherrep": GopherRepStage,
     "entropy": EntropyStage,
-    # r13: event/retrieval analytics stages
+    # r13: event/retrieval analytics stages + the percentile gate
     "sessionize": SessionizeStage,
     "search": SearchStage,
+    "qualitygate": QualityGateStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
 }
@@ -87,6 +89,6 @@ __all__ = [
     "TextStatsStage", "PerplexityStage", "ExpectStage", "MediaStage",
     "KeepBestStage", "TemperatureStage", "BpeStage",
     "EpochsStage", "BudgetStage",
-    "SessionizeStage", "SearchStage",
+    "SessionizeStage", "SearchStage", "QualityGateStage",
     "STAGE_TYPES",
 ]

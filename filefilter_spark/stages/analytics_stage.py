@@ -59,13 +59,17 @@ class SearchStage(Stage):
     ``idField`` with the score attached (``scoreField``, default
     ``bm25``, reserved on the input). actionConfig: ``terms``
     (required, non-empty list), ``k`` (10), ``textField`` (text),
-    ``idField`` (doc_id), ``k1``/``b`` (1.2/0.75)."""
+    ``idField`` (doc_id), ``k1``/``b`` (1.2/0.75). With ``indexPath``
+    (+ ``nBuckets``, default 64) the query runs against a persisted
+    ``build_text_index`` layout instead — a partition-pruned read of
+    the terms' buckets, never a corpus scan; the caller owns keeping
+    the index in sync with the incoming table."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         import pyspark.sql.functions as F
 
         from filefilter_spark.ops.order import _check_reserved
-        from filefilter_spark.ops.retrieval import bm25_topk
+        from filefilter_spark.ops.retrieval import bm25_topk, bm25_topk_indexed
 
         cfg = self.cfg.action_config
         terms = cfg.get("terms")
@@ -76,15 +80,27 @@ class SearchStage(Stage):
         id_col = cfg.get("idField", "doc_id")
         score_col = cfg.get("scoreField", "bm25")
         _check_reserved(df, [score_col], "search")
-        top = bm25_topk(
-            df,
-            [str(t) for t in terms],
-            k=int(cfg.get("k", 10)),
-            text_col=cfg.get("textField", "text"),
-            id_col=id_col,
-            k1=float(cfg.get("k1", 1.2)),
-            b=float(cfg.get("b", 0.75)),
-        )
+        if cfg.get("indexPath"):
+            top = bm25_topk_indexed(
+                self.spark,
+                cfg["indexPath"],
+                [str(t) for t in terms],
+                k=int(cfg.get("k", 10)),
+                id_col=id_col,
+                k1=float(cfg.get("k1", 1.2)),
+                b=float(cfg.get("b", 0.75)),
+                n_buckets=int(cfg.get("nBuckets", 64)),
+            )
+        else:
+            top = bm25_topk(
+                df,
+                [str(t) for t in terms],
+                k=int(cfg.get("k", 10)),
+                text_col=cfg.get("textField", "text"),
+                id_col=id_col,
+                k1=float(cfg.get("k1", 1.2)),
+                b=float(cfg.get("b", 0.75)),
+            )
         if score_col != "bm25":
             top = top.withColumnRenamed("bm25", score_col)
         # top-k is tiny → broadcast hash semi-shape join, bodies never

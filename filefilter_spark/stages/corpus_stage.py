@@ -707,3 +707,36 @@ class BudgetStage(Stage):
             seed=int(cfg.get("seed", 42)),
             max_groups=int(cfg.get("maxGroups", 100_000)),
         )
+
+
+class QualityGateStage(Stage):
+    """Keep the top ``frac`` of rows per group by quality
+    (``ops.corpus.keep_top_fraction``) — the percentile gate.
+    actionConfig: ``frac`` (required, in (0, 1]), ``groupField``
+    (source), ``idField`` (doc_id), and either ``scoreField`` (an
+    existing numeric column) or ``textField`` (default text, scored
+    with the composite quality heuristic)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        import pyspark.sql.functions as F
+
+        from filefilter_spark.ops.corpus import keep_top_fraction
+        from filefilter_spark.ops.text import quality_score
+
+        cfg = self.cfg.action_config
+        if cfg.get("frac") is None:
+            raise ValueError(
+                "qualitygate stage: actionConfig.frac is required"
+            )
+        score = (
+            F.col(cfg["scoreField"])
+            if cfg.get("scoreField")
+            else quality_score(cfg.get("textField", "text"))
+        )
+        return keep_top_fraction(
+            df,
+            score,
+            frac=float(cfg["frac"]),
+            group_col=cfg.get("groupField", "source"),
+            id_col=cfg.get("idField", "doc_id"),
+        )

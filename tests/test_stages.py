@@ -930,3 +930,52 @@ def test_stage_registry_matches_config_whitelist():
     from filefilter_spark.stages import STAGE_TYPES
 
     assert set(STAGE_TYPES) == set(VALID_ACTION_TYPES)
+
+
+def test_search_stage_via_persisted_index(spark, tmp_path):
+    """indexPath: the stage queries the build_text_index layout and
+    returns the same rows as the scan path."""
+    from filefilter_spark.ops.retrieval import build_text_index
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark and more"),
+         (3, "nothing relevant here"), (4, "spark once")],
+        "doc_id long, text string",
+    )
+    ix = str(tmp_path / "ix")
+    build_text_index(docs, ix, n_buckets=8)
+    out = run_yaml(spark, docs, f"""
+filters:
+  - name: find
+    actionType: search
+    actionConfig:
+      terms: [spark]
+      k: 2
+      indexPath: {ix}
+      nBuckets: 8
+""")
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {1, 4}
+    assert "text" in out.columns and all(r["bm25"] > 0 for r in rows)
+
+
+def test_qualitygate_stage(spark):
+    """Percentile gate from YAML: top-50% per group on an explicit
+    scoreField; frac required."""
+    docs = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 1.0), (3, "b", 9.0), (4, "b", 2.0)],
+        "doc_id long, source string, q double",
+    )
+    out = run_yaml(spark, docs, """
+filters:
+  - name: gate
+    actionType: qualitygate
+    actionConfig: {frac: 0.5, scoreField: q}
+""")
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+    with pytest.raises(ValueError, match="frac"):
+        run_yaml(spark, docs, """
+filters:
+  - name: gate
+    actionType: qualitygate
+""")

@@ -111,6 +111,7 @@ def main() -> None:
         boilerplate_ratio,
         dedup_against,
         duplicate_spans,
+        edit_distance_pairs,
         exact_dedup,
         keep_best,
         line_dedup,
@@ -118,6 +119,8 @@ def main() -> None:
         token_jaccard_pairs,
     )
     from filefilter_spark.ops.similarity import lsh_cosine_pairs, quantize_embeddings
+    from filefilter_spark.ops.retrieval import bm25_topk
+    from filefilter_spark.ops.sessions import session_stats
     from filefilter_spark.ops.sketch import frequent_tokens
     from filefilter_spark.ops.text import (
         bigram_nll,
@@ -156,9 +159,11 @@ def main() -> None:
         docs_path = build_scaled(spark, "documents", "doc_id", m)
         line_path = build_scaled(spark, "lineitem", "l_orderkey", m)
         emb_path = build_scaled(spark, "embeddings", "vec_id", m)
+        ev_path = build_scaled(spark, "events", "event_id", m)
         docs = spark.read.parquet(docs_path)
         line = spark.read.parquet(line_path)
         emb = spark.read.parquet(emb_path)
+        events = spark.read.parquet(ev_path)
         n_docs = docs.count()
 
         from pyspark.sql import functions as F
@@ -286,6 +291,27 @@ def main() -> None:
             # text bytes with a visible constant factor.
             "gopher_repetition": lambda d=docs: noop_write(
                 gopher_repetition(d)
+            ),
+            # round-13 additions. bm25: stats agg (eager, inside the
+            # lambda) + scoring projection — expected ~linear in text
+            # bytes. fuzzy join: postings bounded at q*d+1 per string
+            # by the rarity prefix; copies are char-rotated so posting
+            # lists stay per-copy-sized — expected ~linear in docs,
+            # and the slope is the check on that claim. sessionize:
+            # one window shuffle + reused-partitioning agg; user_id is
+            # NOT offset, so copies densify each user's timeline ×m —
+            # the hot-user stress, expected ~linear.
+            "bm25_topk": lambda d=docs: noop_write(
+                bm25_topk(d, ["spark", "shuffle", "merge"], k=10)
+            ),
+            "fuzzy_pairs": lambda d=docs: noop_write(
+                edit_distance_pairs(
+                    d.select("doc_id",
+                             _F.expr("substring(text, 1, 24)").alias("s")),
+                    max_dist=4, q=3)
+            ),
+            "sessionize_stats": lambda d=events: noop_write(
+                session_stats(d)
             ),
         }
         for name, fn in ops.items():
