@@ -979,3 +979,22 @@ filters:
   - name: gate
     actionType: qualitygate
 """)
+
+
+def test_retrieval_pipeline_example_end_to_end(spark):
+    """examples/retrieval_pipeline.yml — the zero-code analytics
+    showcase: percentile gate -> BM25 shortlist -> stats columns."""
+    from pathlib import Path
+
+    from filefilter_spark.pipeline import Pipeline
+
+    root = Path(__file__).resolve().parent.parent
+    pipe = Pipeline.from_yaml(
+        spark, str(root / "examples/retrieval_pipeline.yml")
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pipe.run(docs).df
+    rows = out.collect()
+    assert 0 < len(rows) <= 25
+    assert {"bm25", "n_tokens", "quality"} <= set(out.columns)
+    assert all(r["bm25"] > 0 for r in rows)
