@@ -178,3 +178,43 @@ def lloyd_kmeans(
         return out.localCheckpoint(eager=True)
     finally:
         qframe.unpersist()
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    per_cluster: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity-balanced sampling: cap every k-means cell at
+    ``per_cluster`` rows — the embedding-space counterpart of
+    per-source quota sampling. A raw uniform sample reproduces the
+    corpus's cluster skew (near-duplicate-dense regions dominate);
+    capping per CELL flattens it, the standard pre-training
+    diversity-balancing move (the sampling half of the SemDeDup/
+    cluster-and-prune recipe).
+
+    Returns ``(id_col, cluster)``. Fully deterministic end to end:
+    cell assignments come from :func:`lloyd_kmeans` (bit-identical
+    across engines/partitionings) and the within-cell choice is the
+    salted-hash rank of :func:`ops.corpus.quota_sample` ('#quota'
+    salt — uncorrelated with split/mix decisions), so the sample is
+    reproducible across engines and reruns and exact-oracle-able.
+
+    Scale shape: the k-means passes are map-combined (<= P*k*d
+    partial rows per iteration); the cap is one window shuffle on
+    cluster that compiles to WindowGroupLimit — O(per_cluster) memory
+    per cell. Vectors never shuffle; only (id, cluster) rows do.
+    """
+    from filefilter_spark.ops.corpus import quota_sample
+
+    assigned = lloyd_kmeans(
+        df, k=k, iters=iters, vec_col=vec_col, id_col=id_col
+    ).select(id_col, "cluster")
+    return quota_sample(
+        assigned, quota=per_cluster, group_col="cluster",
+        id_col=id_col, seed=seed,
+    )

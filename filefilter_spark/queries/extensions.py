@@ -3750,6 +3750,42 @@ def op_d3_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "OP-D3-balanced",
+    # the kmeans oracle text is reused verbatim as a nested-CTE
+    # subquery: the balanced sample IS kmeans + the quota rank, so the
+    # oracle proves the composition end to end (assignments AND the
+    # within-cell hash choice).
+    oracle=None,  # set right after op_d3_kmeans's registration below
+    doc="diversity-balanced sampling: cap every deterministic-k-means "
+        "cell at 20 rows chosen by salted-hash rank — the embedding-"
+        "space counterpart of per-source quota sampling (flattens "
+        "near-dup-dense regions a uniform sample would reproduce; the "
+        "sampling half of the cluster-and-prune recipe). Exact oracle: "
+        "the unrolled-Lloyd kmeans SQL wrapped with the '#quota' rank "
+        "(ops/cluster.py cluster_balanced_sample).",
+)
+def op_d3_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.cluster import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2,
+        per_cluster=20,
+    )
+
+
+from filefilter_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["OP-D3-balanced"].oracle = f"""
+    WITH km AS ({_REG["OP-D3-kmeans"].oracle})
+    SELECT vec_id, cluster FROM (
+      SELECT vec_id, cluster,
+             row_number() OVER (PARTITION BY cluster
+               ORDER BY md5(vec_id || '#quota42'), vec_id) AS rn
+      FROM km) WHERE rn <= 20
+    """
+
+
 def _zorder_oracle() -> str:
     """Generate the OP-A9-zorder oracle: the same exact-integer
     normalize + Morton interleave as ops/layout.py, unrolled to the

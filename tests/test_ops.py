@@ -3563,3 +3563,29 @@ def test_keep_top_fraction_exact_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="frac"):
         keep_top_fraction(df, F.col("s"), 0.0)
+
+
+def test_cluster_balanced_sample_caps_and_reproduces(spark):
+    """Every cell is capped at per_cluster; two runs pick the SAME
+    ids (hash rank, not RNG); ids are a subset of the kmeans cells
+    they claim."""
+    from filefilter_spark.ops.cluster import (
+        cluster_balanced_sample,
+        lloyd_kmeans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    s1 = cluster_balanced_sample(emb, k=4, iters=1, per_cluster=10)
+    rows = s1.collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert all(len(v) <= 10 for v in by_cell.values())
+    assert len(by_cell) >= 2  # the corpus spans multiple cells
+    s2 = {(r["vec_id"], r["cluster"])
+          for r in cluster_balanced_sample(emb, k=4, iters=1,
+                                           per_cluster=10).collect()}
+    assert {(r["vec_id"], r["cluster"]) for r in rows} == s2
+    cells = {(r["vec_id"], r["cluster"])
+             for r in lloyd_kmeans(emb, k=4, iters=1).collect()}
+    assert {(r["vec_id"], r["cluster"]) for r in rows} <= cells
