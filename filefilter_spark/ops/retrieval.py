@@ -350,7 +350,14 @@ def build_text_index(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)))
     )
-    postings.write.mode("overwrite").partitionBy("bucket").parquet(
+    # sort by term within each bucket file: the probe's term IN (...)
+    # filter pushes to the parquet scan, and term-clustered row groups
+    # turn it into row-group skipping — without this the probe reads
+    # every row of its buckets (a bucket holds 1/n_buckets of the WHOLE
+    # vocabulary's postings, not just the query terms')
+    postings.repartition("bucket").sortWithinPartitions(
+        "term", id_col
+    ).write.mode("overwrite").partitionBy("bucket").parquet(
         f"{path}/postings"
     )
     spark = df.sparkSession
