@@ -34,6 +34,7 @@ expression fixes the same operand order the DuckDB oracle spells out.
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 from typing import Sequence
 
 import pyspark.sql.functions as F
@@ -47,18 +48,60 @@ def _per_term_tf(tok: Column, term: str) -> Column:
     return F.size(F.filter(tok, lambda t: t == F.lit(term)))
 
 
+def _normalize_terms(query_terms: Sequence[str], lowercase: bool) -> list[str]:
+    """Lowercase (when asked) then DEDUPE preserving first-occurrence
+    order. Every retrieval entry point normalizes through here so a
+    duplicated query term ('spark spark') scores identically on the
+    scan, batch, and indexed paths: without the dedupe the scan path
+    would sum the term's contribution once per occurrence while the
+    indexed path's (doc, term) postings count it once — divergent
+    top-k membership from user YAML (ADVICE r13). BM25's classic
+    per-term form treats the query as a term SET; the dedupe makes
+    that the contract everywhere."""
+    normed = [t.lower() for t in query_terms] if lowercase else list(query_terms)
+    seen: set[str] = set()
+    out: list[str] = []
+    for t in normed:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out
+
+
+@dataclass(frozen=True)
+class Bm25Stats:
+    """:func:`bm25_corpus_stats` result. Iterates as the legacy
+    ``(n, avgdl, dfs)`` triple; additionally carries the NORMALIZED
+    term list the dfs were computed for, so :func:`bm25_topk` can
+    verify a precomputed stats object actually belongs to the query
+    (a same-length df list from a different term list would silently
+    produce wrong idf weights — ADVICE r13)."""
+
+    n: int
+    avgdl: float
+    dfs: list[int]
+    terms: tuple[str, ...]
+
+    def __iter__(self):
+        return iter((self.n, self.avgdl, self.dfs))
+
+
 def bm25_corpus_stats(
     df: DataFrame,
     query_terms: Sequence[str],
     text_col: str = "text",
     lowercase: bool = True,
-) -> tuple[int, float, list[int]]:
-    """One map-combined pass → (N, avgdl, df per query term).
+) -> Bm25Stats:
+    """One map-combined pass → :class:`Bm25Stats` (N, avgdl, df per
+    NORMALIZED query term — lowercased when asked, duplicates removed
+    first-occurrence order; ``.terms`` records exactly which list the
+    dfs align with).
 
     The aggregate is a single row regardless of corpus size: partial
     aggregation happens map-side per partition, the fan-in is one
     grouped row. ``avgdl`` is Σdl/N on exact int64 inputs, so the same
     IEEE division reproduces bit-identically in any engine."""
+    query_terms = _normalize_terms(query_terms, lowercase)
     src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     per_doc = df.select(
         _bind(
@@ -83,7 +126,7 @@ def bm25_corpus_stats(
     n = int(row["n"])
     avgdl = float(row["sum_dl"]) / n if n else 0.0
     dfs = [int(row[f"df_{i}"] or 0) for i in range(len(query_terms))]
-    return n, avgdl, dfs
+    return Bm25Stats(n, avgdl, dfs, tuple(query_terms))
 
 
 def bm25_idf(n: int, df_t: int) -> float:
@@ -111,18 +154,31 @@ def bm25_topk(
 
         Σ_t idf_t * (tf_t * (k1+1)) / (tf_t + k1 * (1 - b + b*dl/avgdl))
 
+    Query terms are normalized (lowercased, then deduped preserving
+    first-occurrence order) so duplicated terms score identically on
+    the scan, batch, and indexed paths — BM25 treats the query as a
+    term set.
+
     ``stats`` accepts a precomputed :func:`bm25_corpus_stats` result
-    (for the SAME term list/order) so repeated queries against an
-    unchanged corpus skip the stats pass and pay only the scoring scan.
+    (for the SAME term list) so repeated queries against an unchanged
+    corpus skip the stats pass and pay only the scoring scan; a
+    :class:`Bm25Stats` is verified term-for-term against the query,
+    not just by length.
     """
     if not query_terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
-    terms = [t.lower() for t in query_terms] if lowercase else list(query_terms)
+    terms = _normalize_terms(query_terms, lowercase)
     n, avgdl, dfs = (
         stats
         if stats is not None
         else bm25_corpus_stats(df, terms, text_col, lowercase=lowercase)
     )
+    if isinstance(stats, Bm25Stats) and list(stats.terms) != terms:
+        raise ValueError(
+            f"bm25_topk: stats was computed for terms {list(stats.terms)} "
+            f"but the query normalizes to {terms} — stats must come from "
+            "bm25_corpus_stats over the same term list"
+        )
     if len(dfs) != len(terms):
         raise ValueError(
             f"bm25_topk: stats carries {len(dfs)} df values for "
@@ -228,9 +284,10 @@ def bm25_batch_topk(
     if not queries:
         raise ValueError("bm25_batch_topk: queries must be non-empty")
     qids = list(queries)
+    # same normalization contract as bm25_topk: lowercase, then dedupe
+    # per query preserving first-occurrence order (dup terms count once)
     norm_terms = {
-        q: ([t.lower() for t in ts] if lowercase else list(ts))
-        for q, ts in queries.items()
+        q: _normalize_terms(ts, lowercase) for q, ts in queries.items()
     }
     for q, ts in norm_terms.items():
         if not ts:
@@ -391,14 +448,20 @@ def bm25_topk_indexed(
 
     Scoring: every posting row carries (tf, dl), so each term
     contribution is row-local; per-doc scores are one map-combinable
-    groupBy(doc) sum over at most |query| rows per doc, then
+    groupBy(doc) pivot into one column PER QUERY TERM (max of the
+    single matching posting's contribution), summed left-to-right in
+    query-term order before the 6dp round — the SAME fixed operand
+    order as the scan path, so a score on a rounding boundary cannot
+    flip between paths however the postings were partitioned (ADVICE
+    r13; a bare groupBy().sum() would add in partition order). Then
     TakeOrderedAndProject. Result semantics match :func:`bm25_topk`
-    exactly (same formula, same 6dp-rounded ranking) — the index is an
-    access path, not a different operator.
+    exactly (same formula, same normalization including dup-term
+    dedupe, same rounding) — the index is an access path, not a
+    different operator.
     """
     if not query_terms:
         raise ValueError("bm25_topk_indexed: query_terms must be non-empty")
-    terms = [t.lower() for t in query_terms] if lowercase else list(query_terms)
+    terms = _normalize_terms(query_terms, lowercase)
     import pyspark.sql.functions as _F  # local alias for lambda clarity
 
     srow = spark.read.parquet(f"{path}/stats").first()
@@ -462,10 +525,26 @@ def bm25_topk_indexed(
     dl = F.col("dl").cast("double")
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
     contrib = idf_expr * ((tf * F.lit(k1 + 1.0)) / (tf + norm))
+    # pivot the <=|query| contributions into one column per term (each
+    # (doc, term) posting is unique post-dedup, so max() is "the"
+    # contribution; still map-combinable), then sum left-to-right in
+    # query-term order — bit-identical to the scan path, where an
+    # absent term contributes an exact +0.0
+    per_term = post.select(
+        F.col(id_col), F.col("term"), contrib.alias("c")
+    ).groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("c"))).alias(f"c_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.coalesce(F.col(f"c_{i}"), F.lit(0.0))
     return (
-        post.select(F.col(id_col), contrib.alias("c"))
-        .groupBy(id_col)
-        .agg(F.round(F.sum("c"), 6).alias("bm25"))
+        per_term.select(
+            F.col(id_col), F.round(total, 6).alias("bm25")
+        )
         .filter(F.col("bm25") > 0.0)
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(k)

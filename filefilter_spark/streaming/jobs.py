@@ -1431,10 +1431,29 @@ def text_index_stream_ingest(
                 if batch_id <= last:
                     return  # replayed batch: stats already applied
                 n0, s0 = int(cur["n_docs"]), int(cur["sum_dl"])
+        # write-to-temp + swap, NOT overwrite-in-place: a crash mid
+        # overwrite would leave stats/ empty — losing the cumulative
+        # (n_docs, sum_dl) AND the last_batch_id replay guard, so a
+        # restart would rebuild stats from only the replayed batches
+        # and silently skew avgdl/idf for every later query (ADVICE
+        # r13). Same atomic-as-the-store-allows contract as the
+        # postings compaction.
+        tmp = f"{stats_dir.rstrip('/')}__tmp{batch_id}"
         spark.createDataFrame(
             [(n0 + bn, s0 + bs, batch_id)],
             "n_docs long, sum_dl long, last_batch_id long",
-        ).coalesce(1).write.mode("overwrite").parquet(stats_dir)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        if _dir_exists(spark, stats_dir):
+            _swap_dirs(spark, stats_dir, tmp, batch_id)
+        else:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            src_p = jvm.org.apache.hadoop.fs.Path(tmp)
+            if not src_p.getFileSystem(hconf).rename(
+                src_p, jvm.org.apache.hadoop.fs.Path(stats_dir)
+            ):  # pragma: no cover - fs race
+                raise IOError(f"merge_stats: could not move {tmp} into place")
+            spark.catalog.refreshByPath(stats_dir)
 
     def maintain(batch_id: int) -> None:
         from filefilter_spark.ops.layout import maybe_compact

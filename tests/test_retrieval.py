@@ -225,6 +225,58 @@ def test_bm25_indexed_matches_scan_and_prunes(spark, docs, tmp_path):
     assert "documents" not in plan.split("\n\n")[0].lower()
 
 
+def test_bm25_duplicate_terms_count_once_on_every_path(spark, docs, tmp_path):
+    """A duplicated query term scores as the term SET on every path
+    (scan == batch == indexed) — before r14 the scan path summed the
+    term once per occurrence while the indexed path's (doc, term)
+    postings counted it once, so 'spark spark' diverged (ADVICE r13)."""
+    from filefilter_spark.ops.retrieval import (
+        bm25_batch_topk,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    dup, uniq = ["spark", "spark", "merge"], ["spark", "merge"]
+    scan_uniq = [tuple(r) for r in bm25_topk(docs, uniq, k=10).collect()]
+    assert [tuple(r) for r in bm25_topk(docs, dup, k=10).collect()] == scan_uniq
+    ix = str(tmp_path / "ixdup")
+    build_text_index(docs, ix, n_buckets=8)
+    via_ix = bm25_topk_indexed(spark, ix, dup, k=10, n_buckets=8)
+    assert [tuple(r) for r in via_ix.collect()] == scan_uniq
+    batch = bm25_batch_topk(docs, {"q": dup}, k=10).collect()
+    got = [(r["doc_id"], r["bm25"])
+           for r in sorted(batch, key=lambda r: r["rank"])]
+    assert got == scan_uniq
+
+
+def test_bm25_stats_term_mismatch_same_length_raises(spark, docs):
+    """A stats object from a DIFFERENT term list of the same length
+    must be rejected — length-only validation silently produced wrong
+    idf weights (ADVICE r13)."""
+    from filefilter_spark.ops.retrieval import bm25_corpus_stats, bm25_topk
+
+    stats = bm25_corpus_stats(docs, ["spark", "merge"])
+    with pytest.raises(ValueError, match="same term list"):
+        bm25_topk(docs, ["spark", "window"], k=5, stats=stats)
+
+
+def test_bm25_indexed_scoring_is_fixed_operand_order(spark, docs, tmp_path):
+    """The indexed per-doc score pivots into one column per query term
+    and sums left-to-right (scan-path operand order) — no bare
+    groupBy().sum() whose float addition order follows partitioning.
+    Pinned by plan shape: the scoring aggregate carries the per-term
+    max() pivots, not a sum(c) over contribution rows."""
+    from filefilter_spark.ops.retrieval import bm25_topk_indexed, build_text_index
+
+    ix = str(tmp_path / "ixord")
+    build_text_index(docs, ix, n_buckets=8)
+    plan = _plan(bm25_topk_indexed(spark, ix, ["spark", "merge"], k=10,
+                                   n_buckets=8))
+    assert "max(CASE WHEN" in plan
+    assert re.search(r"\bsum\(c#", plan) is None
+
+
 def test_bm25_indexed_empty_corpus_refuses_at_build(spark, docs, tmp_path):
     """An empty partitioned postings write would be unreadable later —
     the build must refuse loudly up front."""
