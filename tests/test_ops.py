@@ -3479,6 +3479,28 @@ def test_edit_distance_pairs_hot_gram_cap_trades_recall_only(spark):
     assert got <= want  # precision kept; only recall traded
 
 
+def test_edit_distance_pairs_posting_lists_carry_ids_only(spark):
+    """Posting lists buffer (id, length) structs — never the strings —
+    so a degenerate identical-prefix cluster bounds each aggregation
+    row at 16 bytes/entry (VERDICT r13 #2): one cluster collapsing
+    every string into a single posting list still verifies EXACTLY
+    (default max_gram_freq=None keeps the op exact, matching the
+    registered oracle), and the collect_list input schema is pinned
+    string-free."""
+    from filefilter_spark.ops.dedup import edit_distance_pairs
+
+    rows = [(i, "exactlythesamestring") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    out = edit_distance_pairs(df, max_dist=1, q=2)
+    assert out.count() == 500 * 499 // 2
+    assert out.filter("dist != 0").count() == 0
+    # plan pin: every collect_list aggregates the (id, l) struct only
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.split("\n"):
+        if "collect_list" in line:
+            assert " s#" not in line and "(s#" not in line, line
+
+
 def test_text_index_stream_ingest_matches_batch(spark, tmp_path):
     """Multi-batch stream-grown index answers EXACTLY like the scan
     path and the batch-built index, with in-stream maintenance on."""
