@@ -40,6 +40,7 @@ VALID_ACTION_TYPES = {
     "epochs", "budget",
     # event/retrieval analytics stages (stages/analytics_stage.py)
     "sessionize", "search", "qualitygate",
+    "searchindex", "batchsearch",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",
 }

@@ -1096,3 +1096,147 @@ def keep_top_fraction(
         id_col
     )
     return df.join(keep_ids, id_col, "semi")
+
+
+def keep_top_fraction_skewed(
+    df: DataFrame,
+    score: Column,
+    frac: float,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`keep_top_fraction` for POWER-LAW group keys — identical
+    kept set (same 6dp-rounded ranking, same ceil cap, same id
+    tiebreak), but NO window ever ranks a whole group's rows in one
+    task: the per-group rank cutoff is computed from COUNTS, the
+    ``ops/skew.py`` two-phase pattern applied to the gate.
+
+    How the cutoff is found without ranking rows:
+
+    1. **Score-class counting** — rows collapse to (group, rounded
+       score) counts: a map-combined aggregate, immune to group skew.
+       A window over the DISTINCT-SCORE rows (|classes| per group, not
+       |rows| — bounded by the 6dp rounding's value density) finds, per
+       group, which classes fit wholly under ``cap = ceil(frac*count)``
+       and which single class straddles it (``remaining`` slots).
+    2. **Whole classes** resolve by a broadcast semi-join — the class
+       table is tiny; the corpus never shuffles for them.
+    3. **The straddling class** needs its ``remaining`` smallest ids —
+       exact tie handling. That is a distributed RADIX SELECT: four
+       16-bit digit rounds over the sign-flipped id, each round a
+       map-combined (group, digit) count (<= 65,536 counter rows per
+       group — skew-proof by construction) plus a broadcast filter
+       narrowing to the straddling digit. After the last round only
+       byte-identical ids remain; a final row_number window ranks that
+       residue, whose size is the duplicate multiplicity of ONE id
+       value (1, when ``id_col`` is a key).
+
+    Every aggregate is map-combinable, every window runs over counter
+    rows with bounded per-group cardinality, and the corpus itself only
+    ever passes through broadcast joins — a group holding 90% of a
+    100 TB corpus at one score value still never concentrates on a
+    task. Cost: the counting phases re-derive the narrow
+    (id, group, score) projection roughly a dozen times across the
+    broadcast tables and union branches (column-pruned scans — a few
+    percent of corpus bytes each), a constant factor that buys the
+    straggler collapse; below the skew regime the plain
+    :func:`keep_top_fraction`'s single window is cheaper
+    (measured crossover in SCALING.md "window-skew").
+    """
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(
+            f"keep_top_fraction_skewed: frac must be in (0, 1]: {frac}"
+        )
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in {"tinyint", "smallint", "int", "bigint"}:
+        raise ValueError(
+            "keep_top_fraction_skewed: the radix select orders ids by "
+            f"integer digits; id_col {id_col!r} is {id_type!r} — use an "
+            "integral id (or keep_top_fraction for non-numeric keys)"
+        )
+    G, Q = "__ktfs_g", "__ktfs_q"
+    scored = df.select(
+        F.col(id_col),
+        F.col(group_col).alias(G),
+        F.round(score, 6).alias(Q),
+    )
+
+    # phase 1: score-class counts + per-group cap from the same counts
+    classes = scored.groupBy(G, Q).agg(F.count(F.lit(1)).alias("__c"))
+    wg = Window.partitionBy(G).orderBy(F.desc(Q))
+    cum = F.coalesce(
+        F.sum("__c").over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    # cap must reproduce keep_top_fraction's IEEE product exactly:
+    # ceil(float(frac) * <int64 count>) — same double multiply
+    wcap = Window.partitionBy(G)
+    classed = classes.select(
+        G, Q, "__c",
+        cum.alias("__cum"),
+        F.ceil(F.lit(float(frac)) * F.sum("__c").over(wcap)).alias("__cap"),
+    )
+    full_classes = classed.filter(
+        F.col("__cum") + F.col("__c") <= F.col("__cap")
+    ).select(G, Q)
+    straddle = classed.filter(
+        (F.col("__cum") < F.col("__cap"))
+        & (F.col("__cap") < F.col("__cum") + F.col("__c"))
+    ).select(G, Q, (F.col("__cap") - F.col("__cum")).alias("__r"))
+
+    kept = [
+        scored.join(F.broadcast(full_classes), [G, Q], "semi").select(id_col)
+    ]
+
+    # phase 2: radix select of the __r smallest ids in the straddling
+    # class. Sign-bit flip makes unsigned digit order == signed order.
+    work = scored.join(F.broadcast(straddle), [G, Q]).select(
+        id_col, G, "__r",
+        F.col(id_col).cast("long").bitwiseXOR(
+            F.lit(-9223372036854775808)
+        ).alias("__u"),
+    )
+    for shift in (48, 32, 16, 0):
+        dig = (
+            F.shiftrightunsigned(F.col("__u"), shift)
+            .bitwiseAND(F.lit(65535))
+            .alias("__d")
+        )
+        counts = work.select(G, "__r", dig).groupBy(G, "__d").agg(
+            F.count(F.lit(1)).alias("__c"), F.max("__r").alias("__r2")
+        )
+        wd = Window.partitionBy(G).orderBy("__d")
+        cum2 = F.coalesce(
+            F.sum("__c").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        cc = counts.select(G, "__d", "__c", "__r2", cum2.alias("__cum"))
+        full_d = cc.filter(
+            F.col("__cum") + F.col("__c") <= F.col("__r2")
+        ).select(G, "__d")
+        next_d = cc.filter(
+            (F.col("__cum") < F.col("__r2"))
+            & (F.col("__r2") < F.col("__cum") + F.col("__c"))
+        ).select(G, "__d", (F.col("__r2") - F.col("__cum")).alias("__rn"))
+        tagged = work.withColumn("__d", dig)
+        kept.append(
+            tagged.join(F.broadcast(full_d), [G, "__d"], "semi").select(id_col)
+        )
+        work = (
+            tagged.join(F.broadcast(next_d), [G, "__d"])
+            .drop("__r", "__d")
+            .withColumnRenamed("__rn", "__r")
+        )
+    # residue: byte-identical ids (multiplicity of one id value per
+    # group) — the window is as many rows as that multiplicity
+    wi = Window.partitionBy(G).orderBy(id_col)
+    kept.append(
+        work.withColumn("__rank", F.row_number().over(wi))
+        .filter(F.col("__rank") <= F.col("__r"))
+        .select(id_col)
+    )
+
+    keep_ids = kept[0]
+    for k in kept[1:]:
+        keep_ids = keep_ids.unionByName(k)
+    return df.join(keep_ids, id_col, "semi")

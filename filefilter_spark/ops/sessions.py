@@ -25,8 +25,13 @@ break on the event id.
 
 At 100 TB: one shuffle keyed by user. A power-law user (one key holding
 a measurable fraction of all events) is the classic skew case — AQE
-skew-split does not apply to window exchanges, so pre-filter bots or
-bucket the event table by user for repeated sessionization runs.
+skew-split does not apply to window exchanges, so a bot user holding
+10% of the log lands on one task. :func:`sessionize_skewed` is the
+mitigation op: the ``ops/skew.py`` two-phase pattern applied to
+windows — sessionize within (user, coarse time-chunk), then merge
+chunk-boundary sessions via a per-chunk summary window that is
+|chunks|-sized, never |events|-sized. Results are EXACTLY equal to
+:func:`sessionize` for every input (oracled as OP-B19-sessions-skew).
 """
 
 from __future__ import annotations
@@ -68,16 +73,122 @@ def sessionize(
     return df.withColumn("session_id", F.sum(brk).over(run).cast("long"))
 
 
+def sessionize_skewed(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    chunk_seconds: int = 86_400,
+) -> DataFrame:
+    """:func:`sessionize` for POWER-LAW user keys — identical output,
+    skew-proof plan (the ``ops/skew.py`` two-phase pattern applied to
+    a window: salt = a coarse, order-preserving time chunk).
+
+    Three steps, exact for ANY chunk size (chunking only has to yield
+    contiguous, monotone time intervals — integer ``div`` does):
+
+    1. **Within-chunk pass** — the :func:`sessionize` lag + running-sum
+       windows, but partitioned by (user, chunk): the hot user's events
+       spread over all their chunks instead of one task. Every chunk's
+       first event opens a provisional session (``local_sid`` is
+       1-based per chunk).
+    2. **Chunk-summary window** — per (user, chunk): session count,
+       first/last event time (a groupBy whose clustering the window
+       already satisfied — no second exchange). A window over these
+       summary rows, partitioned by user and ordered by chunk, decides
+       for each chunk whether its first session BRIDGES the previous
+       non-empty chunk (boundary gap <= threshold) and converts local
+       ids to global ones:
+       ``offset(c) = Σ_{c'<c} n_sessions − Σ_{c'<=c} bridge``. This
+       window is |user's non-empty chunks| rows — bounded by the time
+       range over ``chunk_seconds``, NEVER by event count, so the hot
+       key is harmless here.
+    3. **Re-join** — offsets join back on (user, chunk): phase 1's
+       hash partitioning is reusable on the big side and the summary
+       side is tiny (AQE broadcasts it), so the events still shuffle
+       ONCE end-to-end (plan-pinned in tests/test_sessions.py).
+
+    ``session_id`` equals :func:`sessionize`'s for every event —
+    exact-oracled against the same DuckDB SQL (OP-B19-sessions-skew).
+    ``chunk_seconds`` trades skew spread (smaller = more salt) against
+    summary-row count; exactness never depends on it.
+    """
+    if chunk_seconds <= 0:
+        raise ValueError(
+            f"sessionize_skewed: chunk_seconds must be positive: {chunk_seconds}"
+        )
+    chunk_us = int(chunk_seconds) * 1_000_000
+    gap_us = int(gap_seconds) * 1_000_000
+    US, CH, LS = "__sess_us", "__sess_chunk", "__sess_local"
+    work = df.withColumn(US, _us(F.col(ts_col))).withColumn(
+        CH, F.expr(f"{US} div {chunk_us}")
+    )
+
+    wl = Window.partitionBy(user_col, CH).orderBy(ts_col, id_col)
+    brk = (
+        F.when(F.lag(US).over(wl).isNull(), F.lit(1))
+        .when(F.col(US) - F.lag(US).over(wl) > F.lit(gap_us), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    run = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = work.withColumn(LS, F.sum(brk).over(run))
+
+    summary = tagged.groupBy(user_col, CH).agg(
+        F.max(LS).alias("__n_sess"),
+        F.min(US).alias("__first_us"),
+        F.max(US).alias("__last_us"),
+    )
+    wu = Window.partitionBy(user_col).orderBy(CH)
+    bridge = F.when(
+        F.lag("__last_us").over(wu).isNotNull()
+        & (F.col("__first_us") - F.lag("__last_us").over(wu) <= F.lit(gap_us)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    offsets = summary.select(
+        user_col,
+        CH,
+        (
+            F.coalesce(
+                F.sum("__n_sess").over(
+                    wu.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+            - F.sum(bridge).over(
+                wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("__offset"),
+    )
+    return (
+        tagged.join(offsets, [user_col, CH])
+        .withColumn(
+            "session_id", (F.col("__offset") + F.col(LS)).cast("long")
+        )
+        .drop(US, CH, LS, "__offset")
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
     gap_seconds: int = 1800,
+    skewed: bool = False,
+    chunk_seconds: int = 86_400,
 ) -> DataFrame:
     """(user, session_id, n_events, start_ts, end_ts, duration_us) per
-    gap-delimited session. duration is integer microseconds (exact)."""
-    tagged = sessionize(df, user_col, ts_col, id_col, gap_seconds)
+    gap-delimited session. duration is integer microseconds (exact).
+    ``skewed=True`` routes through :func:`sessionize_skewed` (identical
+    sessions, skew-proof plan); the stats groupBy itself is
+    map-combinable, so partial aggregation absorbs the hot key there."""
+    tagged = (
+        sessionize_skewed(df, user_col, ts_col, id_col, gap_seconds,
+                          chunk_seconds)
+        if skewed
+        else sessionize(df, user_col, ts_col, id_col, gap_seconds)
+    )
     return tagged.groupBy(user_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(ts_col).alias("start_ts"),

@@ -57,9 +57,7 @@ def op_b10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "OP-B19-sessions",
-    oracle="""
+_SESSIONS_ORACLE = """
     WITH flag AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
@@ -78,7 +76,12 @@ def op_b10(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS start_ts, max(ts) AS end_ts,
            epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
     FROM sess GROUP BY 1, 2
-    """,
+    """
+
+
+@query(
+    "OP-B19-sessions",
+    oracle=_SESSIONS_ORACLE,
     doc="batch gap-sessionization of the event log (30-min gap): lag + "
         "running-sum windows sharing ONE partitioning/ordering, so the "
         "events shuffle exactly once however many sessions emerge; stats "
@@ -92,6 +95,29 @@ def op_b19_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return session_stats(events, gap_seconds=1800)
+
+
+@query(
+    "OP-B19-sessions-skew",
+    oracle=_SESSIONS_ORACLE,
+    doc="skew-proof gap-sessionization — the ops/skew.py two-phase "
+        "pattern applied to the window family (the r13 weak): events "
+        "sessionize within (user, coarse time-chunk) so a power-law "
+        "user spreads across its chunks instead of one task, then a "
+        "|chunks|-sized summary window merges chunk-boundary sessions "
+        "(bridge bookkeeping: offset = cum sessions - cum bridges). "
+        "EXACTLY the same session ids as OP-B19-sessions for any chunk "
+        "size — same DuckDB oracle; the salt is plan-pinned in the "
+        "exchange keys (tests/test_sessions.py) and the straggler "
+        "collapse measured on a zipf user in SCALING.md "
+        "(ops/sessions.py sessionize_skewed).",
+)
+def op_b19_sessions_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.sessions import session_stats
+
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, gap_seconds=1800, skewed=True,
+                         chunk_seconds=86_400)
 
 
 # ---------------------------------------------------------------------------
@@ -616,9 +642,7 @@ def op_d4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", quality_score("text").alias("quality"))
 
 
-@query(
-    "OP-D4-qualitygate",
-    oracle="""
+_QUALITYGATE_ORACLE = """
     WITH scored AS (
       SELECT doc_id, source,
              round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 0.4 ELSE 0.0 END)
@@ -638,7 +662,12 @@ def op_d4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.source, d.n_chars
     FROM documents d SEMI JOIN (SELECT doc_id FROM ranked WHERE rn <= cap) k
       USING (doc_id)
-    """,
+    """
+
+
+@query(
+    "OP-D4-qualitygate",
+    oracle=_QUALITYGATE_ORACLE,
     doc="percentile quality gate: keep the top 30% of every source by "
         "the composite quality score — relative gating that adapts to "
         "each source's score distribution instead of one global cutoff. "
@@ -653,6 +682,31 @@ def op_d4_qualitygate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return keep_top_fraction(
+        d, quality_score("text"), frac=0.3
+    ).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "OP-D4-qualitygate-skew",
+    oracle=_QUALITYGATE_ORACLE,
+    doc="skew-proof percentile quality gate — identical kept set to "
+        "OP-D4-qualitygate (same oracle) with NO per-group row "
+        "ranking: the rank cutoff comes from map-combined score-class "
+        "counts (windows run over distinct-score counter rows, never "
+        "corpus rows), whole classes resolve by broadcast semi-join, "
+        "and the one straddling class selects its remaining smallest "
+        "ids by a 4-round distributed radix select over 16-bit id "
+        "digits (<= 65,536 counter rows per group per round) — a "
+        "source holding 90% of the corpus at one score value still "
+        "never lands on one task (ops/corpus.py "
+        "keep_top_fraction_skewed).",
+)
+def op_d4_qualitygate_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.corpus import keep_top_fraction_skewed
+    from filefilter_spark.ops.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return keep_top_fraction_skewed(
         d, quality_score("text"), frac=0.3
     ).select("doc_id", "source", "n_chars")
 
@@ -995,9 +1049,7 @@ def op_d4_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_batch_topk(docs, _BM25_BATCH_QUERIES, k=5)
 
 
-@query(
-    "OP-D3-hybrid",
-    oracle=f"""
+_HYBRID_ORACLE = f"""
     WITH {_BM25_CTES},
     bm_rank AS (
       SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a
@@ -1022,7 +1074,12 @@ def op_d4_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, rrf_score, rank_a, rank_b FROM fused
     ORDER BY rrf_score DESC, doc_id LIMIT 10
-    """,
+    """
+
+
+@query(
+    "OP-D3-hybrid",
+    oracle=_HYBRID_ORACLE,
     doc="hybrid retrieval: reciprocal-rank fusion (Cormack 2009, k=60) of "
         "the BM25 top-20 and the exact-cosine top-20 (query = vec_id 0; "
         "doc_id pairs with vec_id in the synthetic corpus) — the standard "
@@ -1044,6 +1101,116 @@ def op_d3_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cs = ranked(cs, "cos_sim", "doc_id")
     return rrf_fuse(bm, cs, id_col="doc_id", k=10)
+
+
+@query(
+    "OP-A8-searchindex",
+    oracle=f"""
+    WITH {_BM25_CTES}
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, b.bm25
+    FROM documents d
+    JOIN (SELECT doc_id, bm25 FROM bm WHERE bm25 > 0.0
+          ORDER BY bm25 DESC, doc_id LIMIT 10) b USING (doc_id)
+    """,
+    doc="zero-code index LIFECYCLE (the r13 gap: YAML could query an "
+        "index but not create one): a searchindex stage builds the "
+        "persisted inverted-index layout from the incoming frame, then "
+        "the search stage in the SAME pipeline queries it via "
+        "indexPath — a partition-pruned probe, the corpus never "
+        "re-scanned at query time. The oracle is the corpus-scan BM25 "
+        "joined back to the documents: index results == scan results "
+        "through the pipeline path "
+        "(stages/analytics_stage.py SearchIndexStage).",
+)
+def op_a8_searchindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+    from filefilter_spark.queries.inventory import _scratch
+
+    ix = _scratch("a8six/text_index")
+    yaml = f"""
+filters:
+  - name: build_ix
+    actionType: searchindex
+    actionConfig: {{indexPath: {ix}, nBuckets: 16}}
+  - name: shortlist
+    actionType: search
+    actionConfig:
+      terms: [{', '.join(_BM25_TERMS)}]
+      k: 10
+      indexPath: {ix}
+      nBuckets: 16
+"""
+    pipe = Pipeline(spark, load_config_str(yaml))
+    return pipe.run(load_table(spark, sf_dir, "documents")).df
+
+
+@query(
+    "OP-A8-batchsearch",
+    oracle=_BM25_BATCH_ORACLE,
+    doc="zero-code multi-query retrieval: the batchsearch stage runs "
+        "OP-D4-bm25-batch's one-scan evaluation shape from YAML — a "
+        "RESULT-PRODUCING stage whose output is the ranked "
+        "(q_id, doc_id, bm25, rank) table, composed like a report "
+        "stage (stages/analytics_stage.py BatchSearchStage); same "
+        "oracle as the library path.",
+)
+def op_a8_batchsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    qlines = "\n".join(
+        f"        {q}: [{', '.join(ts)}]"
+        for q, ts in _BM25_BATCH_QUERIES.items()
+    )
+    yaml = f"""
+filters:
+  - name: eval_queries
+    actionType: batchsearch
+    actionConfig:
+      k: 5
+      queries:
+{qlines}
+"""
+    pipe = Pipeline(spark, load_config_str(yaml))
+    return pipe.run(load_table(spark, sf_dir, "documents")).df
+
+
+@query(
+    "OP-A8-hybridsearch",
+    oracle=_HYBRID_ORACLE,
+    doc="zero-code hybrid retrieval: search stage with mode: hybrid "
+        "fuses BM25 and exact cosine over the frame's embedding column "
+        "via RRF (queryVector in actionConfig), matching OP-D3-hybrid's "
+        "oracle exactly through the pipeline path; the trailing sql "
+        "stage projects the fused columns "
+        "(stages/analytics_stage.py SearchStage).",
+)
+def op_a8_hybridsearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    qv = _query_vec(spark, sf_dir)
+    yaml = f"""
+filters:
+  - name: fuse
+    actionType: search
+    actionConfig:
+      mode: hybrid
+      terms: [{', '.join(_BM25_TERMS)}]
+      k: 10
+      fusionN: 20
+      queryVector: [{', '.join(repr(float(x)) for x in qv)}]
+  - name: project
+    actionType: sql
+    code: SELECT doc_id, rrf_score, rank_a, rank_b FROM df
+"""
+    pipe = Pipeline(spark, load_config_str(yaml))
+    return pipe.run(docs.join(emb, "doc_id")).df
 
 
 # ---------------------------------------------------------------------------

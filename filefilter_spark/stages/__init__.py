@@ -36,7 +36,12 @@ from filefilter_spark.stages.corpus_stage import (
     TextStatsStage,
 )
 from filefilter_spark.stages.media_stage import MediaStage
-from filefilter_spark.stages.analytics_stage import SearchStage, SessionizeStage
+from filefilter_spark.stages.analytics_stage import (
+    BatchSearchStage,
+    SearchIndexStage,
+    SearchStage,
+    SessionizeStage,
+)
 from filefilter_spark.stages.corpus_stage import QualityGateStage
 
 STAGE_TYPES = {
@@ -75,6 +80,9 @@ STAGE_TYPES = {
     "sessionize": SessionizeStage,
     "search": SearchStage,
     "qualitygate": QualityGateStage,
+    # r14: index lifecycle + hybrid/batch retrieval from YAML
+    "searchindex": SearchIndexStage,
+    "batchsearch": BatchSearchStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
 }

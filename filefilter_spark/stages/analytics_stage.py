@@ -1,8 +1,10 @@
-"""Zero-code analytics stages: sessionization and keyword search.
+"""Zero-code analytics stages: sessionization, keyword/hybrid search,
+index lifecycle.
 
 The reference's whole interaction model is YAML actionTypes
-(reference ``filefilter.py:306``); these expose the r13 event/retrieval
-operators declaratively, same contract as the corpus stages:
+(reference ``filefilter.py:306``); these expose the r13/r14
+event/retrieval operators declaratively, same contract as the corpus
+stages:
 
 .. code-block:: yaml
 
@@ -10,18 +12,23 @@ operators declaratively, same contract as the corpus stages:
       - name: tag_sessions
         actionType: sessionize
         actionConfig: {userField: user_id, tsField: ts, gapSeconds: 1800}
+      - name: build_index
+        actionType: searchindex
+        actionConfig: {indexPath: /data/ix, textField: text}
       - name: keep_matches
         actionType: search
         actionConfig:
           terms: [spark, shuffle]
           k: 100
-          textField: text
-          idField: doc_id
+          indexPath: /data/ix
 
 ``sessionize`` is a pure DataFrame transform (folds into the lazy
 plan); ``search`` runs the BM25 stats job eagerly at ``apply()`` time
 by design — the idf literals must exist before the scoring plan is
-built (the same model-before-plan contract as ``perplexity``/``bpe``).
+built (the same model-before-plan contract as ``perplexity``/``bpe``);
+``searchindex`` runs its build jobs eagerly for the same reason (a
+later ``search`` stage's probe plan prunes against the written
+layout).
 """
 
 from __future__ import annotations
@@ -32,44 +39,74 @@ from filefilter_spark.stages.base import Stage
 
 
 class SessionizeStage(Stage):
-    """Attach a per-user gap-based ``session_id``
+    """Attach a per-user gap-based session id
     (``ops.sessions.sessionize``). actionConfig: ``userField``
     (default user_id), ``tsField`` (ts), ``idField`` (event_id,
-    the within-timestamp tiebreak), ``gapSeconds`` (1800).
-    ``session_id`` is reserved on the input (raises on collision)."""
+    the within-timestamp tiebreak), ``gapSeconds`` (1800),
+    ``outputField`` (session_id; reserved on the input — raises on
+    collision), ``skewed`` (false; true routes through
+    ``sessionize_skewed`` — identical ids, chunk-salted plan for
+    power-law users) and ``chunkSeconds`` (86400, the salt
+    granularity when skewed)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         from filefilter_spark.ops.order import _check_reserved
-        from filefilter_spark.ops.sessions import sessionize
+        from filefilter_spark.ops.sessions import sessionize, sessionize_skewed
 
         cfg = self.cfg.action_config
-        _check_reserved(df, ["session_id"], "sessionize")
-        return sessionize(
-            df,
+        out_col = cfg.get("outputField", "session_id")
+        _check_reserved(df, [out_col], "sessionize")
+        kwargs = dict(
             user_col=cfg.get("userField", "user_id"),
             ts_col=cfg.get("tsField", "ts"),
             id_col=cfg.get("idField", "event_id"),
             gap_seconds=int(cfg.get("gapSeconds", 1800)),
         )
+        if cfg.get("skewed"):
+            tagged = sessionize_skewed(
+                df, chunk_seconds=int(cfg.get("chunkSeconds", 86_400)),
+                **kwargs,
+            )
+        else:
+            tagged = sessionize(df, **kwargs)
+        if out_col != "session_id":
+            tagged = tagged.withColumnRenamed("session_id", out_col)
+        return tagged
 
 
 class SearchStage(Stage):
-    """Keep the BM25 top-k documents for a literal term query
-    (``ops.retrieval.bm25_topk``): rows arrive back via a semi-join on
-    ``idField`` with the score attached (``scoreField``, default
-    ``bm25``, reserved on the input). actionConfig: ``terms``
+    """Keep the top-k documents for a literal term query, scores
+    attached via a broadcast semi-shape join on ``idField``.
+
+    Default mode (``ops.retrieval.bm25_topk``): actionConfig ``terms``
     (required, non-empty list), ``k`` (10), ``textField`` (text),
-    ``idField`` (doc_id), ``k1``/``b`` (1.2/0.75). With ``indexPath``
-    (+ ``nBuckets``, default 64) the query runs against a persisted
+    ``idField`` (doc_id), ``scoreField`` (bm25; reserved on the
+    input), ``k1``/``b`` (1.2/0.75). With ``indexPath`` (+
+    ``nBuckets``, default 64) the query runs against a persisted
     ``build_text_index`` layout instead — a partition-pruned read of
-    the terms' buckets, never a corpus scan; the caller owns keeping
-    the index in sync with the incoming table."""
+    the terms' buckets, never a corpus scan; build or refresh that
+    layout with the ``searchindex`` stage upstream in the same
+    pipeline (or own it externally).
+
+    ``mode: hybrid`` fuses BM25 with exact cosine over an embedding
+    column carried by the incoming frame
+    (``ops.retrieval.rrf_fuse``): additionally requires
+    ``queryVector`` (list of floats) and reads ``vectorField``
+    (embedding); ``fusionN`` (20) is each ranker's candidate-list
+    size, ``kRrf`` (60) the RRF constant, and the attached columns
+    are ``scoreField`` (default rrf_score) plus ``rank_a`` (BM25) /
+    ``rank_b`` (cosine)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         import pyspark.sql.functions as F
 
         from filefilter_spark.ops.order import _check_reserved
-        from filefilter_spark.ops.retrieval import bm25_topk, bm25_topk_indexed
+        from filefilter_spark.ops.retrieval import (
+            bm25_topk,
+            bm25_topk_indexed,
+            ranked,
+            rrf_fuse,
+        )
 
         cfg = self.cfg.action_config
         terms = cfg.get("terms")
@@ -78,31 +115,135 @@ class SearchStage(Stage):
                 "search stage: actionConfig.terms must be a non-empty list"
             )
         id_col = cfg.get("idField", "doc_id")
-        score_col = cfg.get("scoreField", "bm25")
-        _check_reserved(df, [score_col], "search")
-        if cfg.get("indexPath"):
-            top = bm25_topk_indexed(
-                self.spark,
-                cfg["indexPath"],
-                [str(t) for t in terms],
-                k=int(cfg.get("k", 10)),
-                id_col=id_col,
-                k1=float(cfg.get("k1", 1.2)),
-                b=float(cfg.get("b", 0.75)),
-                n_buckets=int(cfg.get("nBuckets", 64)),
+        k = int(cfg.get("k", 10))
+        mode = cfg.get("mode", "bm25")
+        if mode not in ("bm25", "hybrid"):
+            raise ValueError(
+                f"search stage: unknown mode {mode!r} (bm25 | hybrid)"
             )
-        else:
-            top = bm25_topk(
+
+        def bm25(n: int) -> DataFrame:
+            if cfg.get("indexPath"):
+                return bm25_topk_indexed(
+                    self.spark,
+                    cfg["indexPath"],
+                    [str(t) for t in terms],
+                    k=n,
+                    id_col=id_col,
+                    k1=float(cfg.get("k1", 1.2)),
+                    b=float(cfg.get("b", 0.75)),
+                    n_buckets=int(cfg.get("nBuckets", 64)),
+                )
+            return bm25_topk(
                 df,
                 [str(t) for t in terms],
-                k=int(cfg.get("k", 10)),
+                k=n,
                 text_col=cfg.get("textField", "text"),
                 id_col=id_col,
                 k1=float(cfg.get("k1", 1.2)),
                 b=float(cfg.get("b", 0.75)),
             )
-        if score_col != "bm25":
-            top = top.withColumnRenamed("bm25", score_col)
+
+        if mode == "hybrid":
+            from filefilter_spark.ops.similarity import topk_cosine
+
+            qv = cfg.get("queryVector")
+            if not qv or not isinstance(qv, (list, tuple)):
+                raise ValueError(
+                    "search stage: mode hybrid requires actionConfig."
+                    "queryVector (list of floats)"
+                )
+            score_col = cfg.get("scoreField", "rrf_score")
+            _check_reserved(df, [score_col, "rank_a", "rank_b"], "search")
+            fusion_n = int(cfg.get("fusionN", 20))
+            bm = ranked(bm25(fusion_n), "bm25", id_col)
+            cs = topk_cosine(
+                df,
+                [float(x) for x in qv],
+                k=fusion_n,
+                vec_col=cfg.get("vectorField", "embedding"),
+                id_col=id_col,
+            ).select(F.col(id_col), F.round("cos_sim", 6).alias("cos_sim"))
+            cs = ranked(cs, "cos_sim", id_col)
+            top = rrf_fuse(bm, cs, id_col=id_col,
+                           k_rrf=int(cfg.get("kRrf", 60)), k=k)
+            if score_col != "rrf_score":
+                top = top.withColumnRenamed("rrf_score", score_col)
+        else:
+            score_col = cfg.get("scoreField", "bm25")
+            _check_reserved(df, [score_col], "search")
+            top = bm25(k)
+            if score_col != "bm25":
+                top = top.withColumnRenamed("bm25", score_col)
         # top-k is tiny → broadcast hash semi-shape join, bodies never
         # shuffle; score rides in from the broadcast side
         return df.join(F.broadcast(top), id_col, "inner")
+
+
+class SearchIndexStage(Stage):
+    """Build (or refresh) the persisted inverted index the ``search``
+    stage's ``indexPath`` queries — the zero-code index lifecycle
+    (``ops.retrieval.build_text_index``): postings bucketed by
+    ``pmod(xxhash64(term), nBuckets)`` with dl riding on every
+    posting, a same-bucketed df table, a one-row exact-int stats
+    sidecar. actionConfig: ``indexPath`` (required), ``textField``
+    (text), ``idField`` (doc_id), ``nBuckets`` (64 — must match the
+    querying stage). The frame passes through unchanged, so
+    ``searchindex`` → ``search`` composes into one pipeline; the
+    build's jobs run eagerly at ``apply()`` time (model-before-plan,
+    like ``search``'s stats pass). Each run OVERWRITES the layout —
+    a refresh is a rebuild, which is the correct (and restartable)
+    semantics for a batch-owned index; for continuous maintenance use
+    ``streaming.jobs.text_index_stream_ingest``."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.retrieval import build_text_index
+
+        cfg = self.cfg.action_config
+        if not cfg.get("indexPath"):
+            raise ValueError(
+                "searchindex stage: actionConfig.indexPath is required"
+            )
+        build_text_index(
+            df,
+            cfg["indexPath"],
+            text_col=cfg.get("textField", "text"),
+            id_col=cfg.get("idField", "doc_id"),
+            n_buckets=int(cfg.get("nBuckets", 64)),
+        )
+        return df
+
+
+class BatchSearchStage(Stage):
+    """Run MANY term queries in one corpus scan
+    (``ops.retrieval.bm25_batch_topk``) — the retrieval-evaluation
+    shape. RESULT-PRODUCING: the output frame is the ranked result
+    table (q_id, idField, score, rank), not the filtered corpus —
+    compose it at the end of a pipeline (like ``textstats``' summary).
+    actionConfig: ``queries`` (required map of query id → non-empty
+    term list), ``k`` (10), ``textField`` (text), ``idField``
+    (doc_id), ``scoreField`` (bm25), ``k1``/``b`` (1.2/0.75)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.retrieval import bm25_batch_topk
+
+        cfg = self.cfg.action_config
+        queries = cfg.get("queries")
+        if not queries or not isinstance(queries, dict):
+            raise ValueError(
+                "batchsearch stage: actionConfig.queries must be a "
+                "non-empty map of query id -> term list"
+            )
+        out = bm25_batch_topk(
+            df,
+            {str(q): [str(t) for t in ts] for q, ts in queries.items()},
+            k=int(cfg.get("k", 10)),
+            text_col=cfg.get("textField", "text"),
+            id_col=cfg.get("idField", "doc_id"),
+            k1=float(cfg.get("k1", 1.2)),
+            b=float(cfg.get("b", 0.75)),
+        )
+        score_col = cfg.get("scoreField", "bm25")
+        if score_col != "bm25":
+            out = out.withColumnRenamed("bm25", score_col)
+        return out

@@ -715,12 +715,18 @@ class QualityGateStage(Stage):
     actionConfig: ``frac`` (required, in (0, 1]), ``groupField``
     (source), ``idField`` (doc_id), and either ``scoreField`` (an
     existing numeric column) or ``textField`` (default text, scored
-    with the composite quality heuristic)."""
+    with the composite quality heuristic). ``skewed: true`` routes
+    through ``keep_top_fraction_skewed`` (identical kept set, counts
+    instead of a per-group row window — for power-law groups; requires
+    an integral idField)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         import pyspark.sql.functions as F
 
-        from filefilter_spark.ops.corpus import keep_top_fraction
+        from filefilter_spark.ops.corpus import (
+            keep_top_fraction,
+            keep_top_fraction_skewed,
+        )
         from filefilter_spark.ops.text import quality_score
 
         cfg = self.cfg.action_config
@@ -733,7 +739,8 @@ class QualityGateStage(Stage):
             if cfg.get("scoreField")
             else quality_score(cfg.get("textField", "text"))
         )
-        return keep_top_fraction(
+        gate = keep_top_fraction_skewed if cfg.get("skewed") else keep_top_fraction
+        return gate(
             df,
             score,
             frac=float(cfg["frac"]),

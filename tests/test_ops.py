@@ -3587,6 +3587,73 @@ def test_keep_top_fraction_exact_semantics(spark):
         keep_top_fraction(df, F.col("s"), 0.0)
 
 
+def test_keep_top_fraction_skewed_equals_plain(spark):
+    """The count-based two-phase form (score-class counting + radix
+    select on the straddling class) must keep EXACTLY the plain
+    window's set — including a constant-score group (every row in the
+    straddling class, pure id radix select), heavy score ties, and
+    negative ids (sign-flip digit order)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.corpus import (
+        keep_top_fraction,
+        keep_top_fraction_skewed,
+    )
+
+    random.seed(3)
+    rows = []
+    for i in range(1500):
+        g = "hot" if i % 10 else f"g{i % 5}"
+        s = 0.5 if g == "g3" else round(
+            random.choice([0.1, 0.2, 0.2, 0.9, random.random()]), 6)
+        rows.append((i, g, s))
+    rows += [(-i - 1, "neg", round(random.random(), 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, s double")
+    for frac in (0.3, 1.0, 0.001):
+        want = sorted(r["doc_id"] for r in
+                      keep_top_fraction(df, F.col("s"), frac).collect())
+        got = sorted(r["doc_id"] for r in
+                     keep_top_fraction_skewed(df, F.col("s"), frac).collect())
+        assert got == want, f"frac={frac}"
+
+
+def test_keep_top_fraction_skewed_requires_integral_id(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from filefilter_spark.ops.corpus import keep_top_fraction_skewed
+
+    df = spark.createDataFrame([("x", "a", 1.0)],
+                               "doc_id string, source string, s double")
+    with _pytest.raises(ValueError, match="integral"):
+        keep_top_fraction_skewed(df, F.col("s"), 0.5)
+
+
+def test_keep_top_fraction_skewed_plan_has_no_corpus_window(spark, sf_dir):
+    """No window may rank corpus rows: every Window node in the plan
+    must consume aggregated counter rows (post-HashAggregate) or the
+    radix residue, and the corpus reaches the result only through
+    broadcast joins. Pinned structurally: each Window's input columns
+    are counter-schema (__c / __cum / __n counts), never the text
+    column."""
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.corpus import keep_top_fraction_skewed
+    from tests.test_plans import _plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(keep_top_fraction_skewed(docs, F.length("text"), 0.3))
+    # formatted detail: "(N) Window\nInput [k]: [cols]"
+    for m in _re.finditer(r"\(\d+\) Window\s*\nInput \[\d+\]: \[([^\]]*)\]",
+                          plan):
+        cols = m.group(1)
+        assert "text" not in cols, cols
+
+
 def test_cluster_balanced_sample_caps_and_reproduces(spark):
     """Every cell is capped at per_cluster; two runs pick the SAME
     ids (hash rank, not RNG); ids are a subset of the kmeans cells

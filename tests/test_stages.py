@@ -981,6 +981,168 @@ filters:
 """)
 
 
+def test_sessionize_stage_output_field_and_skewed(spark):
+    """r14 ergonomics: outputField renames the attached column (parity
+    with search.scoreField) and skewed routes through the chunk-salted
+    sessionizer with identical ids."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base, 7), (2, base + datetime.timedelta(seconds=100), 7),
+         (3, base + datetime.timedelta(seconds=5000), 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    out = run_yaml(spark, ev, """
+filters:
+  - name: tag
+    actionType: sessionize
+    actionConfig: {gapSeconds: 1800, outputField: sess, skewed: true,
+                   chunkSeconds: 600}
+""")
+    assert "session_id" not in out.columns
+    got = {r["event_id"]: r["sess"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2}
+    # the reservation guard applies to the RENAMED column
+    with pytest.raises(ValueError, match="reserved"):
+        run_yaml(spark, ev.withColumn("sess", F.lit(0)), """
+filters:
+  - name: tag
+    actionType: sessionize
+    actionConfig: {outputField: sess}
+""")
+
+
+def test_qualitygate_stage_skewed_matches_plain(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 1.0), (3, "b", 9.0), (4, "b", 2.0),
+         (5, "b", 9.0)],
+        "doc_id long, source string, q double",
+    )
+    plain = run_yaml(spark, docs, """
+filters:
+  - name: gate
+    actionType: qualitygate
+    actionConfig: {frac: 0.5, scoreField: q}
+""")
+    skewed = run_yaml(spark, docs, """
+filters:
+  - name: gate
+    actionType: qualitygate
+    actionConfig: {frac: 0.5, scoreField: q, skewed: true}
+""")
+    assert ({r["doc_id"] for r in skewed.collect()}
+            == {r["doc_id"] for r in plain.collect()})
+
+
+def test_searchindex_stage_builds_then_search_queries(spark, tmp_path):
+    """r14 index lifecycle from YAML: searchindex builds the layout
+    (frame passes through), search queries it in the same pipeline,
+    matching the scan path exactly; indexPath is required."""
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark and more"),
+         (3, "nothing relevant here"), (4, "spark once")],
+        "doc_id long, text string",
+    )
+    ix = str(tmp_path / "lifecycle_ix")
+    out = run_yaml(spark, docs, f"""
+filters:
+  - name: build
+    actionType: searchindex
+    actionConfig: {{indexPath: {ix}, nBuckets: 8}}
+  - name: find
+    actionType: search
+    actionConfig:
+      terms: [spark]
+      k: 2
+      indexPath: {ix}
+      nBuckets: 8
+""")
+    rows = out.collect()
+    assert {r["doc_id"] for r in rows} == {1, 4}
+    assert "text" in out.columns and all(r["bm25"] > 0 for r in rows)
+    import os
+    assert os.path.isdir(f"{ix}/postings") and os.path.isdir(f"{ix}/stats")
+    with pytest.raises(ValueError, match="indexPath"):
+        run_yaml(spark, docs, """
+filters:
+  - name: build
+    actionType: searchindex
+""")
+
+
+def test_batchsearch_stage_is_result_producing(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark and more"),
+         (3, "window functions"), (4, "spark once")],
+        "doc_id long, text string",
+    )
+    out = run_yaml(spark, docs, """
+filters:
+  - name: eval
+    actionType: batchsearch
+    actionConfig:
+      k: 2
+      queries:
+        qa: [spark]
+        qb: [window]
+""")
+    assert set(out.columns) == {"q_id", "doc_id", "bm25", "rank"}
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["q_id"], set()).add(r["doc_id"])
+    assert by_q["qa"] == {1, 4} and by_q["qb"] == {3}
+    with pytest.raises(ValueError, match="queries"):
+        run_yaml(spark, docs, """
+filters:
+  - name: eval
+    actionType: batchsearch
+""")
+
+
+def test_search_stage_hybrid_mode(spark):
+    """mode: hybrid fuses BM25 + cosine over the frame's embedding
+    column; requires queryVector; attaches rrf_score + both ranks."""
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark", [1.0, 0.0]),
+         (2, "spark and more", [0.9, 0.1]),
+         (3, "nothing relevant", [0.0, 1.0]),
+         (4, "spark once", [0.5, 0.5])],
+        "doc_id long, text string, embedding array<double>",
+    )
+    out = run_yaml(spark, docs, """
+filters:
+  - name: fuse
+    actionType: search
+    actionConfig:
+      mode: hybrid
+      terms: [spark]
+      k: 3
+      fusionN: 3
+      queryVector: [1.0, 0.0]
+""")
+    rows = out.collect()
+    assert {"rrf_score", "rank_a", "rank_b"} <= set(out.columns)
+    assert 0 < len(rows) <= 3
+    # doc 1: top of BOTH rankers → top fused score
+    best = max(rows, key=lambda r: r["rrf_score"])
+    assert best["doc_id"] == 1
+    with pytest.raises(ValueError, match="queryVector"):
+        run_yaml(spark, docs, """
+filters:
+  - name: fuse
+    actionType: search
+    actionConfig: {mode: hybrid, terms: [spark]}
+""")
+    with pytest.raises(ValueError, match="mode"):
+        run_yaml(spark, docs, """
+filters:
+  - name: fuse
+    actionType: search
+    actionConfig: {mode: nope, terms: [spark]}
+""")
+
+
 def test_retrieval_pipeline_example_end_to_end(spark):
     """examples/retrieval_pipeline.yml — the zero-code analytics
     showcase: percentile gate -> BM25 shortlist -> stats columns."""
