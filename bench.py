@@ -54,6 +54,12 @@ HEADLINE = [
     "OP-D1-keepbest",  # quality-argmax dedup survivor selection
     # Added in r9 (the r8 operators join the committed perf series;
     # see "added_queries" in the JSON for total comparability)
+    # SETTLED series member (r13 adjudication — keep HEADLINE, read
+    # via the settlement): the sf0.1 ratio is a flat two-job floor
+    # over a ~0.4 s DuckDB denominator; the x8->x32 deep tail
+    # converges 2.92 -> 1.29x with Spark growing 0.04 s/double vs
+    # DuckDB 0.5 s/double (SCALING.md "dsir deep tail"). Do NOT
+    # re-flag on the raw sf0.1 multiple.
     "OP-D7-dsir",    # DSIR importance weights (per-byte corpus cost)
     "OP-D7-safesplit",  # leakage-safe split (jaccard pairs + CC + hash)
     "OP-D4-qualityclf",  # learned quality filter (train + native score)
@@ -74,6 +80,12 @@ HEADLINE = [
     # Added in r13: BM25 keyword retrieval — two tokenize passes over
     # the corpus (stats + scoring), real per-row fold cost like gopher
     "OP-D4-bm25",
+    # Added in r14: the exact Ed-Join fuzzy self-join — the heaviest
+    # oracled row on both engines (already 0.7x DuckDB at sf0.1,
+    # crossing to 0.12x at x2); joins the committed series after the
+    # r14 ids-only-postings rewrite so regressions in the posting /
+    # verify shape surface here, not only in tools/bench_compare.py
+    "OP-D2-fuzzy",
 ]
 
 
@@ -226,7 +238,8 @@ def main() -> None:
                           "OP-D7-dsir", "OP-D7-safesplit",
                           "OP-D4-qualityclf", "OP-D3-kmeans",
                           "OP-A9-zorder",
-                          "OP-D3-pq", "OP-D4-gopher"],
+                          "OP-D3-pq", "OP-D4-gopher",
+                          "OP-D2-fuzzy"],  # r14
         # non-empty => a registry rename silently shrank the suite;
         # totals are NOT comparable until fixed
         "missing_queries": missing,

@@ -40,7 +40,7 @@ VALID_ACTION_TYPES = {
     "epochs", "budget",
     # event/retrieval analytics stages (stages/analytics_stage.py)
     "sessionize", "search", "qualitygate",
-    "searchindex", "batchsearch",
+    "searchindex", "batchsearch", "annindex",
     # zero-code multimodal stage (stages/media_stage.py)
     "media",
 }

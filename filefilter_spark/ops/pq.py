@@ -636,3 +636,121 @@ def ivfpq_topk(
         .orderBy("dist2", id_col)
         .limit(topk)
     )
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: float = 1e6,
+    residual: bool = False,
+    fit_frac: float = 1.0,
+    coarse_iters: int = 2,
+) -> None:
+    """Persist a self-contained IVF×PQ index layout — the ANN twin of
+    :func:`filefilter_spark.ops.retrieval.build_text_index` (r14: the
+    zero-code index lifecycle the ``annindex`` actionType exposes).
+
+    Layout under ``path``:
+
+    * ``codes/`` — the :func:`build_ivfpq_index` (id, codes) rows,
+      written ``partitionBy(cell)`` so a probe is a partition-pruned
+      read of ``n_probe/n_lists`` of the 32×-compressed table.
+    * ``meta/``  — one row holding the JSON-encoded codebooks,
+      centroids, cell-count histogram (the auto-refine sizing input —
+      no per-query count job), and the build parameters the probe
+      must reuse (``scale``, ``residual``). Everything in it is
+      driver-small: k·d codebook floats + n_lists·d centroid floats +
+      n_lists counts.
+
+    The build is deterministic (grid-quantized folds, lowest-id
+    seeds), so rebuilding from the same corpus reproduces the layout
+    bit-identically — a refresh is a rebuild, same contract as the
+    text index. An empty corpus refuses loudly (an empty partitioned
+    write is unreadable later)."""
+    import json as _json
+
+    if df.limit(1).count() == 0:
+        raise ValueError("build_ann_index: empty corpus — nothing to index")
+    indexed, books, cents = build_ivfpq_index(
+        df, n_lists=n_lists, m=m, k=k, iters=iters, vec_col=vec_col,
+        id_col=id_col, scale=scale, residual=residual, fit_frac=fit_frac,
+        coarse_iters=coarse_iters,
+    )
+    spark = df.sparkSession
+    counts = ivfpq_cell_counts(indexed)
+    indexed.repartition("cell").sortWithinPartitions(id_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/codes")
+    meta = {
+        "codebooks": books,
+        "centroids": [list(map(float, c)) for c in cents],
+        "cell_counts": {str(c): n for c, n in counts.items()},
+        "scale": float(scale),
+        "residual": bool(residual),
+        "n_lists": int(n_lists),
+        "m": int(m),
+        "k": int(k),
+        "id_col": id_col,
+    }
+    spark.createDataFrame(
+        [(_json.dumps(meta),)], "meta string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_ann_meta(spark, path: str) -> dict:
+    """Read a :func:`build_ann_index` meta sidecar back into the
+    driver-side dict :func:`ann_topk_indexed` probes with."""
+    import json as _json
+
+    row = spark.read.parquet(f"{path}/meta").first()
+    if row is None:
+        raise ValueError(f"load_ann_meta: empty meta at {path!r}")
+    meta = _json.loads(row["meta"])
+    meta["cell_counts"] = {
+        int(c): int(n) for c, n in meta["cell_counts"].items()
+    }
+    return meta
+
+
+def ann_topk_indexed(
+    spark,
+    path: str,
+    query: Sequence[float],
+    topk: int = 10,
+    n_probe: int = 4,
+    refine: int | None = None,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+) -> DataFrame:
+    """ANN top-k against a persisted :func:`build_ann_index` layout:
+    centroid probe order and the auto-refine shortlist size come from
+    the meta sidecar driver-side (zero extra jobs), the codes read is
+    partition-pruned to the probed cells, and the exact re-rank tier
+    (``refine``/auto — requires ``vectors``) reads only the
+    shortlist's point lookups. Same result contract as
+    :func:`ivfpq_topk` over the in-memory index — the layout is an
+    access path."""
+    meta = load_ann_meta(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    return ivfpq_topk(
+        codes,
+        meta["codebooks"],
+        meta["centroids"],
+        query,
+        topk=topk,
+        n_probe=n_probe,
+        refine=refine,
+        vectors=vectors,
+        vec_col=vec_col,
+        id_col=id_col or meta["id_col"],
+        scale=meta["scale"],
+        residual=meta["residual"],
+        cell_counts=meta["cell_counts"],
+    )

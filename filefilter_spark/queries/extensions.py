@@ -4645,3 +4645,50 @@ def op_d3_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexed, books, cents, _query_vec(spark, sf_dir),
         topk=10, n_probe=4, vectors=emb,
     ).select("vec_id", F.round("dist2", 6).alias("dist2"))
+
+
+@query(
+    "OP-A8-annindex",
+    oracle=None,  # ANN top-k → recall oracle vs the exact L2 top-10
+    recall=RecallSpec(_ANN_EXACT_L2_TOP10, ("vec_id",), 0.6,
+                      exact_precision=False),
+    doc="zero-code ANN index lifecycle — the IVF×PQ twin of "
+        "OP-A8-searchindex: an annindex stage persists the composed "
+        "index (codes partitionBy(cell) + a driver-small meta sidecar "
+        "holding codebooks/centroids/cell histogram — ops/pq.py "
+        "build_ann_index), then search with mode: ann probes it in the "
+        "same pipeline (ann_topk_indexed: centroid order and the "
+        "auto-refine shortlist size come from the sidecar with zero "
+        "extra jobs, the codes read is partition-pruned, the exact "
+        "rerank reads the frame's vectors). Same recall oracle as "
+        "OP-D3-ivfpq (floor 0.6, measured 0.9) — the layout is an "
+        "access path, not a different operator.",
+)
+def op_a8_annindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+    from filefilter_spark.queries.inventory import _scratch
+
+    ix = _scratch("a8annix/ann_index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    yaml = f"""
+filters:
+  - name: build_ix
+    actionType: annindex
+    actionConfig: {{indexPath: {ix}, idField: vec_id}}
+  - name: neighbors
+    actionType: search
+    actionConfig:
+      mode: ann
+      indexPath: {ix}
+      idField: vec_id
+      k: 10
+      nProbe: 4
+      queryVector: [{', '.join(repr(float(x)) for x in qv)}]
+  - name: project
+    actionType: sql
+    code: SELECT vec_id, round(dist2, 6) AS dist2 FROM df
+"""
+    pipe = Pipeline(spark, load_config_str(yaml))
+    return pipe.run(emb).df

@@ -37,6 +37,7 @@ from filefilter_spark.stages.corpus_stage import (
 )
 from filefilter_spark.stages.media_stage import MediaStage
 from filefilter_spark.stages.analytics_stage import (
+    AnnIndexStage,
     BatchSearchStage,
     SearchIndexStage,
     SearchStage,
@@ -83,6 +84,7 @@ STAGE_TYPES = {
     # r14: index lifecycle + hybrid/batch retrieval from YAML
     "searchindex": SearchIndexStage,
     "batchsearch": BatchSearchStage,
+    "annindex": AnnIndexStage,
     # zero-code multimodal stage (decode/resize/audio/frames kernels)
     "media": MediaStage,
 }

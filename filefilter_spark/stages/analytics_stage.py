@@ -95,7 +95,15 @@ class SearchStage(Stage):
     (embedding); ``fusionN`` (20) is each ranker's candidate-list
     size, ``kRrf`` (60) the RRF constant, and the attached columns
     are ``scoreField`` (default rrf_score) plus ``rank_a`` (BM25) /
-    ``rank_b`` (cosine)."""
+    ``rank_b`` (cosine).
+
+    ``mode: ann`` queries a persisted ``annindex`` layout
+    (``ops.pq.ann_topk_indexed``): requires ``indexPath`` and
+    ``queryVector``; ``k`` (10) top neighbors, ``nProbe`` (4) probed
+    cells, ``refine`` (auto — sized from the meta sidecar's cell
+    histogram; the exact re-rank reads the incoming frame's
+    ``vectorField``), attached column ``scoreField`` (default
+    dist2, ascending — smaller is closer)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         import pyspark.sql.functions as F
@@ -110,17 +118,51 @@ class SearchStage(Stage):
 
         cfg = self.cfg.action_config
         terms = cfg.get("terms")
-        if not terms or not isinstance(terms, (list, tuple)):
-            raise ValueError(
-                "search stage: actionConfig.terms must be a non-empty list"
-            )
         id_col = cfg.get("idField", "doc_id")
         k = int(cfg.get("k", 10))
         mode = cfg.get("mode", "bm25")
-        if mode not in ("bm25", "hybrid"):
+        if mode != "ann" and (
+            not terms or not isinstance(terms, (list, tuple))
+        ):
             raise ValueError(
-                f"search stage: unknown mode {mode!r} (bm25 | hybrid)"
+                "search stage: actionConfig.terms must be a non-empty list"
             )
+        if mode not in ("bm25", "hybrid", "ann"):
+            raise ValueError(
+                f"search stage: unknown mode {mode!r} (bm25 | hybrid | ann)"
+            )
+
+        if mode == "ann":
+            from filefilter_spark.ops.pq import ann_topk_indexed
+
+            qv = cfg.get("queryVector")
+            if not qv or not isinstance(qv, (list, tuple)):
+                raise ValueError(
+                    "search stage: mode ann requires actionConfig."
+                    "queryVector (list of floats)"
+                )
+            if not cfg.get("indexPath"):
+                raise ValueError(
+                    "search stage: mode ann requires actionConfig."
+                    "indexPath (a persisted annindex layout)"
+                )
+            score_col = cfg.get("scoreField", "dist2")
+            _check_reserved(df, [score_col], "search")
+            refine = cfg.get("refine")
+            top = ann_topk_indexed(
+                self.spark,
+                cfg["indexPath"],
+                [float(x) for x in qv],
+                topk=k,
+                n_probe=int(cfg.get("nProbe", 4)),
+                refine=None if refine is None else int(refine),
+                vectors=df,
+                vec_col=cfg.get("vectorField", "embedding"),
+                id_col=id_col,
+            )
+            if score_col != "dist2":
+                top = top.withColumnRenamed("dist2", score_col)
+            return df.join(F.broadcast(top), id_col, "inner")
 
         def bm25(n: int) -> DataFrame:
             if cfg.get("indexPath"):
@@ -210,6 +252,44 @@ class SearchIndexStage(Stage):
             text_col=cfg.get("textField", "text"),
             id_col=cfg.get("idField", "doc_id"),
             n_buckets=int(cfg.get("nBuckets", 64)),
+        )
+        return df
+
+
+class AnnIndexStage(Stage):
+    """Build (or refresh) the persisted IVF×PQ layout that ``search``
+    ``mode: ann`` queries — the ANN twin of ``searchindex``
+    (``ops.pq.build_ann_index``): deterministic Lloyd coarse cells
+    partition the 32×-compressed PQ codes, with codebooks, centroids,
+    and the auto-refine cell histogram in a driver-small meta
+    sidecar. actionConfig: ``indexPath`` (required), ``vectorField``
+    (embedding), ``idField`` (vec_id), ``nLists`` (16), ``m`` (8),
+    ``k`` (16), ``iters`` (1), ``residual`` (false), ``fitFrac``
+    (1.0), ``coarseIters`` (2). The frame passes through unchanged;
+    build jobs run eagerly at ``apply()`` time; each run overwrites
+    (refresh = rebuild — the layout is bit-deterministic, so same
+    corpus → same bytes)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.pq import build_ann_index
+
+        cfg = self.cfg.action_config
+        if not cfg.get("indexPath"):
+            raise ValueError(
+                "annindex stage: actionConfig.indexPath is required"
+            )
+        build_ann_index(
+            df,
+            cfg["indexPath"],
+            n_lists=int(cfg.get("nLists", 16)),
+            m=int(cfg.get("m", 8)),
+            k=int(cfg.get("k", 16)),
+            iters=int(cfg.get("iters", 1)),
+            vec_col=cfg.get("vectorField", "embedding"),
+            id_col=cfg.get("idField", "vec_id"),
+            residual=bool(cfg.get("residual", False)),
+            fit_frac=float(cfg.get("fitFrac", 1.0)),
+            coarse_iters=int(cfg.get("coarseIters", 2)),
         )
         return df
 

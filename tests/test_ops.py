@@ -3587,6 +3587,46 @@ def test_keep_top_fraction_exact_semantics(spark):
         keep_top_fraction(df, F.col("s"), 0.0)
 
 
+def test_ann_index_persisted_layout_roundtrip(spark, tmp_path):
+    """build_ann_index -> ann_topk_indexed equals the in-memory
+    ivfpq_topk (the layout is an access path); the probe plan carries
+    the cell partition filter; meta sidecar round-trips ints; empty
+    corpus refuses at build."""
+    import re as _re
+
+    from filefilter_spark.ops.pq import (
+        ann_topk_indexed,
+        build_ann_index,
+        build_ivfpq_index,
+        ivfpq_topk,
+        load_ann_meta,
+    )
+    from tests.test_plans import _plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    ix = str(tmp_path / "annix")
+    build_ann_index(emb, ix, n_lists=16, m=8, k=16, iters=1)
+    meta = load_ann_meta(spark, ix)
+    assert all(isinstance(c, int) for c in meta["cell_counts"])
+    assert sum(meta["cell_counts"].values()) == emb.count()
+    got = ann_topk_indexed(spark, ix, qv, topk=5, n_probe=4, vectors=emb)
+    indexed, books, cents = build_ivfpq_index(
+        emb, n_lists=16, m=8, k=16, iters=1
+    )
+    want = ivfpq_topk(indexed, books, cents, qv, topk=5, n_probe=4,
+                      vectors=emb)
+    assert ([(r["vec_id"], round(r["dist2"], 9)) for r in got.collect()]
+            == [(r["vec_id"], round(r["dist2"], 9)) for r in want.collect()])
+    # ADC-only probe (refine=0) prunes to the probed cells' partitions
+    plan = _plan(ann_topk_indexed(spark, ix, qv, topk=5, n_probe=4,
+                                  refine=0))
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1)
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_ann_index(emb.limit(0), str(tmp_path / "annix0"))
+
+
 def test_keep_top_fraction_skewed_equals_plain(spark):
     """The count-based two-phase form (score-class counting + radix
     select on the straddling class) must keep EXACTLY the plain

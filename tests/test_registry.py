@@ -45,6 +45,9 @@ def test_oracles_cover_queries(entry):
         "OP-D2-minhash", "OP-D2-simhash", "OP-D2-winnow",
         "OP-D3-lsh", "OP-D3-ivf", "OP-D3-pairs-lsh",
         "OP-D3-ivfpq",  # composed ANN → recall oracle vs exact L2 (r11)
+        # its persisted-layout lifecycle twin (annindex -> search
+        # mode: ann through the pipeline path), same recall oracle (r14)
+        "OP-A8-annindex",
         "OP-D3-semdedup",  # KMeans-cell recall oracle (r5)
         "OP-D2-incremental",  # batch-touching minhash recall oracle (r5)
         # L-BFGS scores aren't bit-stable across partitionings, so the

@@ -1143,6 +1143,56 @@ filters:
 """)
 
 
+def test_annindex_stage_builds_then_ann_search_queries(spark, tmp_path):
+    """r14 ANN lifecycle from YAML: annindex persists the IVF×PQ
+    layout (frame passes through), search mode: ann probes it in the
+    same pipeline and matches the in-memory ivfpq_topk result."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from filefilter_spark.ops.pq import build_ivfpq_index, ivfpq_topk
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    ix = str(tmp_path / "ann_ix")
+    out = run_yaml(spark, emb, f"""
+filters:
+  - name: build
+    actionType: annindex
+    actionConfig: {{indexPath: {ix}, idField: vec_id}}
+  - name: neighbors
+    actionType: search
+    actionConfig:
+      mode: ann
+      indexPath: {ix}
+      idField: vec_id
+      k: 5
+      queryVector: [{', '.join(repr(x) for x in qv)}]
+""")
+    rows = sorted((r["vec_id"], round(r["dist2"], 6)) for r in out.collect())
+    import os
+    assert os.path.isdir(f"{ix}/codes") and os.path.isdir(f"{ix}/meta")
+    indexed, books, cents = build_ivfpq_index(
+        emb, n_lists=16, m=8, k=16, iters=1
+    )
+    want = sorted(
+        (r["vec_id"], round(r["dist2"], 6))
+        for r in ivfpq_topk(indexed, books, cents, qv, topk=5,
+                            n_probe=4, vectors=emb).collect()
+    )
+    assert rows == want
+    with pytest.raises(ValueError, match="indexPath"):
+        run_yaml(spark, emb, """
+filters:
+  - name: bad
+    actionType: search
+    actionConfig: {mode: ann, queryVector: [1.0]}
+""")
+    with pytest.raises(ValueError, match="indexPath"):
+        run_yaml(spark, emb, """
+filters:
+  - name: bad
+    actionType: annindex
+""")
+
+
 def test_retrieval_pipeline_example_end_to_end(spark):
     """examples/retrieval_pipeline.yml — the zero-code analytics
     showcase: percentile gate -> BM25 shortlist -> stats columns."""
