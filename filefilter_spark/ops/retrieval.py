@@ -352,6 +352,144 @@ def bm25_batch_topk(
     )
 
 
+def _hadoop_dir_exists(spark, p: str) -> bool:
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hp = jvm.org.apache.hadoop.fs.Path(p)
+    return hp.getFileSystem(conf).exists(hp)
+
+
+def _indexed_term_dfs(
+    spark, path: str, terms: Sequence[str], buckets: Sequence[int],
+    id_col: str,
+) -> dict[str, int]:
+    """Per-term document frequency from an index layout: the batch
+    build's ``terms/`` table when present (pruned tiny read), else a
+    distinct-doc count over the same pruned postings — exact under
+    at-least-once streaming replays (the streaming ingest maintains no
+    terms table: a cached df would go stale between micro-batches),
+    cost bounded by the matching postings."""
+    if _hadoop_dir_exists(spark, f"{path}/terms"):
+        rows = (
+            spark.read.parquet(f"{path}/terms")
+            .filter(F.col("bucket").isin(list(buckets))
+                    & F.col("term").isin(list(terms)))
+            .collect()
+        )
+    else:
+        rows = (
+            spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(list(buckets))
+                    & F.col("term").isin(list(terms)))
+            .groupBy("term")
+            .agg(F.count_distinct(F.col(id_col)).alias("df"))
+            .collect()
+        )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def bm25_batch_topk_indexed(
+    spark,
+    path: str,
+    queries: dict[str, Sequence[str]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+    lowercase: bool = True,
+) -> DataFrame:
+    """:func:`bm25_batch_topk` against a :func:`build_text_index`
+    layout — the retrieval-evaluation shape on the 100 TB query path:
+    ONE partition-pruned read of the union terms' buckets serves every
+    query (no corpus scan at all), per-doc contributions pivot into
+    fixed-order per-union-term columns exactly like
+    :func:`bm25_topk_indexed`, and each query sums ITS terms'
+    columns in its own term order before the 6dp round — so results
+    equal :func:`bm25_batch_topk` bit-for-bit (same normalization
+    including dup-term dedupe, same operand order, same rounded-score
+    rank with id tiebreak). Per-query top-k goes through the same
+    rank window Spark rewrites to WindowGroupLimit.
+
+    Returns (q_id, id_col, bm25, rank).
+    """
+    if not queries:
+        raise ValueError("bm25_batch_topk_indexed: queries must be non-empty")
+    qids = list(queries)
+    norm_terms = {
+        q: _normalize_terms(ts, lowercase) for q, ts in queries.items()
+    }
+    for q, ts in norm_terms.items():
+        if not ts:
+            raise ValueError(
+                f"bm25_batch_topk_indexed: query {q!r} has no terms"
+            )
+    union_terms: list[str] = []
+    for ts in norm_terms.values():
+        for t in ts:
+            if t not in union_terms:
+                union_terms.append(t)
+
+    srow = spark.read.parquet(f"{path}/stats").first()
+    n = int(srow["n_docs"])
+    if n == 0:
+        raise ValueError(f"bm25_batch_topk_indexed: empty index at {path!r}")
+    avgdl = float(int(srow["sum_dl"])) / n
+
+    brow = spark.range(1).select(
+        *[
+            F.pmod(F.xxhash64(F.lit(t)), F.lit(n_buckets)).alias(f"b{i}")
+            for i, t in enumerate(union_terms)
+        ]
+    ).first()
+    buckets = sorted({int(brow[f"b{i}"]) for i in range(len(union_terms))})
+
+    df_by_term = _indexed_term_dfs(spark, path, union_terms, buckets, id_col)
+    idf_by_term = {t: bm25_idf(n, df_by_term.get(t, 0)) for t in union_terms}
+
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(union_terms)
+    ).dropDuplicates([id_col, "term"])
+    idf_expr = F.lit(0.0)
+    for t in union_terms:
+        idf_expr = F.when(F.col("term") == t, F.lit(idf_by_term[t])).otherwise(
+            idf_expr
+        )
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    contrib = idf_expr * ((tf * F.lit(k1 + 1.0)) / (tf + norm))
+    per_term = post.select(
+        F.col(id_col), F.col("term"), contrib.alias("c")
+    ).groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("c"))).alias(f"c_{i}")
+            for i, t in enumerate(union_terms)
+        ]
+    )
+    structs = []
+    for q in qids:
+        total = F.lit(0.0)
+        for t in norm_terms[q]:
+            total = total + F.coalesce(
+                F.col(f"c_{union_terms.index(t)}"), F.lit(0.0)
+            )
+        structs.append(
+            F.struct(F.lit(q).alias("q_id"), F.round(total, 6).alias("bm25"))
+        )
+    exploded = (
+        per_term.select(F.col(id_col), F.explode(F.array(*structs)).alias("q"))
+        .select(F.col(id_col), F.col("q.q_id"), F.col("q.bm25"))
+        .filter(F.col("bm25") > 0.0)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", id_col, "bm25", "rank")
+    )
+
+
 def build_text_index(
     df: DataFrame,
     path: str,
@@ -481,32 +619,7 @@ def bm25_topk_indexed(
     ).first()
     buckets = sorted({int(brow[f"b{i}"]) for i in range(len(terms))})
 
-    # df lookup: the batch build writes a terms/ table (pruned tiny
-    # read); the STREAMING ingest does not maintain one (any cached df
-    # would go stale between micro-batches), so fall back to counting
-    # distinct docs over the same pruned postings read — exact under
-    # replays, cost bounded by the matching postings.
-    def _hadoop_dir_exists(p2: str) -> bool:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        hp = jvm.org.apache.hadoop.fs.Path(p2)
-        return hp.getFileSystem(conf).exists(hp)
-
-    if _hadoop_dir_exists(f"{path}/terms"):
-        tdf = (
-            spark.read.parquet(f"{path}/terms")
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-            .collect()
-        )
-    else:
-        tdf = (
-            spark.read.parquet(f"{path}/postings")
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-            .groupBy("term")
-            .agg(F.count_distinct(F.col(id_col)).alias("df"))
-            .collect()
-        )
-    df_by_term = {r["term"]: int(r["df"]) for r in tdf}
+    df_by_term = _indexed_term_dfs(spark, path, terms, buckets, id_col)
     idf_by_term = {t: bm25_idf(n, df_by_term.get(t, 0)) for t in terms}
 
     post = spark.read.parquet(f"{path}/postings").filter(

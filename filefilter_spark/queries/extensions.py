@@ -1049,6 +1049,34 @@ def op_d4_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_batch_topk(docs, _BM25_BATCH_QUERIES, k=5)
 
 
+@query(
+    "OP-D4-bm25-batch-indexed",
+    oracle=_BM25_BATCH_ORACLE,
+    doc="multi-query BM25 via the PERSISTED inverted index (r14, "
+        "ops/retrieval.py bm25_batch_topk_indexed): ONE partition-"
+        "pruned read of the union terms' buckets serves every query — "
+        "no corpus scan at all, the batch twin of OP-D4-bm25-indexed. "
+        "Per-doc contributions pivot into fixed-order per-union-term "
+        "columns and each query sums its own terms left-to-right "
+        "before the 6dp round, so results equal the scan path "
+        "bit-for-bit (same oracle as OP-D4-bm25-batch); per-query "
+        "top-k through the WindowGroupLimit rank. Reachable from YAML "
+        "via batchsearch.indexPath.",
+)
+def op_d4_bm25_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.retrieval import (
+        bm25_batch_topk_indexed,
+        build_text_index,
+    )
+    from filefilter_spark.queries.inventory import _scratch
+
+    ix = _scratch("d4bm25bix/text_index")
+    docs = load_table(spark, sf_dir, "documents")
+    build_text_index(docs, ix, n_buckets=16)
+    return bm25_batch_topk_indexed(spark, ix, _BM25_BATCH_QUERIES, k=5,
+                                   n_buckets=16)
+
+
 _HYBRID_ORACLE = f"""
     WITH {_BM25_CTES},
     bm_rank AS (

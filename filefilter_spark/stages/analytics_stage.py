@@ -302,10 +302,18 @@ class BatchSearchStage(Stage):
     compose it at the end of a pipeline (like ``textstats``' summary).
     actionConfig: ``queries`` (required map of query id → non-empty
     term list), ``k`` (10), ``textField`` (text), ``idField``
-    (doc_id), ``scoreField`` (bm25), ``k1``/``b`` (1.2/0.75)."""
+    (doc_id), ``scoreField`` (bm25), ``k1``/``b`` (1.2/0.75). With
+    ``indexPath`` (+ ``nBuckets``) every query is served from ONE
+    partition-pruned read of the union terms' buckets in a persisted
+    ``searchindex`` layout — no corpus scan at all
+    (``bm25_batch_topk_indexed``; results identical to the scan
+    path)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
-        from filefilter_spark.ops.retrieval import bm25_batch_topk
+        from filefilter_spark.ops.retrieval import (
+            bm25_batch_topk,
+            bm25_batch_topk_indexed,
+        )
 
         cfg = self.cfg.action_config
         queries = cfg.get("queries")
@@ -314,15 +322,28 @@ class BatchSearchStage(Stage):
                 "batchsearch stage: actionConfig.queries must be a "
                 "non-empty map of query id -> term list"
             )
-        out = bm25_batch_topk(
-            df,
-            {str(q): [str(t) for t in ts] for q, ts in queries.items()},
-            k=int(cfg.get("k", 10)),
-            text_col=cfg.get("textField", "text"),
-            id_col=cfg.get("idField", "doc_id"),
-            k1=float(cfg.get("k1", 1.2)),
-            b=float(cfg.get("b", 0.75)),
-        )
+        norm_q = {str(q): [str(t) for t in ts] for q, ts in queries.items()}
+        if cfg.get("indexPath"):
+            out = bm25_batch_topk_indexed(
+                self.spark,
+                cfg["indexPath"],
+                norm_q,
+                k=int(cfg.get("k", 10)),
+                id_col=cfg.get("idField", "doc_id"),
+                k1=float(cfg.get("k1", 1.2)),
+                b=float(cfg.get("b", 0.75)),
+                n_buckets=int(cfg.get("nBuckets", 64)),
+            )
+        else:
+            out = bm25_batch_topk(
+                df,
+                norm_q,
+                k=int(cfg.get("k", 10)),
+                text_col=cfg.get("textField", "text"),
+                id_col=cfg.get("idField", "doc_id"),
+                k1=float(cfg.get("k1", 1.2)),
+                b=float(cfg.get("b", 0.75)),
+            )
         score_col = cfg.get("scoreField", "bm25")
         if score_col != "bm25":
             out = out.withColumnRenamed("bm25", score_col)

@@ -277,6 +277,35 @@ def test_bm25_indexed_scoring_is_fixed_operand_order(spark, docs, tmp_path):
     assert re.search(r"\bsum\(c#", plan) is None
 
 
+def test_bm25_batch_indexed_matches_scan_and_prunes(spark, docs, tmp_path):
+    """The batch-indexed path (r14): one pruned read of the union
+    terms' buckets serves every query, results EXACTLY equal to
+    bm25_batch_topk — dup and ghost terms included — and the probe
+    plan carries the bucket partition filter with no documents scan."""
+    from filefilter_spark.ops.retrieval import (
+        bm25_batch_topk,
+        bm25_batch_topk_indexed,
+        build_text_index,
+    )
+
+    ix = str(tmp_path / "bix")
+    build_text_index(docs, ix, n_buckets=16)
+    queries = {"a": ["spark", "spark", "merge"], "b": ["window"],
+               "c": ["merge", "zzz_ghost"]}
+    scan = sorted(tuple(r) for r in
+                  bm25_batch_topk(docs, queries, k=5).collect())
+    via_ix = bm25_batch_topk_indexed(spark, ix, queries, k=5, n_buckets=16)
+    assert sorted(tuple(r) for r in via_ix.collect()) == scan
+    plan = _plan(via_ix)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+    assert "documents" not in plan.split("\n\n")[0].lower()
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_batch_topk_indexed(spark, ix, {})
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_batch_topk_indexed(spark, ix, {"a": []})
+
+
 def test_bm25_indexed_empty_corpus_refuses_at_build(spark, docs, tmp_path):
     """An empty partitioned postings write would be unreadable later —
     the build must refuse loudly up front."""

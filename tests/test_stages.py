@@ -1092,6 +1092,26 @@ filters:
     for r in out.collect():
         by_q.setdefault(r["q_id"], set()).add(r["doc_id"])
     assert by_q["qa"] == {1, 4} and by_q["qb"] == {3}
+    # indexPath: same results from a persisted index, no corpus scan
+    from filefilter_spark.ops.retrieval import build_text_index
+
+    import tempfile
+    ix = tempfile.mkdtemp() + "/bsix"
+    build_text_index(docs, ix, n_buckets=8)
+    out_ix = run_yaml(spark, docs, f"""
+filters:
+  - name: eval
+    actionType: batchsearch
+    actionConfig:
+      k: 2
+      indexPath: {ix}
+      nBuckets: 8
+      queries:
+        qa: [spark]
+        qb: [window]
+""")
+    assert (sorted(tuple(r) for r in out_ix.collect())
+            == sorted(tuple(r) for r in out.collect()))
     with pytest.raises(ValueError, match="queries"):
         run_yaml(spark, docs, """
 filters:
