@@ -211,11 +211,16 @@ def bm25_topk(
     )
 
 
-def ranked(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
+def ranked(
+    df: DataFrame, score_col: str, id_col: str, ascending: bool = False
+) -> DataFrame:
     """Attach dense 1-based ranks to an ALREADY-SMALL ranked list
     (top-n output). Single-partition window by construction — the
-    input is k rows, never corpus-scale."""
-    w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+    input is k rows, never corpus-scale. ``ascending=True`` ranks
+    smallest-first (distance metrics: L2 ``dist2``), default ranks
+    largest-first (similarity scores: bm25, cosine)."""
+    order = F.asc(score_col) if ascending else F.desc(score_col)
+    w = Window.orderBy(order, F.asc(id_col))
     return df.select(F.col(id_col), F.row_number().over(w).alias("rank"))
 
 

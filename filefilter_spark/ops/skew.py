@@ -96,3 +96,40 @@ def salted_join(
     if strategy:
         big_s = big_s.hint(strategy)
     return big_s.join(small_s, keys + [SALT], how).drop(SALT)
+
+
+def top_key_shares(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    n: int = 10,
+) -> list[tuple[tuple, int, float]]:
+    """Skew DETECTOR: the ``n`` hottest key values and the fraction of
+    all rows each holds — ``[(key_tuple, count, share), ...]``,
+    hottest first (count desc, key asc for determinism).
+
+    One map-combined groupBy + TakeOrderedAndProject (n rows to the
+    driver) + one count — cheap enough to run ad hoc before choosing
+    a plan. Routing rule of thumb from the measured crossovers
+    (SCALING.md "skew" and "window-skew"): a top share ≳0.05 on a
+    join/window key is straggler territory on a large cluster — route
+    joins through :func:`salted_join`, aggregations through
+    :func:`salted_agg`, sessionization through
+    ``ops.sessions.sessionize_skewed``, and percentile gates through
+    ``ops.corpus.keep_top_fraction_skewed`` (the gate's two-phase form
+    pays off when one group holds ≳30% of rows)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    total = df.count()
+    if total == 0:
+        return []
+    rows = (
+        df.groupBy(*key_list)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), *[F.asc(k) for k in key_list])
+        .limit(n)
+        .collect()
+    )
+    return [
+        (tuple(r[k] for k in key_list), int(r["__n"]),
+         float(r["__n"]) / total)
+        for r in rows
+    ]

@@ -1131,6 +1131,76 @@ def op_d3_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(bm, cs, id_col="doc_id", k=10)
 
 
+_HYBRID_L2_EXACT_TOP10 = f"""
+WITH {_BM25_CTES},
+bm_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a
+  FROM bm WHERE bm25 > 0.0 ORDER BY bm25 DESC, doc_id LIMIT 20
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+l2 AS (
+  SELECT vec_id AS doc_id, list_distance(embedding::DOUBLE[], qv) AS d
+  FROM embeddings, q
+),
+l2_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY d, doc_id) AS rank_b
+  FROM l2 ORDER BY d, doc_id LIMIT 20
+),
+fused AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / CAST(60 + rank_a AS DOUBLE), 0.0)
+       + coalesce(1.0 / CAST(60 + rank_b AS DOUBLE), 0.0) AS rrf_score
+  FROM bm_rank a FULL OUTER JOIN l2_rank b USING (doc_id)
+)
+SELECT doc_id FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+@query(
+    "OP-D3-hybrid-indexed",
+    oracle=None,  # ANN tier inside → recall oracle vs the exact fusion
+    recall=RecallSpec(_HYBRID_L2_EXACT_TOP10, ("doc_id",), 0.6,
+                      exact_precision=False),
+    doc="hybrid retrieval with ZERO corpus scans (r14): RRF fusion of "
+        "the persisted inverted-index BM25 top-20 (bm25_topk_indexed — "
+        "pruned bucket read, exact) and the persisted IVF×PQ L2 top-20 "
+        "(ann_topk_indexed — pruned cell read + exact rerank of the "
+        "auto-sized shortlist), both rankers index-backed — the 100 TB "
+        "query path where neither tower touches the corpus. Recall-"
+        "oracled (floor 0.6) against the EXACT fusion: scan BM25 + "
+        "exact L2 top-20 fused with the same RRF — the lexical tower "
+        "is exact, so the only approximation is the ANN tier's "
+        "measured ~0.9 recall (ops/retrieval.py rrf_fuse, ranked "
+        "ascending for the distance tower).",
+)
+def op_d3_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.pq import ann_topk_indexed, build_ann_index
+    from filefilter_spark.ops.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+        ranked,
+        rrf_fuse,
+    )
+    from filefilter_spark.queries.inventory import _scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tix = _scratch("d3hybix/text_index")
+    aix = _scratch("d3hybix/ann_index")
+    build_text_index(docs, tix, n_buckets=16)
+    build_ann_index(emb, aix, n_lists=16, m=8, k=16, iters=1)
+    bm = ranked(
+        bm25_topk_indexed(spark, tix, list(_BM25_TERMS), k=20, n_buckets=16),
+        "bm25", "doc_id",
+    )
+    nn = ann_topk_indexed(
+        spark, aix, _query_vec(spark, sf_dir), topk=20, n_probe=4,
+        vectors=emb,
+    ).select(F.col("vec_id").alias("doc_id"), "dist2")
+    nn = ranked(nn, "dist2", "doc_id", ascending=True)
+    return rrf_fuse(bm, nn, id_col="doc_id", k=10)
+
+
 @query(
     "OP-A8-searchindex",
     oracle=f"""

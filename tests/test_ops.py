@@ -3587,6 +3587,22 @@ def test_keep_top_fraction_exact_semantics(spark):
         keep_top_fraction(df, F.col("s"), 0.0)
 
 
+def test_top_key_shares_detector(spark):
+    """The skew detector returns (key, count, share) hottest-first
+    with deterministic tie order; empty frame → empty list."""
+    from filefilter_spark.ops.skew import top_key_shares
+
+    df = spark.createDataFrame(
+        [(0, "x")] * 6 + [(1, "x")] * 3 + [(2, "x")], "k long, v string"
+    )
+    got = top_key_shares(df, "k", n=2)
+    assert got == [((0,), 6, 0.6), ((1,), 3, 0.3)]
+    assert top_key_shares(df.limit(0), "k") == []
+    # composite keys
+    got2 = top_key_shares(df, ["k", "v"], n=1)
+    assert got2 == [((0, "x"), 6, 0.6)]
+
+
 def test_ann_index_persisted_layout_roundtrip(spark, tmp_path):
     """build_ann_index -> ann_topk_indexed equals the in-memory
     ivfpq_topk (the layout is an access path); the probe plan carries

@@ -48,6 +48,9 @@ def test_oracles_cover_queries(entry):
         # its persisted-layout lifecycle twin (annindex -> search
         # mode: ann through the pipeline path), same recall oracle (r14)
         "OP-A8-annindex",
+        # zero-corpus-scan hybrid: exact indexed BM25 fused with the
+        # ANN tower -> recall oracle vs the exact fusion (r14)
+        "OP-D3-hybrid-indexed",
         "OP-D3-semdedup",  # KMeans-cell recall oracle (r5)
         "OP-D2-incremental",  # batch-touching minhash recall oracle (r5)
         # L-BFGS scores aren't bit-stable across partitionings, so the
