@@ -1161,6 +1161,27 @@ def keep_top_fraction_skewed(
         F.round(score, 6).alias(Q),
     )
 
+    def _ns_join(left: DataFrame, right: DataFrame, cols: list[str],
+                 how: str) -> DataFrame:
+        """NULL-SAFE broadcast equi-join on ``cols``: a null group,
+        score class, or radix digit is a REAL class the plain window
+        form ranks (groupBy keeps null keys; desc orders them last,
+        matching desc_nulls_last) — a plain column-list join would
+        silently drop those rows and diverge from keep_top_fraction.
+        EqualNullSafe keys still hash-join, so the broadcast shape is
+        unchanged."""
+        ren = right
+        for c in cols:
+            ren = ren.withColumnRenamed(c, f"__nsj_{c}")
+        cond = None
+        for c in cols:
+            e = F.col(c).eqNullSafe(F.col(f"__nsj_{c}"))
+            cond = e if cond is None else cond & e
+        out = left.join(F.broadcast(ren), cond, how)
+        if how not in ("semi", "left_semi"):
+            out = out.drop(*[f"__nsj_{c}" for c in cols])
+        return out
+
     # phase 1: score-class counts + per-group cap from the same counts
     classes = scored.groupBy(G, Q).agg(F.count(F.lit(1)).alias("__c"))
     wg = Window.partitionBy(G).orderBy(F.desc(Q))
@@ -1185,12 +1206,12 @@ def keep_top_fraction_skewed(
     ).select(G, Q, (F.col("__cap") - F.col("__cum")).alias("__r"))
 
     kept = [
-        scored.join(F.broadcast(full_classes), [G, Q], "semi").select(id_col)
+        _ns_join(scored, full_classes, [G, Q], "semi").select(id_col)
     ]
 
     # phase 2: radix select of the __r smallest ids in the straddling
     # class. Sign-bit flip makes unsigned digit order == signed order.
-    work = scored.join(F.broadcast(straddle), [G, Q]).select(
+    work = _ns_join(scored, straddle, [G, Q], "inner").select(
         id_col, G, "__r",
         F.col(id_col).cast("long").bitwiseXOR(
             F.lit(-9223372036854775808)
@@ -1220,10 +1241,10 @@ def keep_top_fraction_skewed(
         ).select(G, "__d", (F.col("__r2") - F.col("__cum")).alias("__rn"))
         tagged = work.withColumn("__d", dig)
         kept.append(
-            tagged.join(F.broadcast(full_d), [G, "__d"], "semi").select(id_col)
+            _ns_join(tagged, full_d, [G, "__d"], "semi").select(id_col)
         )
         work = (
-            tagged.join(F.broadcast(next_d), [G, "__d"])
+            _ns_join(tagged, next_d, [G, "__d"], "inner")
             .drop("__r", "__d")
             .withColumnRenamed("__rn", "__r")
         )

@@ -160,12 +160,28 @@ def sessionize_skewed(
             )
         ).alias("__offset"),
     )
+    # NULL-SAFE re-join: a null user key is a real partition in the
+    # plain window form (anonymous events), and a plain equality join
+    # here would silently DROP those rows — eqNullSafe keeps parity.
+    # (Null ts is different: sessionize's gap comparison folds a
+    # null-gap into "no break" while chunking separates the null-us
+    # chunk — sessionizing null timestamps is meaningless, clean them
+    # upstream.)
+    off = offsets.select(
+        F.col(user_col).alias("__off_u"),
+        F.col(CH).alias("__off_c"),
+        "__offset",
+    )
     return (
-        tagged.join(offsets, [user_col, CH])
+        tagged.join(
+            off,
+            F.col(user_col).eqNullSafe(F.col("__off_u"))
+            & F.col(CH).eqNullSafe(F.col("__off_c")),
+        )
         .withColumn(
             "session_id", (F.col("__offset") + F.col(LS)).cast("long")
         )
-        .drop(US, CH, LS, "__offset")
+        .drop(US, CH, LS, "__offset", "__off_u", "__off_c")
     )
 
 

@@ -3666,12 +3666,23 @@ def test_keep_top_fraction_skewed_equals_plain(spark):
             random.choice([0.1, 0.2, 0.2, 0.9, random.random()]), 6)
         rows.append((i, g, s))
     rows += [(-i - 1, "neg", round(random.random(), 3)) for i in range(100)]
+    # null score class, null group, and a null id: all REAL classes in
+    # the plain window form — the skewed form's null-safe joins must
+    # keep them (a plain column-list join silently dropped them)
+    rows += [(9000 + i, "hot", None) for i in range(30)]
+    rows += [(9900 + i, None, 0.7) for i in range(20)]
+    rows += [(None, "nullid", 0.5), (12000, "nullid", 0.5),
+             (12001, "nullid", 0.1)]
     df = spark.createDataFrame(rows, "doc_id long, source string, s double")
+    key = lambda x: (x is None, x if x is not None else 0)  # noqa: E731
     for frac in (0.3, 1.0, 0.001):
-        want = sorted(r["doc_id"] for r in
-                      keep_top_fraction(df, F.col("s"), frac).collect())
-        got = sorted(r["doc_id"] for r in
-                     keep_top_fraction_skewed(df, F.col("s"), frac).collect())
+        want = sorted((r["doc_id"] for r in
+                       keep_top_fraction(df, F.col("s"), frac).collect()),
+                      key=key)
+        got = sorted((r["doc_id"] for r in
+                      keep_top_fraction_skewed(df, F.col("s"),
+                                               frac).collect()),
+                     key=key)
         assert got == want, f"frac={frac}"
 
 

@@ -88,6 +88,30 @@ def test_sessionize_skewed_equals_plain_for_any_chunk_size(spark):
         assert got == want, f"chunk_seconds={chunk_s}"
 
 
+def test_sessionize_skewed_keeps_null_user_rows(spark):
+    """A null user key is a real partition in the plain window form
+    (anonymous events) — the chunked form's null-safe re-join must
+    keep those rows with identical session ids (a plain equality join
+    silently dropped them)."""
+    import datetime
+
+    from filefilter_spark.ops.sessions import sessionize, sessionize_skewed
+
+    base = datetime.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base, None), (2, base + datetime.timedelta(seconds=100), None),
+         (3, base + datetime.timedelta(seconds=5000), None),
+         (4, base, 7)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    want = {r["event_id"]: r["session_id"]
+            for r in sessionize(ev, gap_seconds=1800).collect()}
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize_skewed(ev, gap_seconds=1800,
+                                      chunk_seconds=600).collect()}
+    assert got == want and len(got) == 4
+
+
 def test_sessionize_skewed_rejects_bad_chunk(spark):
     from filefilter_spark.ops.sessions import sessionize_skewed
 

@@ -38,6 +38,18 @@ HEADLINE = [
     # algorithm, so this ratio compares an indexed join against
     # all-pairs and is expected to fall with corpus size.
     "OP-D4-bm25", "OP-D3-hybrid", "OP-B19-sessions", "OP-D2-fuzzy",
+    # round-14 operators. The -skew variants are the window-skew
+    # mitigation tier (SCALING.md "window-skew"): they pay a
+    # DELIBERATE constant overhead below the skew regime — counting
+    # passes instead of one hot-key window — and win above it
+    # (sessionize max task 145s -> 12s, gate wall crossover by
+    # 64M events on the zipf probe). Read their sf0.1 ratios as the
+    # price of the straggler collapse, not a regression; the plain
+    # forms are the balanced-key default. hybrid-indexed is
+    # recall-oracled (Spark wall-clock only) and BUILDS both
+    # persisted indexes in-row, like ivfpq.
+    "OP-B19-sessions-skew", "OP-D4-qualitygate", "OP-D4-qualitygate-skew",
+    "OP-D4-bm25-batch", "OP-D4-bm25-batch-indexed", "OP-D3-hybrid-indexed",
 ]
 
 
