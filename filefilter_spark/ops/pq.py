@@ -526,10 +526,18 @@ def ivfpq_topk(
     scale: float = 1e6,
     residual: bool = False,
     cell_counts: Mapping[int, int] | None = None,
+    dedup_ids: bool = False,
 ) -> DataFrame:
     """ANN top-k over an IVF×PQ index: score the query against the
     driver-side centroid table (n_lists rows — tiny), probe the
     ``n_probe`` nearest cells, ADC-rank ONLY the probed cells' codes.
+
+    ``dedup_ids=True`` drops duplicate id rows on the PRUNED read —
+    the replay shield for stream-grown layouts
+    (``ann_index_stream_ingest`` appends are at-least-once; a vector's
+    codes are grid-deterministic, so keeping any one copy is exact).
+    Cost is bounded by the probed cells, the same contract as
+    ``bm25_topk_indexed``'s (doc, term) dedup.
 
     Coarse probe order is squared L2 on the grid-quantized query
     (fixed left-to-right Python-float folds, ties → lowest cell id) —
@@ -613,8 +621,11 @@ def ivfpq_topk(
     else:
         adc = _adc_expr(codes_col, adc_lut(query, codebooks, scale))
     shortlist_n = topk if refine <= 0 else refine * topk
+    pruned = indexed.filter(F.col("cell").isin(probe))
+    if dedup_ids:
+        pruned = pruned.dropDuplicates([id_col])
     shortlist = (
-        indexed.filter(F.col("cell").isin(probe))
+        pruned
         .select(F.col(id_col), adc.alias("adc"))
         .orderBy("adc", id_col)
         .limit(shortlist_n)
@@ -736,7 +747,9 @@ def ann_topk_indexed(
     (``refine``/auto — requires ``vectors``) reads only the
     shortlist's point lookups. Same result contract as
     :func:`ivfpq_topk` over the in-memory index — the layout is an
-    access path."""
+    access path. Duplicate id rows from an at-least-once streaming
+    append (``ann_index_stream_ingest``) are dropped on the pruned
+    read — codes are grid-deterministic, so any copy is the copy."""
     meta = load_ann_meta(spark, path)
     codes = spark.read.parquet(f"{path}/codes")
     return ivfpq_topk(
@@ -753,4 +766,5 @@ def ann_topk_indexed(
         scale=meta["scale"],
         residual=meta["residual"],
         cell_counts=meta["cell_counts"],
+        dedup_ids=True,
     )

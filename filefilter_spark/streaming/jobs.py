@@ -1520,3 +1520,146 @@ def text_index_stream_ingest(
             "micro-batches (no matching input files?) — nothing to read"
         )
     return spark.read.parquet(post_dir)
+
+
+def ann_index_stream_ingest(
+    spark: SparkSession,
+    path: str,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    timeout_sec: int = 300,
+    max_files_per_trigger: int | None = None,
+    maintain_every: int | None = None,
+    max_files_per_partition: int = 16,
+) -> DataFrame:
+    """Continuous maintenance of a PERSISTED :func:`ops.pq.build_ann_index`
+    layout (OP-D5 × OP-A8-annindex) — the lifecycle twin of
+    :func:`text_index_stream_ingest`: each micro-batch of newly arrived
+    embeddings is assigned + encoded against the layout's FROZEN model
+    (``ivfpq_encode_batch`` over the meta sidecar's codebooks/centroids
+    — grid-exact, so a vector gets the same codes no matter which batch
+    delivered it) and appended to the cell-partitioned ``codes/``
+    table; ``ann_topk_indexed`` probes the growing layout unchanged.
+
+    Correctness under streaming semantics:
+
+    * **meta cell_counts** (the auto-refine sizing histogram) merge
+      additively per batch and carry the last applied ``batch_id``, so
+      an at-least-once replay is a no-op — and the meta rewrite goes
+      through a temp dir + atomic-as-the-store-allows swap (the
+      merge_stats contract): a crash mid-update cannot lose the model.
+    * **codes** replays can double-append; the probe path dedupes ids
+      on its PRUNED read (``ann_topk_indexed`` passes
+      ``dedup_ids=True``), so results are exact regardless.
+    * the model itself (codebooks/centroids) is FROZEN — growing a
+      corpus far past its fit distribution is a rebuild decision, the
+      same contract as the batch layout.
+
+    ``maintain_every=N`` threshold-compacts fragmented cells in-stream
+    (``ops.layout.maybe_compact`` + swap), same as every other store.
+    ``availableNow`` drains the bounded test input; an unbounded
+    deployment runs the identical plan with a durable checkpoint.
+    Returns the codes table at ``index_path`` after the drain.
+    """
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    from filefilter_spark.ops.pq import ivfpq_encode_batch, load_ann_meta
+
+    meta = load_ann_meta(spark, index_path)
+    codes_dir = f"{index_path}/codes"
+    meta_dir = f"{index_path}/meta"
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(int(max_files_per_trigger))
+        )
+    if path.endswith(".parquet") and not _is_directory(spark, path):
+        base = os.path.dirname(path) or "."
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream = reader.parquet(base)
+    else:
+        stream = reader.parquet(path)
+
+    def merge_meta(cell_adds: dict[int, int], batch_id: int) -> None:
+        cur = load_ann_meta(spark, index_path)
+        last = int(cur.get("last_batch_id", -1))
+        if batch_id <= last:
+            return  # replayed batch: counts already applied
+        counts = dict(cur["cell_counts"])
+        for c, n in cell_adds.items():
+            counts[c] = counts.get(c, 0) + n
+        cur["cell_counts"] = {str(c): n for c, n in counts.items()}
+        cur["last_batch_id"] = batch_id
+        tmp = f"{meta_dir.rstrip('/')}__tmp{batch_id}"
+        spark.createDataFrame(
+            [(_json.dumps(cur),)], "meta string"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap_dirs(spark, meta_dir, tmp, batch_id)
+
+    def maintain(batch_id: int) -> None:
+        from filefilter_spark.ops.layout import maybe_compact
+
+        tmp = f"{codes_dir.rstrip('/')}__compact{batch_id}"
+        try:
+            ran = maybe_compact(
+                spark, codes_dir, tmp, "cell", [id_col],
+                max_files_per_partition=max_files_per_partition,
+            )
+        except ValueError:
+            return
+        if ran:
+            _swap_dirs(spark, codes_dir, tmp, batch_id)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        enc = ivfpq_encode_batch(
+            batch_df,
+            meta["codebooks"],
+            meta["centroids"],
+            vec_col=vec_col,
+            id_col=id_col,
+            scale=meta["scale"],
+            residual=meta["residual"],
+        )
+        # cell histogram BEFORE the append (n_lists-bounded collect)
+        adds = {
+            int(r["cell"]): int(r["n"])
+            for r in enc.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        enc.write.partitionBy("cell").mode("append").parquet(codes_dir)
+        merge_meta(adds, batch_id)
+        if maintain_every and (batch_id + 1) % maintain_every == 0:
+            maintain(batch_id)
+
+    ckpt_base = (
+        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    )
+    ckpt = os.path.join(
+        ckpt_base, "ffspark_ckpt_annix_" + _uuid.uuid4().hex[:8]
+    )
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):  # pragma: no cover
+            raise TimeoutError(
+                f"ann_index_stream_ingest: availableNow drain did not "
+                f"finish within {timeout_sec}s — the index at "
+                f"{index_path} is PARTIAL; raise timeout_sec and rerun"
+            )
+    finally:
+        if query.isActive:  # pragma: no cover
+            query.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.read.parquet(codes_dir)

@@ -3643,6 +3643,44 @@ def test_ann_index_persisted_layout_roundtrip(spark, tmp_path):
         build_ann_index(emb.limit(0), str(tmp_path / "annix0"))
 
 
+def test_ann_index_stream_ingest_replay_idempotent(spark, tmp_path):
+    """The stream-grown ANN layout under an at-least-once REPLAY: a
+    second drain with a fresh checkpoint re-appends every batch's
+    codes (rowcount doubles) but (a) the meta cell histogram is
+    batch-id-guarded and must NOT inflate, and (b) the probe dedupes
+    ids on its pruned read, so results are identical."""
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.pq import (
+        ann_topk_indexed,
+        build_ann_index,
+        load_ann_meta,
+    )
+    from filefilter_spark.streaming.jobs import ann_index_stream_ingest
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    day1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(10)) < 7)
+    day2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(10)) >= 7)
+    ix, src = str(tmp_path / "ix"), str(tmp_path / "src")
+    build_ann_index(day1, ix, n_lists=16, m=8, k=16, iters=1)
+    day2.repartition(2).write.parquet(src)
+    ann_index_stream_ingest(spark, src, ix, max_files_per_trigger=1)
+    meta1 = load_ann_meta(spark, ix)
+    assert sum(meta1["cell_counts"].values()) == emb.count()
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    first = [tuple(r) for r in ann_topk_indexed(
+        spark, ix, qv, topk=5, n_probe=6, vectors=emb).collect()]
+    n_codes = spark.read.parquet(f"{ix}/codes").count()
+    # replay: fresh checkpoint, same files
+    ann_index_stream_ingest(spark, src, ix, max_files_per_trigger=1)
+    meta2 = load_ann_meta(spark, ix)
+    assert meta2["cell_counts"] == meta1["cell_counts"]  # guarded
+    assert spark.read.parquet(f"{ix}/codes").count() > n_codes  # dup rows
+    second = [tuple(r) for r in ann_topk_indexed(
+        spark, ix, qv, topk=5, n_probe=6, vectors=emb).collect()]
+    assert second == first  # shielded
+
+
 def test_keep_top_fraction_skewed_equals_plain(spark):
     """The count-based two-phase form (score-class counting + radix
     select on the straddling class) must keep EXACTLY the plain

@@ -51,6 +51,9 @@ def test_oracles_cover_queries(entry):
         # zero-corpus-scan hybrid: exact indexed BM25 fused with the
         # ANN tower -> recall oracle vs the exact fusion (r14)
         "OP-D3-hybrid-indexed",
+        # stream-grown ANN layout (frozen day-1 fit + day-2 ingest) ->
+        # recall oracle vs the full-corpus exact L2 (r14)
+        "OP-D5-annindex",
         "OP-D3-semdedup",  # KMeans-cell recall oracle (r5)
         "OP-D2-incremental",  # batch-touching minhash recall oracle (r5)
         # L-BFGS scores aren't bit-stable across partitionings, so the
