@@ -79,7 +79,8 @@ class SearchStage(Stage):
     attached via a broadcast semi-shape join on ``idField``.
 
     Default mode (``ops.retrieval.bm25_topk``): actionConfig ``terms``
-    (required, non-empty list), ``k`` (10), ``textField`` (text),
+    (non-empty list) or ``query`` (a whitespace-split string — the way
+    a user types it; one of the two required), ``k`` (10), ``textField`` (text),
     ``idField`` (doc_id), ``scoreField`` (bm25; reserved on the
     input), ``k1``/``b`` (1.2/0.75). With ``indexPath`` (+
     ``nBuckets``, default 64) the query runs against a persisted
@@ -118,6 +119,10 @@ class SearchStage(Stage):
 
         cfg = self.cfg.action_config
         terms = cfg.get("terms")
+        if terms is None and isinstance(cfg.get("query"), str):
+            # ergonomic twin: a query STRING splits on whitespace —
+            # dup terms are fine (every BM25 path dedupes to a term set)
+            terms = cfg["query"].split()
         id_col = cfg.get("idField", "doc_id")
         k = int(cfg.get("k", 10))
         mode = cfg.get("mode", "bm25")
@@ -125,7 +130,8 @@ class SearchStage(Stage):
             not terms or not isinstance(terms, (list, tuple))
         ):
             raise ValueError(
-                "search stage: actionConfig.terms must be a non-empty list"
+                "search stage: actionConfig.terms must be a non-empty "
+                "list (or pass actionConfig.query as a string)"
             )
         if mode not in ("bm25", "hybrid", "ann"):
             raise ValueError(
@@ -301,7 +307,8 @@ class BatchSearchStage(Stage):
     table (q_id, idField, score, rank), not the filtered corpus —
     compose it at the end of a pipeline (like ``textstats``' summary).
     actionConfig: ``queries`` (required map of query id → non-empty
-    term list), ``k`` (10), ``textField`` (text), ``idField``
+    term list OR whitespace-split query string), ``k`` (10),
+    ``textField`` (text), ``idField``
     (doc_id), ``scoreField`` (bm25), ``k1``/``b`` (1.2/0.75). With
     ``indexPath`` (+ ``nBuckets``) every query is served from ONE
     partition-pruned read of the union terms' buckets in a persisted
@@ -322,7 +329,11 @@ class BatchSearchStage(Stage):
                 "batchsearch stage: actionConfig.queries must be a "
                 "non-empty map of query id -> term list"
             )
-        norm_q = {str(q): [str(t) for t in ts] for q, ts in queries.items()}
+        norm_q = {
+            str(q): (ts.split() if isinstance(ts, str)
+                     else [str(t) for t in ts])
+            for q, ts in queries.items()
+        }
         if cfg.get("indexPath"):
             out = bm25_batch_topk_indexed(
                 self.spark,

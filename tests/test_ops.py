@@ -3533,6 +3533,12 @@ def test_text_index_stream_ingest_matches_batch(spark, tmp_path):
                  bm25_topk_indexed(spark, bix, terms, k=10,
                                    n_buckets=16).collect()]
     assert got == via_batch
+    # store cleanliness: no temp/aside dirs leaked by the stats swap
+    # or the in-stream compaction after a clean drain
+    import os
+    leaked = [d for d in os.listdir(six) if "__tmp" in d or "__old" in d
+              or "__compact" in d]
+    assert not leaked, leaked
 
 
 def test_text_index_stream_reingest_is_idempotent(spark, tmp_path):
@@ -3679,6 +3685,13 @@ def test_ann_index_stream_ingest_replay_idempotent(spark, tmp_path):
     second = [tuple(r) for r in ann_topk_indexed(
         spark, ix, qv, topk=5, n_probe=6, vectors=emb).collect()]
     assert second == first  # shielded
+    # store cleanliness: every temp/aside dir from the swap protocol
+    # must be gone after the drains (a crash between renames keeps the
+    # __old copy BY DESIGN; a clean run must not)
+    import os
+    leaked = [d for d in os.listdir(ix) if "__tmp" in d or "__old" in d
+              or "__compact" in d]
+    assert not leaked, leaked
 
 
 def test_keep_top_fraction_skewed_equals_plain(spark):

@@ -920,6 +920,15 @@ filters:
   - name: find
     actionType: search
 """)
+    # r14 ergonomic: a query STRING splits to the same term set
+    via_query = run_yaml(spark, docs, """
+filters:
+  - name: find
+    actionType: search
+    actionConfig: {query: "spark spark", k: 2}
+""")
+    assert ({r["doc_id"] for r in via_query.collect()}
+            == {r["doc_id"] for r in hits.collect()})
 
 
 def test_stage_registry_matches_config_whitelist():
