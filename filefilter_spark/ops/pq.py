@@ -674,16 +674,28 @@ def build_ann_index(
       read of ``n_probe/n_lists`` of the 32×-compressed table.
     * ``meta/``  — one row holding the JSON-encoded codebooks,
       centroids, cell-count histogram (the auto-refine sizing input —
-      no per-query count job), and the build parameters the probe
-      must reuse (``scale``, ``residual``). Everything in it is
-      driver-small: k·d codebook floats + n_lists·d centroid floats +
-      n_lists counts.
+      no per-query count job), the BUILD-TIME copy of that histogram
+      (``built_cell_counts`` — frozen forever, so
+      :func:`ann_index_drift` can compare what the model was fit on
+      against what streaming ingest later appended), and the build
+      parameters the probe must reuse (``scale``, ``residual``).
+      Everything in it is driver-small: k·d codebook floats +
+      n_lists·d centroid floats + 2·n_lists counts.
 
     The build is deterministic (grid-quantized folds, lowest-id
     seeds), so rebuilding from the same corpus reproduces the layout
     bit-identically — a refresh is a rebuild, same contract as the
     text index. An empty corpus refuses loudly (an empty partitioned
-    write is unreadable later)."""
+    write is unreadable later).
+
+    Rebuilding over an EXISTING layout goes through temp dirs + the
+    streaming maintenance swap protocol instead of overwriting in
+    place (ADVICE r14): a crash mid-rebuild leaves the old index
+    intact, and concurrent probes never see an empty ``meta/``. The
+    codes→meta swap pair is atomic-as-the-store-allows — the same
+    contract as every in-stream compaction; a refresh that must be
+    strictly atomic under concurrent probes should target a new path
+    and flip the reader."""
     import json as _json
 
     if df.limit(1).count() == 0:
@@ -695,13 +707,11 @@ def build_ann_index(
     )
     spark = df.sparkSession
     counts = ivfpq_cell_counts(indexed)
-    indexed.repartition("cell").sortWithinPartitions(id_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/codes")
     meta = {
         "codebooks": books,
         "centroids": [list(map(float, c)) for c in cents],
         "cell_counts": {str(c): n for c, n in counts.items()},
+        "built_cell_counts": {str(c): n for c, n in counts.items()},
         "scale": float(scale),
         "residual": bool(residual),
         "n_lists": int(n_lists),
@@ -709,9 +719,46 @@ def build_ann_index(
         "k": int(k),
         "id_col": id_col,
     }
-    spark.createDataFrame(
-        [(_json.dumps(meta),)], "meta string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    meta_df = spark.createDataFrame([(_json.dumps(meta),)], "meta string")
+
+    from filefilter_spark.streaming.jobs import _dir_exists, _swap_dirs
+
+    codes_dir, meta_dir = f"{path}/codes", f"{path}/meta"
+    if _dir_exists(spark, codes_dir) or _dir_exists(spark, meta_dir):
+        # refresh of a live layout: stage both tables fully, then swap
+        # codes first and meta last — load_ann_meta reads meta, so the
+        # crash window between the swaps serves old-meta+new-codes for
+        # exactly two renames (deterministic rebuilds from the same
+        # corpus make even that window a no-op)
+        codes_tmp = f"{codes_dir}__build"
+        meta_tmp = f"{meta_dir}__build"
+        indexed.repartition("cell").sortWithinPartitions(id_col).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(codes_tmp)
+        meta_df.coalesce(1).write.mode("overwrite").parquet(meta_tmp)
+        if _dir_exists(spark, codes_dir):
+            _swap_dirs(spark, codes_dir, codes_tmp, "rebuild")
+        else:  # pragma: no cover - half-written layout repair
+            spark._jvm.org.apache.hadoop.fs.Path(codes_tmp).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            ).rename(
+                spark._jvm.org.apache.hadoop.fs.Path(codes_tmp),
+                spark._jvm.org.apache.hadoop.fs.Path(codes_dir),
+            )
+        if _dir_exists(spark, meta_dir):
+            _swap_dirs(spark, meta_dir, meta_tmp, "rebuild")
+        else:  # pragma: no cover - half-written layout repair
+            spark._jvm.org.apache.hadoop.fs.Path(meta_tmp).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            ).rename(
+                spark._jvm.org.apache.hadoop.fs.Path(meta_tmp),
+                spark._jvm.org.apache.hadoop.fs.Path(meta_dir),
+            )
+    else:
+        indexed.repartition("cell").sortWithinPartitions(id_col).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(codes_dir)
+        meta_df.coalesce(1).write.mode("overwrite").parquet(meta_dir)
 
 
 def load_ann_meta(spark, path: str) -> dict:
@@ -726,7 +773,101 @@ def load_ann_meta(spark, path: str) -> dict:
     meta["cell_counts"] = {
         int(c): int(n) for c, n in meta["cell_counts"].items()
     }
+    if "built_cell_counts" in meta:
+        meta["built_cell_counts"] = {
+            int(c): int(n) for c, n in meta["built_cell_counts"].items()
+        }
     return meta
+
+
+# Drift-policy thresholds, calibrated by tools/ann_drift_probe.py
+# (SCALING.md "ANN drift signal", r15): on the measured recall curve a
+# same-distribution ingest sits at TV ≈ 0.1–0.2 with flat recall, a
+# shifted-distribution ingest reads TV ≥ ~0.45 with recall sagging at
+# the default probe width, and recall at 2× ingested mass is rebuild
+# territory regardless of TV (the frozen model never saw half the
+# corpus). "Widen" = raise n_probe (recall is probe-bound under a
+# frozen partial fit — the measured r14 law); "rebuild" = refit the
+# model, which restores the built≈ingested baseline and resets the
+# signal.
+DRIFT_TV_WIDEN = 0.30
+DRIFT_TV_REBUILD = 0.60
+DRIFT_FRAC_REBUILD = 1.0
+
+
+def ann_index_drift(meta: Mapping) -> dict:
+    """Staleness signal for a frozen-model ANN layout — purely
+    driver-side arithmetic over the meta sidecar (zero Spark jobs).
+
+    The model (centroids + codebooks) is frozen at build time;
+    streaming ingest (``ann_index_stream_ingest``) appends codes
+    encoded against it. While new data resembles the build
+    distribution, per-cell arrival rates match the build histogram and
+    probe recall holds; when the corpus drifts, mass lands in cells
+    the model under-represents and recall decays silently (measured —
+    SCALING.md "ANN index maintenance", r14). This computes how far
+    the INGESTED mass diverges from the BUILT mass:
+
+    * ``tv_distance`` — total-variation distance between the
+      normalized built histogram and the normalized ingested-delta
+      histogram (``cell_counts − built_cell_counts``), in [0, 1].
+      0 = new data lands exactly like the training data.
+    * ``ingested_frac`` — ingested rows / built rows: even
+      perfectly-shaped growth eventually warrants a refit (the model
+      was fit on a shrinking fraction of the corpus).
+    * ``action`` — the operational rule, thresholds measured by
+      ``tools/ann_drift_probe.py``: ``"ok"`` below
+      ``DRIFT_TV_WIDEN``; ``"widen_probe"`` when TV crosses it
+      (recall is probe-bound under a frozen partial fit — raise
+      ``n_probe``); ``"rebuild"`` when TV ≥ ``DRIFT_TV_REBUILD`` or
+      the ingested mass exceeds ``DRIFT_FRAC_REBUILD`` × built.
+
+    Layouts built before ``built_cell_counts`` existed return
+    ``action="unknown"`` (no frozen baseline to compare against —
+    rebuild once to start the signal)."""
+    built = meta.get("built_cell_counts") or {}
+    built = {int(c): int(n) for c, n in built.items()}
+    total = {int(c): int(n) for c, n in meta["cell_counts"].items()}
+    if not built:
+        return {
+            "n_built": None,
+            "n_ingested": None,
+            "ingested_frac": None,
+            "tv_distance": None,
+            "action": "unknown",
+        }
+    n_built = sum(built.values())
+    ingested = {
+        c: total.get(c, 0) - built.get(c, 0)
+        for c in set(total) | set(built)
+    }
+    n_ing = sum(max(0, v) for v in ingested.values())
+    if n_ing == 0 or n_built == 0:
+        tv = 0.0
+        frac = 0.0
+    else:
+        cells = set(built) | set(ingested)
+        tv = 0.5 * sum(
+            abs(
+                built.get(c, 0) / n_built
+                - max(0, ingested.get(c, 0)) / n_ing
+            )
+            for c in cells
+        )
+        frac = n_ing / n_built
+    if tv >= DRIFT_TV_REBUILD or frac >= DRIFT_FRAC_REBUILD:
+        action = "rebuild"
+    elif tv >= DRIFT_TV_WIDEN:
+        action = "widen_probe"
+    else:
+        action = "ok"
+    return {
+        "n_built": n_built,
+        "n_ingested": n_ing,
+        "ingested_frac": round(frac, 6),
+        "tv_distance": round(tv, 6),
+        "action": action,
+    }
 
 
 def ann_topk_indexed(

@@ -364,6 +364,43 @@ def _hadoop_dir_exists(spark, p: str) -> bool:
     return hp.getFileSystem(conf).exists(hp)
 
 
+def _read_index_stats(
+    spark, path: str, n_buckets: int | None, caller: str
+) -> tuple[int, float, int]:
+    """(n_docs, avgdl, n_buckets) from a text-index ``stats/`` sidecar.
+
+    The sidecar's recorded ``n_buckets`` is AUTHORITATIVE: the probe's
+    ``pmod(xxhash64(term), n_buckets)`` must replay the build's hash or
+    it prunes to the WRONG buckets and the term's postings are silently
+    filtered out — partial/empty results with no error (ADVICE r14).
+    Callers therefore default ``n_buckets=None`` (use the sidecar) and
+    an explicitly passed value that contradicts the sidecar raises
+    instead of misprobing. Layouts written before the sidecar carried
+    the field fall back to the caller's value (or the build default
+    64) — the old trust-the-parameter contract, now legacy-only."""
+    srow = spark.read.parquet(f"{path}/stats").first()
+    n = int(srow["n_docs"])
+    if n == 0:
+        raise ValueError(f"{caller}: empty index at {path!r}")
+    avgdl = float(int(srow["sum_dl"])) / n
+    stored = (
+        int(srow["n_buckets"])
+        if "n_buckets" in srow.__fields__ and srow["n_buckets"] is not None
+        else None
+    )
+    if stored is not None:
+        if n_buckets is not None and int(n_buckets) != stored:
+            raise ValueError(
+                f"{caller}: n_buckets={int(n_buckets)} contradicts the "
+                f"index's stats sidecar (built with n_buckets={stored}) "
+                f"— probing with a mismatched bucket count silently "
+                f"misses postings; omit the parameter to use the "
+                f"recorded value"
+            )
+        return n, avgdl, stored
+    return n, avgdl, 64 if n_buckets is None else int(n_buckets)
+
+
 def _indexed_term_dfs(
     spark, path: str, terms: Sequence[str], buckets: Sequence[int],
     id_col: str,
@@ -401,7 +438,7 @@ def bm25_batch_topk_indexed(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     lowercase: bool = True,
 ) -> DataFrame:
     """:func:`bm25_batch_topk` against a :func:`build_text_index`
@@ -415,6 +452,11 @@ def bm25_batch_topk_indexed(
     including dup-term dedupe, same operand order, same rounded-score
     rank with id tiebreak). Per-query top-k goes through the same
     rank window Spark rewrites to WindowGroupLimit.
+
+    ``n_buckets=None`` (default) reads the bucket count the build
+    recorded in the stats sidecar — the only value that replays the
+    build's term→bucket hash; an explicit mismatching value raises
+    (see :func:`_read_index_stats`).
 
     Returns (q_id, id_col, bm25, rank).
     """
@@ -435,11 +477,9 @@ def bm25_batch_topk_indexed(
             if t not in union_terms:
                 union_terms.append(t)
 
-    srow = spark.read.parquet(f"{path}/stats").first()
-    n = int(srow["n_docs"])
-    if n == 0:
-        raise ValueError(f"bm25_batch_topk_indexed: empty index at {path!r}")
-    avgdl = float(int(srow["sum_dl"])) / n
+    n, avgdl, n_buckets = _read_index_stats(
+        spark, path, n_buckets, "bm25_batch_topk_indexed"
+    )
 
     brow = spark.range(1).select(
         *[
@@ -516,8 +556,12 @@ def build_text_index(
       join.
     * ``terms/``    — (term, df) per distinct term, same bucketing, so
       the idf lookup is an equally pruned tiny read.
-    * ``stats/``    — one row (n_docs, sum_dl): exact int64s, from
-      which any engine reproduces avgdl bit-identically.
+    * ``stats/``    — one row (n_docs, sum_dl, n_buckets): exact
+      int64s, from which any engine reproduces avgdl bit-identically;
+      ``n_buckets`` records the bucket count the postings were hashed
+      with, so probes replay the SAME term→bucket hash without the
+      caller having to remember it (a mismatched count would silently
+      prune to the wrong buckets — ADVICE r14).
 
     Build cost: one tokenize scan + one (id, term) aggregation — the
     same postings shuffle tf-idf already pays. ``n_buckets`` bounds
@@ -533,6 +577,7 @@ def build_text_index(
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
+        F.lit(int(n_buckets)).cast("long").alias("n_buckets"),
     )
     if int(stats.first()["n_docs"]) == 0:
         raise ValueError("build_text_index: empty corpus — nothing to index")
@@ -581,7 +626,7 @@ def bm25_topk_indexed(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     lowercase: bool = True,
 ) -> DataFrame:
     """BM25 top-k against a :func:`build_text_index` layout — the
@@ -601,17 +646,20 @@ def bm25_topk_indexed(
     exactly (same formula, same normalization including dup-term
     dedupe, same rounding) — the index is an access path, not a
     different operator.
+
+    ``n_buckets=None`` (default) reads the bucket count the build
+    recorded in the stats sidecar — the only value that replays the
+    build's term→bucket hash; an explicit mismatching value raises
+    (see :func:`_read_index_stats`).
     """
     if not query_terms:
         raise ValueError("bm25_topk_indexed: query_terms must be non-empty")
     terms = _normalize_terms(query_terms, lowercase)
     import pyspark.sql.functions as _F  # local alias for lambda clarity
 
-    srow = spark.read.parquet(f"{path}/stats").first()
-    n = int(srow["n_docs"])
-    if n == 0:
-        raise ValueError(f"bm25_topk_indexed: empty index at {path!r}")
-    avgdl = float(int(srow["sum_dl"])) / n
+    n, avgdl, n_buckets = _read_index_stats(
+        spark, path, n_buckets, "bm25_topk_indexed"
+    )
 
     # term -> bucket must use the engine's own xxhash64 (there is no
     # python twin of Spark's seed-42 xxhash64): one driver-local

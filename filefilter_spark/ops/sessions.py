@@ -31,7 +31,9 @@ mitigation op: the ``ops/skew.py`` two-phase pattern applied to
 windows — sessionize within (user, coarse time-chunk), then merge
 chunk-boundary sessions via a per-chunk summary window that is
 |chunks|-sized, never |events|-sized. Results are EXACTLY equal to
-:func:`sessionize` for every input (oracled as OP-B19-sessions-skew).
+:func:`sessionize` for every input with non-null timestamps (oracled
+as OP-B19-sessions-skew); see :func:`sessionize_skewed` for the
+null-timestamp caveat.
 """
 
 from __future__ import annotations
@@ -109,10 +111,18 @@ def sessionize_skewed(
        side is tiny (AQE broadcasts it), so the events still shuffle
        ONCE end-to-end (plan-pinned in tests/test_sessions.py).
 
-    ``session_id`` equals :func:`sessionize`'s for every event —
-    exact-oracled against the same DuckDB SQL (OP-B19-sessions-skew).
-    ``chunk_seconds`` trades skew spread (smaller = more salt) against
-    summary-row count; exactness never depends on it.
+    ``session_id`` equals :func:`sessionize`'s for every event with a
+    NON-NULL timestamp — exact-oracled against the same DuckDB SQL
+    (OP-B19-sessions-skew). ``chunk_seconds`` trades skew spread
+    (smaller = more salt) against summary-row count; exactness never
+    depends on it.
+
+    **Null-timestamp caveat**: the two forms diverge on null ``ts``.
+    :func:`sessionize`'s gap comparison folds a null gap into "no
+    break" (nulls sort first and never open a session of their own),
+    while chunking isolates the null-us rows into their own chunk,
+    which opens one. Sessionizing a null timestamp is meaningless
+    either way — filter them upstream before relying on either form.
     """
     if chunk_seconds <= 0:
         raise ValueError(

@@ -939,8 +939,9 @@ def op_d4_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "layout, so the drain is MULTI-batch); each micro-batch is "
         "tokenized to postings and appended to the bucket-partitioned "
         "build_text_index layout — existing postings never reshuffle, "
-        "stats merge additively per batch (batch-id-idempotent under "
-        "at-least-once replay), df is computed fresh from the pruned "
+        "stats merge additively per batch (per-FILE-key idempotent "
+        "under at-least-once replay, surviving checkpoint loss and "
+        "batch regrouping — r15), df is computed fresh from the pruned "
         "postings (no stale terms cache), and in-stream maintenance "
         "(maintain_every=2) threshold-compacts fragmented buckets. The "
         "oracle is OP-D4-bm25's exact SQL: a query against the "
@@ -1222,8 +1223,9 @@ LIMIT 10
         "(maxFilesPerTrigger=1); each micro-batch encodes against the "
         "FROZEN model (grid-exact, batch-arrival-invariant codes), "
         "appends to the cell-partitioned codes, and merges the meta "
-        "sidecar's cell histogram additively (batch-id-idempotent, "
-        "temp+swap rewrite); in-stream maintenance threshold-compacts "
+        "sidecar's cell histogram additively (per-FILE-key idempotent "
+        "surviving checkpoint loss — r15; temp+swap rewrite); "
+        "in-stream maintenance threshold-compacts "
         "fragmented cells. ann_topk_indexed probes the grown layout "
         "unchanged (replay-shielded id dedup on the pruned read); "
         "recall-oracled vs the exact L2 top-10 of the FULL corpus "

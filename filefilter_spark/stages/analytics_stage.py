@@ -82,10 +82,12 @@ class SearchStage(Stage):
     (non-empty list) or ``query`` (a whitespace-split string — the way
     a user types it; one of the two required), ``k`` (10), ``textField`` (text),
     ``idField`` (doc_id), ``scoreField`` (bm25; reserved on the
-    input), ``k1``/``b`` (1.2/0.75). With ``indexPath`` (+
-    ``nBuckets``, default 64) the query runs against a persisted
-    ``build_text_index`` layout instead — a partition-pruned read of
-    the terms' buckets, never a corpus scan; build or refresh that
+    input), ``k1``/``b`` (1.2/0.75). With ``indexPath`` the query runs
+    against a persisted ``build_text_index`` layout instead — a
+    partition-pruned read of the terms' buckets, never a corpus scan;
+    ``nBuckets`` is OPTIONAL (the layout's stats sidecar records the
+    build's bucket count and a contradicting value raises — ADVICE
+    r14); build or refresh that
     layout with the ``searchindex`` stage upstream in the same
     pipeline (or own it externally).
 
@@ -180,7 +182,13 @@ class SearchStage(Stage):
                     id_col=id_col,
                     k1=float(cfg.get("k1", 1.2)),
                     b=float(cfg.get("b", 0.75)),
-                    n_buckets=int(cfg.get("nBuckets", 64)),
+                    # unset -> the index's stats sidecar governs (the
+                    # build recorded its bucket count; a set value
+                    # that contradicts it raises — ADVICE r14)
+                    n_buckets=(
+                        int(cfg["nBuckets"])
+                        if cfg.get("nBuckets") is not None else None
+                    ),
                 )
             return bm25_topk(
                 df,
@@ -235,8 +243,10 @@ class SearchIndexStage(Stage):
     ``pmod(xxhash64(term), nBuckets)`` with dl riding on every
     posting, a same-bucketed df table, a one-row exact-int stats
     sidecar. actionConfig: ``indexPath`` (required), ``textField``
-    (text), ``idField`` (doc_id), ``nBuckets`` (64 — must match the
-    querying stage). The frame passes through unchanged, so
+    (text), ``idField`` (doc_id), ``nBuckets`` (64; recorded in the
+    stats sidecar, so querying stages need not repeat it — a
+    contradicting value there raises). The frame passes through
+    unchanged, so
     ``searchindex`` → ``search`` composes into one pipeline; the
     build's jobs run eagerly at ``apply()`` time (model-before-plan,
     like ``search``'s stats pass). Each run OVERWRITES the layout —
@@ -310,7 +320,8 @@ class BatchSearchStage(Stage):
     term list OR whitespace-split query string), ``k`` (10),
     ``textField`` (text), ``idField``
     (doc_id), ``scoreField`` (bm25), ``k1``/``b`` (1.2/0.75). With
-    ``indexPath`` (+ ``nBuckets``) every query is served from ONE
+    ``indexPath`` (``nBuckets`` optional — the layout's stats sidecar
+    records the build's count) every query is served from ONE
     partition-pruned read of the union terms' buckets in a persisted
     ``searchindex`` layout — no corpus scan at all
     (``bm25_batch_topk_indexed``; results identical to the scan
@@ -343,7 +354,11 @@ class BatchSearchStage(Stage):
                 id_col=cfg.get("idField", "doc_id"),
                 k1=float(cfg.get("k1", 1.2)),
                 b=float(cfg.get("b", 0.75)),
-                n_buckets=int(cfg.get("nBuckets", 64)),
+                # unset -> the index's stats sidecar governs (ADVICE r14)
+                n_buckets=(
+                    int(cfg["nBuckets"])
+                    if cfg.get("nBuckets") is not None else None
+                ),
             )
         else:
             out = bm25_batch_topk(

@@ -503,6 +503,41 @@ def _swap_dirs(spark: SparkSession, live: str, tmp: str, tag) -> None:
     spark.catalog.refreshByPath(live)
 
 
+# Replay-guard horizon for the file-keyed idempotence below: how many
+# recently ingested FILE keys the sidecar remembers (16-hex-char keys →
+# the full horizon is ~128 KB of sidecar). Under a durable checkpoint
+# (the ingest default) a replay only redelivers the in-flight batch,
+# so any bound over one batch's file count suffices; the margin covers
+# manual checkpoint-loss reruns of a recent window. A rerun reaching
+# files older than the horizon (e.g. a full re-drain of months of
+# input after deleting the checkpoint) is a REBUILD decision, not a
+# replay — the sidecar cannot arbitrate it.
+_APPLIED_KEYS_HORIZON = 4096
+
+
+def _file_key(name: str) -> str:
+    """16-hex-char content key for one ingested file name."""
+    import hashlib
+
+    return hashlib.md5(name.encode("utf-8")).hexdigest()[:16]
+
+
+def _batch_files(batch_df: DataFrame) -> list[str]:
+    """Sorted distinct input file names of a foreachBatch micro-batch
+    (empty for non-file sources). The FILE — not the batch — is the
+    unit of replay identity for a file-source ingest: ``batch_id``
+    renumbers from 0 when a checkpoint is lost, and a re-drain can
+    REGROUP the same files into differently-shaped batches, so any
+    batch-level key (id or file-set hash) misidentifies a regrouped
+    replay (ADVICE r14). Per-file keys let the ingest drop exactly the
+    already-committed files from a batch and process the rest. Cost:
+    one tiny distinct over the batch's partitions."""
+    rows = (
+        batch_df.select(F.input_file_name().alias("f")).distinct().collect()
+    )
+    return sorted({r["f"] for r in rows if r["f"]})
+
+
 def pipeline_foreach_batch(
     spark: SparkSession,
     path: str,
@@ -1350,11 +1385,12 @@ def text_index_stream_ingest(
     out_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     timeout_sec: int = 300,
     max_files_per_trigger: int | None = None,
     maintain_every: int | None = None,
     max_files_per_partition: int = 16,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Continuous inverted-index maintenance (OP-D5 × OP-D4-bm25): the
     text twin of :func:`ivfpq_stream_ingest`. Each micro-batch of
@@ -1367,15 +1403,30 @@ def text_index_stream_ingest(
     Correctness under streaming semantics:
 
     * **stats** (n_docs, Σdl) are merged ADDITIVELY per batch from
-      exact int64s, tagged with the last applied ``batch_id`` so an
-      at-least-once foreachBatch replay is a no-op (idempotent stats).
-    * **postings** replays can double-append; the query path dedupes
+      exact int64s, guarded by PER-FILE keys (:func:`_batch_files`):
+      already-committed files are dropped from a replayed batch before
+      anything is computed, so an at-least-once replay is a no-op even
+      after checkpoint loss — where batch ids renumber from 0 AND the
+      rerun regroups files into differently-shaped batches, the case a
+      batch-level guard misidentifies (ADVICE r14; ``last_batch_id``
+      remains as the legacy-layout guard and an observability field).
+    * **postings** can still double-append in the crash window between
+      a batch's append and its stats commit; the query path dedupes
       (doc, term) on its pruned read and counts df as DISTINCT docs,
       so scores are exact regardless.
     * **no terms/ table is maintained** — a cached df would go stale
       the moment the next batch lands; ``bm25_topk_indexed`` detects
       the missing table and computes df from the pruned postings
       instead (exact, always fresh).
+    * **n_buckets comes from the stats sidecar** when ``out_dir``
+      already holds an index (a mismatched explicit value raises —
+      appending postings hashed with a different bucket count would
+      silently corrupt every probe); on a fresh dir the parameter
+      (default 64) is used and recorded.
+    * **the checkpoint is durable by default** (``checkpoint_dir=None``
+      → ``out_dir/_checkpoint``): a crash-and-rerun resumes batch
+      numbering and never redelivers committed input files. Pass an
+      explicit ephemeral dir only to simulate checkpoint loss.
 
     ``maintain_every=N`` closes the small-files loop in-stream, same
     as the IVF×PQ and near-dup stores: every Nth batch the
@@ -1388,9 +1439,6 @@ def text_index_stream_ingest(
     Returns the postings table at ``out_dir`` after the drain.
     """
     import os
-    import shutil
-    import tempfile
-    import uuid as _uuid
 
     import pyspark.sql.functions as F
 
@@ -1412,7 +1460,44 @@ def text_index_stream_ingest(
     post_dir = f"{out_dir}/postings"
     stats_dir = f"{out_dir}/stats"
 
-    def merge_stats(batch_df: DataFrame, batch_id: int) -> None:
+    # the layout's recorded bucket count is authoritative: appending
+    # postings hashed with a different n_buckets would scatter a term
+    # across buckets and silently break every probe's pruning
+    if _dir_exists(spark, stats_dir):
+        cur0 = spark.read.parquet(stats_dir).first()
+        if (
+            cur0 is not None
+            and "n_buckets" in cur0.__fields__
+            and cur0["n_buckets"] is not None
+        ):
+            stored_nb = int(cur0["n_buckets"])
+            if n_buckets is not None and int(n_buckets) != stored_nb:
+                raise ValueError(
+                    f"text_index_stream_ingest: n_buckets="
+                    f"{int(n_buckets)} contradicts the index's stats "
+                    f"sidecar (built with n_buckets={stored_nb}); omit "
+                    f"the parameter to append with the recorded value"
+                )
+            n_buckets = stored_nb
+    n_buckets = 64 if n_buckets is None else int(n_buckets)
+
+    def _stats_row():
+        if not _dir_exists(spark, stats_dir):
+            return None
+        return spark.read.parquet(stats_dir).first()
+
+    def _seen_keys(cur) -> list[str]:
+        if (
+            cur is not None
+            and "applied_keys" in cur.__fields__
+            and cur["applied_keys"] is not None
+        ):
+            return list(cur["applied_keys"])
+        return []
+
+    def merge_stats(
+        batch_df: DataFrame, batch_id: int, new_keys: list[str]
+    ) -> None:
         src = F.lower(F.col(text_col))
         row = (
             batch_df.select(F.size(tokens(src)).alias("dl"))
@@ -1420,28 +1505,24 @@ def text_index_stream_ingest(
             .first()
         )
         bn, bs = int(row["n"]), int(row["s"] or 0)
-        n0, s0 = 0, 0
-        if _dir_exists(spark, stats_dir):
-            cur = spark.read.parquet(stats_dir).first()
-            if cur is not None:
-                last = (
-                    int(cur["last_batch_id"])
-                    if "last_batch_id" in cur.__fields__ else -1
-                )
-                if batch_id <= last:
-                    return  # replayed batch: stats already applied
-                n0, s0 = int(cur["n_docs"]), int(cur["sum_dl"])
+        cur = _stats_row()
+        if bn == 0 and cur is None:
+            return  # empty first batch: nothing to record yet
+        n0 = int(cur["n_docs"]) if cur is not None else 0
+        s0 = int(cur["sum_dl"]) if cur is not None else 0
+        keys = (_seen_keys(cur) + new_keys)[-_APPLIED_KEYS_HORIZON:]
         # write-to-temp + swap, NOT overwrite-in-place: a crash mid
         # overwrite would leave stats/ empty — losing the cumulative
-        # (n_docs, sum_dl) AND the last_batch_id replay guard, so a
-        # restart would rebuild stats from only the replayed batches
-        # and silently skew avgdl/idf for every later query (ADVICE
-        # r13). Same atomic-as-the-store-allows contract as the
-        # postings compaction.
+        # (n_docs, sum_dl) AND the replay guard, so a restart would
+        # rebuild stats from only the replayed batches and silently
+        # skew avgdl/idf for every later query (ADVICE r13). Same
+        # atomic-as-the-store-allows contract as the postings
+        # compaction.
         tmp = f"{stats_dir.rstrip('/')}__tmp{batch_id}"
         spark.createDataFrame(
-            [(n0 + bn, s0 + bs, batch_id)],
-            "n_docs long, sum_dl long, last_batch_id long",
+            [(n0 + bn, s0 + bs, int(n_buckets), batch_id, keys)],
+            "n_docs long, sum_dl long, n_buckets long, "
+            "last_batch_id long, applied_keys array<string>",
         ).coalesce(1).write.mode("overwrite").parquet(tmp)
         if _dir_exists(spark, stats_dir):
             _swap_dirs(spark, stats_dir, tmp, batch_id)
@@ -1470,6 +1551,36 @@ def text_index_stream_ingest(
             _swap_dirs(spark, post_dir, tmp, batch_id)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        files = _batch_files(batch_df)
+        cur = _stats_row()
+        seen = _seen_keys(cur)
+        if files:
+            if not seen and cur is not None and (
+                "last_batch_id" in cur.__fields__
+                and cur["last_batch_id"] is not None
+                and batch_id <= int(cur["last_batch_id"])
+            ):
+                return  # legacy layout (no keys yet): batch-id guard
+            new = [f for f in files if _file_key(f) not in seen]
+            if not new:
+                return  # every file already committed: replay no-op
+            if len(new) < len(files):
+                # partial replay (checkpoint loss regrouped batches):
+                # process only the files the sidecar has not committed
+                batch_df = batch_df.filter(F.input_file_name().isin(new))
+            new_keys = [_file_key(f) for f in new]
+        else:
+            # non-file source: fall back to batch-id keying
+            bk = f"batch:{batch_id}"
+            if bk in seen:
+                return
+            if not seen and cur is not None and (
+                "last_batch_id" in cur.__fields__
+                and cur["last_batch_id"] is not None
+                and batch_id <= int(cur["last_batch_id"])
+            ):
+                return
+            new_keys = [bk]
         src = F.lower(F.col(text_col))
         postings = (
             batch_df.select(
@@ -1487,16 +1598,14 @@ def text_index_stream_ingest(
             )
         )
         postings.write.partitionBy("bucket").mode("append").parquet(post_dir)
-        merge_stats(batch_df, batch_id)
+        merge_stats(batch_df, batch_id, new_keys)
         if maintain_every and (batch_id + 1) % maintain_every == 0:
             maintain(batch_id)
 
-    ckpt_base = (
-        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    )
-    ckpt = os.path.join(
-        ckpt_base, "ffspark_ckpt_textix_" + _uuid.uuid4().hex[:8]
-    )
+    # durable by default, co-located with the index (ADVICE r14): the
+    # file source then tracks committed input across restarts, so a
+    # crash-and-rerun resumes instead of renumbering batches from 0
+    ckpt = checkpoint_dir or f"{out_dir}/_checkpoint"
     query = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", ckpt)
@@ -1513,7 +1622,6 @@ def text_index_stream_ingest(
     finally:
         if query.isActive:  # pragma: no cover
             query.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
     if not _dir_exists(spark, post_dir):
         raise ValueError(
             "text_index_stream_ingest: the availableNow run produced no "
@@ -1532,6 +1640,8 @@ def ann_index_stream_ingest(
     max_files_per_trigger: int | None = None,
     maintain_every: int | None = None,
     max_files_per_partition: int = 16,
+    checkpoint_dir: str | None = None,
+    on_batch=None,
 ) -> DataFrame:
     """Continuous maintenance of a PERSISTED :func:`ops.pq.build_ann_index`
     layout (OP-D5 × OP-A8-annindex) — the lifecycle twin of
@@ -1545,11 +1655,22 @@ def ann_index_stream_ingest(
     Correctness under streaming semantics:
 
     * **meta cell_counts** (the auto-refine sizing histogram) merge
-      additively per batch and carry the last applied ``batch_id``, so
-      an at-least-once replay is a no-op — and the meta rewrite goes
-      through a temp dir + atomic-as-the-store-allows swap (the
-      merge_stats contract): a crash mid-update cannot lose the model.
-    * **codes** replays can double-append; the probe path dedupes ids
+      additively per batch, guarded by PER-FILE keys
+      (:func:`_batch_files`): already-committed files are dropped from
+      a replayed batch before encoding, so an at-least-once replay is
+      a no-op even after checkpoint loss — where batch ids renumber
+      from 0 AND the rerun regroups files into differently-shaped
+      batches, the case a batch-level guard misidentifies (ADVICE r14;
+      ``last_batch_id`` remains for legacy layouts/observability) —
+      and the meta rewrite goes through a temp dir +
+      atomic-as-the-store-allows swap (the merge_stats contract): a
+      crash mid-update cannot lose the model.
+    * **the checkpoint is durable by default** (``checkpoint_dir=None``
+      → ``index_path/_checkpoint``): a crash-and-rerun resumes batch
+      numbering and never redelivers committed input files. Pass an
+      explicit ephemeral dir only to simulate checkpoint loss.
+    * **codes** can still double-append in the crash window between a
+      batch's append and its meta commit; the probe path dedupes ids
       on its PRUNED read (``ann_topk_indexed`` passes
       ``dedup_ids=True``), so results are exact regardless.
     * the model itself (codebooks/centroids) is FROZEN — growing a
@@ -1558,15 +1679,20 @@ def ann_index_stream_ingest(
 
     ``maintain_every=N`` threshold-compacts fragmented cells in-stream
     (``ops.layout.maybe_compact`` + swap), same as every other store.
+    ``on_batch`` (opt-in metrics hook, the minhash/semdedup contract)
+    is called after each applied micro-batch with ``{batch_id, n_in,
+    seconds}`` plus the :func:`ops.pq.ann_index_drift` staleness
+    signal computed from the just-merged meta (driver-side arithmetic,
+    zero extra jobs) — the operational wire for the widen-probe /
+    rebuild policy: a deployment alerts on ``action != "ok"`` instead
+    of learning about drift from falling recall.
     ``availableNow`` drains the bounded test input; an unbounded
     deployment runs the identical plan with a durable checkpoint.
     Returns the codes table at ``index_path`` after the drain.
     """
     import json as _json
     import os
-    import shutil
-    import tempfile
-    import uuid as _uuid
+    import time as _time
 
     from filefilter_spark.ops.pq import ivfpq_encode_batch, load_ann_meta
 
@@ -1587,21 +1713,38 @@ def ann_index_stream_ingest(
     else:
         stream = reader.parquet(path)
 
-    def merge_meta(cell_adds: dict[int, int], batch_id: int) -> None:
-        cur = load_ann_meta(spark, index_path)
-        last = int(cur.get("last_batch_id", -1))
-        if batch_id <= last:
-            return  # replayed batch: counts already applied
+    def merge_meta(
+        cell_adds: dict[int, int],
+        batch_id: int,
+        cur: dict,
+        new_keys: list[str],
+    ) -> dict:
+        keys = list(cur.get("applied_keys") or [])
         counts = dict(cur["cell_counts"])
         for c, n in cell_adds.items():
             counts[c] = counts.get(c, 0) + n
+        cur = dict(cur)
         cur["cell_counts"] = {str(c): n for c, n in counts.items()}
+        built = cur.get("built_cell_counts")
+        if built:
+            cur["built_cell_counts"] = {
+                str(c): int(n) for c, n in built.items()
+            }
         cur["last_batch_id"] = batch_id
+        cur["applied_keys"] = (keys + new_keys)[-_APPLIED_KEYS_HORIZON:]
+        out = {
+            **cur,
+            "cell_counts": {int(c): n for c, n in counts.items()},
+            "built_cell_counts": (
+                {int(c): int(n) for c, n in built.items()} if built else built
+            ),
+        }
         tmp = f"{meta_dir.rstrip('/')}__tmp{batch_id}"
         spark.createDataFrame(
             [(_json.dumps(cur),)], "meta string"
         ).coalesce(1).write.mode("overwrite").parquet(tmp)
         _swap_dirs(spark, meta_dir, tmp, batch_id)
+        return out
 
     def maintain(batch_id: int) -> None:
         from filefilter_spark.ops.layout import maybe_compact
@@ -1618,33 +1761,71 @@ def ann_index_stream_ingest(
             _swap_dirs(spark, codes_dir, tmp, batch_id)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        enc = ivfpq_encode_batch(
-            batch_df,
-            meta["codebooks"],
-            meta["centroids"],
-            vec_col=vec_col,
-            id_col=id_col,
-            scale=meta["scale"],
-            residual=meta["residual"],
-        )
-        # cell histogram BEFORE the append (n_lists-bounded collect)
-        adds = {
-            int(r["cell"]): int(r["n"])
-            for r in enc.groupBy("cell").agg(
-                F.count(F.lit(1)).alias("n")
-            ).collect()
-        }
-        enc.write.partitionBy("cell").mode("append").parquet(codes_dir)
-        merge_meta(adds, batch_id)
-        if maintain_every and (batch_id + 1) % maintain_every == 0:
-            maintain(batch_id)
+        t0 = _time.time() if on_batch is not None else 0.0
+        files = _batch_files(batch_df)
+        cur = load_ann_meta(spark, index_path)
+        seen = list(cur.get("applied_keys") or [])
+        applied = True
+        new: list[str] = []
+        if files:
+            if not seen and batch_id <= int(cur.get("last_batch_id", -1)):
+                applied = False  # legacy layout (no keys): batch-id guard
+            else:
+                new = [f for f in files if _file_key(f) not in seen]
+                if not new:
+                    applied = False  # every file committed: replay no-op
+                elif len(new) < len(files):
+                    # partial replay (checkpoint loss regrouped
+                    # batches): encode only the uncommitted files
+                    batch_df = batch_df.filter(
+                        F.input_file_name().isin(new)
+                    )
+            new_keys = [_file_key(f) for f in new]
+        else:
+            bk = f"batch:{batch_id}"
+            if bk in seen or (
+                not seen and batch_id <= int(cur.get("last_batch_id", -1))
+            ):
+                applied = False
+            new_keys = [bk]
+        merged = None
+        if applied:
+            enc = ivfpq_encode_batch(
+                batch_df,
+                meta["codebooks"],
+                meta["centroids"],
+                vec_col=vec_col,
+                id_col=id_col,
+                scale=meta["scale"],
+                residual=meta["residual"],
+            )
+            # cell histogram BEFORE the append (n_lists-bounded collect)
+            adds = {
+                int(r["cell"]): int(r["n"])
+                for r in enc.groupBy("cell").agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            }
+            if not adds:
+                return  # empty batch: nothing to append or merge
+            enc.write.partitionBy("cell").mode("append").parquet(codes_dir)
+            merged = merge_meta(adds, batch_id, cur, new_keys)
+            if maintain_every and (batch_id + 1) % maintain_every == 0:
+                maintain(batch_id)
+        if on_batch is not None:
+            from filefilter_spark.ops.pq import ann_index_drift
 
-    ckpt_base = (
-        "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    )
-    ckpt = os.path.join(
-        ckpt_base, "ffspark_ckpt_annix_" + _uuid.uuid4().hex[:8]
-    )
+            on_batch({
+                "batch_id": batch_id,
+                "n_in": sum(adds.values()) if merged is not None else 0,
+                "applied": merged is not None,
+                "seconds": _time.time() - t0,
+                **ann_index_drift(merged if merged is not None else cur),
+            })
+
+    # durable by default, co-located with the index (ADVICE r14): see
+    # text_index_stream_ingest — committed input never redelivers
+    ckpt = checkpoint_dir or f"{index_path}/_checkpoint"
     query = (
         stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", ckpt)
@@ -1661,5 +1842,4 @@ def ann_index_stream_ingest(
     finally:
         if query.isActive:  # pragma: no cover
             query.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.read.parquet(codes_dir)

@@ -3542,16 +3542,25 @@ def test_text_index_stream_ingest_matches_batch(spark, tmp_path):
 
 
 def test_text_index_stream_reingest_is_idempotent(spark, tmp_path):
-    """An at-least-once replay (here: a full second drain into the same
-    index with a fresh checkpoint, the worst case) must not change
-    query results: stats merging is batch-id-gated and the query path
-    dedupes (doc, term) / counts df over distinct docs."""
-    from filefilter_spark.ops.retrieval import bm25_topk_indexed
+    """An at-least-once replay must not change query results, in ALL
+    THREE failure models: (a) the durable default checkpoint makes a
+    rerun a no-op at the source (committed files never redeliver);
+    (b) after CHECKPOINT LOSS (explicit fresh checkpoint_dir — batch
+    ids renumber AND the drain regroups files into one big batch) the
+    per-FILE key guard drops every committed file; (c) checkpoint loss
+    WITH new data arrived — the regrouped batch mixes committed and
+    new files, and only the new ones may be ingested (the case a
+    batch-level guard double-counts or drops)."""
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.retrieval import bm25_topk, bm25_topk_indexed
     from filefilter_spark.streaming.jobs import text_index_stream_ingest
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    part1 = docs.filter(F.col("doc_id") % 5 != 0)
+    part2 = docs.filter(F.col("doc_id") % 5 == 0)
     src = str(tmp_path / "in")
-    docs.repartition(3).write.parquet(src)
+    part1.repartition(3).write.parquet(src)
     ix = str(tmp_path / "ix")
     text_index_stream_ingest(spark, src, ix, n_buckets=8,
                              max_files_per_trigger=1)
@@ -3559,14 +3568,30 @@ def test_text_index_stream_reingest_is_idempotent(spark, tmp_path):
     first = [tuple(r) for r in
              bm25_topk_indexed(spark, ix, terms, k=10, n_buckets=8).collect()]
     stats1 = spark.read.parquet(f"{ix}/stats").first()
-    text_index_stream_ingest(spark, src, ix, n_buckets=8,
-                             max_files_per_trigger=1)  # replay
-    second = [tuple(r) for r in
-              bm25_topk_indexed(spark, ix, terms, k=10, n_buckets=8).collect()]
+    n_post1 = spark.read.parquet(f"{ix}/postings").count()
+    # (a) durable default: rerun redelivers nothing at all
+    text_index_stream_ingest(spark, src, ix, max_files_per_trigger=1)
+    assert spark.read.parquet(f"{ix}/postings").count() == n_post1
+    # (b) checkpoint loss: full re-drain, all files in ONE batch (ids
+    # renumber, grouping shifts) — the per-file guard drops everything
+    text_index_stream_ingest(spark, src, ix,
+                             checkpoint_dir=str(tmp_path / "ckb"))
     stats2 = spark.read.parquet(f"{ix}/stats").first()
-    assert second == first
+    assert spark.read.parquet(f"{ix}/postings").count() == n_post1
     assert (stats2["n_docs"], stats2["sum_dl"]) == (
         stats1["n_docs"], stats1["sum_dl"])
+    assert [tuple(r) for r in
+            bm25_topk_indexed(spark, ix, terms, k=10).collect()] == first
+    # (c) checkpoint loss + new data: the re-drain sees old AND new
+    # files in one batch; only the new files may count
+    part2.coalesce(1).write.mode("append").parquet(src)
+    text_index_stream_ingest(spark, src, ix,
+                             checkpoint_dir=str(tmp_path / "ckc"))
+    stats3 = spark.read.parquet(f"{ix}/stats").first()
+    assert stats3["n_docs"] == docs.count()
+    assert [tuple(r) for r in
+            bm25_topk_indexed(spark, ix, terms, k=10).collect()] == [
+        tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
 
 
 def test_keep_top_fraction_exact_semantics(spark):
@@ -3650,11 +3675,14 @@ def test_ann_index_persisted_layout_roundtrip(spark, tmp_path):
 
 
 def test_ann_index_stream_ingest_replay_idempotent(spark, tmp_path):
-    """The stream-grown ANN layout under an at-least-once REPLAY: a
-    second drain with a fresh checkpoint re-appends every batch's
-    codes (rowcount doubles) but (a) the meta cell histogram is
-    batch-id-guarded and must NOT inflate, and (b) the probe dedupes
-    ids on its pruned read, so results are identical."""
+    """The stream-grown ANN layout under at-least-once REPLAYS across
+    all three failure models: (a) a rerun on the durable default
+    checkpoint redelivers nothing; (b) a re-drain after CHECKPOINT
+    LOSS (fresh checkpoint_dir, files regrouped into one batch) is
+    dropped file-by-file by the per-file key guard — neither the meta
+    histogram nor the codes table may change; (c) checkpoint loss with
+    NEW data arrived ingests exactly the new files once. The on_batch
+    hook reports applied=False + a drift signal for replayed batches."""
     import pyspark.sql.functions as F
 
     from filefilter_spark.ops.pq import (
@@ -3665,33 +3693,177 @@ def test_ann_index_stream_ingest_replay_idempotent(spark, tmp_path):
     from filefilter_spark.streaming.jobs import ann_index_stream_ingest
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    day1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(10)) < 7)
-    day2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(10)) >= 7)
+    day1 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(10)) < 6)
+    day2 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(10)).isin(6, 7))
+    day3 = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(10)) >= 8)
     ix, src = str(tmp_path / "ix"), str(tmp_path / "src")
     build_ann_index(day1, ix, n_lists=16, m=8, k=16, iters=1)
     day2.repartition(2).write.parquet(src)
     ann_index_stream_ingest(spark, src, ix, max_files_per_trigger=1)
     meta1 = load_ann_meta(spark, ix)
-    assert sum(meta1["cell_counts"].values()) == emb.count()
+    assert sum(meta1["cell_counts"].values()) == day1.count() + day2.count()
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     first = [tuple(r) for r in ann_topk_indexed(
         spark, ix, qv, topk=5, n_probe=6, vectors=emb).collect()]
     n_codes = spark.read.parquet(f"{ix}/codes").count()
-    # replay: fresh checkpoint, same files
+    # (a) durable default: rerun is a source-level no-op
     ann_index_stream_ingest(spark, src, ix, max_files_per_trigger=1)
+    assert spark.read.parquet(f"{ix}/codes").count() == n_codes
+    # (b) checkpoint loss: full re-drain, one regrouped batch — the
+    # per-file guard must drop every committed file
+    batches = []
+    ann_index_stream_ingest(spark, src, ix,
+                            checkpoint_dir=str(tmp_path / "ckb"),
+                            on_batch=batches.append)
     meta2 = load_ann_meta(spark, ix)
     assert meta2["cell_counts"] == meta1["cell_counts"]  # guarded
-    assert spark.read.parquet(f"{ix}/codes").count() > n_codes  # dup rows
+    assert spark.read.parquet(f"{ix}/codes").count() == n_codes
+    assert batches and all(not b["applied"] for b in batches)
+    assert all(b["action"] in ("ok", "widen_probe", "rebuild")
+               for b in batches)
     second = [tuple(r) for r in ann_topk_indexed(
         spark, ix, qv, topk=5, n_probe=6, vectors=emb).collect()]
-    assert second == first  # shielded
+    assert second == first
+    # (c) checkpoint loss + new data: only day3's file may ingest
+    day3.coalesce(1).write.mode("append").parquet(src)
+    ann_index_stream_ingest(spark, src, ix,
+                            checkpoint_dir=str(tmp_path / "ckc"))
+    meta3 = load_ann_meta(spark, ix)
+    assert sum(meta3["cell_counts"].values()) == emb.count()
     # store cleanliness: every temp/aside dir from the swap protocol
     # must be gone after the drains (a crash between renames keeps the
     # __old copy BY DESIGN; a clean run must not)
     import os
     leaked = [d for d in os.listdir(ix) if "__tmp" in d or "__old" in d
-              or "__compact" in d]
+              or "__compact" in d or "__build" in d]
     assert not leaked, leaked
+
+
+def test_text_index_nbuckets_from_sidecar(spark, tmp_path):
+    """The stats sidecar records n_buckets at build; probes default to
+    it (no parameter to remember), a contradicting explicit value
+    raises instead of silently pruning the wrong buckets, and the
+    stream ingest refuses to append with a mismatched count
+    (ADVICE r14 medium)."""
+    import pytest as _pytest
+
+    from filefilter_spark.ops.retrieval import (
+        bm25_batch_topk_indexed,
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from filefilter_spark.streaming.jobs import text_index_stream_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ix = str(tmp_path / "ix")
+    build_text_index(docs, ix, n_buckets=8)
+    assert int(spark.read.parquet(f"{ix}/stats").first()["n_buckets"]) == 8
+    terms = ["spark", "merge"]
+    scan = [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    # no parameter: the sidecar's value drives the bucket hash
+    got = [tuple(r) for r in
+           bm25_topk_indexed(spark, ix, terms, k=10).collect()]
+    assert got == scan
+    # matching explicit value still accepted
+    assert [tuple(r) for r in
+            bm25_topk_indexed(spark, ix, terms, k=10,
+                              n_buckets=8).collect()] == scan
+    # contradicting value: loud error, not silent partial results
+    with _pytest.raises(ValueError, match="n_buckets=16 contradicts"):
+        bm25_topk_indexed(spark, ix, terms, k=10, n_buckets=16).collect()
+    with _pytest.raises(ValueError, match="contradicts"):
+        bm25_batch_topk_indexed(spark, ix, {"q": terms}, k=10,
+                                n_buckets=32).collect()
+    # the stream ingest must not append postings hashed differently
+    src = str(tmp_path / "in")
+    docs.limit(10).write.parquet(src)
+    with _pytest.raises(ValueError, match="contradicts"):
+        text_index_stream_ingest(spark, src, ix, n_buckets=64)
+    # omitted: appends with the recorded value
+    text_index_stream_ingest(spark, src, ix)
+
+
+def test_build_ann_index_rebuild_swaps_atomically(spark, tmp_path):
+    """Rebuilding over an existing layout stages codes/meta in temp
+    dirs and swaps (ADVICE r14): results equal a fresh-path build, the
+    meta matches the new corpus, built_cell_counts is reset to the new
+    build, and no __build/__old dirs leak."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.pq import (
+        ann_topk_indexed,
+        build_ann_index,
+        load_ann_meta,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    ix = str(tmp_path / "ix")
+    build_ann_index(half, ix, n_lists=16, m=8, k=16, iters=1)
+    # refresh in place with the FULL corpus
+    build_ann_index(emb, ix, n_lists=16, m=8, k=16, iters=1)
+    meta = load_ann_meta(spark, ix)
+    assert sum(meta["cell_counts"].values()) == emb.count()
+    assert meta["built_cell_counts"] == meta["cell_counts"]  # reset
+    fresh = str(tmp_path / "fresh")
+    build_ann_index(emb, fresh, n_lists=16, m=8, k=16, iters=1)
+    qv = [float(x) for x in emb.filter("vec_id = 5").first()["embedding"]]
+    got = [tuple(r) for r in ann_topk_indexed(
+        spark, ix, qv, topk=5, n_probe=4, vectors=emb).collect()]
+    want = [tuple(r) for r in ann_topk_indexed(
+        spark, fresh, qv, topk=5, n_probe=4, vectors=emb).collect()]
+    assert got == want
+    leaked = [d for d in os.listdir(ix) if "__build" in d or "__old" in d]
+    assert not leaked, leaked
+
+
+def test_ann_index_drift_signal():
+    """ann_index_drift is pure driver arithmetic: TV=0/ok when ingest
+    mirrors the build distribution, widen_probe past the TV threshold,
+    rebuild on extreme TV or 2x growth, unknown for legacy metas."""
+    from filefilter_spark.ops.pq import (
+        DRIFT_FRAC_REBUILD,
+        DRIFT_TV_REBUILD,
+        DRIFT_TV_WIDEN,
+        ann_index_drift,
+    )
+
+    built = {0: 100, 1: 100, 2: 100, 3: 100}
+    same = ann_index_drift(
+        {"cell_counts": {c: n + n // 10 for c, n in built.items()},
+         "built_cell_counts": built})
+    assert same["tv_distance"] == 0.0 and same["action"] == "ok"
+    assert same["ingested_frac"] == 0.1
+    # all new mass lands in ONE cell the model under-represents
+    shifted = ann_index_drift(
+        {"cell_counts": {0: 100, 1: 100, 2: 100, 3: 180},
+         "built_cell_counts": built})
+    assert shifted["tv_distance"] == 0.75  # 1 - 0.25 shared mass
+    assert shifted["action"] == "rebuild"
+    assert DRIFT_TV_WIDEN < DRIFT_TV_REBUILD <= 0.75
+    # moderate drift: half the new mass follows the build, half piles
+    # on one cell -> widen the probe
+    mid = ann_index_drift(
+        {"cell_counts": {0: 110, 1: 110, 2: 110, 3: 150},
+         "built_cell_counts": built})
+    assert 0 < DRIFT_TV_WIDEN <= mid["tv_distance"] < DRIFT_TV_REBUILD
+    assert mid["action"] == "widen_probe"
+    # pure growth, same shape: rebuild once ingested >= built
+    grown = ann_index_drift(
+        {"cell_counts": {c: n * (1 + DRIFT_FRAC_REBUILD) for c, n
+                         in built.items()},
+         "built_cell_counts": built})
+    assert grown["tv_distance"] == 0.0 and grown["action"] == "rebuild"
+    # no baseline (pre-r15 layout): signal is honest about not knowing
+    legacy = ann_index_drift({"cell_counts": built})
+    assert legacy["action"] == "unknown" and legacy["tv_distance"] is None
+    # untouched index
+    zero = ann_index_drift(
+        {"cell_counts": built, "built_cell_counts": built})
+    assert zero["tv_distance"] == 0.0 and zero["action"] == "ok"
 
 
 def test_keep_top_fraction_skewed_equals_plain(spark):
