@@ -133,3 +133,47 @@ def top_key_shares(
          float(r["__n"]) / total)
         for r in rows
     ]
+
+
+# Auto-routing threshold, from the measured crossovers (SCALING.md
+# "Window-skew tier" and "Salted join straggler collapse"): the
+# two-phase/salted forms pay a constant overhead below the skew regime
+# and win past roughly one key holding ~30% of rows — below it the
+# plain single-window/join form is faster AND simpler.
+SKEW_AUTO_THRESHOLD = 0.30
+
+
+def max_key_share(
+    df: DataFrame, keys: Sequence[str] | str
+) -> float:
+    """Fraction of all rows held by the HOTTEST key — the one number
+    the ``skewed: auto`` routing needs, in ONE job: groupBy count with
+    map-side combine (shuffle bounded by distinct keys), then a
+    single-row max/sum fan-in. Unlike :func:`top_key_shares` it skips
+    the separate total count and never materializes key identities.
+    Returns 0.0 for an empty frame."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    row = (
+        df.groupBy(*key_list)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__mx"), F.sum("__n").alias("__tot"))
+        .first()
+    )
+    if row is None or row["__tot"] is None or int(row["__tot"]) == 0:
+        return 0.0
+    return float(row["__mx"]) / float(row["__tot"])
+
+
+def should_route_skewed(
+    df: DataFrame,
+    keys: Sequence[str] | str,
+    threshold: float = SKEW_AUTO_THRESHOLD,
+) -> tuple[bool, float]:
+    """The ``skewed: auto`` decision (r15, mechanizing the SCALING.md
+    rule of thumb): ``(route_to_skewed_form, measured_max_share)``.
+    One bounded detector job (:func:`max_key_share`) — at 100 TB
+    that's one extra map-combined pass, the price of not having to
+    know your key distribution in advance; callers who DO know pass
+    ``skewed: true/false`` and skip it."""
+    share = max_key_share(df, keys)
+    return share >= float(threshold), share

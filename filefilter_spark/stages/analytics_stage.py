@@ -33,9 +33,13 @@ layout).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 
 from filefilter_spark.stages.base import Stage
+
+_log = logging.getLogger("filefilter_spark")
 
 
 class SessionizeStage(Stage):
@@ -46,8 +50,10 @@ class SessionizeStage(Stage):
     ``outputField`` (session_id; reserved on the input — raises on
     collision), ``skewed`` (false; true routes through
     ``sessionize_skewed`` — identical ids, chunk-salted plan for
-    power-law users) and ``chunkSeconds`` (86400, the salt
-    granularity when skewed)."""
+    power-law users; ``auto`` measures the hottest user's row share
+    with one bounded detector job and routes past the measured ~30%
+    threshold — ``ops.skew.should_route_skewed``, decision logged)
+    and ``chunkSeconds`` (86400, the salt granularity when skewed)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
         from filefilter_spark.ops.order import _check_reserved
@@ -62,7 +68,18 @@ class SessionizeStage(Stage):
             id_col=cfg.get("idField", "event_id"),
             gap_seconds=int(cfg.get("gapSeconds", 1800)),
         )
-        if cfg.get("skewed"):
+        skewed = cfg.get("skewed", False)
+        if isinstance(skewed, str) and skewed.lower() == "auto":
+            from filefilter_spark.ops.skew import should_route_skewed
+
+            skewed, share = should_route_skewed(df, kwargs["user_col"])
+            _log.info(
+                "sessionize[%s]: skewed=auto measured max user share "
+                "%.3f -> %s plan",
+                self.cfg.name, share,
+                "chunk-salted" if skewed else "plain",
+            )
+        if skewed:
             tagged = sessionize_skewed(
                 df, chunk_seconds=int(cfg.get("chunkSeconds", 86_400)),
                 **kwargs,

@@ -718,9 +718,14 @@ class QualityGateStage(Stage):
     with the composite quality heuristic). ``skewed: true`` routes
     through ``keep_top_fraction_skewed`` (identical kept set, counts
     instead of a per-group row window — for power-law groups; requires
-    an integral idField)."""
+    an integral idField); ``skewed: auto`` measures the hottest
+    group's row share with one bounded detector job and routes past
+    the measured ~30% threshold (``ops.skew.should_route_skewed``,
+    decision logged)."""
 
     def apply(self, df: DataFrame) -> DataFrame:
+        import logging
+
         import pyspark.sql.functions as F
 
         from filefilter_spark.ops.corpus import (
@@ -739,7 +744,20 @@ class QualityGateStage(Stage):
             if cfg.get("scoreField")
             else quality_score(cfg.get("textField", "text"))
         )
-        gate = keep_top_fraction_skewed if cfg.get("skewed") else keep_top_fraction
+        skewed = cfg.get("skewed", False)
+        if isinstance(skewed, str) and skewed.lower() == "auto":
+            from filefilter_spark.ops.skew import should_route_skewed
+
+            skewed, share = should_route_skewed(
+                df, cfg.get("groupField", "source")
+            )
+            logging.getLogger("filefilter_spark").info(
+                "qualitygate[%s]: skewed=auto measured max group share "
+                "%.3f -> %s form",
+                self.cfg.name, share,
+                "count-based" if skewed else "window",
+            )
+        gate = keep_top_fraction_skewed if skewed else keep_top_fraction
         return gate(
             df,
             score,

@@ -1044,6 +1044,104 @@ filters:
             == {r["doc_id"] for r in plain.collect()})
 
 
+def test_skew_auto_detector(spark):
+    """max_key_share / should_route_skewed: one-job detector, the
+    measured ~30% threshold, empty-frame safety."""
+    from filefilter_spark.ops.skew import (
+        SKEW_AUTO_THRESHOLD,
+        max_key_share,
+        should_route_skewed,
+    )
+
+    hot = spark.createDataFrame(
+        [(i, "bot" if i % 10 else f"u{i}") for i in range(100)],
+        "event_id long, user_id string",
+    )  # "bot" holds 90%
+    assert max_key_share(hot, "user_id") == 0.9
+    route, share = should_route_skewed(hot, "user_id")
+    assert route and share == 0.9
+    flat = spark.createDataFrame(
+        [(i, f"u{i % 50}") for i in range(100)],
+        "event_id long, user_id string",
+    )  # every user 2%
+    route, share = should_route_skewed(flat, "user_id")
+    assert not route and share == 0.02
+    assert 0.0 < SKEW_AUTO_THRESHOLD < 1.0
+    assert max_key_share(hot.limit(0), "user_id") == 0.0
+
+
+def test_stage_skewed_auto_routes_and_logs(spark, caplog):
+    """skewed: auto in sessionize and qualitygate measures the hottest
+    key's share, routes past the threshold, logs the decision, and the
+    output equals the explicit-route output either way (the two forms
+    are exact twins)."""
+    import datetime
+    import logging
+
+    base = datetime.datetime(2024, 1, 1)
+    # one bot user holds 80% of events -> auto must pick the salted plan
+    rows = []
+    for i in range(40):
+        u = 7 if i % 5 else 100 + i
+        rows.append((i, base + datetime.timedelta(seconds=40 * i), u))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    yaml_auto = """
+filters:
+  - name: tag
+    actionType: sessionize
+    actionConfig: {gapSeconds: 1800, skewed: auto, chunkSeconds: 600}
+"""
+    with caplog.at_level(logging.INFO, logger="filefilter_spark"):
+        got = run_yaml(spark, ev, yaml_auto)
+    assert any("skewed=auto" in r.message and "chunk-salted" in r.message
+               for r in caplog.records)
+    want = run_yaml(spark, ev, """
+filters:
+  - name: tag
+    actionType: sessionize
+    actionConfig: {gapSeconds: 1800, skewed: true, chunkSeconds: 600}
+""")
+    key = lambda r: (r["event_id"],)  # noqa: E731
+    assert sorted([(r["event_id"], r["session_id"]) for r in got.collect()]) \
+        == sorted([(r["event_id"], r["session_id"]) for r in want.collect()])
+    # balanced keys -> auto stays on the plain window plan
+    flat = spark.createDataFrame(
+        [(i, base + datetime.timedelta(seconds=40 * i), i % 20)
+         for i in range(40)],
+        "event_id long, ts timestamp, user_id long",
+    )
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="filefilter_spark"):
+        run_yaml(spark, flat, yaml_auto).collect()
+    assert any("skewed=auto" in r.message and "plain" in r.message
+               for r in caplog.records)
+    # qualitygate: hot group routes to the count-based form
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 10 else f"s{i}", float(i % 7)) for i in range(50)],
+        "doc_id long, source string, q double",
+    )
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="filefilter_spark"):
+        auto = run_yaml(spark, docs, """
+filters:
+  - name: gate
+    actionType: qualitygate
+    actionConfig: {frac: 0.4, scoreField: q, skewed: auto}
+""")
+    assert any("skewed=auto" in r.message and "count-based" in r.message
+               for r in caplog.records)
+    plain = run_yaml(spark, docs, """
+filters:
+  - name: gate
+    actionType: qualitygate
+    actionConfig: {frac: 0.4, scoreField: q}
+""")
+    assert ({r["doc_id"] for r in auto.collect()}
+            == {r["doc_id"] for r in plain.collect()})
+
+
 def test_searchindex_stage_builds_then_search_queries(spark, tmp_path):
     """r14 index lifecycle from YAML: searchindex builds the layout
     (frame passes through), search queries it in the same pipeline,
