@@ -1389,6 +1389,150 @@ def remove_duplicate_spans(
     )
 
 
+def _fuzzy_tagged(base: DataFrame, q: int) -> DataFrame:
+    """Tagged positional q-grams for the Ed-Join family: one row per
+    (string, gram occurrence) — ``(doc struct(id, l), t struct(g,
+    occ))`` over strings >= q chars. Tags (the occurrence# of a gram
+    within its string) make prefix overlap a multiset intersection;
+    computed in-row (O(L²) over a short key field). ``doc`` carries
+    (id, length) ONLY — the 16 B/entry posting bound — and the gram
+    array is let-bound once (the text._bind pattern, in SQL). Shared
+    by :func:`edit_distance_pairs` (batch) and
+    :func:`build_fuzzy_index` / the streaming ingest, so every tier
+    tags identically."""
+    return base.filter(F.length("s") >= q).select(
+        F.struct(
+            F.col("id"),
+            F.length("s").alias("l"),
+        ).alias("doc"),
+        F.expr(
+            "explode(get(transform("
+            f"array(transform(sequence(1, length(s) - {q - 1}),"
+            f" i -> substring(s, i, {q}))),"
+            " gs -> transform(gs, (x, i) -> struct(x AS g,"
+            " size(filter(slice(gs, 1, i), y -> y = x)) AS occ))), 0))"
+        ).alias("t"),
+    )
+
+
+# Frozen-order sentinel for grams unseen at build_fuzzy_index time:
+# larger than any real doc-frequency, so new-vocabulary grams sort
+# AFTER every frozen-rarity gram (ties break on (g, occ) — the order
+# stays TOTAL and fixed as the vocabulary grows, which is all the
+# prefix-filter theorem needs; stale rarity costs selectivity, never
+# correctness).
+FUZZY_UNSEEN_GDF = 1 << 62
+
+
+def build_fuzzy_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    str_col: str = "s",
+    max_dist: int = 2,
+    q: int = 2,
+    n_buckets: int = 16,
+) -> None:
+    """Persist the Ed-Join layout for CONTINUOUS fuzzy-join maintenance
+    (``streaming.jobs.fuzzy_index_stream_ingest``) — the fuzzy twin of
+    the text/ANN index lifecycles. Layout under ``path``:
+
+    * ``gramdf/``   — the FROZEN rarity table (g, occ, gdf),
+      ``partitionBy(bucket = pmod(xxhash64(g, occ), n_buckets))``.
+      Prefix filtering is lossless under ANY fixed total order shared
+      by all strings (Xiao et al. VLDB'08 — rarity only buys
+      selectivity), so freezing the order at build time keeps the
+      incremental index EXACT; grams unseen at build order after every
+      frozen one (:data:`FUZZY_UNSEEN_GDF` sentinel, ties on (g, occ)).
+      Accumulated vocabulary drift degrades prefix selectivity (more
+      candidates), never correctness — rebuild to restore it, the same
+      contract as the ANN drift rule.
+    * ``postings/`` — prefix entries (g, occ, id, l), same bucketing,
+      sorted by (g, occ) within buckets so probes' pushed filters
+      row-group-skip.
+    * ``strings/``  — (id, s, l) ``partitionBy(sbucket =
+      pmod(xxhash64(id), n_buckets))``: the verify tier joins
+      candidate ids back to strings; bucketing lets dynamic partition
+      pruning cut the read when the candidate side broadcasts.
+    * ``short/``    — the (id, s, l) subset with l < q·(max_dist+1),
+      read whole by every batch's length-banded short block (tiny for
+      real key fields — bounded by the short-string count).
+    * ``pairs/``    — the EXACT pair set (id_a, id_b, dist) over
+      everything indexed so far; the build seeds it with
+      :func:`edit_distance_pairs` over ``df`` and the ingest appends
+      each batch's new pairs, so after any drain it equals the batch
+      op over the union corpus bit-for-bit.
+    * ``stats/``    — one row (q, max_dist, n_buckets, n_strings,
+      applied_keys): the probe/ingest parameters (a contradicting
+      caller value raises — the n_buckets sidecar contract) and the
+      per-file replay guard.
+    """
+    d, T = int(max_dist), int(q) * (int(max_dist) + 1)
+    prefix_len = int(q) * d + 1
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(str_col).alias("s")
+    ).filter(F.col("s").isNotNull())
+    n_strings = base.count()
+    if n_strings == 0:
+        raise ValueError("build_fuzzy_index: empty corpus — nothing to index")
+    spark = df.sparkSession
+
+    tagged = _fuzzy_tagged(base, q)
+    gram_df = tagged.groupBy("t.g", "t.occ").agg(
+        F.count(F.lit(1)).alias("gdf")
+    )
+    gram_df.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("g", "occ"), F.lit(int(n_buckets))),
+    ).repartition("bucket").sortWithinPartitions("g", "occ").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/gramdf")
+
+    prefix = (
+        tagged.join(gram_df, [F.expr("t.g = g"), F.expr("t.occ = occ")])
+        .groupBy("doc")
+        .agg(F.collect_list(F.struct("gdf", "t.g", "t.occ")).alias("gl"))
+        .select(
+            "doc",
+            F.explode(F.slice(F.array_sort("gl"), 1, prefix_len)).alias("t"),
+        )
+        .select(
+            F.col("t.g").alias("g"),
+            F.col("t.occ").alias("occ"),
+            F.col("doc.id").alias("id"),
+            F.col("doc.l").alias("l"),
+        )
+    )
+    prefix.withColumn(
+        "bucket", F.pmod(F.xxhash64("g", "occ"), F.lit(int(n_buckets)))
+    ).repartition("bucket").sortWithinPartitions("g", "occ", "id").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{path}/postings")
+
+    strings = base.select("id", "s", F.length("s").alias("l"))
+    strings.withColumn(
+        "sbucket", F.pmod(F.xxhash64("id"), F.lit(int(n_buckets)))
+    ).repartition("sbucket").sortWithinPartitions("id").write.mode(
+        "overwrite"
+    ).partitionBy("sbucket").parquet(f"{path}/strings")
+    strings.filter(F.col("l") < T).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/short")
+
+    pairs = edit_distance_pairs(
+        df, id_col=id_col, str_col=str_col, max_dist=d, q=q
+    ).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "dist"
+    )
+    pairs.write.mode("overwrite").parquet(f"{path}/pairs")
+
+    spark.createDataFrame(
+        [(int(q), d, int(n_buckets), int(n_strings), [])],
+        "q long, max_dist long, n_buckets long, n_strings long, "
+        "applied_keys array<string>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def edit_distance_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1457,25 +1601,7 @@ def edit_distance_pairs(
     ).filter(F.col("s").isNotNull())
 
     # --- block 1: rarity-ordered prefix index over strings >= q chars --
-    # tagged grams: (gram, occurrence#) so overlap is a multiset
-    # intersection; tags are computed in-row (O(L^2) over a short key).
-    tagged = base.filter(F.length("s") >= q).select(
-        # ids-only postings: the doc struct carries (id, length) — the
-        # length band needs l at pair time, the verify re-joins strings
-        F.struct(
-            F.col("id"),
-            F.length("s").alias("l"),
-        ).alias("doc"),
-        # gram array let-bound once (the text._bind pattern, in SQL):
-        # occ(i) = matches among the grams strictly before position i.
-        F.expr(
-            "explode(get(transform("
-            f"array(transform(sequence(1, length(s) - {q - 1}),"
-            f" i -> substring(s, i, {q}))),"
-            " gs -> transform(gs, (x, i) -> struct(x AS g,"
-            " size(filter(slice(gs, 1, i), y -> y = x)) AS occ))), 0))"
-        ).alias("t"),
-    )
+    tagged = _fuzzy_tagged(base, q)
     # global rarity: doc-frequency per tagged gram — a narrow
     # map-combined aggregate over (g, occ) pairs, broadcast back.
     gram_df = tagged.groupBy("t.g", "t.occ").agg(

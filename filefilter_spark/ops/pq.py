@@ -649,6 +649,219 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_batch_topk(
+    indexed: DataFrame,
+    codebooks: Codebooks,
+    centroids: Sequence[Sequence[float]],
+    queries: Mapping[str, Sequence[float]],
+    topk: int = 10,
+    n_probe: int = 4,
+    refine: int | None = None,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+    scale: float = 1e6,
+    residual: bool = False,
+    cell_counts: Mapping[int, int] | None = None,
+    dedup_ids: bool = False,
+) -> DataFrame:
+    """ANN top-k for EACH of a batch of queries in ONE pruned pass —
+    the retrieval-evaluation shape (N eval queries against the index),
+    the ANN twin of ``retrieval.bm25_batch_topk_indexed``.
+
+    Returns (q_id, id_col, dist2, rank) — or (q_id, id_col, adc,
+    rank) when ``refine=0`` (explicit ADC-only shortlists).
+
+    Shape: every query's probe cells and LUT are computed driver-side
+    from the same tiny centroid table as :func:`ivfpq_topk`; ONE read
+    pruned to the UNION of all probed cells serves every query (each
+    query still scores only its own cells — per-row the array of
+    (q_id, adc, in-probe) structs is built once, exploded, and
+    filtered), per-query shortlists come from a rank-over-window that
+    Spark rewrites to WindowGroupLimit (map-side partial top-k — the
+    shuffle carries at most shortlist·|queries| rows per partition),
+    and the exact re-rank tier reads the UNION of all shortlists' ids
+    in one point-lookup pass before a second per-query rank window.
+    At 100 TB: one pruned codes read + one id-pruned vector read for
+    the WHOLE batch, versus n_queries× of each for a query loop.
+
+    Semantics per query match :func:`ivfpq_topk` exactly: same probe
+    order (grid-quantized L2, ties → lowest cell), same deterministic
+    ADC folds, same auto-refine law (``refine=None`` sizes each
+    query's shortlist from ITS probed population — cell_counts makes
+    that zero Spark jobs), same dist2 ranking with id tiebreaks."""
+    if not queries:
+        raise ValueError("ivfpq_batch_topk: queries must be non-empty")
+    if topk <= 0:
+        raise ValueError("ivfpq_batch_topk: topk must be > 0")
+    if refine is None and vectors is None:
+        raise ValueError(
+            "ivfpq_batch_topk: refine=None (auto) requires `vectors`; "
+            "pass refine=0 explicitly for ADC-only shortlists"
+        )
+
+    qids = list(queries)
+    qgrid: dict[str, list[float]] = {}
+    probes: dict[str, list[int]] = {}
+    for q, vec in queries.items():
+        qq = [float(math.floor(x * scale + 0.5)) / scale for x in vec]
+        qgrid[q] = qq
+
+        def sqd(cent: Sequence[float]) -> float:
+            acc = 0.0
+            for a, b in zip(qq, cent):
+                dv = a - b
+                acc = acc + dv * dv
+            return acc
+
+        probes[q] = sorted(
+            range(len(centroids)), key=lambda i: (sqd(centroids[i]), i)
+        )[:n_probe]
+    union_cells = sorted({c for cs in probes.values() for c in cs})
+
+    # per-query shortlist size: auto-refine from each query's probed
+    # population — one n_lists-bounded count job when no histogram is
+    # supplied, zero jobs when it is
+    if refine is None:
+        if cell_counts is None:
+            rows = (
+                indexed.filter(F.col("cell").isin(union_cells))
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            cell_counts = {int(r["cell"]): int(r["n"]) for r in rows}
+        shortlists = {
+            q: _auto_refine(
+                sum(int(cell_counts.get(c, 0)) for c in probes[q]), topk
+            ) * topk
+            for q in qids
+        }
+    else:
+        shortlists = {
+            q: (topk if refine <= 0 else int(refine) * topk) for q in qids
+        }
+
+    def adc_for(q: str) -> Column:
+        if not residual:
+            return _adc_expr(codes_col, adc_lut(queries[q], codebooks, scale))
+        adc = None
+        for c in probes[q]:
+            cq = [
+                float(math.floor(v * scale + 0.5)) / scale
+                for v in centroids[c]
+            ]
+            qr = [a - b for a, b in zip(qgrid[q], cq)]
+            term = _adc_expr(codes_col, adc_lut(qr, codebooks, scale))
+            cond = F.col("cell") == c
+            adc = F.when(cond, term) if adc is None else adc.when(cond, term)
+        return adc
+
+    pruned = indexed.filter(F.col("cell").isin(union_cells))
+    if dedup_ids:
+        pruned = pruned.dropDuplicates([id_col])
+    structs = [
+        F.struct(
+            F.lit(q).alias("q_id"),
+            adc_for(q).alias("adc"),
+            F.col("cell").isin(probes[q]).alias("keep"),
+        )
+        for q in qids
+    ]
+    from pyspark.sql import Window as _W
+
+    exploded = (
+        pruned.select(F.col(id_col), F.explode(F.array(*structs)).alias("s"))
+        .filter(F.col("s.keep"))
+        .select(F.col(id_col), F.col("s.q_id"), F.col("s.adc"))
+    )
+    limit_expr = F.lit(max(shortlists.values()))
+    for q in qids:  # per-query limit rides as a when-chain literal
+        limit_expr = F.when(
+            F.col("q_id") == q, F.lit(int(shortlists[q]))
+        ).otherwise(limit_expr)
+    w = _W.partitionBy("q_id").orderBy(F.asc("adc"), F.asc(id_col))
+    shortlist = (
+        exploded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= limit_expr)
+    )
+    if refine is not None and refine <= 0:
+        return shortlist.filter(F.col("rank") <= topk).select(
+            "q_id", id_col, "adc", "rank"
+        )
+    if vectors is None:
+        raise ValueError("ivfpq_batch_topk: refine > 0 requires `vectors`")
+    # bounded collect: Σ_q shortlist_q ids, never data
+    short_ids: dict[str, list] = {q: [] for q in qids}
+    for r in shortlist.select("q_id", id_col).collect():
+        short_ids[r["q_id"]].append(r[id_col])
+    union_ids = sorted({i for ids in short_ids.values() for i in ids})
+    qd = F.transform(
+        _grid(F.col(vec_col), scale), lambda v: v / F.lit(float(scale))
+    )
+    rerank_structs = []
+    for q in qids:
+        qlit = F.array(*[F.lit(v) for v in qgrid[q]])
+        d2 = _fold_sq(F.zip_with(qd, qlit, lambda x, y: (x - y) * (x - y)))
+        rerank_structs.append(
+            F.struct(
+                F.lit(q).alias("q_id"),
+                d2.alias("dist2"),
+                F.col(id_col).isin(short_ids[q]).alias("keep"),
+            )
+        )
+    reranked = (
+        vectors.filter(F.col(id_col).isin(union_ids))
+        .select(F.col(id_col), F.explode(F.array(*rerank_structs)).alias("s"))
+        .filter(F.col("s.keep"))
+        .select(F.col(id_col), F.col("s.q_id"), F.col("s.dist2"))
+    )
+    w2 = _W.partitionBy("q_id").orderBy(F.asc("dist2"), F.asc(id_col))
+    return (
+        reranked.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+        .select("q_id", id_col, "dist2", "rank")
+    )
+
+
+def ann_batch_topk_indexed(
+    spark,
+    path: str,
+    queries: Mapping[str, Sequence[float]],
+    topk: int = 10,
+    n_probe: int = 4,
+    refine: int | None = None,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+) -> DataFrame:
+    """:func:`ivfpq_batch_topk` against a persisted
+    :func:`build_ann_index` layout — N queries, ONE partition-pruned
+    codes read over the union of their probed cells, auto-refine sized
+    from the meta sidecar's histogram (zero sizing jobs), replay-safe
+    id dedup on the pruned read. The batch twin of
+    :func:`ann_topk_indexed`."""
+    meta = load_ann_meta(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    return ivfpq_batch_topk(
+        codes,
+        meta["codebooks"],
+        meta["centroids"],
+        queries,
+        topk=topk,
+        n_probe=n_probe,
+        refine=refine,
+        vectors=vectors,
+        vec_col=vec_col,
+        id_col=id_col or meta["id_col"],
+        scale=meta["scale"],
+        residual=meta["residual"],
+        cell_counts=meta["cell_counts"],
+        dedup_ids=True,
+    )
+
+
 def build_ann_index(
     df: DataFrame,
     path: str,

@@ -258,6 +258,57 @@ def rrf_fuse(
     return fused.orderBy(F.desc("rrf_score"), F.asc(id_col)).limit(k)
 
 
+def rrf_fuse_batch(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    q_col: str = "q_id",
+    k_rrf: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """:func:`rrf_fuse` for a BATCH of queries: fuse two per-query
+    ranked tables (q_col, id_col, ..., rank) — e.g.
+    ``bm25_batch_topk_indexed`` × ``pq.ivfpq_batch_topk`` — into
+    per-query top-k fusions, all queries in one plan. Inputs are
+    top-n·|queries| rows (small), so the full outer join is
+    broadcast-scale; the per-query top-k rank window rewrites to
+    WindowGroupLimit. Same score recipe and determinism contract as
+    :func:`rrf_fuse` (fixed two-operand addition, 6dp round, id
+    tiebreak). Returns (q_col, id_col, rrf_score, rank_a, rank_b,
+    rank)."""
+    ra = a.select(
+        F.col(q_col), F.col(id_col), F.col("rank").alias("rank_a")
+    )
+    rb = b.select(
+        F.col(q_col), F.col(id_col), F.col("rank").alias("rank_b")
+    )
+    fused = ra.join(rb, on=[q_col, id_col], how="full_outer").select(
+        F.col(q_col),
+        F.col(id_col),
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_a")).cast("double"),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_b")).cast("double"),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rrf_score"),
+        "rank_a",
+        "rank_b",
+    )
+    w = Window.partitionBy(q_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_col, id_col, "rrf_score", "rank_a", "rank_b", "rank")
+    )
+
+
 def bm25_batch_topk(
     df: DataFrame,
     queries: dict[str, Sequence[str]],

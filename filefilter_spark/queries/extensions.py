@@ -379,8 +379,10 @@ def op_d2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
-    """Fetch the vec_id=0 query vector — a one-row point lookup.
+def _query_vec(
+    spark: SparkSession, sf_dir: str, vid: int = 0
+) -> list[float]:
+    """Fetch the vec_id=``vid`` query vector — a one-row point lookup.
 
     Read driver-side with pyarrow (row-group predicate pushdown on one
     local file, ~10 ms) instead of launching a Spark job (~0.4 s of
@@ -391,13 +393,13 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
         import pyarrow.dataset as ds
 
         tbl = ds.dataset(f"{sf_dir}/embeddings.parquet").to_table(
-            columns=["embedding"], filter=ds.field("vec_id") == 0
+            columns=["embedding"], filter=ds.field("vec_id") == vid
         )
         return [float(x) for x in tbl.column("embedding")[0].as_py()]
     except Exception:
         row = (
             load_table(spark, sf_dir, "embeddings")
-            .filter(F.col("vec_id") == 0)
+            .filter(F.col("vec_id") == vid)
             .select("embedding")
             .first()
         )
@@ -1202,6 +1204,131 @@ def op_d3_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(bm, nn, id_col="doc_id", k=10)
 
 
+# hybrid-batch: each batch query pairs its term list with a query
+# vector (the retrieval-EVALUATION shape: N labeled eval queries, both
+# towers index-backed). The exact-fusion reference below reuses the
+# batch BM25 machinery (rank<=20 per query) and fuses with each
+# query's exact L2 top-20 via the same RRF.
+_HYBRID_BATCH_QVIDS = {"q_spark": 0, "q_window": 1, "q_mixed": 2}
+
+_HYBRID_BATCH_EXACT_TOP10 = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS tk
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n,
+         CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avgdl,
+         {', '.join(
+             f"sum((len(list_filter(tk, x -> x = '{t}'))>0)::bigint) AS df_{i}"
+             for i, t in enumerate(_BATCH_TERMS))}
+  FROM tok
+),
+scored AS (
+  SELECT doc_id,
+         {', '.join(
+             "round(0.0 + "
+             + ' + '.join(_bm25_batch_term_sql(t) for t in ts)
+             + f", 6) AS s_{j}"
+             for j, ts in enumerate(_BM25_BATCH_QUERIES.values()))}
+  FROM tok CROSS JOIN stats
+),
+u AS ({' UNION ALL '.join(
+    f"SELECT '{q}' AS q_id, doc_id, s_{j} AS bm25 FROM scored"
+    for j, q in enumerate(_BM25_BATCH_QUERIES))}),
+bm_rank AS (
+  SELECT * FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY bm25 DESC, doc_id) AS rank_a
+    FROM u WHERE bm25 > 0.0
+  ) WHERE rank_a <= 20
+),
+qv AS ({' UNION ALL '.join(
+    f"SELECT '{q}' AS q_id, embedding::DOUBLE[] AS qv "
+    f"FROM embeddings WHERE vec_id = {v}"
+    for q, v in _HYBRID_BATCH_QVIDS.items())}),
+l2 AS (
+  SELECT qv.q_id, e.vec_id AS doc_id,
+         list_distance(e.embedding::DOUBLE[], qv.qv) AS d
+  FROM embeddings e CROSS JOIN qv
+),
+l2_rank AS (
+  SELECT * FROM (
+    SELECT q_id, doc_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY d, doc_id) AS rank_b
+    FROM l2
+  ) WHERE rank_b <= 20
+),
+fused AS (
+  SELECT coalesce(a.q_id, b.q_id) AS q_id,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         coalesce(1.0 / CAST(60 + rank_a AS DOUBLE), 0.0)
+       + coalesce(1.0 / CAST(60 + rank_b AS DOUBLE), 0.0) AS rrf
+  FROM bm_rank a FULL OUTER JOIN l2_rank b
+    ON a.q_id = b.q_id AND a.doc_id = b.doc_id
+)
+SELECT q_id, doc_id FROM (
+  SELECT q_id, doc_id,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY rrf DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= 10
+"""
+
+
+@query(
+    "OP-D3-hybrid-batch",
+    oracle=None,  # ANN tier inside → recall oracle vs the exact fusion
+    recall=RecallSpec(_HYBRID_BATCH_EXACT_TOP10, ("q_id", "doc_id"), 0.6,
+                      exact_precision=False),
+    doc="BATCH hybrid retrieval with zero corpus scans (r15, the "
+        "retrieval-evaluation shape): N queries, each a term list + a "
+        "query vector, fused per query — the lexical tower is ONE "
+        "partition-pruned read of the union terms' buckets serving "
+        "every query (bm25_batch_topk_indexed, exact), the semantic "
+        "tower is ONE partition-pruned read of the union of all "
+        "queries' probed cells (pq.ivfpq_batch_topk — per-query ADC "
+        "over shared rows, WindowGroupLimit shortlists, one id-pruned "
+        "exact-rerank pass for the union of shortlists), and "
+        "rrf_fuse_batch joins the two small ranked tables with one "
+        "per-query rank window. Recall-oracled (floor 0.6, keys "
+        "(q_id, doc_id)) against the exact per-query fusion: scan "
+        "BM25 rank<=20 + exact L2 rank<=20 through the same RRF — "
+        "the only approximation is the ANN tier's measured ~0.9 "
+        "recall, per query.",
+)
+def op_d3_hybrid_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.ops.pq import ann_batch_topk_indexed, build_ann_index
+    from filefilter_spark.ops.retrieval import (
+        bm25_batch_topk_indexed,
+        build_text_index,
+        rrf_fuse_batch,
+    )
+    from filefilter_spark.queries.inventory import _scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tix = _scratch("d3hybb/text_index")
+    aix = _scratch("d3hybb/ann_index")
+    build_text_index(docs, tix, n_buckets=16)
+    build_ann_index(emb, aix, n_lists=16, m=8, k=16, iters=1)
+    bm = bm25_batch_topk_indexed(
+        spark, tix, _BM25_BATCH_QUERIES, k=20
+    )
+    vecs = {
+        q: _query_vec(spark, sf_dir, v)
+        for q, v in _HYBRID_BATCH_QVIDS.items()
+    }
+    nn = ann_batch_topk_indexed(
+        spark, aix, vecs, topk=20, n_probe=4, vectors=emb,
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse_batch(bm, nn, id_col="doc_id", k=10).orderBy(
+        "q_id", "rank"
+    )
+
+
 _ANN_EXACT_L2_TOP10 = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id FROM embeddings, q
@@ -1267,6 +1394,58 @@ def op_d5_annindex(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, ix, _query_vec(spark, sf_dir), topk=10, n_probe=12,
         refine=20, vectors=emb,
     ).select("vec_id", F.round("dist2", 6).alias("dist2"))
+
+
+@query(
+    "OP-D5-fuzzy",
+    oracle="""
+    WITH s AS (SELECT doc_id, substr(text, 1, 24) AS s FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 3
+    """,
+    doc="streaming fuzzy-join maintenance (OP-D5 × OP-D2-fuzzy, r15 — "
+        "the last batch-tier dedup to get a streaming mirror): "
+        "build_fuzzy_index persists the Ed-Join layout (FROZEN-rarity "
+        "gram order, bucketed postings/gramdf, DPP-prunable strings "
+        "store, exact day-1 pair set) over a day-1 split, then "
+        "fuzzy_index_stream_ingest drains day-2 in multi-file batches "
+        "— each batch prefix-indexes under the frozen order, joins "
+        "new-vs-store (broadcast batch prefix) and new-vs-new, "
+        "length-bands the short block both directions, verifies with "
+        "thresholded levenshtein, and appends exactly the new pairs. "
+        "The frozen total order keeps prefix filtering LOSSLESS "
+        "(rarity only buys selectivity), so the drained pairs store "
+        "equals the batch op over the union corpus BIT-FOR-BIT — the "
+        "oracle is DuckDB's quadratic join over ALL docs, exact, not "
+        "a recall floor. Replays are per-file-key idempotent "
+        "(streaming/jobs.py fuzzy_index_stream_ingest).",
+)
+def op_d5_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from filefilter_spark.ops.dedup import build_fuzzy_index
+    from filefilter_spark.queries.inventory import _scratch
+    from filefilter_spark.streaming.jobs import fuzzy_index_stream_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("substring(text, 1, 24)").alias("s")
+    )
+    src = _scratch("d5fuzzy/docs_in")
+    ix = _scratch("d5fuzzy/fuzzy_index")
+    # fresh layout per invocation (bench min-of-2 would replay-skip)
+    shutil.rmtree(ix, ignore_errors=True)
+    day1 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) < 7)
+    day2 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) >= 7)
+    build_fuzzy_index(day1, ix, id_col="doc_id", str_col="s",
+                      max_dist=3, q=2)
+    day2.repartition(3).write.mode("overwrite").parquet(src)
+    return fuzzy_index_stream_ingest(
+        spark, src, ix, id_col="doc_id", str_col="s",
+        max_files_per_trigger=1, maintain_every=2,
+        max_files_per_partition=4,
+    )
 
 
 @query(

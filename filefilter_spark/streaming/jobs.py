@@ -1843,3 +1843,365 @@ def ann_index_stream_ingest(
         if query.isActive:  # pragma: no cover
             query.stop()
     return spark.read.parquet(codes_dir)
+
+
+def fuzzy_index_stream_ingest(
+    spark: SparkSession,
+    path: str,
+    index_path: str,
+    id_col: str = "doc_id",
+    str_col: str = "s",
+    timeout_sec: int = 300,
+    max_files_per_trigger: int | None = None,
+    maintain_every: int | None = None,
+    max_files_per_partition: int = 16,
+    checkpoint_dir: str | None = None,
+    on_batch=None,
+) -> DataFrame:
+    """Continuous fuzzy-join maintenance over a persisted
+    :func:`ops.dedup.build_fuzzy_index` layout (OP-D5 × OP-D2-fuzzy) —
+    the last batch-tier dedup to get a streaming mirror (VERDICT r14
+    #4). Each micro-batch of newly arrived strings is prefix-indexed
+    under the layout's FROZEN gram order and joined against the store:
+    candidate pairs are (new × corpus-so-far) ∪ (new × new) — history
+    is never re-paired against itself — verified with the thresholded
+    ``levenshtein(l, r, d)``, and the EXACT new pairs append to
+    ``pairs/``; the batch's prefix entries, strings, and short subset
+    append to their stores. After any drain, ``pairs/`` equals
+    ``edit_distance_pairs`` over the union corpus EXACTLY:
+
+    * the frozen total order keeps prefix filtering LOSSLESS (any
+      fixed order shared by both sides satisfies the prefix-filter
+      theorem; build-time rarity only buys selectivity, and grams
+      unseen at build sort after all frozen ones via the
+      ``FUZZY_UNSEEN_GDF`` sentinel — deterministic, still total);
+    * every pair has a later-arriving side, and that side's batch
+      generates it: new-vs-store collisions ride a broadcast join of
+      the batch's prefix against the bucketed postings (DPP-prunable
+      on ``bucket``), new-vs-new reuses the batch op's self-group, and
+      the short block length-bands the batch's short strings against
+      the (tiny) short store in both length directions;
+    * the verify is exact, so losing NO candidates means the pair set
+      is the batch op's, bit for bit.
+
+    Replay contract matches the text/ANN loops: durable default
+    checkpoint under ``index_path``, per-FILE key guard in the stats
+    sidecar (already-committed files drop out of a replayed batch
+    before anything is computed), and the only crash window —
+    between a batch's appends and its stats commit — can at worst
+    double-append rows whose duplicates the read path drops
+    (the returned pairs frame dedups (id_a, id_b)).
+
+    Scale shape per batch: tagging is batch-sized; the gramdf join
+    and the postings probe broadcast the BATCH side (candidate cost
+    bounded by the batch's prefix entries × matching postings, the
+    Ed-Join bound); strings come back only for surviving candidates
+    (id join against the sbucket-partitioned strings store). The
+    growth curve is measured by ``tools/index_lifecycle_probe.py``.
+    ``on_batch`` (opt-in metrics hook) receives {batch_id, n_in,
+    n_new_pairs, applied, seconds}. Returns the deduped pairs table.
+    """
+    import os
+    import time as _time
+
+    from filefilter_spark.ops.dedup import (
+        FUZZY_UNSEEN_GDF,
+        _fuzzy_tagged,
+    )
+
+    stats_dir = f"{index_path}/stats"
+    post_dir = f"{index_path}/postings"
+    strings_dir = f"{index_path}/strings"
+    short_dir = f"{index_path}/short"
+    pairs_dir = f"{index_path}/pairs"
+
+    srow = spark.read.parquet(stats_dir).first()
+    if srow is None:
+        raise ValueError(
+            f"fuzzy_index_stream_ingest: empty stats at {index_path!r}"
+        )
+    q = int(srow["q"])
+    d = int(srow["max_dist"])
+    n_buckets = int(srow["n_buckets"])
+    T = q * (d + 1)
+    prefix_len = q * d + 1
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(int(max_files_per_trigger))
+        )
+    if path.endswith(".parquet") and not _is_directory(spark, path):
+        base_dir = os.path.dirname(path) or "."
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        stream = reader.parquet(base_dir)
+    else:
+        stream = reader.parquet(path)
+
+    def commit_stats(cur, batch_id: int, new_keys: list[str],
+                     n_added: int) -> None:
+        keys = (list(cur["applied_keys"] or []) + new_keys)[
+            -_APPLIED_KEYS_HORIZON:
+        ]
+        tmp = f"{stats_dir.rstrip('/')}__tmp{batch_id}"
+        spark.createDataFrame(
+            [(q, d, n_buckets, int(cur["n_strings"]) + n_added, keys)],
+            "q long, max_dist long, n_buckets long, n_strings long, "
+            "applied_keys array<string>",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap_dirs(spark, stats_dir, tmp, batch_id)
+
+    def maintain(batch_id: int) -> None:
+        from filefilter_spark.ops.layout import maybe_compact
+
+        for dpath, pcol, sort_cols in (
+            (post_dir, "bucket", ["g", "occ", "id"]),
+            (strings_dir, "sbucket", ["id"]),
+        ):
+            tmp = f"{dpath.rstrip('/')}__compact{batch_id}"
+            try:
+                ran = maybe_compact(
+                    spark, dpath, tmp, pcol, sort_cols,
+                    max_files_per_partition=max_files_per_partition,
+                )
+            except ValueError:
+                continue
+            if ran:
+                _swap_dirs(spark, dpath, tmp, batch_id)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = _time.time() if on_batch is not None else 0.0
+        files = _batch_files(batch_df)
+        cur = spark.read.parquet(stats_dir).first()
+        seen = list(cur["applied_keys"] or [])
+        applied = True
+        new_files: list[str] = []
+        if files:
+            new_files = [f for f in files if _file_key(f) not in seen]
+            if not new_files:
+                applied = False
+            elif len(new_files) < len(files):
+                batch_df = batch_df.filter(
+                    F.input_file_name().isin(new_files)
+                )
+            new_keys = [_file_key(f) for f in new_files]
+        else:
+            bk = f"batch:{batch_id}"
+            if bk in seen:
+                applied = False
+            new_keys = [bk]
+        n_in = 0
+        n_new_pairs = 0
+        if applied:
+            from pyspark.storagelevel import StorageLevel
+
+            base_b = batch_df.select(
+                F.col(id_col).alias("id"), F.col(str_col).alias("s")
+            ).filter(F.col("s").isNotNull()).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            try:
+                n_in = base_b.count()
+                if n_in == 0:
+                    commit_stats(cur, batch_id, new_keys, 0)
+                else:
+                    gramdf = spark.read.parquet(f"{index_path}/gramdf")
+                    tagged_b = _fuzzy_tagged(base_b, q)
+                    prefix_b = (
+                        tagged_b.join(
+                            gramdf.select("g", "occ", "gdf"),
+                            [F.expr("t.g = g"), F.expr("t.occ = occ")],
+                            "left",
+                        )
+                        .groupBy("doc")
+                        .agg(F.collect_list(F.struct(
+                            F.coalesce(
+                                F.col("gdf"), F.lit(FUZZY_UNSEEN_GDF)
+                            ).alias("gdf"),
+                            F.col("t.g").alias("g"),
+                            F.col("t.occ").alias("occ"),
+                        )).alias("gl"))
+                        .select(
+                            "doc",
+                            F.explode(F.slice(
+                                F.array_sort("gl"), 1, prefix_len
+                            )).alias("t"),
+                        )
+                        .select(
+                            F.col("t.g").alias("g"),
+                            F.col("t.occ").alias("occ"),
+                            F.col("doc.id").alias("id"),
+                            F.col("doc.l").alias("l"),
+                        )
+                        .withColumn("bucket", F.pmod(
+                            F.xxhash64("g", "occ"), F.lit(n_buckets)
+                        ))
+                        .persist(StorageLevel.MEMORY_AND_DISK)
+                    )
+                    store_post = spark.read.parquet(post_dir)
+                    cross = (
+                        F.broadcast(
+                            prefix_b.select(
+                                "bucket", "g", "occ",
+                                F.col("id").alias("id_n"),
+                                F.col("l").alias("l_n"),
+                            )
+                        )
+                        .join(store_post, ["bucket", "g", "occ"])
+                        .filter(
+                            (F.col("id") != F.col("id_n"))
+                            & (F.abs(F.col("l") - F.col("l_n")) <= d)
+                            & (F.greatest(F.col("l"), F.col("l_n")) >= T)
+                        )
+                        .select(
+                            F.least("id", "id_n").alias("id_a"),
+                            F.greatest("id", "id_n").alias("id_b"),
+                        )
+                    )
+                    within = (
+                        prefix_b.groupBy("g", "occ")
+                        .agg(F.collect_list(
+                            F.struct("id", "l")
+                        ).alias("ds"))
+                        .filter(F.size("ds") >= 2)
+                        .select(F.explode("ds").alias("a"), "ds")
+                        .select("a", F.explode("ds").alias("b"))
+                        .filter(
+                            F.expr("a.id < b.id")
+                            & (F.abs(F.expr("a.l - b.l")) <= d)
+                            & (F.greatest(
+                                F.expr("a.l"), F.expr("b.l")) >= T)
+                        )
+                        .select(
+                            F.expr("a.id").alias("id_a"),
+                            F.expr("b.id").alias("id_b"),
+                        )
+                    )
+                    short_b = base_b.select(
+                        "id", "s", F.length("s").alias("l")
+                    ).filter(F.col("l") < T)
+                    short_store = spark.read.parquet(short_dir)
+                    all_short = short_store.unionByName(short_b)
+                    # both length directions, disjoint by the strict
+                    # (len, id) canonicalization (module docstring of
+                    # edit_distance_pairs): batch→all covers
+                    # l_b <= l_other, all→batch covers l_other < l_b
+                    def banded(lhs, rhs):
+                        L = lhs.select(
+                            F.col("id").alias("id_l"),
+                            F.col("l").alias("l_l"),
+                            F.explode(F.sequence(
+                                F.col("l"), F.col("l") + F.lit(d)
+                            )).alias("bkt"),
+                        )
+                        R = rhs.select(
+                            F.col("id").alias("id_r"),
+                            F.col("l").alias("l_r"),
+                            F.col("l").alias("bkt"),
+                        )
+                        return (
+                            L.join(R, "bkt")
+                            .filter(
+                                (F.col("l_l") < F.col("l_r"))
+                                | ((F.col("l_l") == F.col("l_r"))
+                                   & (F.col("id_l") < F.col("id_r")))
+                            )
+                            .select(
+                                F.least("id_l", "id_r").alias("id_a"),
+                                F.greatest("id_l", "id_r").alias("id_b"),
+                            )
+                        )
+                    short_pairs = banded(short_b, all_short).unionByName(
+                        banded(short_store, short_b)
+                    )
+                    cands = (
+                        cross.unionByName(within)
+                        .unionByName(short_pairs)
+                        .distinct()
+                    )
+                    strings_all = (
+                        spark.read.parquet(strings_dir)
+                        .select("id", "s")
+                        .unionByName(base_b.select("id", "s"))
+                    )
+                    verified = (
+                        cands.join(
+                            strings_all.select(
+                                F.col("id").alias("id_a"),
+                                F.col("s").alias("s_a"),
+                            ),
+                            "id_a",
+                        )
+                        .join(
+                            strings_all.select(
+                                F.col("id").alias("id_b"),
+                                F.col("s").alias("s_b"),
+                            ),
+                            "id_b",
+                        )
+                        .withColumn(
+                            "dist", F.levenshtein("s_a", "s_b", d)
+                        )
+                        .filter(F.col("dist") >= 0)
+                        .select(
+                            F.col("id_a").cast("long"),
+                            F.col("id_b").cast("long"),
+                            F.col("dist").cast("int").alias("dist"),
+                        )
+                    )
+                    if on_batch is not None:
+                        verified = verified.persist(
+                            StorageLevel.MEMORY_AND_DISK
+                        )
+                        n_new_pairs = verified.count()
+                    verified.write.mode("append").parquet(pairs_dir)
+                    prefix_b.repartition("bucket").write.partitionBy(
+                        "bucket"
+                    ).mode("append").parquet(post_dir)
+                    base_b.select(
+                        "id", "s", F.length("s").alias("l")
+                    ).withColumn(
+                        "sbucket",
+                        F.pmod(F.xxhash64("id"), F.lit(n_buckets)),
+                    ).repartition("sbucket").write.partitionBy(
+                        "sbucket"
+                    ).mode("append").parquet(strings_dir)
+                    short_b.write.mode("append").parquet(short_dir)
+                    commit_stats(cur, batch_id, new_keys, n_in)
+                    if on_batch is not None:
+                        verified.unpersist()
+                    prefix_b.unpersist()
+                    if maintain_every and (
+                        batch_id + 1
+                    ) % maintain_every == 0:
+                        maintain(batch_id)
+            finally:
+                base_b.unpersist()
+        if on_batch is not None:
+            on_batch({
+                "batch_id": batch_id,
+                "n_in": n_in,
+                "n_new_pairs": n_new_pairs,
+                "applied": applied,
+                "seconds": _time.time() - t0,
+            })
+
+    ckpt = checkpoint_dir or f"{index_path}/_checkpoint"
+    query = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not query.awaitTermination(timeout_sec):  # pragma: no cover
+            raise TimeoutError(
+                f"fuzzy_index_stream_ingest: availableNow drain did not "
+                f"finish within {timeout_sec}s — the index at "
+                f"{index_path} is PARTIAL; raise timeout_sec and rerun"
+            )
+    finally:
+        if query.isActive:  # pragma: no cover
+            query.stop()
+    return spark.read.parquet(pairs_dir).dropDuplicates(["id_a", "id_b"])

@@ -3866,6 +3866,170 @@ def test_ann_index_drift_signal():
     assert zero["tv_distance"] == 0.0 and zero["action"] == "ok"
 
 
+def test_fuzzy_index_stream_ingest_exact(spark, tmp_path):
+    """The streaming fuzzy-join mirror (r15): build the Ed-Join layout
+    on day-1, stream day-2 in multi-file batches — after the drain the
+    pairs store must equal edit_distance_pairs over the UNION corpus
+    EXACTLY (the frozen gram order keeps prefix filtering lossless;
+    the verify is exact), a full re-drain after checkpoint loss must
+    change nothing (per-file guard), and new data arriving alongside a
+    lost checkpoint ingests once."""
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.dedup import (
+        build_fuzzy_index,
+        edit_distance_pairs,
+    )
+    from filefilter_spark.streaming.jobs import fuzzy_index_stream_ingest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", F.expr("substring(text, 1, 24)").alias("s"))
+    day1 = docs.filter(F.col("doc_id") % 3 == 0)
+    day2 = docs.filter(F.col("doc_id") % 3 == 1)
+    day3 = docs.filter(F.col("doc_id") % 3 == 2)
+    ix, src = str(tmp_path / "ix"), str(tmp_path / "src")
+    build_fuzzy_index(day1, ix, id_col="doc_id", str_col="s",
+                      max_dist=3, q=2)
+    day2.repartition(2).write.parquet(src)
+    batches = []
+    got = fuzzy_index_stream_ingest(
+        spark, src, ix, id_col="doc_id", str_col="s",
+        max_files_per_trigger=1, on_batch=batches.append,
+    )
+    want = edit_distance_pairs(
+        day1.unionByName(day2), id_col="doc_id", str_col="s",
+        max_dist=3, q=2,
+    )
+    got_rows = sorted([(r["id_a"], r["id_b"], r["dist"])
+                       for r in got.collect()])
+    want_rows = sorted([(r["id_a"], r["id_b"], r["dist"])
+                        for r in want.collect()])
+    assert got_rows == want_rows and got_rows  # non-trivial pair set
+    assert all(b["applied"] for b in batches)
+    # checkpoint loss: full re-drain is a per-file-guard no-op
+    n_pairs_raw = spark.read.parquet(f"{ix}/pairs").count()
+    batches2 = []
+    fuzzy_index_stream_ingest(
+        spark, src, ix, id_col="doc_id", str_col="s",
+        checkpoint_dir=str(tmp_path / "ckb"), on_batch=batches2.append,
+    )
+    assert spark.read.parquet(f"{ix}/pairs").count() == n_pairs_raw
+    assert batches2 and all(not b["applied"] for b in batches2)
+    # checkpoint loss + new data: day3's file ingests exactly once and
+    # the pair set now equals the batch op over ALL docs
+    day3.coalesce(1).write.mode("append").parquet(src)
+    got3 = fuzzy_index_stream_ingest(
+        spark, src, ix, id_col="doc_id", str_col="s",
+        checkpoint_dir=str(tmp_path / "ckc"),
+    )
+    want3 = edit_distance_pairs(docs, id_col="doc_id", str_col="s",
+                                max_dist=3, q=2)
+    assert sorted([(r["id_a"], r["id_b"], r["dist"])
+                   for r in got3.collect()]) \
+        == sorted([(r["id_a"], r["id_b"], r["dist"])
+                   for r in want3.collect()])
+    stats = spark.read.parquet(f"{ix}/stats").first()
+    assert stats["n_strings"] == docs.count()
+
+
+def test_ivfpq_batch_topk_equals_query_loop(spark, tmp_path):
+    """The batch ANN probe must return EXACTLY what N single-query
+    ivfpq_topk calls return (same probe order, ADC folds, auto-refine
+    sizing, rerank ranking) — the batch shape is an access-path
+    optimization (one pruned read), not a different operator. Also:
+    rrf_fuse_batch per query == rrf_fuse on the per-query lists, and
+    ADC-only mode (refine=0) matches too."""
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.pq import (
+        ann_batch_topk_indexed,
+        build_ann_index,
+        ivfpq_topk,
+        load_ann_meta,
+    )
+    from filefilter_spark.ops.retrieval import (
+        ranked,
+        rrf_fuse,
+        rrf_fuse_batch,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ix = str(tmp_path / "ix")
+    build_ann_index(emb, ix, n_lists=16, m=8, k=16, iters=1)
+    meta = load_ann_meta(spark, ix)
+    codes = spark.read.parquet(f"{ix}/codes")
+    queries = {
+        f"q{v}": [float(x) for x in
+                  emb.filter(F.col("vec_id") == v).first()["embedding"]]
+        for v in (0, 3, 9)
+    }
+    got = ann_batch_topk_indexed(
+        spark, ix, queries, topk=5, n_probe=4, vectors=emb
+    )
+    by_q = {q: [] for q in queries}
+    for r in got.orderBy("q_id", "rank").collect():
+        by_q[r["q_id"]].append((r["vec_id"], round(r["dist2"], 9)))
+    for q, vec in queries.items():
+        want = [
+            (r["vec_id"], round(r["dist2"], 9))
+            for r in ivfpq_topk(
+                codes, meta["codebooks"], meta["centroids"], vec,
+                topk=5, n_probe=4, vectors=emb,
+                scale=meta["scale"], cell_counts=meta["cell_counts"],
+                dedup_ids=True,
+            ).collect()
+        ]
+        assert by_q[q] == want, q
+    # ADC-only shortlists match the single-query ADC ranking
+    adc = ann_batch_topk_indexed(spark, ix, queries, topk=5, n_probe=4,
+                                 refine=0)
+    for q, vec in queries.items():
+        want_adc = [
+            (r["vec_id"], round(r["adc"], 9))
+            for r in ivfpq_topk(
+                codes, meta["codebooks"], meta["centroids"], vec,
+                topk=5, n_probe=4, refine=0, scale=meta["scale"],
+                dedup_ids=True,
+            ).collect()
+        ]
+        got_adc = [
+            (r["vec_id"], round(r["adc"], 9))
+            for r in adc.filter(F.col("q_id") == q)
+            .orderBy("rank").collect()
+        ]
+        assert got_adc == want_adc, q
+    # batch fusion == per-query fusion
+    nn = got.withColumnRenamed("vec_id", "doc_id")
+    bm_rows = [(q, d, float(5 - i))
+               for q in queries for i, d in enumerate([1, 2, 3, 4, 5])]
+    bm = spark.createDataFrame(
+        bm_rows, "q_id string, doc_id long, bm25 double"
+    )
+    from pyspark.sql import Window as _W
+
+    w_bm = bm.withColumn(
+        "rank",
+        F.row_number().over(
+            _W.partitionBy("q_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+        ),
+    )
+    fused = rrf_fuse_batch(w_bm, nn, id_col="doc_id", k=4)
+    for q in queries:
+        a = ranked(bm.filter(F.col("q_id") == q), "bm25", "doc_id")
+        b = nn.filter(F.col("q_id") == q).select("doc_id", "rank")
+        want_f = [
+            (r["doc_id"], r["rrf_score"])
+            for r in rrf_fuse(a, b, id_col="doc_id", k=4).collect()
+        ]
+        got_f = [
+            (r["doc_id"], r["rrf_score"])
+            for r in fused.filter(F.col("q_id") == q)
+            .orderBy("rank").collect()
+        ]
+        assert got_f == want_f, q
+
+
 def test_keep_top_fraction_skewed_equals_plain(spark):
     """The count-based two-phase form (score-class counting + radix
     select on the straddling class) must keep EXACTLY the plain

@@ -50,6 +50,14 @@ HEADLINE = [
     # persisted indexes in-row, like ivfpq.
     "OP-B19-sessions-skew", "OP-D4-qualitygate", "OP-D4-qualitygate-skew",
     "OP-D4-bm25-batch", "OP-D4-bm25-batch-indexed", "OP-D3-hybrid-indexed",
+    # round-15 operators. OP-D5-fuzzy builds the Ed-Join layout AND
+    # drains a multi-batch stream per invocation (build+ingest priced
+    # together, like the other index rows) against DuckDB's quadratic
+    # join over the SAME union corpus — exact oracle, engine-contrast
+    # economics like OP-D2-fuzzy. OP-D3-hybrid-batch builds BOTH
+    # persisted indexes in-row and is recall-oracled (Spark wall-clock
+    # only, no DuckDB column).
+    "OP-D5-fuzzy", "OP-D3-hybrid-batch",
 ]
 
 
