@@ -109,6 +109,7 @@ def lloyd_kmeans(
     id_col: str = "vec_id",
     scale: float = 1e6,
     init_ids: Sequence[int] | None = None,
+    seeding: str = "id",
 ) -> DataFrame:
     """Deterministic Lloyd k-means: returns
     ``(id_col, cluster, dist2)`` — the assignment after ``iters``
@@ -118,7 +119,19 @@ def lloyd_kmeans(
 
     ``init_ids``: explicit seed row ids (any deterministic choice);
     default = the ``k`` lowest ids.
-    """
+
+    ``seeding``: ``"id"`` (default — the k lowest ids, the choice the
+    cross-engine oracles reimplement) or ``"hash"`` — the k rows with
+    the lowest ``xxhash64(id)``, still fully deterministic and
+    partition-invariant but DECORRELATED from id order. When row ids
+    correlate with content (time-ordered ingest, mode-sorted corpora)
+    the lowest-id seeds all land in one region and shallow Lloyd runs
+    keep several centroids collapsed there (measured:
+    tools/ann_drift_probe.py — a rebuilt 2×-corpus index at
+    n_lists=48/id-seeding left probed@4 at ~56% of the corpus);
+    ``"hash"`` spreads the seeds content-blind. Production rebuilds
+    should prefer it; the default stays ``"id"`` because the exact
+    DuckDB oracles replay that recipe."""
     spark = df.sparkSession
     q0 = df.select(
         F.col(id_col).alias("__id"),
@@ -132,10 +145,44 @@ def lloyd_kmeans(
             seeds = qframe.filter(F.col("__id").isin(list(init_ids)))
         else:
             seeds = qframe
-        # one TakeOrderedAndProject serves both branches (sorted,
-        # deterministic collect order)
-        seed_rows = seeds.orderBy("__id").limit(k).collect()
-        cents = [[v / scale for v in r["q"]] for r in seed_rows]
+        if seeding == "hash":
+            seed_rows = seeds.orderBy(
+                F.xxhash64("__id"), F.col("__id")
+            ).limit(k).collect()
+            cents = [[v / scale for v in r["q"]] for r in seed_rows]
+        elif seeding == "maxmin":
+            # Gonzalez (1985) farthest-first traversal, deterministic:
+            # first seed = lowest xxhash64(id); each next seed = the
+            # row FARTHEST from its nearest chosen seed (ties → lowest
+            # id). k−1 extra passes over the cached narrow frame — the
+            # rebuild-grade initializer: unlike id/hash seeding it
+            # cannot leave a data mode unseeded (coupon-collector gap,
+            # measured in tools/ann_drift_probe.py), and it is a
+            # 2-approximation for the k-center objective.
+            first = seeds.orderBy(
+                F.xxhash64("__id"), F.col("__id")
+            ).limit(1).collect()
+            if not first:
+                raise ValueError("lloyd_kmeans: empty input")
+            cents = [[v / scale for v in first[0]["q"]]]
+            for _ in range(k - 1):
+                far = (
+                    _assign(seeds, cents)
+                    .orderBy(F.desc("dist2"), F.asc("__id"))
+                    .limit(1)
+                    .collect()[0]
+                )
+                cents.append([v / scale for v in far["q"]])
+        elif seeding != "id":
+            raise ValueError(
+                f"lloyd_kmeans: unknown seeding {seeding!r} "
+                "(id | hash | maxmin)"
+            )
+        else:
+            # one TakeOrderedAndProject serves both branches (sorted,
+            # deterministic collect order)
+            seed_rows = seeds.orderBy("__id").limit(k).collect()
+            cents = [[v / scale for v in r["q"]] for r in seed_rows]
 
         for _ in range(iters):
             assigned = _assign(qframe, cents)

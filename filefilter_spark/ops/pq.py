@@ -122,16 +122,28 @@ def fit_pq_codebooks(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: float = 1e6,
+    seeding: str = "id",
 ) -> Codebooks:
     """Deterministic PQ codebooks: ``codebooks[s][c]`` is the c-th
     centroid of subspace s (d/m components). Seeds are the k lowest-id
-    vectors' subvectors; ``iters`` Lloyd rounds refine all subspaces
-    together (see module docstring for the per-round shuffle bound).
-    Empty clusters keep their previous centroid."""
+    vectors' subvectors (``seeding="hash"``: the k lowest
+    ``xxhash64(id)`` — content-blind spread, see
+    ``cluster.lloyd_kmeans``); ``iters`` Lloyd rounds refine all
+    subspaces together (see module docstring for the per-round shuffle
+    bound). Empty clusters keep their previous centroid."""
     qframe = df.select(
         F.col(id_col).alias("__id"), _grid(F.col(vec_col), scale).alias("q")
     )
-    seed_rows = qframe.orderBy("__id").limit(k).collect()
+    if seeding == "hash":
+        seed_rows = qframe.orderBy(
+            F.xxhash64("__id"), F.col("__id")
+        ).limit(k).collect()
+    elif seeding != "id":
+        raise ValueError(
+            f"fit_pq_codebooks: unknown seeding {seeding!r} (id | hash)"
+        )
+    else:
+        seed_rows = qframe.orderBy("__id").limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"fit_pq_codebooks: need >= {k} rows")
     d = len(seed_rows[0]["q"])
@@ -331,6 +343,7 @@ def build_ivfpq_index(
     residual: bool = False,
     fit_frac: float = 1.0,
     coarse_iters: int = 2,
+    seeding: str = "id",
 ):
     """IVF×PQ composed index (Jégou et al. 2011 §IV: coarse quantizer
     + product codes): Lloyd k-means assigns every vector to one of
@@ -382,8 +395,12 @@ def build_ivfpq_index(
     fit_df = hash_sample(df, fit_frac, id_col=id_col)
     _, centroids = build_ivf_index(
         fit_df, n_lists=n_lists, vec_col=vec_col, id_col=id_col,
-        method="lloyd", coarse_iters=coarse_iters,
+        method="lloyd", coarse_iters=coarse_iters, seeding=seeding,
     )
+    # maxmin is a COARSE-tier initializer (mode coverage); the PQ
+    # subspace fit has no mode-coverage problem, so it degrades to the
+    # content-blind hash spread there
+    pq_seeding = "hash" if seeding == "maxmin" else seeding
     if residual:
         res_frame = _residual_frame(
             df, centroids, vec_col=vec_col, id_col=id_col, scale=scale
@@ -391,12 +408,12 @@ def build_ivfpq_index(
         fit_res = hash_sample(res_frame, fit_frac, id_col=id_col)
         books = fit_pq_codebooks(
             fit_res, m=m, k=k, iters=iters, vec_col="__res",
-            id_col=id_col, scale=scale,
+            id_col=id_col, scale=scale, seeding=pq_seeding,
         )
     else:
         books = fit_pq_codebooks(
             fit_df, m=m, k=k, iters=iters, vec_col=vec_col,
-            id_col=id_col, scale=scale,
+            id_col=id_col, scale=scale, seeding=pq_seeding,
         )
     indexed = ivfpq_encode_batch(
         df, books, centroids, vec_col=vec_col, id_col=id_col,
@@ -875,6 +892,7 @@ def build_ann_index(
     residual: bool = False,
     fit_frac: float = 1.0,
     coarse_iters: int = 2,
+    seeding: str = "id",
 ) -> None:
     """Persist a self-contained IVF×PQ index layout — the ANN twin of
     :func:`filefilter_spark.ops.retrieval.build_text_index` (r14: the
@@ -916,7 +934,7 @@ def build_ann_index(
     indexed, books, cents = build_ivfpq_index(
         df, n_lists=n_lists, m=m, k=k, iters=iters, vec_col=vec_col,
         id_col=id_col, scale=scale, residual=residual, fit_frac=fit_frac,
-        coarse_iters=coarse_iters,
+        coarse_iters=coarse_iters, seeding=seeding,
     )
     spark = df.sparkSession
     counts = ivfpq_cell_counts(indexed)
@@ -931,6 +949,7 @@ def build_ann_index(
         "m": int(m),
         "k": int(k),
         "id_col": id_col,
+        "seeding": seeding,
     }
     meta_df = spark.createDataFrame([(_json.dumps(meta),)], "meta string")
 

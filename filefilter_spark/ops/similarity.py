@@ -360,6 +360,7 @@ def build_ivf_index(
     seed: int = 7,
     method: str = "ml",
     coarse_iters: int = 2,
+    seeding: str = "id",
 ):
     """IVF (inverted-file) coarse quantizer: KMeans the corpus into
     ``n_lists`` centroid cells; every vector is assigned to its nearest
@@ -375,7 +376,10 @@ def build_ivf_index(
     :func:`filefilter_spark.ops.cluster.lloyd_kmeans` — deterministic
     bit-stable cells (see that module's docstring), the right choice
     when the index is written once and probed forever, or when cell
-    membership feeds dedup/split decisions."""
+    membership feeds dedup/split decisions. ``seeding`` (lloyd only):
+    ``"id"`` (default, oracle-exact) or ``"hash"`` — content-blind
+    seed spread for corpora whose ids correlate with content (see
+    lloyd_kmeans)."""
     if method == "lloyd":
         from filefilter_spark.ops.cluster import lloyd_kmeans
 
@@ -384,7 +388,7 @@ def build_ivf_index(
         )
         assigned = (
             lloyd_kmeans(df, k=n_lists, iters=coarse_iters, vec_col=vec_col,
-                         id_col=id_col)
+                         id_col=id_col, seeding=seeding)
             .withColumnRenamed("cluster", "cell")
             .join(arrs, id_col)
             .select(id_col, "__arr", "cell")

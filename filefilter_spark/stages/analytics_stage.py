@@ -323,6 +323,7 @@ class AnnIndexStage(Stage):
             residual=bool(cfg.get("residual", False)),
             fit_frac=float(cfg.get("fitFrac", 1.0)),
             coarse_iters=int(cfg.get("coarseIters", 2)),
+            seeding=cfg.get("seeding", "id"),
         )
         return df
 

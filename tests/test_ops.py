@@ -3820,6 +3820,38 @@ def test_build_ann_index_rebuild_swaps_atomically(spark, tmp_path):
     assert not leaked, leaked
 
 
+def test_lloyd_seeding_modes(spark):
+    """seeding='hash' and 'maxmin' are deterministic and
+    partition-invariant (same assignments at any repartition);
+    'maxmin' spreads seeds across separated modes that id-order
+    seeding would miss; unknown modes raise."""
+    import pytest as _pytest
+
+    from filefilter_spark.ops.cluster import lloyd_kmeans
+
+    # two far-apart modes whose ids are block-ordered (ids 0-19 mode A,
+    # 20-39 mode B) — the adversarial case for lowest-id seeding
+    rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(20)]
+    rows += [(20 + i, [50.0 + 0.01 * i, 50.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for seeding in ("hash", "maxmin"):
+        a = {r["vec_id"]: r["cluster"] for r in
+             lloyd_kmeans(df.repartition(1), k=2, iters=2,
+                          seeding=seeding).collect()}
+        b = {r["vec_id"]: r["cluster"] for r in
+             lloyd_kmeans(df.repartition(7), k=2, iters=2,
+                          seeding=seeding).collect()}
+        assert a == b, seeding
+    # maxmin must put the two modes in different clusters
+    got = {r["vec_id"]: r["cluster"] for r in
+           lloyd_kmeans(df, k=2, iters=1, seeding="maxmin").collect()}
+    assert len({got[i] for i in range(20)}) == 1
+    assert len({got[20 + i] for i in range(20)}) == 1
+    assert got[0] != got[20]
+    with _pytest.raises(ValueError, match="seeding"):
+        lloyd_kmeans(df, k=2, seeding="bogus")
+
+
 def test_ann_index_drift_signal():
     """ann_index_drift is pure driver arithmetic: TV=0/ok when ingest
     mirrors the build distribution, widen_probe past the TV threshold,

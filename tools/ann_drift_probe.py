@@ -1,0 +1,224 @@
+"""ANN drift probe (r15): measure the staleness signal against what it
+predicts — probe recall on a stream-grown, frozen-model IVF×PQ layout.
+
+Data: CLUSTERED synthetic vectors (numpy, seeded — 24 Gaussian modes,
+dim 64, sigma 0.05), because IVF's recall story only exists when the
+data HAS coarse structure: on the isotropic sf0.01 embeddings even a
+fresh converged build reads recall ~0.3-0.5 at any probe width (true
+neighbors scatter uniformly across cells), which measures the data,
+not the index. The zipf window-skew probe is the precedent for
+synthesizing the distribution a mechanism needs to be exercised.
+
+Three scenarios (build → stream-ingest → probe, the OP-D5-annindex
+lifecycle):
+
+* SAME-DIST — build on half the points, ingest the other half (same
+  modes). TV should read low, recall should hold.
+* SHIFTED   — build on the original modes, ingest points from 24 NEW
+  modes (disjoint centers). TV should read high, recall for queries
+  near the new modes should sag at the default probe width, widening
+  should partially recover, and a REBUILD should restore it.
+* REBUILT   — rebuild on the union, RE-SIZED (n_lists ~ sqrt(n): 2x
+  corpus with new modes needs more cells — a same-shape rebuild
+  leaves the new modes crammed into few cells) and converged. The
+  signal resets to ~0 because built_cell_counts re-freezes.
+
+Recall@10 vs the exact L2 top-10 over the union (numpy driver-side).
+Output: per-batch drift progression, the scenario table, and the
+calibration check that ops.pq's DRIFT_TV_WIDEN / DRIFT_TV_REBUILD
+separate the measured scenarios.
+Usage: python tools/ann_drift_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 64
+N_MODES = 24
+PER_MODE = 125  # 24 * 125 = 3000 points per corpus half
+SIGMA = 0.05
+
+
+def make_points(rng, centers, n_per, id_base):
+    pts, ids = [], []
+    for ci, c in enumerate(centers):
+        pts.append(c + rng.normal(0.0, SIGMA, size=(n_per, DIM)))
+        ids.append(id_base + ci * n_per + np.arange(n_per))
+    return np.vstack(pts), np.concatenate(ids)
+
+
+def to_df(spark, mat, ids):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def exact_top10(mat, ids, q):
+    d2 = ((mat - q) ** 2).sum(axis=1)
+    order = np.lexsort((ids, d2))
+    return [int(ids[i]) for i in order[:10]]
+
+
+def probed_rows(meta, queries, n_probe):
+    """Mean rows the coarse probe reads at this width — the PRUNING
+    story: drift crams ingested mass into the few frozen cells nearest
+    the new region, so the probed population balloons toward the whole
+    drifted mass even while auto-refine keeps recall up. Driver-side
+    arithmetic over the meta sidecar."""
+    cents = meta["centroids"]
+    counts = meta["cell_counts"]
+    tot = 0
+    for q in queries:
+        d2 = [
+            (sum((a - b) * (a - b) for a, b in zip(q, c)), i)
+            for i, c in enumerate(cents)
+        ]
+        probe = [i for _, i in sorted(d2)[:n_probe]]
+        tot += sum(int(counts.get(c, 0)) for c in probe)
+    return tot / len(queries)
+
+
+def recall_at_10(spark, ix, queries, mat, ids, vectors, n_probe,
+                 refine=None):
+    from filefilter_spark.ops.pq import ann_topk_indexed
+
+    hits, total = 0, 0
+    for q in queries:
+        want = set(exact_top10(mat, ids, q))
+        got = {
+            int(r["vec_id"])
+            for r in ann_topk_indexed(
+                spark, ix, [float(x) for x in q], topk=10,
+                n_probe=n_probe, refine=refine, vectors=vectors,
+            ).collect()
+        }
+        hits += len(want & got)
+        total += len(want)
+    return hits / total
+
+
+def main() -> None:
+    from filefilter_spark.ops.pq import (
+        DRIFT_TV_REBUILD,
+        DRIFT_TV_WIDEN,
+        ann_index_drift,
+        build_ann_index,
+        load_ann_meta,
+    )
+    from filefilter_spark.session import get_spark
+    from filefilter_spark.streaming.jobs import ann_index_stream_ingest
+
+    spark = get_spark("ann_drift_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="ann_drift_")
+    rng = np.random.default_rng(7)
+
+    centers_a = rng.normal(0.0, 1.0, size=(N_MODES, DIM))
+    centers_b = rng.normal(0.0, 1.0, size=(N_MODES, DIM)) + 3.0
+
+    mat_a, ids_a = make_points(rng, centers_a, PER_MODE, 0)
+    mat_a2, ids_a2 = make_points(rng, centers_a, PER_MODE, 1_000_000)
+    mat_b, ids_b = make_points(rng, centers_b, PER_MODE, 2_000_000)
+
+    df_a = to_df(spark, mat_a, ids_a)
+    df_a2 = to_df(spark, mat_a2, ids_a2)
+    df_b = to_df(spark, mat_b, ids_b)
+
+    results = []
+
+    # ---- SAME-DIST ----------------------------------------------------
+    ix1 = f"{root}/ix_same"
+    build_ann_index(df_a, ix1, n_lists=N_MODES, m=8, k=16, iters=1,
+                    coarse_iters=6)
+    src1 = f"{root}/src_same"
+    df_a2.repartition(3).write.parquet(src1)
+    ann_index_stream_ingest(spark, src1, ix1, max_files_per_trigger=1)
+    d1 = ann_index_drift(load_ann_meta(spark, ix1))
+    union1 = df_a.unionByName(df_a2)
+    m1 = np.vstack([mat_a, mat_a2])
+    i1 = np.concatenate([ids_a, ids_a2])
+    q1 = mat_a2[rng.choice(len(mat_a2), 20, replace=False)]
+    rec1 = {f"n_probe={p}": recall_at_10(spark, ix1, q1, m1, i1, union1, p)
+            for p in (4, 8)}
+    # shortlist-vs-resident-mode law: after same-dist ingest each mode
+    # holds 250 rows; auto-refine at n_probe=4 sizes the shortlist at
+    # ~140 < 250 and recall reads its ratio. refine=25 (shortlist 250)
+    # should restore it WITHOUT widening the probe.
+    rec1["np=4,rf=25"] = recall_at_10(spark, ix1, q1, m1, i1, union1, 4,
+                                      refine=25)
+    rec1["probed@4"] = probed_rows(load_ann_meta(spark, ix1), q1, 4)
+    results.append(("same-dist ingest", d1, rec1))
+
+    # ---- SHIFTED ------------------------------------------------------
+    ix2 = f"{root}/ix_shift"
+    build_ann_index(df_a, ix2, n_lists=N_MODES, m=8, k=16, iters=1,
+                    coarse_iters=6)
+    src2 = f"{root}/src_shift"
+    df_b.repartition(3).write.parquet(src2)
+    batches = []
+    ann_index_stream_ingest(spark, src2, ix2, max_files_per_trigger=1,
+                            on_batch=batches.append)
+    d2 = ann_index_drift(load_ann_meta(spark, ix2))
+    union2 = df_a.unionByName(df_b)
+    m2 = np.vstack([mat_a, mat_b])
+    i2 = np.concatenate([ids_a, ids_b])
+    q2 = mat_b[rng.choice(len(mat_b), 20, replace=False)]
+    rec2 = {f"n_probe={p}": recall_at_10(spark, ix2, q2, m2, i2, union2, p)
+            for p in (4, 8, 16)}
+    meta2 = load_ann_meta(spark, ix2)
+    rec2["probed@4"] = probed_rows(meta2, q2, 4)
+    results.append(("shifted ingest", d2, rec2))
+    print("per-batch drift progression (shifted):")
+    for b in batches:
+        print(f"  batch {b['batch_id']}: tv={b['tv_distance']} "
+              f"frac={b['ingested_frac']} action={b['action']}")
+
+    # ---- REBUILT (re-sized, converged, maxmin seeds) ------------------
+    # seeding matters at rebuild: ids here correlate with modes, so
+    # lowest-id seeding plants every seed in one mode (measured:
+    # probed@4 stayed ~56% of the corpus after an id-seeded rebuild),
+    # and hash seeding restores pruning but leaves ~1/e of the modes
+    # unseeded (coupon collector — measured recall 0.46@4). The
+    # farthest-first traversal (seeding="maxmin", Gonzalez 1985)
+    # deterministically covers every mode.
+    ix3 = f"{root}/ix_rebuilt"
+    build_ann_index(union2, ix3, n_lists=2 * N_MODES, m=8, k=16, iters=2,
+                    coarse_iters=8, seeding="maxmin")
+    d3 = ann_index_drift(load_ann_meta(spark, ix3))
+    rec3 = {f"n_probe={p}": recall_at_10(spark, ix3, q2, m2, i2, union2, p)
+            for p in (4, 8)}
+    # each rebuilt cell = one 125-row mode; auto-refine's 50-row
+    # shortlist under-covers it (intra-mode ADC is noise-limited at
+    # m=8/k=16, so the shortlist is ~uniform within the mode and
+    # recall ~= shortlist/mode). refine=15 (shortlist 150) covers it.
+    rec3["np=4,rf=15"] = recall_at_10(spark, ix3, q2, m2, i2, union2, 4,
+                                      refine=15)
+    rec3["probed@4"] = probed_rows(load_ann_meta(spark, ix3), q2, 4)
+    results.append(("rebuilt (resized 2x)", d3, rec3))
+
+    print("\nscenario                 tv      frac    action        recall")
+    for name, d, rec in results:
+        recs = "  ".join(f"{k}:{v:.2f}" for k, v in rec.items())
+        print(f"{name:<24} {d['tv_distance']:<7} {d['ingested_frac']:<7} "
+              f"{d['action']:<13} {recs}")
+
+    tv_same, tv_shift = (results[0][1]["tv_distance"],
+                         results[1][1]["tv_distance"])
+    ok = tv_same < DRIFT_TV_WIDEN <= tv_shift or tv_shift >= DRIFT_TV_REBUILD
+    print(f"\ncalibration: same={tv_same} < WIDEN={DRIFT_TV_WIDEN} "
+          f"<= shifted={tv_shift} (or shifted >= REBUILD="
+          f"{DRIFT_TV_REBUILD}): {'OK' if ok else 'MISCALIBRATED'}")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
