@@ -860,6 +860,7 @@ def ann_batch_topk_indexed(
     id dedup on the pruned read. The batch twin of
     :func:`ann_topk_indexed`."""
     meta = load_ann_meta(spark, path)
+    _warn_if_stale(meta, path)
     codes = spark.read.parquet(f"{path}/codes")
     return ivfpq_batch_topk(
         codes,
@@ -1102,6 +1103,23 @@ def ann_index_drift(meta: Mapping) -> dict:
     }
 
 
+def _warn_if_stale(meta: Mapping, path: str) -> None:
+    """One log line when a probe targets a drifted layout — the
+    passive half of the drift wire (the active half is the ingest's
+    ``on_batch`` hook): a reader who never wired the hook still finds
+    the widen-probe/rebuild recommendation next to their slow/low-
+    recall query instead of discovering drift from the symptom."""
+    import logging
+
+    d = ann_index_drift(meta)
+    if d["action"] in ("widen_probe", "rebuild"):
+        logging.getLogger("filefilter_spark").warning(
+            "ann index at %s is stale (tv=%s, ingested_frac=%s): "
+            "recommended action=%s — see SCALING.md 'ANN drift signal'",
+            path, d["tv_distance"], d["ingested_frac"], d["action"],
+        )
+
+
 def ann_topk_indexed(
     spark,
     path: str,
@@ -1124,6 +1142,7 @@ def ann_topk_indexed(
     append (``ann_index_stream_ingest``) are dropped on the pruned
     read — codes are grid-deterministic, so any copy is the copy."""
     meta = load_ann_meta(spark, path)
+    _warn_if_stale(meta, path)
     codes = spark.read.parquet(f"{path}/codes")
     return ivfpq_topk(
         codes,

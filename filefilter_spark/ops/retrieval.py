@@ -618,7 +618,14 @@ def build_text_index(
     same postings shuffle tf-idf already pays. ``n_buckets`` bounds
     file counts (the small-files maintenance loop — ``maybe_compact``
     in ops/layout.py — applies to ``postings/`` unchanged).
+
+    Rebuilding over an EXISTING layout stages every table in temp dirs
+    and swaps them in (the streaming maintenance protocol — same
+    contract as ``pq.build_ann_index``, r15): a crash mid-rebuild
+    leaves the old index intact and concurrent probes never see a
+    half-written store.
     """
+    spark = df.sparkSession
     src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     # stats FIRST: an empty corpus must refuse loudly here — an empty
     # partitioned postings write is unreadable (no schema to infer),
@@ -632,7 +639,13 @@ def build_text_index(
     )
     if int(stats.first()["n_docs"]) == 0:
         raise ValueError("build_text_index: empty corpus — nothing to index")
-    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+    live = any(
+        _hadoop_dir_exists(spark, f"{path}/{d}")
+        for d in ("stats", "postings", "terms")
+    )
+    sfx = "__build" if live else ""
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/stats{sfx}")
     toks = df.select(
         F.col(id_col),
         tokens(src).alias("toks"),
@@ -654,10 +667,9 @@ def build_text_index(
     postings.repartition("bucket").sortWithinPartitions(
         "term", id_col
     ).write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
+        f"{path}/postings{sfx}"
     )
-    spark = df.sparkSession
-    pread = spark.read.parquet(f"{path}/postings")
+    pread = spark.read.parquet(f"{path}/postings{sfx}")
     # count DISTINCT docs, not rows: under the streaming ingest
     # (text_index_stream_ingest) an at-least-once replay can append a
     # batch's postings twice, and df must not inflate
@@ -665,8 +677,26 @@ def build_text_index(
         F.count_distinct(F.col(id_col)).alias("df")
     )
     terms.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/terms"
+        f"{path}/terms{sfx}"
     )
+    if live:
+        from filefilter_spark.streaming.jobs import _dir_exists, _swap_dirs
+
+        # postings first, stats LAST: probes read stats (n_buckets,
+        # avgdl) before pruning, so the crash window between renames
+        # serves old-stats + new-postings for at most two renames —
+        # atomic-as-the-store-allows, the maintenance-swap contract
+        for d in ("postings", "terms", "stats"):
+            if _dir_exists(spark, f"{path}/{d}"):
+                _swap_dirs(spark, f"{path}/{d}", f"{path}/{d}__build",
+                           "rebuild")
+            else:  # pragma: no cover - half-written layout repair
+                jvm = spark._jvm
+                hconf = spark._jsc.hadoopConfiguration()
+                sp = jvm.org.apache.hadoop.fs.Path(f"{path}/{d}__build")
+                sp.getFileSystem(hconf).rename(
+                    sp, jvm.org.apache.hadoop.fs.Path(f"{path}/{d}")
+                )
 
 
 def bm25_topk_indexed(

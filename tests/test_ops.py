@@ -3784,6 +3784,38 @@ def test_text_index_nbuckets_from_sidecar(spark, tmp_path):
     text_index_stream_ingest(spark, src, ix)
 
 
+def test_build_text_index_rebuild_swaps_atomically(spark, tmp_path):
+    """Rebuilding a text index over an existing layout stages to temp
+    dirs and swaps (r15, the build_ann_index contract): results equal
+    a fresh-path build, the sidecar reflects the new corpus and bucket
+    count, and no __build/__old dirs leak."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    ix = str(tmp_path / "ix")
+    build_text_index(half, ix, n_buckets=8)
+    # refresh in place with the FULL corpus and a different n_buckets
+    build_text_index(docs, ix, n_buckets=16)
+    stats = spark.read.parquet(f"{ix}/stats").first()
+    assert stats["n_docs"] == docs.count()
+    assert int(stats["n_buckets"]) == 16
+    terms = ["spark", "merge"]
+    got = [tuple(r) for r in
+           bm25_topk_indexed(spark, ix, terms, k=10).collect()]
+    assert got == [tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    leaked = [d for d in os.listdir(ix) if "__build" in d or "__old" in d]
+    assert not leaked, leaked
+
+
 def test_build_ann_index_rebuild_swaps_atomically(spark, tmp_path):
     """Rebuilding over an existing layout stages codes/meta in temp
     dirs and swaps (ADVICE r14): results equal a fresh-path build, the

@@ -67,6 +67,9 @@ def test_oracles_cover_queries(entry):
         # its embedding mirror: streaming SemDeDup survivor store →
         # recall oracle vs the exact cosine-pair-graph survivors (r13)
         "OP-D5-semdedup",
+        # batch hybrid fusion contains the ANN tier → recall oracle
+        # vs the exact per-query fusion, keys (q_id, doc_id) (r15)
+        "OP-D3-hybrid-batch",
     }, f"entries silently missing oracles: {sorted(rows_only)}"
 
 
