@@ -1449,6 +1449,62 @@ def op_d5_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "OP-A8-fuzzydedup",
+    oracle="""
+    WITH RECURSIVE s AS (
+      SELECT doc_id, substr(text, 1, 24) AS k FROM documents
+    ),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.k, b.k) <= 2
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach(src, node) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+    ),
+    losers AS (
+      SELECT src AS doc_id FROM reach GROUP BY src HAVING src != min(node)
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    doc="zero-code fuzzy dedup (r15 — the YAML surface over the exact "
+        "Ed-Join fuzzy join): a sql stage derives the 24-char key, then "
+        "the fuzzydedup stage finds the exact levenshtein<=2 pair set "
+        "(prefix-filtered, never all-pairs), clusters it via connected "
+        "components, and keeps each cluster's min-id survivor — rows in "
+        "no pair pass through untouched "
+        "(stages/corpus_stage.py FuzzyDedupStage). Oracle: DuckDB's "
+        "quadratic join + recursive-CTE transitive closure, exact.",
+)
+def op_a8_fuzzydedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    yaml = """
+filters:
+  - name: key
+    actionType: sql
+    code: "SELECT *, substring(text, 1, 24) AS k FROM df"
+  - name: dedup
+    actionType: fuzzydedup
+    actionConfig: {keyField: k, maxDist: 2, q: 2}
+"""
+    pipe = Pipeline(spark, load_config_str(yaml))
+    return pipe.run(load_table(spark, sf_dir, "documents")).df.select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
     "OP-A8-searchindex",
     oracle=f"""
     WITH {_BM25_CTES}

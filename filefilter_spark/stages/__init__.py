@@ -25,6 +25,7 @@ from filefilter_spark.stages.corpus_stage import (
     DedupStage,
     DomainFilterStage,
     ExpectStage,
+    FuzzyDedupStage,
     KeepBestStage,
     LineDedupStage,
     PerplexityStage,
@@ -53,6 +54,7 @@ STAGE_TYPES = {
     "udf": UdfStage,
     # zero-code corpus-assembly stages (beyond-reference surface)
     "dedup": DedupStage,
+    "fuzzydedup": FuzzyDedupStage,
     "split": SplitStage,
     "sample": SampleStage,
     "linededup": LineDedupStage,

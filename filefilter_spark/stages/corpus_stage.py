@@ -71,6 +71,40 @@ class DedupStage(Stage):
         )
 
 
+class FuzzyDedupStage(Stage):
+    """Edit-distance fuzzy dedup on a short KEY field — the zero-code
+    surface over ``ops.dedup.edit_distance_pairs`` (Ed-Join prefix
+    filtering, exact pair set) + ``keep_neardup_survivors``
+    (connected-components min-id survivor). actionConfig: ``keyField``
+    (required — the short string to match on: a title, URL, product
+    name; fuzzy joins are for key fields, not documents), ``maxDist``
+    (2), ``q`` (2), ``idField`` (doc_id). Rows in no fuzzy pair pass
+    through untouched. For CONTINUOUS maintenance use the persisted
+    layout (``ops.dedup.build_fuzzy_index`` +
+    ``streaming.jobs.fuzzy_index_stream_ingest``)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.dedup import (
+            edit_distance_pairs,
+            keep_neardup_survivors,
+        )
+
+        cfg = self.cfg.action_config
+        if not cfg.get("keyField"):
+            raise ValueError(
+                "fuzzydedup stage: actionConfig.keyField is required"
+            )
+        id_col = cfg.get("idField", "doc_id")
+        pairs = edit_distance_pairs(
+            df,
+            id_col=id_col,
+            str_col=cfg["keyField"],
+            max_dist=int(cfg.get("maxDist", 2)),
+            q=int(cfg.get("q", 2)),
+        )
+        return keep_neardup_survivors(df, pairs, id_col=id_col)
+
+
 class SplitStage(Stage):
     """Deterministic hash split column (``ops.corpus.hash_split``)."""
 

@@ -1044,6 +1044,31 @@ filters:
             == {r["doc_id"] for r in plain.collect()})
 
 
+def test_fuzzydedup_stage(spark):
+    """Zero-code fuzzy dedup: clusters levenshtein<=maxDist key pairs
+    and keeps min-id survivors; rows in no pair pass through; missing
+    keyField raises."""
+    df = spark.createDataFrame(
+        [(1, "spark shuffle"), (2, "spark shufle"), (3, "spark shuffles"),
+         (4, "completely different"), (5, "unrelated too")],
+        "doc_id long, title string",
+    )
+    out = run_yaml(spark, df, """
+filters:
+  - name: fd
+    actionType: fuzzydedup
+    actionConfig: {keyField: title, maxDist: 2, q: 2}
+""")
+    assert {r["doc_id"] for r in out.collect()} == {1, 4, 5}
+    with pytest.raises(ValueError, match="keyField"):
+        run_yaml(spark, df, """
+filters:
+  - name: fd
+    actionType: fuzzydedup
+    actionConfig: {maxDist: 2}
+""")
+
+
 def test_skew_auto_detector(spark):
     """max_key_share / should_route_skewed: one-job detector, the
     measured ~30% threshold, empty-frame safety."""
