@@ -3930,6 +3930,33 @@ def test_ann_index_drift_signal():
     assert zero["tv_distance"] == 0.0 and zero["action"] == "ok"
 
 
+def test_ann_batch_probe_plan_prunes_union_cells(spark, tmp_path):
+    """The batch ANN probe's single codes read must be partition-pruned
+    to the UNION of the queries' probed cells (the one-read-per-batch
+    claim), and the shortlist rank must compile to WindowGroupLimit
+    (map-side partial top-k, not a full sort)."""
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.pq import ann_batch_topk_indexed, build_ann_index
+    from tests.test_plans import _plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ix = str(tmp_path / "ix")
+    build_ann_index(emb, ix, n_lists=16, m=8, k=16, iters=1)
+    queries = {
+        f"q{v}": [float(x) for x in
+                  emb.filter(F.col("vec_id") == v).first()["embedding"]]
+        for v in (0, 7)
+    }
+    plan = _plan(ann_batch_topk_indexed(spark, ix, queries, topk=5,
+                                        n_probe=3, refine=0))
+    m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
+    assert "WindowGroupLimit" in plan
+
+
 def test_fuzzy_index_stream_ingest_exact(spark, tmp_path):
     """The streaming fuzzy-join mirror (r15): build the Ed-Join layout
     on day-1, stream day-2 in multi-file batches — after the drain the

@@ -101,6 +101,25 @@ def main() -> None:
 
     r["hybrid_probe"] = probe(hybrid)
 
+    # ---- batch-vs-loop economics (r15): the batch probes' claim is
+    # "one pruned read serves every query" — price N=5 queries through
+    # the batch op against 5 single-query probes on the same layouts.
+    from filefilter_spark.ops.pq import ann_batch_topk_indexed
+
+    five_vecs = {f"q{v}": _query_vec(spark, sf_dir, v) for v in range(5)}
+    r["ann_batch5"] = probe(lambda: ann_batch_topk_indexed(
+        spark, aix, five_vecs, topk=10, n_probe=4, vectors=emb))
+
+    def ann_loop5():
+        last = None
+        for v in five_vecs.values():
+            last = ann_topk_indexed(spark, aix, v, topk=10, n_probe=4,
+                                    vectors=emb)
+            last.collect()
+        return last
+
+    r["ann_loop5"] = probe(ann_loop5)
+
     # ---- stream-grown equivalents (r15, VERDICT r14 #5): the
     # deployment path is build-once + ingest-forever, so the table
     # must price probes against a STREAM-GROWN store, fragmented vs
@@ -210,6 +229,8 @@ def main() -> None:
         f"| batch BM25 indexed probe (3 queries) | {out['batch_probe']:.2f}s | one pruned read per BATCH |",
         f"| ANN indexed probe (+exact rerank) | {out['ann_probe']:.2f}s | every query — pruned cell read |",
         f"| hybrid probe (both indexes, RRF) | {out['hybrid_probe']:.2f}s | every query, zero corpus scans |",
+        f"| ANN BATCH probe, 5 queries in one pruned read | {out['ann_batch5']:.2f}s | one read per batch |",
+        f"| …the same 5 queries as a single-probe loop | {out['ann_loop5']:.2f}s | 5 reads + 5 rerank jobs |",
         f"| text ingest, 8 micro-batches onto a half-built index | {out['text_ingest_8b']:.2f}s | per ingest cycle |",
         f"| BM25 probe on the STREAM-GROWN index, fragmented ({out['postings_files_frag_vs_compacted'][0]} files) | {out['bm25_probe_grown_frag']:.2f}s | every query |",
         f"| … after compaction ({out['postings_files_frag_vs_compacted'][1]} files, {out['text_compact']:.2f}s rewrite) | {out['bm25_probe_grown_compacted']:.2f}s | every query |",
