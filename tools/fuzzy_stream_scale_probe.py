@@ -1,0 +1,102 @@
+"""Streaming fuzzy-join scale probe (r15): how does the per-batch
+ingest cost grow with the STORE size?
+
+The lifecycle probe measured a flat per-batch curve over one ingest
+cycle at sf0.1; this probe is the deeper claim-check: ×1/×2/×4 corpora
+(the crossover probe's scaled builder — per-copy text rotation, so the
+pair structure scales ~linearly, not quadratically), each split 70%
+build / 30% stream in 6 micro-batches, per-batch wall seconds from the
+``on_batch`` hook.
+
+What to expect and what it prices: each batch pays (a) batch-sized
+tagging/prefixing, (b) ONE broadcast join of the batch's prefix
+entries against the postings store — scan-bounded in store size, and
+(c) a candidate-bounded verify. So the per-batch curve should be flat
+WITHIN a cycle (store grows 5% per batch) and the cross-tier growth
+shows how much of the batch cost is the store scan vs the fixed
+micro-batch floor — the number a 100 TB deployment needs to pick
+between continuous ingest and periodic batch rebuilds.
+
+Usage: python tools/fuzzy_stream_scale_probe.py [max_mult]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.crossover_probe import build_scaled_dir  # noqa: E402
+
+SCRATCH = "/tmp/spark_graft_fuzzyscale"
+
+
+def main() -> None:
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.dedup import build_fuzzy_index
+    from filefilter_spark.queries.registry import load_table
+    from filefilter_spark.session import get_spark
+    from filefilter_spark.streaming.jobs import fuzzy_index_stream_ingest
+
+    max_mult = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    spark = get_spark("fuzzy_stream_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+    os.makedirs(SCRATCH, exist_ok=True)
+
+    results = []
+    mult = 1
+    while mult <= max_mult:
+        sf_dir = build_scaled_dir(spark, mult)
+        keys = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.expr("substring(text, 1, 24)").alias("s")
+        )
+        build = keys.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) < 7)
+        stream = keys.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) >= 7)
+        ix = f"{SCRATCH}/ix_x{mult}"
+        src = f"{SCRATCH}/src_x{mult}"
+        import time
+
+        t0 = time.time()
+        build_fuzzy_index(build, ix, id_col="doc_id", str_col="s",
+                          max_dist=3, q=2)
+        build_s = time.time() - t0
+        stream.repartition(6).write.parquet(src)
+        fb = []
+        pairs = fuzzy_index_stream_ingest(
+            spark, src, ix, id_col="doc_id", str_col="s",
+            max_files_per_trigger=1, on_batch=fb.append,
+        )
+        curve = [round(b["seconds"], 2) for b in fb if b["applied"]]
+        n_pairs = pairs.count()
+        n_strings = int(
+            spark.read.parquet(f"{ix}/stats").first()["n_strings"]
+        )
+        row = {
+            "mult": mult,
+            "n_strings": n_strings,
+            "build_s": round(build_s, 2),
+            "batch_seconds": curve,
+            "batch_mean_s": round(sum(curve) / len(curve), 2),
+            "n_pairs": n_pairs,
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+        mult *= 2
+
+    print("\nmult  strings   build_s  batch_mean  pairs")
+    for r in results:
+        print(f"x{r['mult']:<4} {r['n_strings']:<9} {r['build_s']:<8} "
+              f"{r['batch_mean_s']:<11} {r['n_pairs']}")
+    base = results[0]["batch_mean_s"]
+    for r in results[1:]:
+        print(f"x{r['mult']} batch-cost growth vs x1: "
+              f"{r['batch_mean_s'] / base:.2f}x on a {r['mult']}x store")
+
+
+if __name__ == "__main__":
+    main()
