@@ -847,7 +847,7 @@ def ann_batch_topk_indexed(
     path: str,
     queries: Mapping[str, Sequence[float]],
     topk: int = 10,
-    n_probe: int = 4,
+    n_probe: int | str = 4,
     refine: int | None = None,
     vectors: DataFrame | None = None,
     vec_col: str = "embedding",
@@ -858,9 +858,12 @@ def ann_batch_topk_indexed(
     codes read over the union of their probed cells, auto-refine sized
     from the meta sidecar's histogram (zero sizing jobs), replay-safe
     id dedup on the pruned read. The batch twin of
-    :func:`ann_topk_indexed`."""
+    :func:`ann_topk_indexed`, including ``n_probe="auto"`` (the drift
+    policy's widen rule, :func:`auto_n_probe`)."""
     meta = load_ann_meta(spark, path)
     _warn_if_stale(meta, path)
+    if n_probe == "auto":
+        n_probe = auto_n_probe(meta)
     codes = spark.read.parquet(f"{path}/codes")
     return ivfpq_batch_topk(
         codes,
@@ -1103,6 +1106,22 @@ def ann_index_drift(meta: Mapping) -> dict:
     }
 
 
+def auto_n_probe(meta: Mapping, base: int = 4) -> int:
+    """Drift-aware probe width — the ACTIVE half of the widen-probe
+    rule (``ann_index_drift``): ``base`` cells on a healthy index, 2×
+    under ``widen_probe``, 3× under ``rebuild`` (capped at n_lists) —
+    the multipliers reproduce the measured recovery points (probe 6→12
+    restored 0.5→0.8 recall on the r14 drifted partial fit; the r15
+    drift probe's shifted scenario held 0.94 at the widened width
+    while the signal demanded a rebuild). Widening is a stopgap that
+    pays probe cost proportional to the drifted mass — the rebuild
+    recommendation still stands (and still warns)."""
+    d = ann_index_drift(meta)
+    mult = {"widen_probe": 2, "rebuild": 3}.get(d["action"], 1)
+    n_lists = int(meta.get("n_lists") or len(meta["centroids"]))
+    return min(n_lists, int(base) * mult)
+
+
 def _warn_if_stale(meta: Mapping, path: str) -> None:
     """One log line when a probe targets a drifted layout — the
     passive half of the drift wire (the active half is the ingest's
@@ -1125,7 +1144,7 @@ def ann_topk_indexed(
     path: str,
     query: Sequence[float],
     topk: int = 10,
-    n_probe: int = 4,
+    n_probe: int | str = 4,
     refine: int | None = None,
     vectors: DataFrame | None = None,
     vec_col: str = "embedding",
@@ -1140,9 +1159,16 @@ def ann_topk_indexed(
     :func:`ivfpq_topk` over the in-memory index — the layout is an
     access path. Duplicate id rows from an at-least-once streaming
     append (``ann_index_stream_ingest``) are dropped on the pruned
-    read — codes are grid-deterministic, so any copy is the copy."""
+    read — codes are grid-deterministic, so any copy is the copy.
+
+    ``n_probe="auto"`` applies the drift policy's widen rule
+    (:func:`auto_n_probe`): a healthy index probes the default 4
+    cells; a drifted one widens 2-3× from the sidecar's own signal —
+    zero extra jobs, and the rebuild recommendation still warns."""
     meta = load_ann_meta(spark, path)
     _warn_if_stale(meta, path)
+    if n_probe == "auto":
+        n_probe = auto_n_probe(meta)
     codes = spark.read.parquet(f"{path}/codes")
     return ivfpq_topk(
         codes,

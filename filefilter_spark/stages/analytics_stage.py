@@ -120,7 +120,9 @@ class SearchStage(Stage):
     ``mode: ann`` queries a persisted ``annindex`` layout
     (``ops.pq.ann_topk_indexed``): requires ``indexPath`` and
     ``queryVector``; ``k`` (10) top neighbors, ``nProbe`` (4) probed
-    cells, ``refine`` (auto — sized from the meta sidecar's cell
+    cells — or ``auto``, which widens 2-3× from the sidecar's drift
+    signal (``pq.auto_n_probe``) — ``refine`` (auto — sized from the
+    meta sidecar's cell
     histogram; the exact re-rank reads the incoming frame's
     ``vectorField``), attached column ``scoreField`` (default
     dist2, ascending — smaller is closer)."""
@@ -174,12 +176,17 @@ class SearchStage(Stage):
             score_col = cfg.get("scoreField", "dist2")
             _check_reserved(df, [score_col], "search")
             refine = cfg.get("refine")
+            n_probe = cfg.get("nProbe", 4)
             top = ann_topk_indexed(
                 self.spark,
                 cfg["indexPath"],
                 [float(x) for x in qv],
                 topk=k,
-                n_probe=int(cfg.get("nProbe", 4)),
+                # "auto" = the drift policy's widen rule (pq.auto_n_probe)
+                n_probe=(
+                    "auto" if str(n_probe).lower() == "auto"
+                    else int(n_probe)
+                ),
                 refine=None if refine is None else int(refine),
                 vectors=df,
                 vec_col=cfg.get("vectorField", "embedding"),

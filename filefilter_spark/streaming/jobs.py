@@ -1899,7 +1899,13 @@ def fuzzy_index_stream_ingest(
     (id join against the sbucket-partitioned strings store). The
     growth curve is measured by ``tools/index_lifecycle_probe.py``.
     ``on_batch`` (opt-in metrics hook) receives {batch_id, n_in,
-    n_new_pairs, applied, seconds}. Returns the deduped pairs table.
+    n_new_pairs, applied, unseen_gram_frac, seconds} —
+    ``unseen_gram_frac`` is this index's staleness signal (the ANN
+    drift twin): the fraction of the batch's prefix entries ordered by
+    the unseen-at-build sentinel. Exactness never depends on it, but a
+    rising fraction means the frozen rarity order has lost selectivity
+    (more candidates per batch) — rebuild to restore it. Returns the
+    deduped pairs table.
     """
     import os
     import time as _time
@@ -1972,6 +1978,7 @@ def fuzzy_index_stream_ingest(
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.time() if on_batch is not None else 0.0
+        unseen_frac = None
         files = _batch_files(batch_df)
         cur = spark.read.parquet(stats_dir).first()
         seen = list(cur["applied_keys"] or [])
@@ -2031,6 +2038,7 @@ def fuzzy_index_stream_ingest(
                         .select(
                             F.col("t.g").alias("g"),
                             F.col("t.occ").alias("occ"),
+                            F.col("t.gdf").alias("gdf"),
                             F.col("doc.id").alias("id"),
                             F.col("doc.l").alias("l"),
                         )
@@ -2039,6 +2047,27 @@ def fuzzy_index_stream_ingest(
                         ))
                         .persist(StorageLevel.MEMORY_AND_DISK)
                     )
+                    prefix_full = prefix_b  # persisted handle (w/ gdf)
+                    if on_batch is not None:
+                        # the fuzzy index's staleness signal (the ANN
+                        # drift twin): fraction of the batch's PREFIX
+                        # entries carrying the unseen-at-build sentinel
+                        # order key. Unseen grams stay LOSSLESS (the
+                        # frozen order is still total) but sort last,
+                        # i.e. the prefixes lose their rarity
+                        # selectivity — a rising fraction means more
+                        # candidates per batch; rebuild to restore it.
+                        row = prefix_b.agg(
+                            F.avg(
+                                (F.col("gdf") == F.lit(FUZZY_UNSEEN_GDF))
+                                .cast("double")
+                            ).alias("f")
+                        ).first()
+                        unseen_frac = (
+                            round(float(row["f"]), 6)
+                            if row["f"] is not None else 0.0
+                        )
+                    prefix_b = prefix_b.drop("gdf")
                     store_post = spark.read.parquet(post_dir)
                     cross = (
                         F.broadcast(
@@ -2171,7 +2200,7 @@ def fuzzy_index_stream_ingest(
                     commit_stats(cur, batch_id, new_keys, n_in)
                     if on_batch is not None:
                         verified.unpersist()
-                    prefix_b.unpersist()
+                    prefix_full.unpersist()
                     if maintain_every and (
                         batch_id + 1
                     ) % maintain_every == 0:
@@ -2184,6 +2213,7 @@ def fuzzy_index_stream_ingest(
                 "n_in": n_in,
                 "n_new_pairs": n_new_pairs,
                 "applied": applied,
+                "unseen_gram_frac": unseen_frac,
                 "seconds": _time.time() - t0,
             })
 

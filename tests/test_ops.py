@@ -3884,6 +3884,75 @@ def test_lloyd_seeding_modes(spark):
         lloyd_kmeans(df, k=2, seeding="bogus")
 
 
+def test_auto_n_probe_widens_with_drift(spark, tmp_path):
+    """n_probe='auto' applies the drift policy's widen rule from the
+    sidecar alone: 4 cells on a healthy index, 2x under widen_probe,
+    3x under rebuild, capped at n_lists — and the indexed probe's plan
+    prunes to exactly that many cells."""
+    import json as _json
+    import re as _re
+
+    from filefilter_spark.ops.pq import (
+        ann_topk_indexed,
+        auto_n_probe,
+        build_ann_index,
+        load_ann_meta,
+    )
+    from tests.test_plans import _plan
+
+    built = {str(c): 100 for c in range(16)}
+    healthy = {"cell_counts": dict(built), "built_cell_counts": built,
+               "centroids": [[0.0]] * 16, "n_lists": 16}
+    assert auto_n_probe(healthy) == 4
+    # all new mass in one cell -> tv 0.94 -> rebuild -> 3x
+    drifted = {
+        "cell_counts": {**built, "0": 100 + 800},
+        "built_cell_counts": built,
+        "centroids": [[0.0]] * 16, "n_lists": 16,
+    }
+    assert auto_n_probe(drifted) == 12
+    assert auto_n_probe(drifted, base=8) == 16  # capped at n_lists
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ix = str(tmp_path / "ix")
+    build_ann_index(emb, ix, n_lists=16, m=8, k=16, iters=1)
+    qv = [float(x) for x in emb.first()["embedding"]]
+
+    def probed_cells(n_probe):
+        plan = _plan(ann_topk_indexed(spark, ix, qv, topk=5,
+                                      n_probe=n_probe, refine=0))
+        # Spark prints small lists as `IN (a,b)` and rewrites to
+        # `INSET a, b, ...` past 10 elements — accept both
+        m = _re.search(
+            r"PartitionFilters: \[[^\]]*cell[^\]]*?"
+            r"(?:IN \(([^)]*)\)|INSET ([^\]]*))\]",
+            plan,
+        )
+        assert m, plan[:1500]
+        return len((m.group(1) or m.group(2)).split(","))
+
+    assert probed_cells("auto") == 4  # healthy: base width
+    # doctor the sidecar into the drifted state: probe must widen 3x
+    meta = load_ann_meta(spark, ix)
+    hot = str(next(iter(meta["cell_counts"])))
+    doctored = {
+        **meta,
+        "cell_counts": {
+            str(c): n + (8 * sum(meta["cell_counts"].values())
+                         if str(c) == hot else 0)
+            for c, n in meta["cell_counts"].items()
+        },
+        "built_cell_counts": {
+            str(c): n for c, n in meta["built_cell_counts"].items()
+        },
+    }
+    spark.createDataFrame(
+        [(_json.dumps(doctored),)], "meta string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{ix}/meta")
+    spark.catalog.refreshByPath(f"{ix}/meta")
+    assert probed_cells("auto") == 12
+
+
 def test_ann_index_drift_signal():
     """ann_index_drift is pure driver arithmetic: TV=0/ok when ingest
     mirrors the build distribution, widen_probe past the TV threshold,
@@ -3998,6 +4067,10 @@ def test_fuzzy_index_stream_ingest_exact(spark, tmp_path):
                         for r in want.collect()])
     assert got_rows == want_rows and got_rows  # non-trivial pair set
     assert all(b["applied"] for b in batches)
+    # staleness signal: day-2 strings share day-1's vocabulary, so the
+    # unseen-at-build fraction is small but defined on every batch
+    fracs = [b["unseen_gram_frac"] for b in batches]
+    assert all(f is not None and 0.0 <= f <= 1.0 for f in fracs), fracs
     # checkpoint loss: full re-drain is a per-file-guard no-op
     n_pairs_raw = spark.read.parquet(f"{ix}/pairs").count()
     batches2 = []

@@ -1330,6 +1330,22 @@ filters:
                             n_probe=4, vectors=emb).collect()
     )
     assert rows == want
+    # nProbe: auto on a HEALTHY index = the default width (r15 — the
+    # drift policy's widen rule only kicks in past the TV threshold)
+    auto = run_yaml(spark, emb, f"""
+filters:
+  - name: neighbors
+    actionType: search
+    actionConfig:
+      mode: ann
+      indexPath: {ix}
+      idField: vec_id
+      k: 5
+      nProbe: auto
+      queryVector: [{', '.join(repr(x) for x in qv)}]
+""")
+    assert sorted((r["vec_id"], round(r["dist2"], 6))
+                  for r in auto.collect()) == want
     with pytest.raises(ValueError, match="indexPath"):
         run_yaml(spark, emb, """
 filters:
