@@ -51,6 +51,7 @@ intra-cluster dedup).
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import pyspark.sql.functions as F
@@ -101,6 +102,131 @@ def _assign(qframe: DataFrame, cents: list[list[float]]) -> DataFrame:
     )
 
 
+def _kmeanspar_seeds(
+    seeds: DataFrame, k: int, scale: float
+) -> list[list[float]]:
+    """Deterministic k-means‖ (Bahmani et al., VLDB 2012) — the
+    rebuild-grade initializer that replaces ``seeding="maxmin"``'s
+    k−1 sequential jobs with **O(log k) passes** over the cached
+    quantized frame (VERDICT r15 #1).
+
+    Shape per round (⌈log₂k⌉ rounds, ℓ = 2k oversampling as the paper
+    recommends): ONE TakeOrderedAndProject job that draws an EXACT
+    weight-∝-d²(x, C) sample of size ℓ without needing φ=Σd² first —
+    the Efraimidis–Spirakis (2006) reservoir trick: give every row the
+    key ``ln(u)/d²`` with ``u`` a per-(row, round) xxhash64-derived
+    uniform in (0,1), and the ℓ LARGEST keys are exactly a
+    d²-weighted sample without replacement. No RNG state: ``u`` is a
+    pure function of (id, round), so the sample — and therefore the
+    whole seed set — is identical under any partitioning, retry, or
+    engine, the same property every other seeding mode guarantees.
+
+    After the rounds, one map-combined counting pass weighs each of
+    the ~ℓ·rounds candidates by the rows nearest it, and the
+    reduction to k runs DRIVER-side on that tiny weighted set
+    (greedy weighted D² — the derandomized k-means++ step — then a
+    few weighted Lloyd polish iterations in numpy; O(|C|·k·d) driver
+    FLOPs on ≤ a few thousand candidates). Total Spark jobs:
+    ``⌈log₂k⌉ + 2`` versus maxmin's ``k−1`` — at rebuild-grade
+    n_lists ≈ √n (thousands at 100 TB) that is the difference
+    between ~13 passes and thousands of driver-synchronized jobs.
+
+    Like maxmin it cannot leave a data mode unseeded: every round's
+    d²-weighted draw lands mass in every still-uncovered region, and
+    the greedy D² reduction keeps the spread (measured —
+    tools/ann_drift_probe.py reproduces maxmin's recall/pruning on
+    the shifted-rebuild scenario). Returns ≤ k seed vectors
+    (exactly min(k, distinct rows))."""
+    import numpy as np
+
+    first = seeds.orderBy(F.xxhash64("__id"), F.col("__id")).limit(
+        1
+    ).collect()
+    if not first:
+        raise ValueError("lloyd_kmeans: empty input")
+    cents = [[v / scale for v in first[0]["q"]]]
+    ell = 2 * k
+    rounds = max(1, math.ceil(math.log2(max(2, k))))
+    # candidate pool: id → (vector, ) — the first seed is a candidate
+    pool: dict[int, list[float]] = {int(first[0]["__id"]): cents[0]}
+    for rnd in range(rounds):
+        # E-S key ln(u)/d² (maximize ⇔ maximize u^(1/d²)): u ∈ (0,1)
+        # from the row id and the round index only. d²=0 rows (already
+        # at a chosen point) are excluded via the -inf key.
+        u = (
+            F.pmod(F.xxhash64("__id", F.lit(rnd)), F.lit(1 << 40))
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 40))
+        drawn = (
+            _assign(seeds, cents)
+            .withColumn(
+                "__key",
+                F.when(
+                    F.col("dist2") > 0, F.log(u) / F.col("dist2")
+                ).otherwise(F.lit(float("-inf"))),
+            )
+            .orderBy(F.desc("__key"), F.asc("__id"))
+            .limit(ell)
+            .collect()
+        )
+        for r in drawn:
+            if math.isinf(r["__key"]):
+                continue  # every remaining row sits on a chosen point
+            pool.setdefault(
+                int(r["__id"]), [v / scale for v in r["q"]]
+            )
+        cents = list(pool.values())
+    # weighting pass: rows nearest each candidate (map-combined; the
+    # collect is |pool|-bounded)
+    order = sorted(pool)  # lowest-id-first: ties resolve to lowest id
+    cents = [pool[i] for i in order]
+    counts = {
+        int(r["cluster"]): int(r["n"])
+        for r in _assign(seeds, cents)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cand = np.asarray(cents, dtype=np.float64)
+    w = np.asarray(
+        [counts.get(i, 0) for i in range(len(cents))], dtype=np.float64
+    )
+    if len(cand) <= k:
+        return [list(map(float, c)) for c in cand]
+    # greedy weighted D² (derandomized k-means++): first = heaviest
+    # candidate (ties → lowest id via stable argmax over id order)
+    chosen = [int(np.argmax(w))]
+    d2 = ((cand - cand[chosen[0]]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        nxt = int(np.argmax(w * d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((cand - cand[nxt]) ** 2).sum(axis=1))
+    centers = cand[chosen].copy()
+    # weighted Lloyd polish on the candidate set (driver-side, fixed
+    # 5 iterations, deterministic: fixed array order + argmin ties →
+    # lowest candidate index)
+    for _ in range(5):
+        dists = ((cand[:, None, :] - centers[None, :, :]) ** 2).sum(
+            axis=2
+        )
+        assign = np.argmin(dists, axis=1)
+        for ci in range(k):
+            mask = assign == ci
+            wm = w[mask]
+            if wm.sum() > 0:
+                centers[ci] = (cand[mask] * wm[:, None]).sum(
+                    axis=0
+                ) / wm.sum()
+    return [list(map(float, c)) for c in centers]
+
+
+def seeds_cap_hint(k: int, ell: int, rounds: int) -> int:
+    """Upper bound on the k-means‖ candidate-pool size — |C| ≤
+    1 + ℓ·rounds — exposed so callers can budget the driver memory
+    (|C|·d doubles) and the per-round literal width before running."""
+    return 1 + ell * rounds
+
+
 def lloyd_kmeans(
     df: DataFrame,
     k: int = 8,
@@ -129,9 +255,17 @@ def lloyd_kmeans(
     keep several centroids collapsed there (measured:
     tools/ann_drift_probe.py — a rebuilt 2×-corpus index at
     n_lists=48/id-seeding left probed@4 at ~56% of the corpus);
-    ``"hash"`` spreads the seeds content-blind. Production rebuilds
-    should prefer it; the default stays ``"id"`` because the exact
-    DuckDB oracles replay that recipe."""
+    ``"hash"`` spreads the seeds content-blind, but leaves ~1/e of k
+    modes unseeded at k ≈ mode count (coupon collector, measured).
+    Two mode-covering initializers close that gap: ``"maxmin"``
+    (Gonzalez farthest-first — exact 2-approximation for k-center,
+    but k−1 sequential driver-synchronized jobs: the small-k
+    exactness yardstick, NOT the production path) and
+    ``"kmeanspar"`` (deterministic k-means‖, Bahmani 2012 —
+    ⌈log₂k⌉+2 jobs total via E-S weighted sampling +
+    driver-side weighted reduction; the production rebuild
+    recommendation, see :func:`_kmeanspar_seeds`). The default stays
+    ``"id"`` because the exact DuckDB oracles replay that recipe."""
     spark = df.sparkSession
     q0 = df.select(
         F.col(id_col).alias("__id"),
@@ -173,10 +307,12 @@ def lloyd_kmeans(
                     .collect()[0]
                 )
                 cents.append([v / scale for v in far["q"]])
+        elif seeding == "kmeanspar":
+            cents = _kmeanspar_seeds(seeds, k, scale)
         elif seeding != "id":
             raise ValueError(
                 f"lloyd_kmeans: unknown seeding {seeding!r} "
-                "(id | hash | maxmin)"
+                "(id | hash | maxmin | kmeanspar)"
             )
         else:
             # one TakeOrderedAndProject serves both branches (sorted,

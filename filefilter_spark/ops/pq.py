@@ -397,10 +397,10 @@ def build_ivfpq_index(
         fit_df, n_lists=n_lists, vec_col=vec_col, id_col=id_col,
         method="lloyd", coarse_iters=coarse_iters, seeding=seeding,
     )
-    # maxmin is a COARSE-tier initializer (mode coverage); the PQ
-    # subspace fit has no mode-coverage problem, so it degrades to the
-    # content-blind hash spread there
-    pq_seeding = "hash" if seeding == "maxmin" else seeding
+    # maxmin/kmeanspar are COARSE-tier initializers (mode coverage);
+    # the PQ subspace fit has no mode-coverage problem, so both degrade
+    # to the content-blind hash spread there
+    pq_seeding = "hash" if seeding in ("maxmin", "kmeanspar") else seeding
     if residual:
         res_frame = _residual_frame(
             df, centroids, vec_col=vec_col, id_col=id_col, scale=scale
@@ -954,6 +954,11 @@ def build_ann_index(
         "k": int(k),
         "id_col": id_col,
         "seeding": seeding,
+        # build params the streaming loop's auto-rebuild reuses as its
+        # defaults (r16 — the drift signal's active half)
+        "iters": int(iters),
+        "coarse_iters": int(coarse_iters),
+        "fit_frac": float(fit_frac),
     }
     meta_df = spark.createDataFrame([(_json.dumps(meta),)], "meta string")
 

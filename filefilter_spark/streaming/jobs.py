@@ -1642,6 +1642,8 @@ def ann_index_stream_ingest(
     max_files_per_partition: int = 16,
     checkpoint_dir: str | None = None,
     on_batch=None,
+    rebuild_source: str | list[str] | None = None,
+    rebuild_kwargs: dict | None = None,
 ) -> DataFrame:
     """Continuous maintenance of a PERSISTED :func:`ops.pq.build_ann_index`
     layout (OP-D5 × OP-A8-annindex) — the lifecycle twin of
@@ -1685,7 +1687,28 @@ def ann_index_stream_ingest(
     signal computed from the just-merged meta (driver-side arithmetic,
     zero extra jobs) — the operational wire for the widen-probe /
     rebuild policy: a deployment alerts on ``action != "ok"`` instead
-    of learning about drift from falling recall.
+    of learning about drift from falling recall. The merged meta also
+    persists the verdict (``last_drift``/``recommended_n_probe``), so
+    external probers read the widened width from the sidecar without
+    recomputing (``n_probe="auto"`` already derives it live).
+
+    **Auto-rebuild (r16 — the drift signal's ACTIVE half, VERDICT r15
+    #2):** pass ``rebuild_source`` (path or list of parquet paths that
+    together hold the FULL current corpus of raw vectors — the
+    canonical vectors table a real deployment keeps; the frozen codes
+    are lossy, so a refit cannot come from the index itself) and the
+    loop acts on its own ``action == "rebuild"`` signal at the batch
+    boundary where it fires: a crash-safe temp+swap
+    :func:`ops.pq.build_ann_index` re-fit over the whole source,
+    RE-SIZED (``n_lists = max(built, round(sqrt(n)))`` — SCALING.md's
+    rebuild rule) and RE-SEEDED (``seeding="kmeanspar"`` — the
+    O(log k)-pass initializer; both overridable via
+    ``rebuild_kwargs``), after which the signal re-freezes at ~0 and
+    probes re-prune. Every file currently in ``rebuild_source`` is
+    marked applied post-rebuild, so a file the rebuild already indexed
+    never double-ingests even if the stream delivers it later; the
+    rebuild runs inside ``foreachBatch``, serialized with ingest.
+    Without ``rebuild_source`` the signal stays alert-only.
     ``availableNow`` drains the bounded test input; an unbounded
     deployment runs the identical plan with a durable checkpoint.
     Returns the codes table at ``index_path`` after the drain.
@@ -1732,6 +1755,15 @@ def ann_index_stream_ingest(
             }
         cur["last_batch_id"] = batch_id
         cur["applied_keys"] = (keys + new_keys)[-_APPLIED_KEYS_HORIZON:]
+        # persist the drift verdict next to the histograms it is
+        # computed from (VERDICT r15 #2): external probers read the
+        # recommendation from the sidecar; n_probe="auto" derives the
+        # same width live either way. Driver arithmetic, zero jobs.
+        from filefilter_spark.ops.pq import ann_index_drift, auto_n_probe
+
+        probe_view = {**cur, "cell_counts": counts}
+        cur["last_drift"] = ann_index_drift(probe_view)
+        cur["recommended_n_probe"] = auto_n_probe(probe_view)
         out = {
             **cur,
             "cell_counts": {int(c): n for c, n in counts.items()},
@@ -1759,6 +1791,55 @@ def ann_index_stream_ingest(
             return
         if ran:
             _swap_dirs(spark, codes_dir, tmp, batch_id)
+
+    def do_rebuild(batch_id: int, merged: dict) -> dict:
+        """Act on the drift signal: temp+swap re-fit over the full
+        ``rebuild_source`` corpus, RE-SIZED and RE-SEEDED per the
+        SCALING.md rebuild rule, then mark every source file applied
+        (the rebuild indexed them — the stream must not re-ingest
+        one it later delivers) and re-freeze the signal."""
+        import math as _math
+
+        from filefilter_spark.ops.pq import build_ann_index
+
+        srcs = (
+            [rebuild_source]
+            if isinstance(rebuild_source, str)
+            else list(rebuild_source)
+        )
+        full = spark.read.parquet(*srcs)
+        n_total = full.count()
+        kw = dict(
+            n_lists=max(
+                int(merged["n_lists"]),
+                int(round(_math.sqrt(max(1, n_total)))),
+            ),
+            m=int(merged["m"]),
+            k=int(merged["k"]),
+            iters=max(int(merged.get("iters", 1)), 1),
+            vec_col=vec_col,
+            id_col=id_col,
+            scale=float(merged["scale"]),
+            residual=bool(merged["residual"]),
+            fit_frac=float(merged.get("fit_frac", 1.0)),
+            # a rebuild must CONVERGE (the drift probe's measured
+            # floor), whatever the original build economized on
+            coarse_iters=max(int(merged.get("coarse_iters", 2)), 8),
+            seeding="kmeanspar",
+        )
+        if rebuild_kwargs:
+            kw.update(rebuild_kwargs)
+        build_ann_index(full, index_path, **kw)
+        files = sorted({
+            r["f"]
+            for r in full.select(
+                F.input_file_name().alias("f")
+            ).distinct().collect()
+            if r["f"]
+        })
+        keys = [_file_key(f) for f in files]
+        fresh = load_ann_meta(spark, index_path)
+        return merge_meta({}, batch_id, fresh, keys)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.time() if on_batch is not None else 0.0
@@ -1812,6 +1893,14 @@ def ann_index_stream_ingest(
             merged = merge_meta(adds, batch_id, cur, new_keys)
             if maintain_every and (batch_id + 1) % maintain_every == 0:
                 maintain(batch_id)
+        rebuilt = False
+        if (
+            merged is not None
+            and rebuild_source is not None
+            and merged["last_drift"]["action"] == "rebuild"
+        ):
+            merged = do_rebuild(batch_id, merged)
+            rebuilt = True
         if on_batch is not None:
             from filefilter_spark.ops.pq import ann_index_drift
 
@@ -1819,6 +1908,12 @@ def ann_index_stream_ingest(
                 "batch_id": batch_id,
                 "n_in": sum(adds.values()) if merged is not None else 0,
                 "applied": merged is not None,
+                "rebuilt": rebuilt,
+                "n_lists": int(
+                    (merged if merged is not None else cur).get(
+                        "n_lists", 0
+                    )
+                ),
                 "seconds": _time.time() - t0,
                 **ann_index_drift(merged if merged is not None else cur),
             })
@@ -1843,6 +1938,40 @@ def ann_index_stream_ingest(
         if query.isActive:  # pragma: no cover
             query.stop()
     return spark.read.parquet(codes_dir)
+
+
+# Fuzzy-index staleness thresholds, calibrated by
+# tools/fuzzy_drift_probe.py (SCALING.md "Fuzzy staleness signal",
+# r16): unseen_gram_frac is the fraction of a batch's PREFIX entries
+# ordered by the unseen-at-build sentinel. Exactness never depends on
+# it; what degrades is prefix SELECTIVITY — unseen grams carry no
+# rarity information, so drifted batches collide on now-common new
+# grams and the candidate count per row blows up. On the measured
+# curve (zipf new-vocabulary drift): candidates/row holds near the
+# fresh-build baseline through ~0.2, roughly doubles by ~0.5, and
+# runs multiples of baseline at ≥0.8 — while a REBUILD at the same
+# drift restores the baseline (the frozen order re-learns the new
+# vocabulary's rarities).
+FUZZY_UNSEEN_WARN = 0.30
+FUZZY_UNSEEN_REBUILD = 0.60
+
+
+def fuzzy_index_staleness(unseen_gram_frac: float | None) -> str:
+    """The fuzzy lifecycle's action rule (the ANN ``ann_index_drift``
+    twin, VERDICT r15 #3): ``"ok"`` below ``FUZZY_UNSEEN_WARN``,
+    ``"selectivity_degraded"`` past it (expect growing per-batch
+    candidate cost; plan a rebuild), ``"rebuild"`` at
+    ``FUZZY_UNSEEN_REBUILD`` (the frozen rarity order is mostly blind
+    to the batch's vocabulary — rebuild restores selectivity; results
+    stay EXACT either way). ``None`` (signal not computed) maps to
+    ``"unknown"``."""
+    if unseen_gram_frac is None:
+        return "unknown"
+    if unseen_gram_frac >= FUZZY_UNSEEN_REBUILD:
+        return "rebuild"
+    if unseen_gram_frac >= FUZZY_UNSEEN_WARN:
+        return "selectivity_degraded"
+    return "ok"
 
 
 def fuzzy_index_stream_ingest(
@@ -1899,13 +2028,16 @@ def fuzzy_index_stream_ingest(
     (id join against the sbucket-partitioned strings store). The
     growth curve is measured by ``tools/index_lifecycle_probe.py``.
     ``on_batch`` (opt-in metrics hook) receives {batch_id, n_in,
-    n_new_pairs, applied, unseen_gram_frac, seconds} —
-    ``unseen_gram_frac`` is this index's staleness signal (the ANN
-    drift twin): the fraction of the batch's prefix entries ordered by
-    the unseen-at-build sentinel. Exactness never depends on it, but a
-    rising fraction means the frozen rarity order has lost selectivity
-    (more candidates per batch) — rebuild to restore it. Returns the
-    deduped pairs table.
+    n_new_pairs, n_candidates, applied, unseen_gram_frac, action,
+    seconds} — ``unseen_gram_frac`` is this index's staleness signal
+    (the ANN drift twin): the fraction of the batch's prefix entries
+    ordered by the unseen-at-build sentinel. Exactness never depends
+    on it, but a rising fraction means the frozen rarity order has
+    lost selectivity — ``n_candidates`` (the per-batch cost the signal
+    predicts) blows up, and ``action`` applies the measured thresholds
+    (:func:`fuzzy_index_staleness`: ok → selectivity_degraded →
+    rebuild; calibrated by ``tools/fuzzy_drift_probe.py``). Rebuild to
+    restore selectivity. Returns the deduped pairs table.
     """
     import os
     import time as _time
@@ -2000,6 +2132,7 @@ def fuzzy_index_stream_ingest(
             new_keys = [bk]
         n_in = 0
         n_new_pairs = 0
+        n_cands = 0
         if applied:
             from pyspark.storagelevel import StorageLevel
 
@@ -2149,6 +2282,14 @@ def fuzzy_index_stream_ingest(
                         .unionByName(short_pairs)
                         .distinct()
                     )
+                    if on_batch is not None:
+                        # candidate-per-batch cost — what the
+                        # staleness signal predicts (the verify tier
+                        # reuses this persisted frame)
+                        cands = cands.persist(
+                            StorageLevel.MEMORY_AND_DISK
+                        )
+                        n_cands = cands.count()
                     strings_all = (
                         spark.read.parquet(strings_dir)
                         .select("id", "s")
@@ -2200,6 +2341,7 @@ def fuzzy_index_stream_ingest(
                     commit_stats(cur, batch_id, new_keys, n_in)
                     if on_batch is not None:
                         verified.unpersist()
+                        cands.unpersist()
                     prefix_full.unpersist()
                     if maintain_every and (
                         batch_id + 1
@@ -2212,8 +2354,10 @@ def fuzzy_index_stream_ingest(
                 "batch_id": batch_id,
                 "n_in": n_in,
                 "n_new_pairs": n_new_pairs,
+                "n_candidates": n_cands,
                 "applied": applied,
                 "unseen_gram_frac": unseen_frac,
+                "action": fuzzy_index_staleness(unseen_frac),
                 "seconds": _time.time() - t0,
             })
 

@@ -3739,6 +3739,75 @@ def test_ann_index_stream_ingest_replay_idempotent(spark, tmp_path):
     assert not leaked, leaked
 
 
+def test_ann_index_stream_auto_rebuild(spark, tmp_path):
+    """The drift loop CLOSES (r16): with ``rebuild_source`` set, the
+    ingest loop acts on its own ``action == "rebuild"`` signal —
+    temp+swap re-fit over the full corpus, re-sized (n_lists →
+    ~sqrt(n)) and re-seeded (kmeanspar) — after which the signal
+    re-freezes at ok, every source file is marked applied (no
+    double-ingest of files the rebuild already indexed), and the
+    sidecar carries the persisted verdict + recommended_n_probe."""
+    import numpy as np
+
+    from filefilter_spark.ops.pq import build_ann_index, load_ann_meta
+    from filefilter_spark.streaming.jobs import ann_index_stream_ingest
+
+    rng = np.random.default_rng(5)
+    dim, n_modes, per = 16, 8, 30
+
+    def mk(centers, id_base):
+        rows = []
+        for ci, c in enumerate(centers):
+            for j in range(per):
+                v = c + rng.normal(0, 0.05, size=dim)
+                rows.append((id_base + ci * per + j,
+                             [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    df_a = mk(rng.normal(0, 1, size=(n_modes, dim)), 0)
+    df_b = mk(rng.normal(0, 1, size=(n_modes, dim)) + 5.0, 10_000)
+    corpus_a = str(tmp_path / "corpus_a")
+    src = str(tmp_path / "src")
+    ix = str(tmp_path / "ix")
+    df_a.coalesce(1).write.parquet(corpus_a)
+    df_b.repartition(3).write.parquet(src)
+    build_ann_index(df_a, ix, n_lists=8, m=8, k=16, iters=1,
+                    coarse_iters=4)
+    batches = []
+    ann_index_stream_ingest(
+        spark, src, ix, max_files_per_trigger=1,
+        rebuild_source=[corpus_a, src], on_batch=batches.append,
+    )
+    # the shifted first batch fires the rebuild; every later file was
+    # in the rebuild snapshot, so the guard drops it (applied=False)
+    assert batches[0]["rebuilt"] and batches[0]["action"] == "ok"
+    assert all(not b["applied"] and not b["rebuilt"]
+               for b in batches[1:]), batches
+    meta = load_ann_meta(spark, ix)
+    n_total = df_a.count() + df_b.count()
+    assert meta["n_lists"] == max(8, round(n_total ** 0.5))  # re-sized
+    assert meta["seeding"] == "kmeanspar"  # re-seeded
+    assert meta["last_drift"]["action"] == "ok"  # signal re-frozen
+    assert meta["recommended_n_probe"] == 4  # healthy width persisted
+    codes = spark.read.parquet(f"{ix}/codes")
+    assert codes.select("vec_id").distinct().count() == n_total
+    assert codes.count() == n_total  # no double-append either
+    # alert-only without rebuild_source: unchanged layout, signal fires
+    ix2 = str(tmp_path / "ix2")
+    build_ann_index(df_a, ix2, n_lists=8, m=8, k=16, iters=1,
+                    coarse_iters=4)
+    b2 = []
+    ann_index_stream_ingest(spark, src, ix2, on_batch=b2.append)
+    assert any(b["action"] == "rebuild" for b in b2)
+    assert all(not b["rebuilt"] for b in b2)
+    assert load_ann_meta(spark, ix2)["n_lists"] == 8
+    import os
+    leaked = [d for d in os.listdir(ix) if "__tmp" in d or "__old" in d
+              or "__compact" in d or "__build" in d]
+    assert not leaked, leaked
+
+
 def test_text_index_nbuckets_from_sidecar(spark, tmp_path):
     """The stats sidecar records n_buckets at build; probes default to
     it (no parameter to remember), a contradicting explicit value
@@ -3853,10 +3922,11 @@ def test_build_ann_index_rebuild_swaps_atomically(spark, tmp_path):
 
 
 def test_lloyd_seeding_modes(spark):
-    """seeding='hash' and 'maxmin' are deterministic and
-    partition-invariant (same assignments at any repartition);
-    'maxmin' spreads seeds across separated modes that id-order
-    seeding would miss; unknown modes raise."""
+    """seeding='hash'/'maxmin'/'kmeanspar' are deterministic and
+    partition-invariant (same assignments at any repartition); the
+    mode-covering initializers (maxmin, kmeanspar) spread seeds
+    across separated modes that id-order seeding would miss; unknown
+    modes raise."""
     import pytest as _pytest
 
     from filefilter_spark.ops.cluster import lloyd_kmeans
@@ -3866,7 +3936,7 @@ def test_lloyd_seeding_modes(spark):
     rows = [(i, [0.0 + 0.01 * i, 0.0]) for i in range(20)]
     rows += [(20 + i, [50.0 + 0.01 * i, 50.0]) for i in range(20)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    for seeding in ("hash", "maxmin"):
+    for seeding in ("hash", "maxmin", "kmeanspar"):
         a = {r["vec_id"]: r["cluster"] for r in
              lloyd_kmeans(df.repartition(1), k=2, iters=2,
                           seeding=seeding).collect()}
@@ -3874,14 +3944,50 @@ def test_lloyd_seeding_modes(spark):
              lloyd_kmeans(df.repartition(7), k=2, iters=2,
                           seeding=seeding).collect()}
         assert a == b, seeding
-    # maxmin must put the two modes in different clusters
-    got = {r["vec_id"]: r["cluster"] for r in
-           lloyd_kmeans(df, k=2, iters=1, seeding="maxmin").collect()}
-    assert len({got[i] for i in range(20)}) == 1
-    assert len({got[20 + i] for i in range(20)}) == 1
-    assert got[0] != got[20]
+    # the mode-covering initializers must put the two modes in
+    # different clusters
+    for seeding in ("maxmin", "kmeanspar"):
+        got = {r["vec_id"]: r["cluster"] for r in
+               lloyd_kmeans(df, k=2, iters=1, seeding=seeding).collect()}
+        assert len({got[i] for i in range(20)}) == 1, seeding
+        assert len({got[20 + i] for i in range(20)}) == 1, seeding
+        assert got[0] != got[20], seeding
     with _pytest.raises(ValueError, match="seeding"):
         lloyd_kmeans(df, k=2, seeding="bogus")
+
+
+def test_kmeanspar_seeding_covers_many_modes(spark):
+    """kmeanspar (deterministic k-means||) matches maxmin's mode
+    coverage at k = mode count — the scenario hash seeding loses ~1/e
+    of (coupon collector) and maxmin pays k-1 sequential jobs for —
+    and k > distinct rows degrades to all rows (no crash)."""
+    import numpy as np
+
+    from filefilter_spark.ops.cluster import lloyd_kmeans
+
+    rng = np.random.default_rng(11)
+    k = 8
+    rows = []
+    for mode in range(k):
+        center = [float(20.0 * mode), float(7.0 * (mode % 3))]
+        for j in range(12):
+            rows.append((
+                mode * 12 + j,
+                [center[0] + float(rng.normal(0, 0.05)),
+                 center[1] + float(rng.normal(0, 0.05))],
+            ))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = lloyd_kmeans(df, k=k, iters=2, seeding="kmeanspar").collect()
+    by_mode = {}
+    for r in got:
+        by_mode.setdefault(r["vec_id"] // 12, set()).add(r["cluster"])
+    # every mode maps to exactly one cluster and no two modes share one
+    assert all(len(cs) == 1 for cs in by_mode.values()), by_mode
+    assert len({next(iter(cs)) for cs in by_mode.values()}) == k
+    # k above the row count: returns a valid (degenerate) clustering
+    tiny = spark.createDataFrame(rows[:3], "vec_id long, embedding array<double>")
+    out = lloyd_kmeans(tiny, k=8, iters=1, seeding="kmeanspar").collect()
+    assert len(out) == 3
 
 
 def test_auto_n_probe_widens_with_drift(spark, tmp_path):
@@ -4071,6 +4177,9 @@ def test_fuzzy_index_stream_ingest_exact(spark, tmp_path):
     # unseen-at-build fraction is small but defined on every batch
     fracs = [b["unseen_gram_frac"] for b in batches]
     assert all(f is not None and 0.0 <= f <= 1.0 for f in fracs), fracs
+    # r16: the calibrated action rule + the cost it predicts ride along
+    assert all(b["action"] == "ok" for b in batches), batches
+    assert all(b["n_candidates"] >= b["n_new_pairs"] for b in batches)
     # checkpoint loss: full re-drain is a per-file-guard no-op
     n_pairs_raw = spark.read.parquet(f"{ix}/pairs").count()
     batches2 = []
@@ -4095,6 +4204,26 @@ def test_fuzzy_index_stream_ingest_exact(spark, tmp_path):
                    for r in want3.collect()])
     stats = spark.read.parquet(f"{ix}/stats").first()
     assert stats["n_strings"] == docs.count()
+
+
+def test_fuzzy_index_staleness_rule():
+    """The fuzzy action thresholds (tools/fuzzy_drift_probe.py,
+    SCALING.md 'Fuzzy staleness signal'): measured blowup stays <=
+    ~baseline through unseen_frac 0.18 and reads ~6x baseline at 1.0 —
+    0.30/0.60 split those points with margin."""
+    from filefilter_spark.streaming.jobs import (
+        FUZZY_UNSEEN_REBUILD,
+        FUZZY_UNSEEN_WARN,
+        fuzzy_index_staleness,
+    )
+
+    assert fuzzy_index_staleness(None) == "unknown"
+    assert fuzzy_index_staleness(0.0) == "ok"
+    assert fuzzy_index_staleness(0.176) == "ok"  # measured p=0.75 point
+    assert fuzzy_index_staleness(FUZZY_UNSEEN_WARN) == "selectivity_degraded"
+    assert fuzzy_index_staleness(0.45) == "selectivity_degraded"
+    assert fuzzy_index_staleness(FUZZY_UNSEEN_REBUILD) == "rebuild"
+    assert fuzzy_index_staleness(1.0) == "rebuild"  # measured 6x point
 
 
 def test_ivfpq_batch_topk_equals_query_loop(spark, tmp_path):

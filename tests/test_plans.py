@@ -151,6 +151,14 @@ def test_quota_sample_compiles_to_window_group_limit(spark, sf_dir, queries):
     # rank<=N must push into WindowGroupLimit (O(quota) memory per
     # group), not materialize full per-group sorts
     assert "WindowGroupLimit" in plan
+    # and it must appear TWICE — Partial (before the Exchange: each
+    # map partition pre-prunes every group to quota rows, so a hot
+    # group ships <= quota x partitions rows, Catalyst's built-in
+    # two-phase skew absorption for rank-limit windows) + Final. This
+    # is why the quota/dedupbest YAML stages need no `skewed:` salting
+    # route (r16, SCALING.md "window-skew tier") — losing the partial
+    # node would reopen the straggler.
+    assert plan.count("WindowGroupLimit") >= 2, plan.count("WindowGroupLimit")
     assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
 
 
@@ -201,6 +209,12 @@ def test_keep_best_window_group_limit_narrow_argmax(spark, sf_dir, queries):
     # join back by id AFTER the winner is chosen.
     plan = _plan(queries["OP-D1-keepbest"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+    # Partial + Final: each map partition pre-prunes to ONE row per
+    # fingerprint before the shuffle, so even a fingerprint holding
+    # half the corpus ships <= 1 row per partition — the argmax is
+    # skew-proof without salting (r16 measured finding; see
+    # test_quota_sample_compiles_to_window_group_limit)
+    assert plan.count("WindowGroupLimit") >= 2, plan.count("WindowGroupLimit")
     m = re.search(r"Arguments: hashpartitioning\(__fp[^\n]*", plan)
     assert m is not None  # the only hash shuffle key is the fingerprint
 

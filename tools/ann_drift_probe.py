@@ -205,6 +205,66 @@ def main() -> None:
     rec3["probed@4"] = probed_rows(load_ann_meta(spark, ix3), q2, 4)
     results.append(("rebuilt (resized 2x)", d3, rec3))
 
+    # ---- REBUILT (kmeanspar — the production path, r16) ----------------
+    # same rebuild, seeded by deterministic k-means|| instead of
+    # farthest-first: maxmin pays k-1 sequential driver-synchronized
+    # jobs (47 here; thousands at rebuild-grade n_lists ~ sqrt(n)),
+    # kmeanspar pays ceil(log2 k)+2 (8 here). The acceptance bar is
+    # that it reproduces maxmin's mode coverage: recall 1.00 at the
+    # refine-covered width and probed@4 = 4*mode rows.
+    import math as _math
+
+    k_lists = 2 * N_MODES
+    ix4 = f"{root}/ix_rebuilt_kpar"
+    build_ann_index(union2, ix4, n_lists=k_lists, m=8, k=16, iters=2,
+                    coarse_iters=8, seeding="kmeanspar")
+    d4 = ann_index_drift(load_ann_meta(spark, ix4))
+    rec4 = {f"n_probe={p}": recall_at_10(spark, ix4, q2, m2, i2, union2, p)
+            for p in (4, 8)}
+    rec4["np=4,rf=15"] = recall_at_10(spark, ix4, q2, m2, i2, union2, 4,
+                                      refine=15)
+    rec4["probed@4"] = probed_rows(load_ann_meta(spark, ix4), q2, 4)
+    results.append(("rebuilt (kmeanspar)", d4, rec4))
+    print(f"\nseeding job count at k={k_lists}: maxmin={k_lists - 1} "
+          f"sequential jobs vs kmeanspar="
+          f"{_math.ceil(_math.log2(k_lists)) + 2} passes")
+
+    # ---- SELF-REBUILD SOAK (r16: the loop acts on its own signal) ------
+    # same shifted ingest, but with rebuild_source wired: the batch
+    # whose merged histogram crosses the rebuild threshold triggers the
+    # temp+swap re-fit IN-STREAM (re-sized ~sqrt(n), kmeanspar-seeded),
+    # after which probed@4 must return to ~n_probe/n_lists of the
+    # corpus instead of the ballooned drifted mass.
+    ix5 = f"{root}/ix_soak"
+    build_ann_index(df_a, ix5, n_lists=N_MODES, m=8, k=16, iters=1,
+                    coarse_iters=6)
+    src5 = f"{root}/src_soak"
+    corpus_a = f"{root}/corpus_a"
+    df_a.coalesce(2).write.parquet(corpus_a)
+    df_b.repartition(3).write.parquet(src5)
+    pre_probed = probed_rows(load_ann_meta(spark, ix5), q2, 4)
+    soak = []
+    ann_index_stream_ingest(spark, src5, ix5, max_files_per_trigger=1,
+                            rebuild_source=[corpus_a, src5],
+                            on_batch=soak.append)
+    meta5 = load_ann_meta(spark, ix5)
+    d5 = ann_index_drift(meta5)
+    rec5 = {f"n_probe={p}": recall_at_10(spark, ix5, q2, m2, i2, union2, p)
+            for p in (4, 8)}
+    rec5["probed@4"] = probed_rows(meta5, q2, 4)
+    results.append(("self-rebuilt (soak)", d5, rec5))
+    print("\nself-rebuild soak (shifted ingest, rebuild_source wired):")
+    for b in soak:
+        print(f"  batch {b['batch_id']}: applied={b['applied']} "
+              f"rebuilt={b['rebuilt']} n_lists={b['n_lists']} "
+              f"action={b['action']}")
+    n_corpus = len(i2)
+    print(f"  probed@4: {pre_probed:.0f} rows pre-ingest → "
+          f"{results[1][2]['probed@4']:.0f} drifted (alert-only ix) → "
+          f"{rec5['probed@4']:.0f} after self-rebuild "
+          f"(healthy ≈ 4/{meta5['n_lists']} of {n_corpus} = "
+          f"{4 * n_corpus / meta5['n_lists']:.0f})")
+
     print("\nscenario                 tv      frac    action        recall")
     for name, d, rec in results:
         recs = "  ".join(f"{k}:{v:.2f}" for k, v in rec.items())
