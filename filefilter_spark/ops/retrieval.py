@@ -434,6 +434,28 @@ def _read_index_stats(
     if n == 0:
         raise ValueError(f"{caller}: empty index at {path!r}")
     avgdl = float(int(srow["sum_dl"])) / n
+    # passive half of the growth wire (the ANN _warn_if_stale analog):
+    # a probe against a layout grown far past its bucket sizing finds
+    # the rebucket recommendation next to its slow query
+    bnd = (
+        int(srow["built_n_docs"])
+        if "built_n_docs" in srow.__fields__
+        and srow["built_n_docs"] is not None
+        else None
+    )
+    g = text_index_growth(n, bnd)
+    if g["action"] == "rebucket":
+        import logging
+
+        logging.getLogger("filefilter_spark").warning(
+            "text index at %s has grown %.1fx past its bucket sizing "
+            "(built_n_docs=%s): buckets hold ~that multiple of their "
+            "intended postings share — rebuild with a re-sized "
+            "n_buckets at the next maintenance window (results stay "
+            "exact meanwhile); see SCALING.md 'Text-index growth "
+            "signal'",
+            path, g["growth_factor"], bnd,
+        )
     stored = (
         int(srow["n_buckets"])
         if "n_buckets" in srow.__fields__ and srow["n_buckets"] is not None
@@ -450,6 +472,41 @@ def _read_index_stats(
             )
         return n, avgdl, stored
     return n, avgdl, 64 if n_buckets is None else int(n_buckets)
+
+
+# Text-index growth threshold (SCALING.md "Text-index growth signal",
+# r16). The BM25 layout has NO frozen model — stats and postings merge
+# exactly forever — but n_buckets is a frozen SIZING decision: past
+# growth, each bucket holds that multiple of its intended postings
+# share. Measured (tools/text_index_growth_probe.py): probe LATENCY
+# stays flat to ×16 at probe scale — term-sorted buckets row-group-skip
+# the grown mass — so this is a LAYOUT maintenance signal, not a
+# latency alarm: compaction units, per-bucket file counts, and
+# footer/listing overhead drift from what n_buckets was sized to
+# bound, and streaming appends between compactions skip worse than the
+# compacted ideal. Rebucket at the next rebuild; results stay exact at
+# any growth.
+TEXT_GROWTH_REBUCKET = 8.0
+
+
+def text_index_growth(
+    n_docs: int, built_n_docs: int | None
+) -> dict:
+    """Growth signal for a text-index layout — driver arithmetic over
+    the stats sidecar (the ANN drift / fuzzy staleness analog, with
+    the honest difference that nothing DEGRADES here except probe
+    cost: scores stay exact at any growth). Returns ``{growth_factor,
+    action}``: ``"ok"`` below :data:`TEXT_GROWTH_REBUCKET`,
+    ``"rebucket"`` past it (rebuild with n_buckets re-sized for the
+    grown corpus), ``"unknown"`` for layouts whose sidecar predates
+    ``built_n_docs``."""
+    if not built_n_docs:
+        return {"growth_factor": None, "action": "unknown"}
+    g = float(n_docs) / float(built_n_docs)
+    return {
+        "growth_factor": round(g, 6),
+        "action": "rebucket" if g >= TEXT_GROWTH_REBUCKET else "ok",
+    }
 
 
 def _indexed_term_dfs(
@@ -636,6 +693,12 @@ def build_text_index(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
         F.lit(int(n_buckets)).cast("long").alias("n_buckets"),
+        # frozen at build (r16): the growth signal's baseline — the
+        # bucket count was SIZED for this corpus, and probe cost per
+        # term grows ~linearly with n_docs/built_n_docs (the bucket's
+        # share of the whole vocabulary's postings); see
+        # text_index_growth
+        F.count(F.lit(1)).alias("built_n_docs"),
     )
     if int(stats.first()["n_docs"]) == 0:
         raise ValueError("build_text_index: empty corpus — nothing to index")

@@ -1391,6 +1391,7 @@ def text_index_stream_ingest(
     maintain_every: int | None = None,
     max_files_per_partition: int = 16,
     checkpoint_dir: str | None = None,
+    on_batch=None,
 ) -> DataFrame:
     """Continuous inverted-index maintenance (OP-D5 × OP-D4-bm25): the
     text twin of :func:`ivfpq_stream_ingest`. Each micro-batch of
@@ -1433,6 +1434,17 @@ def text_index_stream_ingest(
     threshold gate (``ops.layout.maybe_compact``, store-agnostic
     Hadoop-FS listing) rewrites fragmented buckets sorted by
     (term, id) and swaps the table in atomically.
+
+    ``on_batch`` (opt-in, r16) fires after each APPLIED micro-batch
+    with ``{batch_id, n_docs}`` plus the
+    :func:`ops.retrieval.text_index_growth` signal (``growth_factor``,
+    ``action``): this layout has no frozen model — scores stay exact
+    at any growth — but ``n_buckets`` is a frozen SIZING decision;
+    past ``TEXT_GROWTH_REBUCKET``× the build size each bucket holds
+    that multiple of its intended postings share (a layout-maintenance
+    drift, not a latency alarm — measured flat probe latency to ×16,
+    SCALING.md); ``action="rebucket"`` says re-size the bucket count
+    at the next rebuild.
 
     ``availableNow`` drains the bounded test input; an unbounded
     deployment runs the identical plan with a durable checkpoint.
@@ -1497,7 +1509,7 @@ def text_index_stream_ingest(
 
     def merge_stats(
         batch_df: DataFrame, batch_id: int, new_keys: list[str]
-    ) -> None:
+    ) -> tuple[int, int | None]:
         src = F.lower(F.col(text_col))
         row = (
             batch_df.select(F.size(tokens(src)).alias("dl"))
@@ -1507,9 +1519,21 @@ def text_index_stream_ingest(
         bn, bs = int(row["n"]), int(row["s"] or 0)
         cur = _stats_row()
         if bn == 0 and cur is None:
-            return  # empty first batch: nothing to record yet
+            return 0, None  # empty first batch: nothing to record yet
         n0 = int(cur["n_docs"]) if cur is not None else 0
         s0 = int(cur["sum_dl"]) if cur is not None else 0
+        # growth-signal baseline (r16): frozen by the batch build (or
+        # at this layout's FIRST stream write for stream-created
+        # layouts); legacy sidecars carry None → action "unknown"
+        if cur is None:
+            built = n0 + bn
+        elif (
+            "built_n_docs" in cur.__fields__
+            and cur["built_n_docs"] is not None
+        ):
+            built = int(cur["built_n_docs"])
+        else:
+            built = None
         keys = (_seen_keys(cur) + new_keys)[-_APPLIED_KEYS_HORIZON:]
         # write-to-temp + swap, NOT overwrite-in-place: a crash mid
         # overwrite would leave stats/ empty — losing the cumulative
@@ -1520,9 +1544,10 @@ def text_index_stream_ingest(
         # compaction.
         tmp = f"{stats_dir.rstrip('/')}__tmp{batch_id}"
         spark.createDataFrame(
-            [(n0 + bn, s0 + bs, int(n_buckets), batch_id, keys)],
+            [(n0 + bn, s0 + bs, int(n_buckets), batch_id, keys, built)],
             "n_docs long, sum_dl long, n_buckets long, "
-            "last_batch_id long, applied_keys array<string>",
+            "last_batch_id long, applied_keys array<string>, "
+            "built_n_docs long",
         ).coalesce(1).write.mode("overwrite").parquet(tmp)
         if _dir_exists(spark, stats_dir):
             _swap_dirs(spark, stats_dir, tmp, batch_id)
@@ -1535,6 +1560,7 @@ def text_index_stream_ingest(
             ):  # pragma: no cover - fs race
                 raise IOError(f"merge_stats: could not move {tmp} into place")
             spark.catalog.refreshByPath(stats_dir)
+        return n0 + bn, built
 
     def maintain(batch_id: int) -> None:
         from filefilter_spark.ops.layout import maybe_compact
@@ -1598,9 +1624,17 @@ def text_index_stream_ingest(
             )
         )
         postings.write.partitionBy("bucket").mode("append").parquet(post_dir)
-        merge_stats(batch_df, batch_id, new_keys)
+        n_total, built = merge_stats(batch_df, batch_id, new_keys)
         if maintain_every and (batch_id + 1) % maintain_every == 0:
             maintain(batch_id)
+        if on_batch is not None:
+            from filefilter_spark.ops.retrieval import text_index_growth
+
+            on_batch({
+                "batch_id": batch_id,
+                "n_docs": n_total,
+                **text_index_growth(n_total, built),
+            })
 
     # durable by default, co-located with the index (ADVICE r14): the
     # file source then tracks committed input across restarts, so a
@@ -2028,8 +2062,8 @@ def fuzzy_index_stream_ingest(
     (id join against the sbucket-partitioned strings store). The
     growth curve is measured by ``tools/index_lifecycle_probe.py``.
     ``on_batch`` (opt-in metrics hook) receives {batch_id, n_in,
-    n_new_pairs, n_candidates, applied, unseen_gram_frac, action,
-    seconds} — ``unseen_gram_frac`` is this index's staleness signal
+    n_new_pairs, n_candidates, n_buckets_probed, applied,
+    unseen_gram_frac, action, seconds} — ``unseen_gram_frac`` is this index's staleness signal
     (the ANN drift twin): the fraction of the batch's prefix entries
     ordered by the unseen-at-build sentinel. Exactness never depends
     on it, but a rising fraction means the frozen rarity order has
@@ -2133,6 +2167,7 @@ def fuzzy_index_stream_ingest(
         n_in = 0
         n_new_pairs = 0
         n_cands = 0
+        n_bkts_probed = 0
         if applied:
             from pyspark.storagelevel import StorageLevel
 
@@ -2201,7 +2236,33 @@ def fuzzy_index_stream_ingest(
                             if row["f"] is not None else 0.0
                         )
                     prefix_b = prefix_b.drop("gdf")
+                    # explicit bucket-set partition filter on the
+                    # postings read (r16, VERDICT r15 #5): the batch's
+                    # distinct buckets are a <= n_buckets collect over
+                    # the persisted prefix frame; when the batch
+                    # touches FEWER buckets than the store has (small
+                    # or vocabulary-narrow batches), the literal IN
+                    # filter statically prunes the postings partitions
+                    # instead of relying on DPP firing across the
+                    # broadcast join. Measured (SCALING.md "fuzzy
+                    # postings-scan term"): a default-shaped batch
+                    # covers every bucket, so this prunes nothing
+                    # there — the lever that moves the O(store) term
+                    # is batch size — but it makes the narrow-batch
+                    # case (the streaming steady state at higher
+                    # n_buckets) a partition-pruned read for free.
+                    bkts = sorted(
+                        r["bucket"]
+                        for r in prefix_b.select(
+                            "bucket"
+                        ).distinct().collect()
+                    )
+                    n_bkts_probed = len(bkts)
                     store_post = spark.read.parquet(post_dir)
+                    if len(bkts) < n_buckets:
+                        store_post = store_post.filter(
+                            F.col("bucket").isin(bkts)
+                        )
                     cross = (
                         F.broadcast(
                             prefix_b.select(
@@ -2355,6 +2416,7 @@ def fuzzy_index_stream_ingest(
                 "n_in": n_in,
                 "n_new_pairs": n_new_pairs,
                 "n_candidates": n_cands,
+                "n_buckets_probed": n_bkts_probed,
                 "applied": applied,
                 "unseen_gram_frac": unseen_frac,
                 "action": fuzzy_index_staleness(unseen_frac),

@@ -3592,6 +3592,52 @@ def test_text_index_stream_reingest_is_idempotent(spark, tmp_path):
     assert [tuple(r) for r in
             bm25_topk_indexed(spark, ix, terms, k=10).collect()] == [
         tuple(r) for r in bm25_topk(docs, terms, k=10).collect()]
+    # r16 growth signal: a stream-created layout freezes built_n_docs
+    # at its FIRST write, so growth measures from there
+    assert int(stats3["built_n_docs"]) > 0
+
+
+def test_text_index_growth_signal(spark, tmp_path):
+    """The text-index growth wire (r16): built_n_docs freezes at
+    build, the stream carries it through swaps, on_batch reports the
+    growth action, the rule flips at TEXT_GROWTH_REBUCKET, and a
+    rebuild re-freezes the baseline. Results stay exact regardless
+    (pinned by the idempotence test above)."""
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.retrieval import (
+        TEXT_GROWTH_REBUCKET,
+        build_text_index,
+        text_index_growth,
+    )
+    from filefilter_spark.streaming.jobs import text_index_stream_ingest
+
+    assert text_index_growth(100, None)["action"] == "unknown"
+    assert text_index_growth(700, 100)["action"] == "ok"
+    assert text_index_growth(
+        int(100 * TEXT_GROWTH_REBUCKET), 100)["action"] == "rebucket"
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seed = docs.filter(F.col("doc_id") < 40)
+    ix, src = str(tmp_path / "ix"), str(tmp_path / "src")
+    build_text_index(seed, ix, n_buckets=8)
+    assert int(
+        spark.read.parquet(f"{ix}/stats").first()["built_n_docs"]
+    ) == seed.count()
+    # stream in >8x the build size: the hook must flip to rebucket
+    rest = docs.filter(F.col("doc_id") >= 40)
+    assert rest.count() > TEXT_GROWTH_REBUCKET * seed.count()
+    rest.coalesce(1).write.parquet(src)
+    signals = []
+    text_index_stream_ingest(spark, src, ix, on_batch=signals.append)
+    assert signals and signals[-1]["action"] == "rebucket"
+    assert signals[-1]["growth_factor"] >= TEXT_GROWTH_REBUCKET
+    # rebuild (rebucket) over the grown corpus re-freezes the baseline
+    build_text_index(docs, ix, n_buckets=64)
+    s = spark.read.parquet(f"{ix}/stats").first()
+    assert int(s["built_n_docs"]) == docs.count()
+    assert text_index_growth(
+        int(s["n_docs"]), int(s["built_n_docs"]))["action"] == "ok"
 
 
 def test_keep_top_fraction_exact_semantics(spark):

@@ -60,6 +60,24 @@ HEADLINE = [
     "OP-D5-fuzzy", "OP-D3-hybrid-batch",
 ]
 
+# Stable subsets (r16, VERDICT r15 #6): the TOTAL line's membership
+# grows every round, so round-over-round ratios need fixed windows.
+# CORE is the r13-comparable set (every row added through round 13) —
+# the series r11 1.1x → r15 0.75x is measured on exactly this set.
+# INDEX_TIER is the r14/r15 additions — the persisted-index lifecycle
+# and skew-insurance rows, which price index BUILDS per invocation
+# against single-scan DuckDB oracles (see SCALING.md "Index
+# lifecycle"): track them against each other, not against CORE.
+_R14_R15 = [
+    "OP-B19-sessions-skew", "OP-D4-qualitygate", "OP-D4-qualitygate-skew",
+    "OP-D4-bm25-batch", "OP-D4-bm25-batch-indexed", "OP-D3-hybrid-indexed",
+    "OP-D5-fuzzy", "OP-D3-hybrid-batch",
+]
+SUBSETS = {
+    "CORE(r13-set)": [q for q in HEADLINE if q not in _R14_R15],
+    "INDEX_TIER(r14/r15)": _R14_R15,
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -99,6 +117,7 @@ def main() -> None:
 
     print(f"{'query':<16} {'spark':>8} {'duckdb':>8} {'ratio':>7}")
     total_s = total_d = 0.0
+    per_query: dict[str, tuple[float, float | None]] = {}
     for name in HEADLINE:
         ts = best_of(
             lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -109,9 +128,21 @@ def main() -> None:
             print(f"{name:<16} {ts:>7.2f}s {td:>7.2f}s {ts/td:>6.1f}x")
             total_s += ts
             total_d += td
+            per_query[name] = (ts, td)
         else:
             print(f"{name:<16} {ts:>7.2f}s {'—':>8} {'—':>7}")
+            per_query[name] = (ts, None)
     print(f"{'TOTAL(oracled)':<16} {total_s:>7.2f}s {total_d:>7.2f}s {total_s/total_d:>6.1f}x")
+    for label, members in SUBSETS.items():
+        ss = sum(per_query[q][0] for q in members
+                 if per_query.get(q) and per_query[q][1] is not None)
+        sd = sum(per_query[q][1] for q in members
+                 if per_query.get(q) and per_query[q][1] is not None)
+        n = sum(1 for q in members
+                if per_query.get(q) and per_query[q][1] is not None)
+        if sd > 0:
+            print(f"{label:<21} {ss:>7.2f}s {sd:>7.2f}s {ss/sd:>6.2f}x "
+                  f"({n} oracled rows)")
 
 
 if __name__ == "__main__":

@@ -83,19 +83,54 @@ def main() -> None:
             "batch_seconds": curve,
             "batch_mean_s": round(sum(curve) / len(curve), 2),
             "n_pairs": n_pairs,
+            "buckets_probed": sorted({
+                b["n_buckets_probed"] for b in fb if b["applied"]
+            }),
         }
         print(json.dumps(row), flush=True)
         results.append(row)
         mult *= 2
 
-    print("\nmult  strings   build_s  batch_mean  pairs")
+    print("\nmult  strings   build_s  batch_mean  pairs    bkts")
     for r in results:
         print(f"x{r['mult']:<4} {r['n_strings']:<9} {r['build_s']:<8} "
-              f"{r['batch_mean_s']:<11} {r['n_pairs']}")
+              f"{r['batch_mean_s']:<11} {r['n_pairs']:<8} "
+              f"{r['buckets_probed']}")
     base = results[0]["batch_mean_s"]
     for r in results[1:]:
         print(f"x{r['mult']} batch-cost growth vs x1: "
               f"{r['batch_mean_s'] / base:.2f}x on a {r['mult']}x store")
+
+    # Decompose t(S) = floor + slope*S (least squares over the tiers,
+    # S = strings in the store): the dominance point is where the
+    # store-proportional term equals the fixed micro-batch floor —
+    # past ~2x that, ingest cost is effectively a full postings scan
+    # per batch and the deployment should grow its batch size (the
+    # amortization lever: the scan term is per BATCH, not per row) or
+    # schedule periodic batch rebuilds instead.
+    if len(results) >= 3:
+        # fit WARM tiers only: the x1 tier pays JVM codegen (measured
+        # r15 — it reads HIGHER than x2), which drags the slope down
+        # if included
+        warm = results[1:] if len(results) >= 4 else results
+        xs = [r["n_strings"] for r in warm]
+        ys = [r["batch_mean_s"] for r in warm]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / max(
+            1e-12, sum((x - mx) ** 2 for x in xs)
+        )
+        floor = my - slope * mx
+        print(f"\nfit: batch_s ~= {floor:.2f} + {slope * 1e6:.2f}e-6 * "
+              f"strings  (floor {floor:.2f}s)")
+        if slope > 0:
+            s_eq = floor / slope
+            print(f"store-term = floor at ~{s_eq:,.0f} strings "
+                  f"(x{s_eq / results[0]['n_strings']:.1f} of the x1 "
+                  f"store); dominates (2x floor) at ~{2 * s_eq:,.0f}")
+        else:
+            print("store term not measurable at these tiers "
+                  "(slope <= 0: floor-bound throughout)")
 
 
 if __name__ == "__main__":
