@@ -121,22 +121,34 @@ def _kmeanspar_seeds(
     whole seed set — is identical under any partitioning, retry, or
     engine, the same property every other seeding mode guarantees.
 
-    After the rounds, one map-combined counting pass weighs each of
-    the ~ℓ·rounds candidates by the rows nearest it, and the
-    reduction to k runs DRIVER-side on that tiny weighted set
-    (greedy weighted D² — the derandomized k-means++ step — then a
-    few weighted Lloyd polish iterations in numpy; O(|C|·k·d) driver
-    FLOPs on ≤ a few thousand candidates). Total Spark jobs:
-    ``⌈log₂k⌉ + 2`` versus maxmin's ``k−1`` — at rebuild-grade
-    n_lists ≈ √n (thousands at 100 TB) that is the difference
-    between ~13 passes and thousands of driver-synchronized jobs.
+    Each row carries its min-distance-so-far as STATE, so the
+    nearest-candidate weighting falls out of the final state for free
+    (one map-combined agg, no extra distance pass), and the reduction
+    to k runs DRIVER-side on the tiny weighted candidate set (greedy
+    weighted D² — the derandomized k-means++ step — then a few
+    weighted Lloyd polish iterations in numpy; O(|C|·k·d) driver
+    FLOPs). Total Spark passes: ``2·⌈log₂k⌉ + 3`` (each round = one
+    draw + one state fold) versus maxmin's ``k−1`` sequential jobs —
+    at rebuild-grade n_lists ≈ √n (thousands at 100 TB) that is ~27
+    passes versus thousands of driver-synchronized jobs.
 
     Like maxmin it cannot leave a data mode unseeded: every round's
     d²-weighted draw lands mass in every still-uncovered region, and
     the greedy D² reduction keeps the spread (measured —
     tools/ann_drift_probe.py reproduces maxmin's recall/pruning on
     the shifted-rebuild scenario). Returns ≤ k seed vectors
-    (exactly min(k, distinct rows))."""
+    (exactly min(k, distinct rows)).
+
+    Plan-size discipline at rebuild-grade k: distances ride per-row
+    STATE (``__d2``/``__c`` — the min distance and argmin candidate
+    so far, lineage cut with an eager localCheckpoint per round), so
+    every round's centroid literal is bounded at the ROUND's ℓ new
+    vectors (O(ℓ·d) expression terms), never the accumulated pool —
+    a naive re-evaluation against all |C| ≈ ℓ·rounds candidates
+    embeds a literal Catalyst cannot compile past k in the low
+    thousands. Driver memory holds the pool itself: |C|·d doubles
+    (:func:`seeds_cap_hint` — ~0.6 GB at k=4096, d=768; shrink ℓ if
+    that is the binding constraint)."""
     import numpy as np
 
     first = seeds.orderBy(F.xxhash64("__id"), F.col("__id")).limit(
@@ -144,11 +156,27 @@ def _kmeanspar_seeds(
     ).collect()
     if not first:
         raise ValueError("lloyd_kmeans: empty input")
-    cents = [[v / scale for v in first[0]["q"]]]
+    first_vec = [v / scale for v in first[0]["q"]]
     ell = 2 * k
     rounds = max(1, math.ceil(math.log2(max(2, k))))
-    # candidate pool: id → (vector, ) — the first seed is a candidate
-    pool: dict[int, list[float]] = {int(first[0]["__id"]): cents[0]}
+    pool_vecs: list[list[float]] = [first_vec]
+
+    def dists_to(new_cents: list[list[float]]) -> Column:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in new_cents]
+        )
+        qd = F.transform(F.col("q"), lambda v: v / F.col("__scale"))
+        return F.transform(cent_lit, lambda c: _sq_dist(qd, c))
+
+    state = (
+        seeds.withColumn("__nd", dists_to([first_vec]))
+        .select(
+            "__id", "q", "__scale",
+            F.col("__nd")[0].alias("__d2"),
+            F.lit(0).cast("int").alias("__c"),
+        )
+        .localCheckpoint(eager=True)
+    )
     for rnd in range(rounds):
         # E-S key ln(u)/d² (maximize ⇔ maximize u^(1/d²)): u ∈ (0,1)
         # from the row id and the round index only. d²=0 rows (already
@@ -158,38 +186,60 @@ def _kmeanspar_seeds(
             + F.lit(0.5)
         ) / F.lit(float(1 << 40))
         drawn = (
-            _assign(seeds, cents)
-            .withColumn(
+            state.withColumn(
                 "__key",
                 F.when(
-                    F.col("dist2") > 0, F.log(u) / F.col("dist2")
+                    F.col("__d2") > 0, F.log(u) / F.col("__d2")
                 ).otherwise(F.lit(float("-inf"))),
             )
             .orderBy(F.desc("__key"), F.asc("__id"))
             .limit(ell)
+            .select("__id", "q", "__key")
             .collect()
         )
-        for r in drawn:
-            if math.isinf(r["__key"]):
-                continue  # every remaining row sits on a chosen point
-            pool.setdefault(
-                int(r["__id"]), [v / scale for v in r["q"]]
+        base = len(pool_vecs)
+        new_vecs = [
+            [v / scale for v in r["q"]]
+            for r in drawn
+            if not math.isinf(r["__key"])  # d²=0: already a candidate
+        ]
+        if not new_vecs:
+            continue  # every remaining row sits on a chosen point
+        pool_vecs.extend(new_vecs)
+        # fold the ℓ new candidates into the per-row min-dist state:
+        # strict < keeps the earliest (lowest-index) candidate on
+        # ties, matching argmin-first-match semantics
+        state = (
+            state.withColumn("__nd", dists_to(new_vecs))
+            .withColumn("__m", F.array_min("__nd"))
+            .withColumn(
+                "__nc",
+                (
+                    F.array_position("__nd", F.col("__m"))
+                    - 1 + F.lit(base)
+                ).cast("int"),
             )
-        cents = list(pool.values())
-    # weighting pass: rows nearest each candidate (map-combined; the
-    # collect is |pool|-bounded)
-    order = sorted(pool)  # lowest-id-first: ties resolve to lowest id
-    cents = [pool[i] for i in order]
+            .select(
+                "__id", "q", "__scale",
+                F.when(F.col("__m") < F.col("__d2"), F.col("__m"))
+                .otherwise(F.col("__d2")).alias("__d2"),
+                F.when(F.col("__m") < F.col("__d2"), F.col("__nc"))
+                .otherwise(F.col("__c")).alias("__c"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # weighting: rows nearest each candidate are already tracked in
+    # __c — one map-combined agg, zero further distance evaluation
     counts = {
-        int(r["cluster"]): int(r["n"])
-        for r in _assign(seeds, cents)
-        .groupBy("cluster")
+        int(r["__c"]): int(r["n"])
+        for r in state.groupBy("__c")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    cand = np.asarray(cents, dtype=np.float64)
+    cand = np.asarray(pool_vecs, dtype=np.float64)
     w = np.asarray(
-        [counts.get(i, 0) for i in range(len(cents))], dtype=np.float64
+        [counts.get(i, 0) for i in range(len(pool_vecs))],
+        dtype=np.float64,
     )
     if len(cand) <= k:
         return [list(map(float, c)) for c in cand]
@@ -222,8 +272,9 @@ def _kmeanspar_seeds(
 
 def seeds_cap_hint(k: int, ell: int, rounds: int) -> int:
     """Upper bound on the k-means‖ candidate-pool size — |C| ≤
-    1 + ℓ·rounds — exposed so callers can budget the driver memory
-    (|C|·d doubles) and the per-round literal width before running."""
+    1 + ℓ·rounds — exposed so callers can budget the DRIVER memory
+    (|C|·d doubles; the per-round plan literal is bounded at ℓ·d
+    regardless, see :func:`_kmeanspar_seeds`)."""
     return 1 + ell * rounds
 
 
