@@ -596,6 +596,104 @@ def cell_memberships(
     ).select("id", F.explode(F.expr(cells_expr)).alias("cell"))
 
 
+# SemDeDup staleness thresholds, calibrated by
+# tools/semdedup_drift_probe.py (SCALING.md "SemDeDup drift signal",
+# r16). The ACTION keys off ``capped_mass_frac`` — the fraction of a
+# batch's memberships landing in cells the loop's ``max_cell`` cap has
+# dropped from candidate generation — because that IS the recall-loss
+# mechanism: a near-dup whose original lives only in capped cells
+# cannot be caught, so the measured miss rate tracks this fraction
+# directly (probe: frac 0 → catch 1.00; frac ~1 under a hard mode
+# collapse → catch craters) while histogram TV alone cannot
+# distinguish harmful drift from a harmless regionally-FOCUSED ingest
+# (measured: a B-only batch against a fresh A∪B fit reads TV ~0.8
+# with perfect recall — the probe's rebuilt scenario). TV vs the fit
+# baseline still ships as a TREND field for dashboards; it does not
+# drive the action.
+SEMDEDUP_CAP_WARN = 0.25
+SEMDEDUP_CAP_REBUILD = 0.60
+
+
+def membership_histogram(
+    df: DataFrame,
+    centroids,
+    n_assign: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[int, int]:
+    """Per-cell membership counts of ``df`` against FROZEN centroids
+    (all ``n_assign`` memberships — the same definition on both sides
+    of :func:`semdedup_cell_drift`). One map-combined agg; the collect
+    is n_lists-bounded. Compute this once on the centroid-FIT corpus
+    and hand it to ``streaming.jobs.semdedup_stream_dedup`` as
+    ``built_cell_counts`` — the frozen baseline the drift signal
+    compares each batch against."""
+    rows = (
+        cell_memberships(df, centroids, n_assign, vec_col, id_col)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {int(r["cell"]): int(r["n"]) for r in rows}
+
+
+def semdedup_cell_drift(
+    built_counts: dict | None,
+    batch_counts: dict,
+    capped_cells=(),
+) -> dict:
+    """Staleness signal for the streaming SemDeDup loop's FROZEN
+    centroids — driver-side arithmetic only (the
+    :func:`ops.pq.ann_index_drift` twin, with the action keyed to this
+    loop's OWN failure mechanism). Returns:
+
+    * ``capped_mass_frac`` — the fraction of the batch's memberships
+      landing in ``capped_cells`` (store cells past ``max_cell``,
+      whose members are OUT of candidate generation). This is the
+      direct recall-loss predictor: a near-dup pair connected only
+      through capped cells is silently missed, and the measured miss
+      rate tracks this fraction (``tools/semdedup_drift_probe.py``).
+      Drives ``action``: ok → ``"degraded"`` at
+      :data:`SEMDEDUP_CAP_WARN` → ``"rebuild"`` at
+      :data:`SEMDEDUP_CAP_REBUILD` (refit the centroids —
+      ``seeding="kmeanspar"`` — with ``n_lists``/``max_cell`` re-sized
+      for the grown corpus, and re-baseline).
+    * ``tv_distance`` — TV between the fit-corpus membership histogram
+      (``built_counts``, from :func:`membership_histogram`) and the
+      batch's: a TREND field only. Measured caveat: a regionally
+      FOCUSED ingest reads high TV with perfect recall even under
+      fresh centroids, so TV must not drive the action here (None
+      when no baseline was provided)."""
+    batch = {int(c): int(n) for c, n in batch_counts.items()}
+    nn = sum(batch.values())
+    capped = {int(c) for c in capped_cells}
+    frac = (
+        sum(n for c, n in batch.items() if c in capped) / nn
+        if nn else 0.0
+    )
+    tv = None
+    if built_counts:
+        built = {int(c): int(n) for c, n in built_counts.items()}
+        nb = sum(built.values())
+        if nb and nn:
+            cells = set(built) | set(batch)
+            tv = round(0.5 * sum(
+                abs(built.get(c, 0) / nb - batch.get(c, 0) / nn)
+                for c in cells
+            ), 6)
+    if frac >= SEMDEDUP_CAP_REBUILD:
+        action = "rebuild"
+    elif frac >= SEMDEDUP_CAP_WARN:
+        action = "degraded"
+    else:
+        action = "ok"
+    return {
+        "capped_mass_frac": round(frac, 6),
+        "tv_distance": tv,
+        "action": action,
+    }
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.45,

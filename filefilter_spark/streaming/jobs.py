@@ -1164,6 +1164,8 @@ def semdedup_stream_dedup(
     on_batch=None,
     maintain_every: int | None = None,
     max_files_per_store: int = 64,
+    built_cell_counts: dict | None = None,
+    rebuild_on_drift: bool = False,
 ) -> DataFrame:
     """Streaming SEMANTIC near-dedup (OP-D5 × OP-D3 — SemDeDup's
     production shape, Abbas et al. 2023): continuously ingest
@@ -1202,6 +1204,35 @@ def semdedup_stream_dedup(
       loop: ``{"batch_id", "seconds", "n_in", "n_survived"}`` per
       micro-batch (counts taken BEFORE the store writes — see the
       recacheByPath note there), feeding SCALING.md's cost curve.
+      r16 adds the staleness wire
+      (:func:`ops.similarity.semdedup_cell_drift`, thresholds
+      calibrated by ``tools/semdedup_drift_probe.py``):
+      ``capped_mass_frac`` — the share of the batch's memberships
+      landing in cells the ``max_cell`` cap has dropped, the DIRECT
+      predictor of silent dup-catch loss — drives ``action`` (ok →
+      degraded → rebuild: refit the centroids ``seeding="kmeanspar"``
+      with re-sized ``n_lists``/``max_cell`` and re-baseline);
+      ``n_capped_cells`` and, when ``built_cell_counts`` is passed
+      (the fit corpus's :func:`ops.similarity.membership_histogram`),
+      the ``tv_distance`` TREND field ride along. TV does not drive
+      the action — measured, a regionally focused ingest reads high
+      TV with perfect recall.
+    - ``rebuild_on_drift=True`` CLOSES the loop (the
+      ``ann_index_stream_ingest`` ``rebuild_source`` twin — here the
+      survivor store IS the full corpus, so no source argument is
+      needed): when a batch's action reads ``rebuild``, the loop
+      refits the centroids over ``<out_dir>/vecs`` at the batch
+      boundary — ``seeding="kmeanspar"``, RE-SIZED to
+      ``max(built, round(sqrt(n_store)))`` lists per SCALING.md's
+      rebuild rule — recomputes the WHOLE cells table under the new
+      model (temp+swap, so a crash mid-rebuild leaves the old layout
+      intact), re-baselines the TV trend from the new store
+      histogram, and assigns every subsequent batch under the fresh
+      centroids. Dup-catch on post-rebuild arrivals returns to
+      baseline (``tools/semdedup_drift_probe.py``'s self-heal
+      scenario). Already-missed pairs are NOT retroactively killed —
+      history is never re-scored, same contract as every other loop.
+      Stats gain ``rebuilt`` and ``n_lists``.
 
     Returns the survivor table ``(vec_id, embedding)``. Arrival order
     across batches decides who survives (first copy wins) —
@@ -1240,8 +1271,15 @@ def semdedup_stream_dedup(
     vecs_dir = f"{out_dir}/vecs"
     cells_dir = f"{out_dir}/cells"
 
+    # live model state: rebuild_on_drift swaps in refit centroids (and
+    # a re-read TV baseline) at a batch boundary, so membership
+    # assignment must read through this holder, not the arguments
+    state = {"cents": centroids, "baseline": built_cell_counts}
+
     def member(df: DataFrame) -> DataFrame:
-        return cell_memberships(df, centroids, n_assign, vec_col, id_col)
+        return cell_memberships(
+            df, state["cents"], n_assign, vec_col, id_col
+        )
 
     def maintain(batch_id: int) -> None:
         from filefilter_spark.ops.layout import compact_files
@@ -1256,12 +1294,49 @@ def semdedup_stream_dedup(
             compact_files(spark, d, tmp, order)
             _swap_dirs(spark, d, tmp, batch_id)
 
+    def do_rebuild(batch_id: int) -> None:
+        """Act on the staleness signal: refit the frozen centroids
+        over the survivor store (``seeding="kmeanspar"`` — O(log k)
+        passes — RE-SIZED to ``max(built, round(sqrt(n_store)))``
+        lists), recompute the WHOLE cells table under the new model
+        via temp+swap (a crash mid-rebuild leaves the old layout
+        readable), and re-baseline the TV trend from the new store
+        histogram (n_lists-bounded collect)."""
+        import math as _math
+
+        from filefilter_spark.ops.similarity import build_ivf_index
+
+        store = spark.read.parquet(vecs_dir)
+        n_store = store.count()
+        n_new = max(
+            len(state["cents"]),
+            int(round(_math.sqrt(max(1, n_store)))),
+        )
+        _, cents2 = build_ivf_index(
+            store, n_lists=n_new, vec_col=vec_col, id_col=id_col,
+            method="lloyd", coarse_iters=8, seeding="kmeanspar",
+        )
+        tmp = f"{cells_dir}__rebuild{batch_id}"
+        cell_memberships(
+            store, cents2, n_assign, vec_col, id_col
+        ).write.parquet(tmp)
+        _swap_dirs(spark, cells_dir, tmp, batch_id)
+        state["cents"] = cents2
+        state["baseline"] = {
+            int(r["cell"]): int(r["n"])
+            for r in spark.read.parquet(cells_dir)
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         import time as _time
 
         t0 = _time.time()
         new = batch_df.select(F.col(id_col), F.col(vec_col))
         new_cells = member(new).persist()
+        capped_ids: list[int] = []
         try:
             remaining = new
             if _dir_exists(spark, vecs_dir):
@@ -1273,6 +1348,14 @@ def semdedup_stream_dedup(
                         .filter(F.col("__n") > max_cell)
                         .select("cell")
                     )
+                    if on_batch is not None or rebuild_on_drift:
+                        # cap-engagement wire: members of these cells
+                        # are OUT of candidate generation — the
+                        # silent-recall-loss mechanism the staleness
+                        # signal keys off (n_lists-bounded collect)
+                        capped_ids = [
+                            int(r["cell"]) for r in hot.collect()
+                        ]
                     seen_cells = seen_cells.join(
                         F.broadcast(hot), ["cell"], "left_anti"
                     )
@@ -1320,6 +1403,21 @@ def semdedup_stream_dedup(
                 remaining, pairs_in, id_col=id_col
             )
             stats = None
+            drift = None
+            if on_batch is not None or rebuild_on_drift:
+                from filefilter_spark.ops.similarity import (
+                    semdedup_cell_drift,
+                )
+
+                batch_hist = {
+                    int(r["cell"]): int(r["n"])
+                    for r in new_cells.groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                drift = semdedup_cell_drift(
+                    state["baseline"], batch_hist, capped_ids
+                )
             if on_batch is not None:
                 # counts BEFORE the store writes — see the minhash
                 # loop's recacheByPath note
@@ -1328,6 +1426,8 @@ def semdedup_stream_dedup(
                     "batch_id": batch_id,
                     "n_in": new.count(),
                     "n_survived": survivors.count(),
+                    "n_capped_cells": len(capped_ids),
+                    **drift,
                 }
             survivors.write.mode("append").parquet(vecs_dir)
             (
@@ -1341,8 +1441,18 @@ def semdedup_stream_dedup(
             )
             if maintain_every and (batch_id + 1) % maintain_every == 0:
                 maintain(batch_id)
+            rebuilt = False
+            if (
+                rebuild_on_drift
+                and drift is not None
+                and drift["action"] == "rebuild"
+            ):
+                do_rebuild(batch_id)
+                rebuilt = True
             if stats is not None:
                 survivors.unpersist()
+                stats["rebuilt"] = rebuilt
+                stats["n_lists"] = len(state["cents"])
                 stats["seconds"] = _time.time() - t0
                 on_batch(stats)
         finally:

@@ -4151,6 +4151,153 @@ def test_ann_index_drift_signal():
     assert zero["tv_distance"] == 0.0 and zero["action"] == "ok"
 
 
+def test_semdedup_cell_drift_signal():
+    """semdedup_cell_drift is pure driver arithmetic keyed to the
+    loop's OWN failure mechanism: capped_mass_frac (share of batch
+    memberships in cells the max_cell cap dropped from candidate
+    generation) drives the action; TV vs the fit baseline is a trend
+    field only — measured (tools/semdedup_drift_probe.py), a focused
+    ingest reads TV ~0.8 with perfect recall, so TV must NOT act."""
+    from filefilter_spark.ops.similarity import (
+        SEMDEDUP_CAP_REBUILD,
+        SEMDEDUP_CAP_WARN,
+        semdedup_cell_drift,
+    )
+
+    built = {0: 100, 1: 100, 2: 100, 3: 100}
+    ok = semdedup_cell_drift(built, {0: 30, 1: 30, 2: 20, 3: 20}, [])
+    assert ok["capped_mass_frac"] == 0.0 and ok["action"] == "ok"
+    assert ok["tv_distance"] == 0.1
+    # the TV false positive, pinned: all batch mass on one uncapped
+    # cell -> huge TV, but nothing is outside candidate generation,
+    # so the action stays ok (recall is intact by mechanism)
+    focused = semdedup_cell_drift(built, {3: 500}, [])
+    assert focused["tv_distance"] == 0.75 and focused["action"] == "ok"
+    # mass leaking into capped cells: degraded past WARN, rebuild
+    # past REBUILD (these memberships are silently out of dedup)
+    warn = semdedup_cell_drift(built, {0: 70, 3: 30}, [3])
+    assert warn["capped_mass_frac"] == 0.3
+    assert SEMDEDUP_CAP_WARN <= 0.3 < SEMDEDUP_CAP_REBUILD
+    assert warn["action"] == "degraded"
+    hard = semdedup_cell_drift(built, {0: 20, 3: 80}, [3])
+    assert hard["capped_mass_frac"] == 0.8 >= SEMDEDUP_CAP_REBUILD
+    assert hard["action"] == "rebuild"
+    # no fit baseline -> TV honest-None, action still computable
+    nobase = semdedup_cell_drift(None, {0: 10, 3: 10}, [3])
+    assert nobase["tv_distance"] is None
+    assert nobase["capped_mass_frac"] == 0.5
+    # empty batch: no mass, no signal
+    empty = semdedup_cell_drift(built, {}, [3])
+    assert empty["capped_mass_frac"] == 0.0 and empty["action"] == "ok"
+
+
+def test_semdedup_stream_emits_staleness_signal(spark, tmp_path):
+    """The on_batch hook of semdedup_stream_dedup carries the
+    staleness wire: capped_mass_frac/action/n_capped_cells per batch,
+    plus tv_distance when the fit corpus's membership_histogram is
+    handed in as built_cell_counts."""
+    import numpy as np
+
+    from filefilter_spark.ops.similarity import (
+        build_ivf_index, membership_histogram)
+    from filefilter_spark.streaming.jobs import semdedup_stream_dedup
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(0, 1, size=(4, 8))
+    pts = np.vstack([c + rng.normal(0, 0.05, size=(30, 8))
+                     for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>")
+    _, cents = build_ivf_index(df, n_lists=4, method="lloyd",
+                               seeding="kmeanspar")
+    baseline = membership_histogram(df, cents, n_assign=1)
+    assert sum(baseline.values()) == 120
+
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    sig = []
+    semdedup_stream_dedup(
+        spark, src, cents, threshold=0.999, n_assign=1,
+        out_dir=str(tmp_path / "store"), on_batch=sig.append,
+        built_cell_counts=baseline)
+    assert len(sig) == 1
+    s = sig[0]
+    # same-distribution ingest against fresh centroids: no capped
+    # mass, near-zero TV, action ok
+    assert s["capped_mass_frac"] == 0.0 and s["action"] == "ok"
+    assert s["n_capped_cells"] == 0
+    assert s["tv_distance"] is not None and s["tv_distance"] < 0.25
+    assert s["rebuilt"] is False and s["n_lists"] == 4
+
+
+def test_semdedup_stream_rebuild_on_drift_self_heals(spark, tmp_path):
+    """rebuild_on_drift closes the SemDeDup loop: when a batch's
+    capped_mass_frac crosses REBUILD (its memberships land in cells
+    the max_cell cap dropped — candidates silently lost), the loop
+    refits the centroids over the survivor store (kmeanspar, re-sized
+    ~sqrt(n)), remaps the cells table temp+swap, re-baselines, and
+    the NEXT batch's planted near-dup is caught under the fresh
+    model. Tiny mirror of tools/semdedup_drift_probe.py's self-heal
+    scenario."""
+    import glob
+
+    import numpy as np
+
+    from filefilter_spark.ops.similarity import build_ivf_index
+    from filefilter_spark.streaming.jobs import semdedup_stream_dedup
+
+    rng = np.random.default_rng(11)
+    centers_a = rng.normal(0, 1, size=(4, 8))
+    # drifted region: packed near A-mode-0 at the same norm scale
+    centers_b = centers_a[0] + rng.normal(0, 0.3, size=(4, 8))
+    fit = np.vstack([c + rng.normal(0, 0.05, size=(40, 8))
+                     for c in centers_a])
+    df_fit = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(fit)],
+        "vec_id long, embedding array<double>")
+    _, cents = build_ivf_index(df_fit, n_lists=4, method="lloyd",
+                               seeding="kmeanspar")
+
+    def mk(centers, n_per, base):
+        pts = np.vstack([c + rng.normal(0, 0.05, size=(n_per, 8))
+                         for c in centers])
+        return pts, np.arange(len(pts)) + base
+
+    seed_mat, seed_ids = mk(centers_b, 30, 1000)   # 120 rows, few cells
+    b1_mat, b1_ids = mk(centers_b, 10, 2000)       # 40 rows
+    dup_mat = b1_mat[:10] + rng.normal(0, 1e-3, size=(10, 8))
+    dup_ids = np.arange(10) + 9000
+
+    src = str(tmp_path / "src")
+    for mat, ids in ((seed_mat, seed_ids), (b1_mat, b1_ids),
+                     (dup_mat, dup_ids)):
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in zip(ids, mat)],
+            "vec_id long, embedding array<double>",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    sig = []
+    survivors = semdedup_stream_dedup(
+        spark, src, cents, threshold=0.999, n_assign=1, max_cell=30,
+        max_files_per_trigger=1, out_dir=str(tmp_path / "store"),
+        on_batch=sig.append, rebuild_on_drift=True)
+    assert len(sig) == 3
+    # batch 1's mass lands in cells the seed batch over-filled past
+    # max_cell=30 -> rebuild fires at that boundary, re-sized >= 4
+    assert sig[1]["action"] == "rebuild" and sig[1]["rebuilt"] is True
+    assert sig[1]["n_lists"] >= 4
+    # batch 2 (the planted dups) assigns under the fresh centroids:
+    # caps disengaged, every dup caught against its stored original
+    assert sig[2]["action"] == "ok" and sig[2]["rebuilt"] is False
+    alive = {int(r["vec_id"]) for r in survivors.collect()}
+    assert not (alive & set(int(i) for i in dup_ids))
+    # temp+swap left no leftovers; cells dir remapped, still readable
+    assert not glob.glob(f"{tmp_path}/store/*__*")
+    assert spark.read.parquet(
+        f"{tmp_path}/store/cells").count() == len(alive)
+
+
 def test_ann_batch_probe_plan_prunes_union_cells(spark, tmp_path):
     """The batch ANN probe's single codes read must be partition-pruned
     to the UNION of the queries' probed cells (the one-read-per-batch
