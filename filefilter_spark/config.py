@@ -31,7 +31,7 @@ import yaml
 VALID_ACTION_TYPES = {
     "python", "rest", "sql", "pandas", "udf",
     # zero-code corpus-assembly stages (stages/corpus_stage.py)
-    "dedup", "fuzzydedup", "split", "sample",
+    "dedup", "fuzzydedup", "semdedup", "split", "sample",
     "linededup", "spandedup", "quota", "chunk", "decontaminate", "domainfilter",
     "textstats", "perplexity", "expect",
     "dedupbest", "temperature", "bpe",

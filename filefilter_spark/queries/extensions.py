@@ -1505,6 +1505,75 @@ filters:
 
 
 @query(
+    "OP-A8-semdedup",
+    oracle=None,  # clustering-dependent pair recall → RecallSpec
+    recall=RecallSpec(
+        """
+        WITH RECURSIVE n AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        ),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.e, b.e) >= 0.45
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM p
+          UNION
+          SELECT id_b, id_a FROM p
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(src, node) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+        ),
+        losers AS (
+          SELECT src AS vec_id FROM reach
+          GROUP BY src HAVING src != min(node)
+        )
+        SELECT vec_id FROM embeddings
+        WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+        """,
+        ("vec_id",),
+        1.0,  # structural: detected pairs ⊆ exact pairs (precision-
+        # exact verify) ⇒ detected components REFINE exact components
+        # ⇒ every exact component's min-id is also the min of its own
+        # sub-component and survives — full recall of the exact
+        # survivor set is a THEOREM here, and the check pins the
+        # survivor-selection logic (a wrongly killed min-id fails it).
+        exact_precision=False,  # boundary-pair misses over-RETAIN:
+        # extra survivors (sub-component minima) are the honest cost
+        # of recall<1 pair detection, measured on OP-D3-semdedup
+    ),
+    doc="zero-code SemDeDup (the YAML surface over "
+        "ops/similarity.py semantic_dedup — KMeans cells + "
+        "within-cell exact-cosine verify + CC min-id survivors, "
+        "Abbas et al. 2023): one semdedup stage on the embeddings "
+        "frame drops every row whose exact-cosine near-dup with a "
+        "smaller id shares a cell. Oracle: DuckDB's quadratic cosine "
+        "join + recursive-CTE transitive closure computes the EXACT "
+        "survivor set; the stage's output is structurally a superset "
+        "(precision-exact kills), so the recall floor is 1.0 "
+        "(stages/corpus_stage.py SemDedupStage).",
+)
+def op_a8_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from filefilter_spark.config import load_config_str
+    from filefilter_spark.pipeline import Pipeline
+
+    yaml = """
+filters:
+  - name: dedup
+    actionType: semdedup
+    actionConfig: {vecField: embedding, idField: vec_id, threshold: 0.45}
+"""
+    pipe = Pipeline(spark, load_config_str(yaml))
+    return pipe.run(load_table(spark, sf_dir, "embeddings")).df.select(
+        "vec_id"
+    )
+
+
+@query(
     "OP-A8-searchindex",
     oracle=f"""
     WITH {_BM25_CTES}

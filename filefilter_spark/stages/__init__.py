@@ -31,6 +31,7 @@ from filefilter_spark.stages.corpus_stage import (
     PerplexityStage,
     QuotaStage,
     SampleStage,
+    SemDedupStage,
     SpanDedupStage,
     SplitStage,
     TemperatureStage,
@@ -55,6 +56,7 @@ STAGE_TYPES = {
     # zero-code corpus-assembly stages (beyond-reference surface)
     "dedup": DedupStage,
     "fuzzydedup": FuzzyDedupStage,
+    "semdedup": SemDedupStage,
     "split": SplitStage,
     "sample": SampleStage,
     "linededup": LineDedupStage,

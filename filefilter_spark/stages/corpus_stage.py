@@ -105,6 +105,45 @@ class FuzzyDedupStage(Stage):
         return keep_neardup_survivors(df, pairs, id_col=id_col)
 
 
+class SemDedupStage(Stage):
+    """SemDeDup semantic near-dedup on an embedding column — the
+    zero-code surface over ``ops.similarity.semantic_dedup`` (KMeans
+    cells + within-cell exact-cosine verify, Abbas et al. 2023) +
+    ``keep_neardup_survivors`` (connected-components min-id survivor).
+    actionConfig: ``vecField`` (required — the ``array<float|double>``
+    embedding column), ``threshold`` (0.45), ``nLists`` (16),
+    ``nAssign`` (3), ``idField`` (doc_id), ``seed`` (7). Precision of
+    the KILL decision is exact — every dropped row lost an
+    exact-cosine comparison — while recall misses only cell-boundary
+    pairs, so the output is a SUPERSET of the exact-pair survivor set
+    and the min-id of any true near-dup cluster is never dropped
+    (pinned by the OP-A8-semdedup recall oracle). Rows in no pair
+    pass through untouched. For CONTINUOUS maintenance use
+    ``streaming.jobs.semdedup_stream_dedup`` (frozen centroids +
+    the capped-mass staleness wire)."""
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        from filefilter_spark.ops.dedup import keep_neardup_survivors
+        from filefilter_spark.ops.similarity import semantic_dedup
+
+        cfg = self.cfg.action_config
+        if not cfg.get("vecField"):
+            raise ValueError(
+                "semdedup stage: actionConfig.vecField is required"
+            )
+        id_col = cfg.get("idField", "doc_id")
+        pairs = semantic_dedup(
+            df,
+            threshold=float(cfg.get("threshold", 0.45)),
+            n_lists=int(cfg.get("nLists", 16)),
+            n_assign=int(cfg.get("nAssign", 3)),
+            vec_col=cfg["vecField"],
+            id_col=id_col,
+            seed=int(cfg.get("seed", 7)),
+        )
+        return keep_neardup_survivors(df, pairs, id_col=id_col)
+
+
 class SplitStage(Stage):
     """Deterministic hash split column (``ops.corpus.hash_split``)."""
 

@@ -70,6 +70,11 @@ def test_oracles_cover_queries(entry):
         # batch hybrid fusion contains the ANN tier → recall oracle
         # vs the exact per-query fusion, keys (q_id, doc_id) (r15)
         "OP-D3-hybrid-batch",
+        # zero-code SemDeDup stage → recall oracle vs the exact
+        # cosine-pair-graph survivors (structurally 1.0: precision-
+        # exact kills make the output a superset; over-retention is
+        # the honest cost of boundary-pair misses) (r16)
+        "OP-A8-semdedup",
     }, f"entries silently missing oracles: {sorted(rows_only)}"
 
 

@@ -1069,6 +1069,43 @@ filters:
 """)
 
 
+def test_semdedup_stage(spark):
+    """Zero-code SemDeDup: kills exact-cosine near-dups (>= threshold)
+    sharing a KMeans cell, keeps min-id survivors; rows in no pair
+    pass through; missing vecField raises. Geometry is well-separated
+    (planted copies at cos ~1, cross-mode pairs orthogonal-ish) so the
+    survivor set is clustering-invariant — any cell split co-locates
+    the near-identical copies."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    modes = rng.normal(0, 1, size=(4, 16))
+    rows = []
+    for i in range(20):  # 5 per mode, distinct
+        rows.append((i, modes[i % 4] + rng.normal(0, 0.08, 16)))
+    rows.append((100, rows[2][1] + rng.normal(0, 1e-4, 16)))  # dup of 2
+    rows.append((101, rows[7][1] + rng.normal(0, 1e-4, 16)))  # dup of 7
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    out = run_yaml(spark, df, """
+filters:
+  - name: sd
+    actionType: semdedup
+    actionConfig: {vecField: embedding, idField: vec_id, threshold: 0.999}
+""")
+    got = {r["vec_id"] for r in out.collect()}
+    assert got == set(range(20))  # dups 100/101 killed, originals kept
+    with pytest.raises(ValueError, match="vecField"):
+        run_yaml(spark, df, """
+filters:
+  - name: sd
+    actionType: semdedup
+    actionConfig: {idField: vec_id}
+""")
+
+
 def test_skew_auto_detector(spark):
     """max_key_share / should_route_skewed: one-job detector, the
     measured ~30% threshold, empty-frame safety."""
