@@ -1424,6 +1424,58 @@ def _fuzzy_tagged(base: DataFrame, q: int) -> DataFrame:
 FUZZY_UNSEEN_GDF = 1 << 62
 
 
+def write_fuzzy_gram_layout(
+    base: DataFrame,
+    gramdf_path: str,
+    postings_path: str,
+    q: int,
+    max_dist: int,
+    n_buckets: int,
+) -> None:
+    """Write the ORDER-DEPENDENT half of the Ed-Join layout — the
+    frozen rarity table (``gramdf``) and the rarest-``q·d+1`` prefix
+    postings derived under it — for ``base`` = (id, s). Shared by
+    :func:`build_fuzzy_index` (fresh build) and the streaming loop's
+    in-place rebuild (``fuzzy_index_stream_ingest
+    rebuild_on_drift``), which regenerates EXACTLY these two dirs
+    from the strings store when accumulated vocabulary drift has
+    degraded prefix selectivity: strings/short/pairs are
+    order-INDEPENDENT and survive a rebuild untouched."""
+    d = int(max_dist)
+    prefix_len = int(q) * d + 1
+    tagged = _fuzzy_tagged(base, q)
+    gram_df = tagged.groupBy("t.g", "t.occ").agg(
+        F.count(F.lit(1)).alias("gdf")
+    )
+    gram_df.withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("g", "occ"), F.lit(int(n_buckets))),
+    ).repartition("bucket").sortWithinPartitions("g", "occ").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(gramdf_path)
+
+    prefix = (
+        tagged.join(gram_df, [F.expr("t.g = g"), F.expr("t.occ = occ")])
+        .groupBy("doc")
+        .agg(F.collect_list(F.struct("gdf", "t.g", "t.occ")).alias("gl"))
+        .select(
+            "doc",
+            F.explode(F.slice(F.array_sort("gl"), 1, prefix_len)).alias("t"),
+        )
+        .select(
+            F.col("t.g").alias("g"),
+            F.col("t.occ").alias("occ"),
+            F.col("doc.id").alias("id"),
+            F.col("doc.l").alias("l"),
+        )
+    )
+    prefix.withColumn(
+        "bucket", F.pmod(F.xxhash64("g", "occ"), F.lit(int(n_buckets)))
+    ).repartition("bucket").sortWithinPartitions("g", "occ", "id").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(postings_path)
+
+
 def build_fuzzy_index(
     df: DataFrame,
     path: str,
@@ -1477,37 +1529,9 @@ def build_fuzzy_index(
         raise ValueError("build_fuzzy_index: empty corpus — nothing to index")
     spark = df.sparkSession
 
-    tagged = _fuzzy_tagged(base, q)
-    gram_df = tagged.groupBy("t.g", "t.occ").agg(
-        F.count(F.lit(1)).alias("gdf")
+    write_fuzzy_gram_layout(
+        base, f"{path}/gramdf", f"{path}/postings", q, d, n_buckets
     )
-    gram_df.withColumn(
-        "bucket",
-        F.pmod(F.xxhash64("g", "occ"), F.lit(int(n_buckets))),
-    ).repartition("bucket").sortWithinPartitions("g", "occ").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/gramdf")
-
-    prefix = (
-        tagged.join(gram_df, [F.expr("t.g = g"), F.expr("t.occ = occ")])
-        .groupBy("doc")
-        .agg(F.collect_list(F.struct("gdf", "t.g", "t.occ")).alias("gl"))
-        .select(
-            "doc",
-            F.explode(F.slice(F.array_sort("gl"), 1, prefix_len)).alias("t"),
-        )
-        .select(
-            F.col("t.g").alias("g"),
-            F.col("t.occ").alias("occ"),
-            F.col("doc.id").alias("id"),
-            F.col("doc.l").alias("l"),
-        )
-    )
-    prefix.withColumn(
-        "bucket", F.pmod(F.xxhash64("g", "occ"), F.lit(int(n_buckets)))
-    ).repartition("bucket").sortWithinPartitions("g", "occ", "id").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(f"{path}/postings")
 
     strings = base.select("id", "s", F.length("s").alias("l"))
     strings.withColumn(

@@ -1502,6 +1502,7 @@ def text_index_stream_ingest(
     max_files_per_partition: int = 16,
     checkpoint_dir: str | None = None,
     on_batch=None,
+    rebucket_on_growth: bool = False,
 ) -> DataFrame:
     """Continuous inverted-index maintenance (OP-D5 × OP-D4-bm25): the
     text twin of :func:`ivfpq_stream_ingest`. Each micro-batch of
@@ -1528,7 +1529,14 @@ def text_index_stream_ingest(
     * **no terms/ table is maintained** — a cached df would go stale
       the moment the next batch lands; ``bm25_topk_indexed`` detects
       the missing table and computes df from the pruned postings
-      instead (exact, always fresh).
+      instead (exact, always fresh). When the layout came from the
+      BATCH build (which does cache ``terms/``), the first applied
+      append DELETES that cache before writing (r16): leaving it
+      would keep probes scoring with build-era dfs — measured
+      silently wrong on a built-then-grown layout (idf inflation;
+      regression-pinned). The delete-then-append order keeps every
+      crash point exact — the fallback recomputes the same dfs the
+      cache held.
     * **n_buckets comes from the stats sidecar** when ``out_dir``
       already holds an index (a mismatched explicit value raises —
       appending postings hashed with a different bucket count would
@@ -1555,6 +1563,22 @@ def text_index_stream_ingest(
     drift, not a latency alarm — measured flat probe latency to ×16,
     SCALING.md); ``action="rebucket"`` says re-size the bucket count
     at the next rebuild.
+
+    ``rebucket_on_growth=True`` makes the loop ACT on that signal
+    (r16 — completing the self-acting set: ANN rebuilds, SemDeDup
+    refits, fuzzy re-derives, text REBUCKETS): at the triggering
+    batch's boundary the postings store is rewritten with
+    ``n_buckets × 2^⌈log₂ growth⌉`` buckets (term hashing restored to
+    its intended per-bucket share) and the sidecar re-freezes
+    ``built_n_docs`` at the current size, so the signal resets to ok.
+    A probe under the old sidecar against new-bucketed postings would
+    prune the WRONG partitions silently, so the postings and stats
+    swaps are fenced by a ``rebucket_pending`` marker CARRYING the
+    target bucket count: a crash at any point between them heals by
+    an idempotent re-derivation (bucket is a pure function of term)
+    before the next batch; finding the marker with
+    ``rebucket_on_growth=False`` raises rather than probe a
+    possibly-mixed layout. Stats gain ``rebucketed``/``n_buckets``.
 
     ``availableNow`` drains the bounded test input; an unbounded
     deployment runs the identical plan with a durable checkpoint.
@@ -1601,7 +1625,9 @@ def text_index_stream_ingest(
                     f"the parameter to append with the recorded value"
                 )
             n_buckets = stored_nb
-    n_buckets = 64 if n_buckets is None else int(n_buckets)
+    # mutable: rebucket_on_growth swaps in a larger bucket count at a
+    # batch boundary; later batches must hash with the live value
+    nb = {"v": 64 if n_buckets is None else int(n_buckets)}
 
     def _stats_row():
         if not _dir_exists(spark, stats_dir):
@@ -1654,7 +1680,7 @@ def text_index_stream_ingest(
         # compaction.
         tmp = f"{stats_dir.rstrip('/')}__tmp{batch_id}"
         spark.createDataFrame(
-            [(n0 + bn, s0 + bs, int(n_buckets), batch_id, keys, built)],
+            [(n0 + bn, s0 + bs, int(nb["v"]), batch_id, keys, built)],
             "n_docs long, sum_dl long, n_buckets long, "
             "last_batch_id long, applied_keys array<string>, "
             "built_n_docs long",
@@ -1686,7 +1712,77 @@ def text_index_stream_ingest(
         if ran:
             _swap_dirs(spark, post_dir, tmp, batch_id)
 
+    marker_dir = f"{out_dir}/rebucket_pending"
+
+    def _mark_pending(on: bool) -> None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(marker_dir)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if on:
+            fs.mkdirs(p)
+        else:
+            fs.delete(p, True)
+
+    def _rewrite_postings(batch_id: int, target: int) -> None:
+        """Re-hash the WHOLE postings store to ``target`` buckets
+        (bucket is a pure function of term — idempotent from any
+        current physical layout), temp+swap."""
+        tmp = f"{post_dir.rstrip('/')}__rebuckettmp"
+        (
+            spark.read.parquet(post_dir)
+            .drop("bucket")
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(int(target)))
+            )
+            .repartition("bucket")
+            .sortWithinPartitions("term", id_col)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(tmp)
+        )
+        _swap_dirs(spark, post_dir, tmp, batch_id)
+
+    def do_rebucket(batch_id: int, target: int) -> None:
+        """Act on the growth signal: re-size the frozen bucket count.
+        Stats swap FIRST (``n_buckets`` is authoritative and
+        ``built_n_docs`` re-freezes at the current size, resetting the
+        signal), postings rewrite second — a crash anywhere in between
+        leaves the ``rebucket_pending`` marker, and healing simply
+        re-derives the postings bucketing FROM the stats sidecar
+        (idempotent), so no crash point can leave probes pruning the
+        wrong partitions silently."""
+        _mark_pending(True)
+        cur = _stats_row()
+        tmp = f"{stats_dir.rstrip('/')}__rebuckettmp"
+        spark.createDataFrame(
+            [(int(cur["n_docs"]), int(cur["sum_dl"]), int(target),
+              int(cur["last_batch_id"]), _seen_keys(cur),
+              int(cur["n_docs"]))],
+            "n_docs long, sum_dl long, n_buckets long, "
+            "last_batch_id long, applied_keys array<string>, "
+            "built_n_docs long",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        _swap_dirs(spark, stats_dir, tmp, batch_id)
+        _rewrite_postings(batch_id, target)
+        _mark_pending(False)
+        nb["v"] = int(target)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if _dir_exists(spark, marker_dir):
+            if not rebucket_on_growth:
+                raise RuntimeError(
+                    "text_index_stream_ingest: rebucket_pending marker "
+                    f"found at {marker_dir!r} — a prior rebucket "
+                    "crashed between its stats/postings swaps and "
+                    "probes may prune the wrong partitions. Rerun with "
+                    "rebucket_on_growth=True to heal (postings are "
+                    "re-derived from the authoritative stats sidecar)."
+                )
+            cur0 = _stats_row()
+            tgt = int(cur0["n_buckets"])
+            _rewrite_postings(batch_id, tgt)
+            _mark_pending(False)
+            nb["v"] = tgt
         files = _batch_files(batch_df)
         cur = _stats_row()
         seen = _seen_keys(cur)
@@ -1730,20 +1826,56 @@ def text_index_stream_ingest(
             .groupBy(id_col, "dl", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn(
-                "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(nb["v"]))
             )
         )
+        if _dir_exists(spark, f"{out_dir}/terms"):
+            # the BATCH build caches per-term dfs in terms/; an append
+            # makes that cache stale and a probe would keep scoring
+            # with build-era dfs — measured silently wrong (idf
+            # inflation, r16 regression test). The streaming design
+            # computes df fresh from the pruned postings
+            # (_indexed_term_dfs' fallback), so drop the cache BEFORE
+            # the append that would invalidate it: a crash in between
+            # leaves the index exact either way (the fallback returns
+            # the same dfs the cache held).
+            jvm = spark._jvm
+            tp = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/terms")
+            tp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(
+                tp, True
+            )
+            spark.catalog.refreshByPath(f"{out_dir}/terms")
         postings.write.partitionBy("bucket").mode("append").parquet(post_dir)
         n_total, built = merge_stats(batch_df, batch_id, new_keys)
         if maintain_every and (batch_id + 1) % maintain_every == 0:
             maintain(batch_id)
-        if on_batch is not None:
+        growth = None
+        if on_batch is not None or rebucket_on_growth:
             from filefilter_spark.ops.retrieval import text_index_growth
 
+            growth = text_index_growth(n_total, built)
+        rebucketed = False
+        if (
+            rebucket_on_growth
+            and growth is not None
+            and growth["action"] == "rebucket"
+        ):
+            import math as _math
+
+            target = int(nb["v"]) * (
+                1 << max(1, _math.ceil(_math.log2(
+                    max(2.0, growth["growth_factor"])
+                )))
+            )
+            do_rebucket(batch_id, target)
+            rebucketed = True
+        if on_batch is not None:
             on_batch({
                 "batch_id": batch_id,
                 "n_docs": n_total,
-                **text_index_growth(n_total, built),
+                **growth,
+                "rebucketed": rebucketed,
+                "n_buckets": int(nb["v"]),
             })
 
     # durable by default, co-located with the index (ADVICE r14): the
@@ -2130,6 +2262,7 @@ def fuzzy_index_stream_ingest(
     max_files_per_partition: int = 16,
     checkpoint_dir: str | None = None,
     on_batch=None,
+    rebuild_on_drift: bool = False,
 ) -> DataFrame:
     """Continuous fuzzy-join maintenance over a persisted
     :func:`ops.dedup.build_fuzzy_index` layout (OP-D5 × OP-D2-fuzzy) —
@@ -2181,7 +2314,25 @@ def fuzzy_index_stream_ingest(
     predicts) blows up, and ``action`` applies the measured thresholds
     (:func:`fuzzy_index_staleness`: ok → selectivity_degraded →
     rebuild; calibrated by ``tools/fuzzy_drift_probe.py``). Rebuild to
-    restore selectivity. Returns the deduped pairs table.
+    restore selectivity.
+
+    ``rebuild_on_drift=True`` makes the loop ACT on its own rebuild
+    action (r16 — the ANN/SemDeDup self-acting twin): at the
+    triggering batch's boundary it re-derives the two ORDER-DEPENDENT
+    dirs — ``gramdf`` (the frozen rarity order, which absorbs the
+    accumulated new vocabulary) and ``postings`` (every string's
+    rarest-prefix entries under the new order) — from the strings
+    store via :func:`ops.dedup.write_fuzzy_gram_layout`, temp+swap.
+    ``strings``/``short``/``pairs`` are order-INDEPENDENT and carry
+    over untouched (the pairs store stays the exact union-corpus pair
+    set — a rebuild changes candidate GENERATION cost, never results),
+    as do ``stats``/``applied_keys``. The two swaps are not jointly
+    atomic and a mixed order would be SILENTLY lossy, so they are
+    fenced by a ``rebuild_pending`` marker: a crash between them
+    forces a (cheap, idempotent) re-derivation before the next batch;
+    if the marker is found with ``rebuild_on_drift=False`` the loop
+    refuses loudly rather than run on a possibly-mixed layout. Stats
+    gain ``rebuilt``. Returns the deduped pairs table.
     """
     import os
     import time as _time
@@ -2252,9 +2403,55 @@ def fuzzy_index_stream_ingest(
             if ran:
                 _swap_dirs(spark, dpath, tmp, batch_id)
 
+    pending_path = f"{index_path}/rebuild_pending"
+
+    def _mark_pending(on: bool) -> None:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(pending_path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if on:
+            fs.mkdirs(p)
+        else:
+            fs.delete(p, True)
+
+    def do_rebuild(batch_id: int) -> None:
+        """Act on the staleness signal: re-derive gramdf (frozen
+        rarity, now absorbing the accumulated vocabulary) + postings
+        (prefixes under the new order) from the strings store,
+        temp+swap each, fenced by the ``rebuild_pending`` marker (the
+        two swaps are not jointly atomic and a mixed order is
+        SILENTLY lossy — the marker forces an idempotent re-derivation
+        if a crash lands between them). strings/short/pairs/stats are
+        order-independent and untouched."""
+        from filefilter_spark.ops.dedup import write_fuzzy_gram_layout
+
+        sall = spark.read.parquet(strings_dir).select("id", "s")
+        # fixed tmp names: a crashed attempt's leftovers are simply
+        # overwritten by the healing re-derivation
+        tmp_g = f"{index_path}/gramdf__rebuildtmp"
+        tmp_p = f"{post_dir.rstrip('/')}__rebuildtmp"
+        write_fuzzy_gram_layout(sall, tmp_g, tmp_p, q, d, n_buckets)
+        _mark_pending(True)
+        _swap_dirs(spark, f"{index_path}/gramdf", tmp_g, batch_id)
+        _swap_dirs(spark, post_dir, tmp_p, batch_id)
+        _mark_pending(False)
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         t0 = _time.time() if on_batch is not None else 0.0
         unseen_frac = None
+        rebuilt = False
+        if _dir_exists(spark, pending_path):
+            if not rebuild_on_drift:
+                raise RuntimeError(
+                    "fuzzy_index_stream_ingest: rebuild_pending marker "
+                    f"found at {pending_path!r} — a prior rebuild "
+                    "crashed between its gramdf/postings swaps and the "
+                    "layout may mix two gram orders (silently lossy). "
+                    "Rerun with rebuild_on_drift=True to heal, or "
+                    "re-run build_fuzzy_index offline."
+                )
+            do_rebuild(batch_id)  # crashed mid-swap: re-derive first
+            rebuilt = True
         files = _batch_files(batch_df)
         cur = spark.read.parquet(stats_dir).first()
         seen = list(cur["applied_keys"] or [])
@@ -2326,7 +2523,7 @@ def fuzzy_index_stream_ingest(
                         .persist(StorageLevel.MEMORY_AND_DISK)
                     )
                     prefix_full = prefix_b  # persisted handle (w/ gdf)
-                    if on_batch is not None:
+                    if on_batch is not None or rebuild_on_drift:
                         # the fuzzy index's staleness signal (the ANN
                         # drift twin): fraction of the batch's PREFIX
                         # entries carrying the unseen-at-build sentinel
@@ -2518,6 +2715,16 @@ def fuzzy_index_stream_ingest(
                         batch_id + 1
                     ) % maintain_every == 0:
                         maintain(batch_id)
+                    if (
+                        rebuild_on_drift
+                        and fuzzy_index_staleness(unseen_frac)
+                        == "rebuild"
+                    ):
+                        # the batch's own entries were appended under
+                        # the stale order; the re-derivation replaces
+                        # the WHOLE postings store, this batch included
+                        do_rebuild(batch_id)
+                        rebuilt = True
             finally:
                 base_b.unpersist()
         if on_batch is not None:
@@ -2530,6 +2737,7 @@ def fuzzy_index_stream_ingest(
                 "applied": applied,
                 "unseen_gram_frac": unseen_frac,
                 "action": fuzzy_index_staleness(unseen_frac),
+                "rebuilt": rebuilt,
                 "seconds": _time.time() - t0,
             })
 

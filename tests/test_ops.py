@@ -3640,6 +3640,112 @@ def test_text_index_growth_signal(spark, tmp_path):
         int(s["n_docs"]), int(s["built_n_docs"]))["action"] == "ok"
 
 
+def test_text_index_built_then_grown_probe_exact(spark, tmp_path):
+    """r16 regression (found by the rebucket test): the BATCH build
+    caches per-term dfs in terms/, and a stream append used to leave
+    it stale — probes of a built-then-grown layout scored with
+    build-era dfs (idf inflated ~3.6x at 50% growth, silently). The
+    ingest now drops the cache before its first append; probes fall
+    back to the always-fresh pruned distinct-doc count and must equal
+    the corpus scan exactly."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from filefilter_spark.streaming.jobs import text_index_stream_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seed = docs.filter(F.col("doc_id") < 250)
+    ix, src = str(tmp_path / "ix"), str(tmp_path / "src")
+    build_text_index(seed, ix, n_buckets=8)
+    assert os.path.isdir(f"{ix}/terms")  # the batch build caches dfs
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.parquet(src)
+    text_index_stream_ingest(spark, src, ix)
+    assert not os.path.isdir(f"{ix}/terms")  # cache dropped, not stale
+    q = ["data", "spark", "model"]
+    want = [(r["doc_id"], round(r["bm25"], 6))
+            for r in bm25_topk(docs, q, k=10).collect()]
+    got = [(r["doc_id"], round(r["bm25"], 6))
+           for r in bm25_topk_indexed(spark, ix, q, k=10).collect()]
+    assert got == want
+
+
+def test_text_index_stream_rebucket_on_growth(spark, tmp_path):
+    """rebucket_on_growth closes the text loop: when the growth signal
+    flips to rebucket, the loop re-sizes the bucket count at the batch
+    boundary (stats first — n_buckets authoritative, built_n_docs
+    re-frozen — then the postings rewrite), and an indexed probe of
+    the rebucketed layout still equals the corpus scan EXACTLY. A
+    dangling rebucket_pending marker heals with the flag on (postings
+    re-derived from the stats sidecar) and refuses loudly with it
+    off."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.retrieval import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from filefilter_spark.streaming.jobs import text_index_stream_ingest
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seed = docs.filter(F.col("doc_id") < 40)
+    ix, src = str(tmp_path / "ix"), str(tmp_path / "src")
+    build_text_index(seed, ix, n_buckets=4)
+    rest = docs.filter(F.col("doc_id") >= 40)
+    rest.coalesce(1).write.parquet(src)
+    sig = []
+    text_index_stream_ingest(
+        spark, src, ix, on_batch=sig.append, rebucket_on_growth=True)
+    last = sig[-1]
+    assert last["action"] == "rebucket" and last["rebucketed"] is True
+    growth = last["growth_factor"]
+    s = spark.read.parquet(f"{ix}/stats").first()
+    # stats: target = 4 * 2^ceil(log2(growth)), baseline re-frozen
+    assert int(s["n_buckets"]) == int(last["n_buckets"]) > 4
+    assert int(s["built_n_docs"]) == int(s["n_docs"]) == docs.count()
+    assert not os.path.isdir(f"{ix}/rebucket_pending")
+    # postings physically re-hashed: bucket dirs span the new count
+    bkts = {int(d.split("=")[1]) for d in os.listdir(f"{ix}/postings")
+            if d.startswith("bucket=")}
+    assert max(bkts) >= 4 and len(bkts) > 4
+    # exactness through the rebucketed layout
+    q = ["data", "spark", "model"]
+    want = [(r["doc_id"], round(r["bm25"], 6))
+            for r in bm25_topk(docs, q, k=10).collect()]
+    got = [(r["doc_id"], round(r["bm25"], 6))
+           for r in bm25_topk_indexed(spark, ix, q, k=10).collect()]
+    assert got == want and growth > 4
+
+    # crash fence: marker + flag off -> loud refusal; flag on -> heal
+    os.makedirs(f"{ix}/rebucket_pending", exist_ok=True)
+    src2 = str(tmp_path / "src2")
+    docs.filter(F.col("doc_id") < 5).selectExpr(
+        "doc_id + 100000 AS doc_id", "text", "lang", "source", "n_chars"
+    ).coalesce(1).write.parquet(src2)
+    with pytest.raises(Exception, match="rebucket_pending"):
+        text_index_stream_ingest(
+            spark, src2, ix, checkpoint_dir=str(tmp_path / "ck2"))
+    text_index_stream_ingest(
+        spark, src2, ix, checkpoint_dir=str(tmp_path / "ck3"),
+        rebucket_on_growth=True)
+    assert not os.path.isdir(f"{ix}/rebucket_pending")
+    docs2 = docs.unionByName(docs.filter(F.col("doc_id") < 5).selectExpr(
+        "doc_id + 100000 AS doc_id", "text", "lang", "source", "n_chars"))
+    want2 = [(r["doc_id"], round(r["bm25"], 6))
+             for r in bm25_topk(docs2, q, k=10).collect()]
+    got2 = [(r["doc_id"], round(r["bm25"], 6))
+            for r in bm25_topk_indexed(spark, ix, q, k=10).collect()]
+    assert got2 == want2
+
+
 def test_keep_top_fraction_exact_semantics(spark):
     """ceil(frac*count) per group, rounded-score ranking, id tiebreak;
     frac=1.0 keeps everything; bad frac raises."""
@@ -4397,6 +4503,101 @@ def test_fuzzy_index_stream_ingest_exact(spark, tmp_path):
                    for r in want3.collect()])
     stats = spark.read.parquet(f"{ix}/stats").first()
     assert stats["n_strings"] == docs.count()
+
+
+def test_fuzzy_index_stream_rebuild_on_drift(spark, tmp_path):
+    """rebuild_on_drift closes the fuzzy loop: an all-new-vocabulary
+    batch reads unseen_gram_frac 1.0 -> action rebuild -> the loop
+    re-derives gramdf+postings from the strings store at the batch
+    boundary. Pairs stay EXACT throughout (order changes candidate
+    cost, never results); the next same-vocabulary batch reads
+    unseen_frac 0 under the refreshed order; a rebuild_pending marker
+    left by a mid-swap crash heals when the flag is on and refuses
+    loudly when it is off."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from filefilter_spark.ops.dedup import (
+        build_fuzzy_index,
+        edit_distance_pairs,
+    )
+    from filefilter_spark.streaming.jobs import fuzzy_index_stream_ingest
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, "doc_id long, s string")
+
+    # vocab A (lowercase) for the build; vocab B (uppercase/digits,
+    # 2-gram-disjoint from A) for the drifted stream, with planted
+    # near-dup pairs inside each tier
+    def up(i):  # digit-free suffix: B shares NO 2-gram with A
+        return "".join(chr(65 + int(c)) for c in f"{i:03d}")
+
+    rows_a = [(i, f"alpha beta gam {i:03d}") for i in range(30)]
+    rows_b1 = [(100 + i, f"QRSTUVWXYZ{up(i)}") for i in range(20)]
+    rows_b2 = [(200 + i, f"QRSTUVWXYZ{up(i)}X") for i in range(10)]
+
+    ix = str(tmp_path / "ix")
+    build_fuzzy_index(df_of(rows_a), ix, id_col="doc_id", str_col="s",
+                      max_dist=2, q=2)
+
+    src1 = str(tmp_path / "src1")
+    df_of(rows_b1).coalesce(1).write.parquet(src1)
+    sig = []
+    got = fuzzy_index_stream_ingest(
+        spark, src1, ix, id_col="doc_id", str_col="s",
+        on_batch=sig.append, rebuild_on_drift=True,
+    )
+    assert sig[-1]["unseen_gram_frac"] >= 0.6
+    assert sig[-1]["action"] == "rebuild" and sig[-1]["rebuilt"] is True
+    want = edit_distance_pairs(
+        df_of(rows_a + rows_b1), id_col="doc_id", str_col="s",
+        max_dist=2, q=2)
+    assert sorted((r["id_a"], r["id_b"]) for r in got.collect()) == \
+        sorted((r["id_a"], r["id_b"]) for r in want.collect())
+    # swap hygiene: marker cleared, no tmp leftovers
+    assert not os.path.isdir(f"{ix}/rebuild_pending")
+    assert not glob.glob(f"{ix}/*__rebuildtmp")
+
+    # the refreshed order has absorbed vocab B: a same-vocabulary
+    # follow-up batch is no longer unseen, and stays exact
+    src2 = str(tmp_path / "src2")
+    df_of(rows_b2).coalesce(1).write.parquet(src2)
+    sig2 = []
+    got2 = fuzzy_index_stream_ingest(
+        spark, src2, ix, id_col="doc_id", str_col="s",
+        checkpoint_dir=str(tmp_path / "ck2"),
+        on_batch=sig2.append, rebuild_on_drift=True,
+    )
+    assert sig2[-1]["unseen_gram_frac"] <= 0.05
+    assert sig2[-1]["action"] == "ok" and sig2[-1]["rebuilt"] is False
+    want2 = edit_distance_pairs(
+        df_of(rows_a + rows_b1 + rows_b2), id_col="doc_id",
+        str_col="s", max_dist=2, q=2)
+    assert sorted((r["id_a"], r["id_b"]) for r in got2.collect()) == \
+        sorted((r["id_a"], r["id_b"]) for r in want2.collect())
+
+    # crash fence: a dangling rebuild_pending marker refuses loudly
+    # without the flag, heals (and ingests) with it
+    os.makedirs(f"{ix}/rebuild_pending", exist_ok=True)
+    src3 = str(tmp_path / "src3")
+    df_of([(300, "QRSTUVWXYZHHH")]).coalesce(1).write.parquet(src3)
+    with pytest.raises(Exception, match="rebuild_pending"):
+        fuzzy_index_stream_ingest(
+            spark, src3, ix, id_col="doc_id", str_col="s",
+            checkpoint_dir=str(tmp_path / "ck3"),
+        )
+    got3 = fuzzy_index_stream_ingest(
+        spark, src3, ix, id_col="doc_id", str_col="s",
+        checkpoint_dir=str(tmp_path / "ck4"), rebuild_on_drift=True,
+    )
+    assert not os.path.isdir(f"{ix}/rebuild_pending")
+    want3 = edit_distance_pairs(
+        df_of(rows_a + rows_b1 + rows_b2 + [(300, "QRSTUVWXYZHHH")]),
+        id_col="doc_id", str_col="s", max_dist=2, q=2)
+    assert sorted((r["id_a"], r["id_b"]) for r in got3.collect()) == \
+        sorted((r["id_a"], r["id_b"]) for r in want3.collect())
 
 
 def test_fuzzy_index_staleness_rule():

@@ -157,6 +157,36 @@ def main() -> None:
           f"{last['action']:<22} {last['seconds']:.1f}"
           f"   <- worst drift after rebuild")
 
+    # SELF-HEAL (r16): same worst-drift stream against the ORIGINAL
+    # stale index, but the loop acts on its own signal
+    # (rebuild_on_drift=True): the drift batch triggers an in-loop
+    # gramdf+postings re-derivation at its boundary, so the NEXT
+    # drift-1.0 batch probes under the refreshed order and its
+    # cands/row must fall back toward baseline with no operator.
+    ix_sh = f"{root}/ix_selfheal"
+    build_fuzzy_index(df_corpus, ix_sh, max_dist=2, q=2, n_buckets=16)
+    src_sh = f"{ix_sh}__src"
+    b4 = make_strings(rng, N_BATCH, vocab_a, vocab_b, 1.0, wa, wb)
+    b5 = make_strings(rng, N_BATCH, vocab_a, vocab_b, 1.0, wa, wb)
+    for base_id, b in ((400_000, b4), (500_000, b5)):
+        spark.createDataFrame(
+            [(base_id + i, s) for i, s in enumerate(b)],
+            "doc_id long, s string",
+        ).coalesce(1).write.mode("append").parquet(src_sh)
+    sh = []
+    fuzzy_index_stream_ingest(
+        spark, src_sh, ix_sh, max_files_per_trigger=1,
+        on_batch=sh.append, rebuild_on_drift=True,
+    )
+    sh_applied = [b for b in sh if b["applied"] and b["n_in"]]
+    sh_first, sh_last = sh_applied[0], sh_applied[-1]
+    print(f"selfheal batch1: unseen={sh_first['unseen_gram_frac']} "
+          f"cands/row={sh_first['n_candidates'] / sh_first['n_in']:.2f} "
+          f"rebuilt={sh_first['rebuilt']}")
+    print(f"selfheal batch2: unseen={sh_last['unseen_gram_frac']} "
+          f"cands/row={sh_last['n_candidates'] / sh_last['n_in']:.2f} "
+          f"action={sh_last['action']} rebuilt={sh_last['rebuilt']}")
+
     base = rows[0][1]["cands_per_row"]
     print(f"\nbaseline (p=0) cands/row: {base:.2f}; "
           f"thresholds WARN={FUZZY_UNSEEN_WARN} "
@@ -169,9 +199,13 @@ def main() -> None:
         and max(m["cands_per_row"] for m in below) <= 2.0 * base
         and min(m["cands_per_row"] for m in above) >= 2.0 * base
         and last["n_candidates"] / last["n_in"] <= 2.0 * base
+        and sh_first["rebuilt"]
+        and not sh_last["rebuilt"]
+        and sh_last["n_candidates"] / sh_last["n_in"] <= 2.0 * base
     )
     print(f"calibration: below-WARN blowup <= 2x base, above-REBUILD "
-          f">= 2x base, rebuild restores: {'OK' if ok else 'CHECK'}")
+          f">= 2x base, rebuild restores (offline AND in-loop): "
+          f"{'OK' if ok else 'CHECK'}")
     shutil.rmtree(root, ignore_errors=True)
 
 
