@@ -81,20 +81,49 @@ def _sq_dist(qd: Column, cent: Column) -> Column:
     )
 
 
+# Plan-size guard for frozen-centroid assignment expressions: a k×d
+# centroid literal stops compiling (Catalyst/codegen limits) long
+# before rebuild-grade k ≈ √n, so past this many literal TERMS the
+# same expression reads the matrix from a ONE-ROW broadcast join
+# instead — identical arithmetic, identical tie-breaking, one
+# BroadcastNestedLoopJoin of a single row (k·d doubles, comfortably
+# under the broadcast ceiling at any plausible k) in place of an
+# unbounded plan literal. Shared by the Lloyd assignment here (which
+# also serves the IVF×PQ encode path via ops.pq._assign_cells) and
+# ops.similarity.cell_memberships.
+CENT_LITERAL_MAX_TERMS = 16384
+
+
+def _cent_source(qframe: DataFrame, cents: list[list[float]]):
+    """(frame, centroid-matrix column) — the matrix rides as a plan
+    literal below :data:`CENT_LITERAL_MAX_TERMS` terms, else joined
+    in from a one-row broadcast frame (see the constant's note)."""
+    k = len(cents)
+    dim = len(cents[0]) if k else 0
+    if k * dim <= CENT_LITERAL_MAX_TERMS:
+        return qframe, F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
+        )
+    row = qframe.sparkSession.createDataFrame(
+        [([[float(v) for v in c] for c in cents],)],
+        "__cents array<array<double>>",
+    )
+    return qframe.crossJoin(F.broadcast(row)), F.col("__cents")
+
+
 def _assign(qframe: DataFrame, cents: list[list[float]]) -> DataFrame:
     """Add ``cluster`` (0-based argmin, ties → lowest index) and
-    ``dist2`` columns against a centroid literal. Pure projection —
-    no shuffle; the centroid matrix rides into codegen as a literal."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents]
-    )
+    ``dist2`` columns against frozen centroids. Pure projection — no
+    shuffle; the centroid matrix rides into codegen as a literal (or
+    a one-row broadcast past :data:`CENT_LITERAL_MAX_TERMS`)."""
+    src, cent_col = _cent_source(qframe, cents)
     # __scale rides as a literal column so qd stays an expression over
     # the cached quantized frame only; ONE division per component (the
     # oracle does the identical single q_i/scale division).
     qd = F.transform(F.col("q"), lambda v: v / F.col("__scale"))
-    dists = F.transform(cent_lit, lambda c: _sq_dist(qd, c))
-    return qframe.withColumn("__dists", dists).select(
-        "*",
+    dists = F.transform(cent_col, lambda c: _sq_dist(qd, c))
+    return src.withColumn("__dists", dists).select(
+        *[c for c in qframe.columns],
         (F.array_position("__dists", F.array_min("__dists")) - 1)
         .cast("int")
         .alias("cluster"),

@@ -580,20 +580,38 @@ def cell_memberships(
     struct ordering — identical expression to
     :func:`semantic_dedup`'s in-line form, so the two agree row for
     row. Zero shuffle: the centroid table rides the plan as a
-    literal."""
-    cent_sql = "array(" + ", ".join(
-        "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
-        for c in centroids
-    ) + ")"
+    literal — until ``k·d`` crosses
+    ``ops.cluster.CENT_LITERAL_MAX_TERMS``, past which the SAME
+    expression reads the matrix from a one-row broadcast join
+    instead (identical arithmetic and tie-breaking; the literal stops
+    compiling long before rebuild-grade k ≈ √n, which is exactly
+    where the drift-rebuild loops re-size to)."""
+    from filefilter_spark.ops.cluster import CENT_LITERAL_MAX_TERMS
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _as_double_array(vec_col).alias("__arr"),
+    )
+    k = len(centroids)
+    dim = len(centroids[0]) if k else 0
+    if k * dim <= CENT_LITERAL_MAX_TERMS:
+        cent_src = "array(" + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        ) + ")"
+    else:
+        row = df.sparkSession.createDataFrame(
+            [([[float(x) for x in c] for c in centroids],)],
+            "__cents array<array<double>>",
+        )
+        base = base.crossJoin(F.broadcast(row))
+        cent_src = "__cents"
     cells_expr = (
-        f"transform(slice(array_sort(transform({cent_sql}, (c, i) -> "
+        f"transform(slice(array_sort(transform({cent_src}, (c, i) -> "
         "struct(aggregate(zip_with(__arr, c, (x, y) -> (x - y) * (x - y)), "
         f"0D, (a, v) -> a + v) AS d, i AS i))), 1, {int(n_assign)}), s -> s.i)"
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        _as_double_array(vec_col).alias("__arr"),
-    ).select("id", F.explode(F.expr(cells_expr)).alias("cell"))
+    return base.select("id", F.explode(F.expr(cells_expr)).alias("cell"))
 
 
 # SemDeDup staleness thresholds, calibrated by
@@ -726,9 +744,11 @@ def semantic_dedup(
     self-join-free ``_bucket_pairs`` (narrow id pairs only); the verify
     joins unit vectors once. ``n_lists`` should grow with n (the
     SemDeDup paper uses k ~ sqrt(n): 110k clusters for 1.3 B
-    embeddings) — beyond a few hundred cells, swap the centroid
-    literal for a broadcast-join distance + groupBy-top-n (same
-    semantics, plan-friendly for large k).
+    embeddings) — past ``ops.cluster.CENT_LITERAL_MAX_TERMS`` the
+    assignment automatically reads the centroid matrix from a one-row
+    broadcast join instead of a plan literal (r16; identical
+    arithmetic and tie-breaking, result-pinned), so rebuild-grade k
+    compiles.
     """
     from filefilter_spark.ops.dedup import _bucket_pairs
 

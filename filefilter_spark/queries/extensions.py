@@ -936,21 +936,29 @@ def op_d4_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bm25 > 0.0 ORDER BY bm25 DESC, doc_id LIMIT 10
     """,
     doc="streaming inverted-index maintenance (OP-D5 x OP-D4-bm25, "
-        "streaming/jobs.py text_index_stream_ingest): documents arrive "
-        "as a file stream (maxFilesPerTrigger=1 over a multi-file "
-        "layout, so the drain is MULTI-batch); each micro-batch is "
-        "tokenized to postings and appended to the bucket-partitioned "
-        "build_text_index layout — existing postings never reshuffle, "
-        "stats merge additively per batch (per-FILE-key idempotent "
-        "under at-least-once replay, surviving checkpoint loss and "
-        "batch regrouping — r15), df is computed fresh from the pruned "
-        "postings (no stale terms cache), and in-stream maintenance "
-        "(maintain_every=2) threshold-compacts fragmented buckets. The "
-        "oracle is OP-D4-bm25's exact SQL: a query against the "
-        "stream-grown index must equal the corpus-scan BM25 exactly.",
+        "streaming/jobs.py text_index_stream_ingest): a BUILT-then-"
+        "GROWN lifecycle — build_text_index persists the layout over a "
+        "~70% day-1 split (including its terms/ df cache), then day-2 "
+        "documents arrive as a file stream (maxFilesPerTrigger=1 over "
+        "a multi-file layout, so the drain is MULTI-batch); each "
+        "micro-batch is tokenized to postings and appended to the "
+        "bucket-partitioned layout — existing postings never "
+        "reshuffle, stats merge additively per batch (per-FILE-key "
+        "idempotent under at-least-once replay, surviving checkpoint "
+        "loss and batch regrouping — r15), the first append DROPS the "
+        "build's terms/ df cache (left stale it silently inflated "
+        "probe idfs — the r16 bug class this entry now stands oracle "
+        "over), and in-stream maintenance (maintain_every=2) "
+        "threshold-compacts fragmented buckets. The oracle is "
+        "OP-D4-bm25's exact SQL over ALL documents: a query against "
+        "the built-then-grown index must equal the corpus-scan BM25 "
+        "exactly.",
 )
 def op_d5_textindex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from filefilter_spark.ops.retrieval import bm25_topk_indexed
+    from filefilter_spark.ops.retrieval import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
     from filefilter_spark.queries.inventory import _scratch
     from filefilter_spark.streaming.jobs import text_index_stream_ingest
 
@@ -963,11 +971,13 @@ def op_d5_textindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(ix, ignore_errors=True)
-    load_table(spark, sf_dir, "documents").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
+    docs = load_table(spark, sf_dir, "documents")
+    day1 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) < 7)
+    day2 = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) >= 7)
+    build_text_index(day1, ix, n_buckets=16)
+    day2.repartition(4).write.mode("overwrite").parquet(src)
     text_index_stream_ingest(
-        spark, src, ix, n_buckets=16,
+        spark, src, ix,
         max_files_per_trigger=1, maintain_every=2,
         max_files_per_partition=4,
     )

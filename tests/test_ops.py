@@ -4257,6 +4257,48 @@ def test_ann_index_drift_signal():
     assert zero["tv_distance"] == 0.0 and zero["action"] == "ok"
 
 
+def test_centroid_broadcast_path_equals_literal(spark, monkeypatch):
+    """Past CENT_LITERAL_MAX_TERMS the assignment expressions read the
+    centroid matrix from a one-row broadcast join instead of a plan
+    literal (rebuild-grade k ~ sqrt(n) stops compiling as a literal).
+    Same arithmetic, same tie-breaking: forcing the broadcast path via
+    a tiny threshold must reproduce the literal path row for row, for
+    both the Lloyd assignment (also the IVF/PQ encode path) and
+    cell_memberships (the SemDeDup loop)."""
+    import numpy as np
+
+    import filefilter_spark.ops.cluster as cluster_mod
+    from filefilter_spark.ops.cluster import lloyd_kmeans
+    from filefilter_spark.ops.similarity import cell_memberships
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(0, 1, size=(120, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id long, embedding array<double>")
+    cents = [[float(x) for x in c]
+             for c in rng.normal(0, 1, size=(8, 6))]
+
+    lit_assign = sorted(
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in lloyd_kmeans(df, k=8, iters=2,
+                              seeding="kmeanspar").collect())
+    lit_cells = sorted(
+        (r["id"], r["cell"])
+        for r in cell_memberships(df, cents, n_assign=3).collect())
+
+    monkeypatch.setattr(cluster_mod, "CENT_LITERAL_MAX_TERMS", 1)
+    bc_assign = sorted(
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in lloyd_kmeans(df, k=8, iters=2,
+                              seeding="kmeanspar").collect())
+    bc_cells = sorted(
+        (r["id"], r["cell"])
+        for r in cell_memberships(df, cents, n_assign=3).collect())
+    assert bc_assign == lit_assign
+    assert bc_cells == lit_cells
+
+
 def test_semdedup_cell_drift_signal():
     """semdedup_cell_drift is pure driver arithmetic keyed to the
     loop's OWN failure mechanism: capped_mass_frac (share of batch
