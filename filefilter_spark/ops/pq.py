@@ -450,16 +450,37 @@ def _residual_frame(
     scale: float,
 ) -> DataFrame:
     """``(id, __res, cell)``: each row's grid-exact residual against
-    its assigned (frozen) centroid."""
+    its assigned (frozen) centroid. Past
+    ``ops.cluster.CENT_LITERAL_MAX_TERMS`` the (grid-quantized)
+    centroid matrix rides a one-row broadcast join instead of a plan
+    literal — same doubles (quantized driver-side either way), so the
+    residual stays grid-exact."""
+    from filefilter_spark.ops.cluster import CENT_LITERAL_MAX_TERMS
+
     assigned = _assign_cells(df, centroids, vec_col, id_col, scale)
     qd = F.transform(
         _grid(F.col(vec_col), scale), lambda v: v / F.lit(float(scale))
     )
-    return df.join(assigned, id_col).select(
-        F.col(id_col),
-        _residual_expr(qd, F.col("cell"), centroids, scale).alias("__res"),
-        "cell",
-    )
+    joined = df.join(assigned, id_col)
+    k = len(centroids)
+    dim = len(centroids[0]) if k else 0
+    if k * dim <= CENT_LITERAL_MAX_TERMS:
+        res = _residual_expr(qd, F.col("cell"), centroids, scale)
+    else:
+        row = df.sparkSession.createDataFrame(
+            [([
+                [float(math.floor(v * scale + 0.5)) / scale for v in c]
+                for c in centroids
+            ],)],
+            "__cents_q array<array<double>>",
+        )
+        joined = joined.crossJoin(F.broadcast(row))
+        res = F.zip_with(
+            qd,
+            F.element_at(F.col("__cents_q"), F.col("cell") + 1),
+            lambda x, c: x - c,
+        )
+    return joined.select(F.col(id_col), res.alias("__res"), "cell")
 
 
 def ivfpq_encode_batch(

@@ -4287,6 +4287,14 @@ def test_centroid_broadcast_path_equals_literal(spark, monkeypatch):
         (r["id"], r["cell"])
         for r in cell_memberships(df, cents, n_assign=3).collect())
 
+    from filefilter_spark.ops.pq import fit_pq_codebooks, ivfpq_encode_batch
+
+    books = fit_pq_codebooks(df, m=2, k=4)
+    lit_codes = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in ivfpq_encode_batch(
+            df, books, cents, residual=True).collect())
+
     monkeypatch.setattr(cluster_mod, "CENT_LITERAL_MAX_TERMS", 1)
     bc_assign = sorted(
         (r["vec_id"], r["cluster"], r["dist2"])
@@ -4295,8 +4303,13 @@ def test_centroid_broadcast_path_equals_literal(spark, monkeypatch):
     bc_cells = sorted(
         (r["id"], r["cell"])
         for r in cell_memberships(df, cents, n_assign=3).collect())
+    bc_codes = sorted(
+        (r["vec_id"], r["cell"], tuple(r["codes"]))
+        for r in ivfpq_encode_batch(
+            df, books, cents, residual=True).collect())
     assert bc_assign == lit_assign
     assert bc_cells == lit_cells
+    assert bc_codes == lit_codes  # residual path: grid-exact either way
 
 
 def test_semdedup_cell_drift_signal():
