@@ -24,6 +24,7 @@ import threading
 import pandas as pd  # module-level: pandas_udf type hints resolve here
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.types import StructField, StructType
 
 from filefilter_spark.ops.text import fingerprint, shingles, tokens
 
@@ -224,11 +225,57 @@ def winnow_near_dup(
     return _verify_jaccard(candidates, docs, threshold)
 
 
+# Mode crossover for cluster_pairs (the BPE merge-loop's lesson
+# applied to CC): the distributed label-propagation loop pays
+# O(diameter) Spark JOBS — measured ~2.0 s for a 477-node pair graph
+# at sf0.1, pure scheduling + per-round checkpoint materialization —
+# while a driver-side union-find over the collected NARROW id pairs
+# is milliseconds there. Below this many distinct pairs the collect
+# is bounded (~32 MB of id pairs at the cap) and the driver path
+# runs; past it the distributed loop takes over, which is the only
+# shape that survives a billions-of-edges 100 TB pair graph. Results
+# are identical by construction: both compute min-reachable-id per
+# component.
+CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _cc_driver(rows, spark, id_type) -> DataFrame:
+    """Union-find (union-by-min + path compression) over the collected
+    pair list — exact min-label CC for pair graphs under
+    :data:`CC_DRIVER_MAX_EDGES`."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id: the surviving root is the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(node, find(node)) for node in parent]
+    schema = StructType([
+        StructField("doc_id", id_type),
+        StructField("cluster_id", id_type),
+    ])
+    return spark.createDataFrame(out, schema)
+
+
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
     with cluster_id = the MIN doc id reachable through any chain of
@@ -236,22 +283,51 @@ def cluster_pairs(
     (near-dups are transitive in effect: if A~B and B~C, keeping A and
     C double-counts the cluster).
 
-    Iterative min-label propagation (the standard large-graph CC shape,
-    same contraction as GraphFrames/GraphX CC): every node starts
-    labeled with itself; each round every node takes the min of its own
-    and its neighbors' labels; stop when no label changes. Rounds
-    needed = graph diameter (near-dup clusters are shallow — a handful),
-    each round one join + one aggregation on narrow (node, label) rows.
-    ``localCheckpoint`` truncates lineage per round so the plan does not
-    grow with iterations. The convergence `.count()` is a driver-side
-    scalar per round — O(diameter) actions, not per-row work.
+    Two modes, identical results (see :data:`CC_DRIVER_MAX_EDGES`):
+    below ``driver_max_edges`` distinct pairs, a driver-side
+    union-find over the collected narrow id pairs (the pair count is
+    already known to whoever generated candidates; one bounded
+    collect replaces O(diameter) jobs); above it, iterative min-label
+    propagation (the standard large-graph CC shape, same contraction
+    as GraphFrames/GraphX CC): every node starts labeled with itself;
+    each round every node takes the min of its own and its neighbors'
+    labels; stop when no label changes. Rounds needed = graph
+    diameter (near-dup clusters are shallow — a handful), each round
+    one join + one aggregation on narrow (node, label) rows.
+    ``localCheckpoint`` truncates lineage per round so the plan does
+    not grow with iterations. The convergence `.count()` is a
+    driver-side scalar per round — O(diameter) actions, not per-row
+    work. Pass ``driver_max_edges=0`` to force the distributed loop.
     """
+    uniq = pairs.select(id_a, id_b).distinct()
+    persisted = False
+    if driver_max_edges > 0:
+        from pyspark.storagelevel import StorageLevel
+
+        # persist the NARROW distinct pair list before sizing it —
+        # the pair generator upstream (LSH/Ed-Join/cosine verify) is
+        # the expensive part, and both the count and the
+        # collect-or-double below must not re-evaluate it
+        uniq = uniq.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = True
+        n_pairs = uniq.count()
+        if n_pairs <= driver_max_edges:
+            try:
+                return _cc_driver(
+                    uniq.collect(),
+                    pairs.sparkSession,
+                    pairs.schema[id_a].dataType,
+                )
+            finally:
+                uniq.unpersist()
     edges = (
-        pairs.selectExpr(f"{id_a} AS a", f"{id_b} AS b")
-        .unionByName(pairs.selectExpr(f"{id_b} AS a", f"{id_a} AS b"))
+        uniq.selectExpr(f"{id_a} AS a", f"{id_b} AS b")
+        .unionByName(uniq.selectExpr(f"{id_b} AS a", f"{id_a} AS b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if persisted:
+        uniq.unpersist()
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()

@@ -729,10 +729,13 @@ def test_cluster_pairs_raises_when_not_converged(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], "id_a int, id_b int"
     )
+    # the guard lives in the DISTRIBUTED loop (driver_max_edges=0
+    # forces it; the r16 driver union-find mode never iterates)
     with pytest.raises(RuntimeError, match="did not converge"):
-        cluster_pairs(chain, max_iter=1)
+        cluster_pairs(chain, max_iter=1, driver_max_edges=0)
     # and converges fine when allowed enough rounds
-    got = {r.doc_id: r.cluster_id for r in cluster_pairs(chain).collect()}
+    got = {r.doc_id: r.cluster_id for r in cluster_pairs(
+        chain, driver_max_edges=0).collect()}
     assert set(got.values()) == {1}
 
 
@@ -4255,6 +4258,31 @@ def test_ann_index_drift_signal():
     zero = ann_index_drift(
         {"cell_counts": built, "built_cell_counts": built})
     assert zero["tv_distance"] == 0.0 and zero["action"] == "ok"
+
+
+def test_cluster_pairs_driver_mode_equals_distributed(spark):
+    """cluster_pairs' mode crossover (the BPE merge-loop pattern):
+    below CC_DRIVER_MAX_EDGES a driver union-find replaces the
+    O(diameter) distributed label-propagation jobs. Both modes must
+    produce the identical (doc_id, cluster_id) table — including a
+    long chain (diameter > 1), a star, self-contained nodes, and
+    duplicate/reversed input pairs."""
+    pairs = spark.createDataFrame(
+        # chain 9-8-7-6, star 1-{2,3,4}, duplicate + reversed edges
+        [(8, 9), (7, 8), (6, 7), (1, 2), (1, 3), (4, 1), (2, 1), (1, 2),
+         (50, 60)],
+        "id_a long, id_b long",
+    )
+    from filefilter_spark.ops.dedup import cluster_pairs
+
+    drv = sorted((r["doc_id"], r["cluster_id"])
+                 for r in cluster_pairs(pairs).collect())
+    dist = sorted((r["doc_id"], r["cluster_id"])
+                  for r in cluster_pairs(
+                      pairs, driver_max_edges=0).collect())
+    assert drv == dist
+    assert drv == [(1, 1), (2, 1), (3, 1), (4, 1), (6, 6), (7, 6),
+                   (8, 6), (9, 6), (50, 50), (60, 50)]
 
 
 def test_centroid_broadcast_path_equals_literal(spark, monkeypatch):
