@@ -36,6 +36,79 @@ from filefilter_spark.ops.text import fingerprint, shingles, tokens
 _MERSENNE = (1 << 31) - 1
 
 
+# Chunked pair generation (r16): a collected list of n members emits
+# its n(n-1)/2 unordered pairs from ceil(n/C)·(ceil(n/C)+1)/2 bounded
+# WORK UNITS of at most two C-element slices each, instead of from the
+# single aggregation row. Why: the pair explosion amplifies bytes
+# quadratically, but AQE sizes post-shuffle tasks by the INPUT bytes of
+# the aggregation output (tiny — ids only), so it happily coalesces a
+# Σn² explosion onto one or two tasks; and a single hot list's n² work
+# is unsplittable once it lives in one row. Measured on OP-D2-fuzzy at
+# sf0.1 (538 lists, p90 ≈ 550, Σn² = 24.7M): the explode+distinct
+# stage ran effectively serial, 7.3 s of the 7.8 s total; the chunked
+# form with the round-robin unit spread runs it 2.5-3.4 s (guide §2.5
+# skew / §2.2 partition sizing). C bounds per-unit work at C² pair
+# emissions and per-unit shuffle at 2C elements, so balance holds at
+# ANY list-size distribution — the shuffled unit bytes are
+# Σ min(n, C·ceil(n/C)²/ ...) ≈ Σ n·min(n/C, 1)·2, i.e. one extra
+# narrow pass over the postings in the worst case, bought against a
+# guaranteed-parallel quadratic stage.
+_PAIR_CHUNK = 256
+
+
+def _chunked_list_pairs(grouped: DataFrame, list_col: str = "ds") -> DataFrame:
+    """Every unordered element pair within each row's ``list_col`` array,
+    exactly once per row, as columns ``(a, b)`` with ``a < b`` in the
+    elements' natural order.
+
+    Hybrid: rows whose list fits one chunk (the overwhelmingly common
+    case — healthy posting lists are short) emit their pairs in place
+    with the two chained codegen'd explodes, no extra exchange. Rows
+    past ``_PAIR_CHUNK`` are sorted once, split into chunk slices, and
+    each (slice_i, slice_j>=i) combination becomes one work-unit row;
+    units are spread round-robin (deterministic under retry —
+    sort-before-repartition is on) so a hot list's quadratic pair
+    emission runs wherever there are idle cores, not in whichever task
+    owns the aggregation row. Sorting makes cross-slice pairs ordered
+    for free; same-slice pairs order by position. Elements must be
+    distinct and non-null within a row (collect_set members, or
+    structs led by a distinct id — both invariants of every caller),
+    which makes element order equivalent to ``a.id < b.id``.
+    """
+    spark = grouped.sparkSession
+    c = _PAIR_CHUNK
+    small_pairs = (
+        grouped.filter(F.size(list_col) <= c)
+        .selectExpr(f"explode(`{list_col}`) AS a", f"`{list_col}` AS __ds")
+        .selectExpr("a", "explode(__ds) AS b")
+        .filter(F.col("a") < F.col("b"))
+    )
+    units = (
+        grouped.filter(F.size(list_col) > c)
+        .selectExpr(f"array_sort(`{list_col}`) AS __sds")
+        .selectExpr(
+            f"""explode(flatten(transform(
+              sequence(0, int(ceil(size(__sds) / {c})) - 1), ci ->
+              transform(sequence(ci, int(ceil(size(__sds) / {c})) - 1), cj ->
+                struct(slice(__sds, ci * {c} + 1, {c}) AS ca,
+                       IF(cj = ci, NULL,
+                          slice(__sds, cj * {c} + 1, {c})) AS cb))))) AS u"""
+        )
+        .repartition(spark.sparkContext.defaultParallelism * 2)
+    )
+    same = (
+        units.filter("u.cb IS NULL")
+        .selectExpr("posexplode(u.ca) AS (i, a)", "u.ca AS ca")
+        .selectExpr("a", "explode(slice(ca, i + 2, size(ca))) AS b")
+    )
+    cross = (
+        units.filter("u.cb IS NOT NULL")
+        .selectExpr("explode(u.ca) AS a", "u.cb AS cb")
+        .selectExpr("a", "explode(cb) AS b")
+    )
+    return small_pairs.unionByName(same).unionByName(cross)
+
+
 def _bucket_pairs(
     df: DataFrame,
     bucket_cols: list[str],
@@ -73,17 +146,15 @@ def _bucket_pairs(
     )
     if max_bucket is not None:
         grouped = grouped.filter(F.size("ids") <= max_bucket)
-    # Pair generation: two chained explodes + `id_a < id_b`, all inside
-    # whole-stage codegen (r13 — same rewrite as token_jaccard_pairs:
-    # the interpreted transform/slice prefix build allocated O(m²)
-    # nested structs in one row; measured faster at every size there).
-    # collect_set members are distinct, so the inequality alone emits
-    # each unordered pair exactly once per bucket; the final distinct
-    # collapses pairs sharing several buckets.
+    # Pair generation: the shared chunked kernel (r16 — replaces the
+    # two chained explodes, whose Σm² work ran inside whichever task
+    # held the aggregation row; see _chunked_list_pairs). collect_set
+    # members are distinct, so positional order == id order and each
+    # unordered pair is emitted exactly once per bucket; the final
+    # distinct collapses pairs sharing several buckets.
     return (
-        grouped.selectExpr("explode(ids) AS id_a", "ids")
-        .selectExpr("id_a", "explode(ids) AS id_b")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _chunked_list_pairs(grouped, "ids")
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
 
@@ -936,13 +1007,12 @@ def token_jaccard_pairs(
     carries its doc's set size, so Jaccard needs no size join at the
     end. ONE shuffle groups postings by token (the doc-freq cap falls
     out of the same aggregation for free); unordered pairs come from
-    TWO chained explodes of the posting list filtered to ``a.id <
-    b.id`` — both Generate nodes and the filter run inside whole-stage
-    codegen (r13: this replaced an interpreted ``transform``+``slice``
-    prefix build that allocated O(g²) nested structs in a single row;
-    measured 1.88→1.43 s at sf0.1, 2.83→2.41 s at ×8, identical
-    output). The pair-count aggregation is map-side combinable. Two
-    shuffles total, both on narrow rows.
+    the shared chunked kernel (:func:`_chunked_list_pairs`, r16 —
+    replaces the two chained explodes whose per-token Σg² work ran
+    inside the task holding the aggregation row; ids within one token
+    group are distinct, so positional order under ``array_sort``
+    emits each unordered pair exactly once with ``a.id < b.id``). The
+    pair-count aggregation is map-side combinable.
     """
     docs = _doc_tokens(df, id_col, text_col, shingle_n)
     posting = docs.selectExpr(
@@ -953,15 +1023,7 @@ def token_jaccard_pairs(
     grouped = grouped.filter(F.size("ds") >= 2)
     if max_doc_freq is not None:
         grouped = grouped.filter(F.size("ds") <= max_doc_freq)
-    # g² (a, b) combos stream through codegen'd Generates; the id
-    # inequality keeps each unordered pair exactly once. No array_sort:
-    # ids within one token group are distinct (shingle sets), so the
-    # inequality alone canonicalizes (id_a < id_b).
-    pairs = (
-        grouped.select(F.explode("ds").alias("a"), "ds")
-        .select("a", F.explode("ds").alias("b"))
-        .filter(F.expr("a.id < b.id"))
-    )
+    pairs = _chunked_list_pairs(grouped, "ds")
     shared = pairs.groupBy(
         F.expr("a.id").alias("id_a"),
         F.expr("b.id").alias("id_b"),
@@ -1677,7 +1739,7 @@ def edit_distance_pairs(
     the strings — so even a degenerate identical-prefix cluster of
     100k strings buffers ~1.6 MB in one aggregation row, not the
     ~10 MB+ a string-carrying list would (VERDICT r13 #2); the strings
-    come back AFTER pair dedup via an id join for the verify step
+    come back via an id join for the verify step
     (candidate-count-bounded, AQE broadcasts the small side).
 
     ``max_gram_freq`` (default None = EXACT, matching the registered
@@ -1690,9 +1752,10 @@ def edit_distance_pairs(
     Shape: one in-row tagging pass, one narrow (gram, occ) doc-freq
     aggregate joined back (AQE broadcasts it when small), one per-doc
     regroup to take the rarest-(q*d+1) slice in-row, one posting-list
-    grouping, pair dedup, a string join, verify. Every shuffle carries
-    ids + lengths (plus the candidate pairs' strings at the verify),
-    never documents.
+    grouping, chunked pair generation, a string join, verify, then
+    pair dedup on the survivors. Every shuffle carries ids + lengths
+    (plus the candidate pairs' strings at the verify), never
+    documents.
     """
     d, T = int(max_dist), q * (int(max_dist) + 1)
     prefix_len = q * d + 1
@@ -1726,21 +1789,29 @@ def edit_distance_pairs(
     grouped = grouped.filter(F.size("ds") >= 2)
     if max_gram_freq is not None:
         grouped = grouped.filter(F.size("ds") <= max_gram_freq)
+    # Pair generation: the shared chunked kernel (r16 — replaces two
+    # chained explodes + pair distinct; see _chunked_list_pairs). A
+    # pair may still collide on several prefix grams; dedup now happens
+    # AFTER the verify, on the surviving (true) pairs, because the
+    # pre-verify distinct was the single most expensive exchange of the
+    # whole operator (measured at sf0.1: 5.9M candidate rows through
+    # the distinct for 431 survivors — 7.3 s of the 7.8 s total) while
+    # the duplicate rate is prefix-bounded (≤ q·d+1 collisions/pair;
+    # measured 1.13× here) and the re-verified duplicates are
+    # early-exit thresholded levenshteins. Strings attach by broadcast
+    # when the corpus side is small; at sizes past broadcast the extra
+    # join input is the measured duplicate rate, traded against
+    # removing a full candidate-set exchange (guide §2.3/§2.4).
     long_pairs = (
-        grouped.select(F.explode("ds").alias("a"), "ds")
-        .select("a", F.explode("ds").alias("b"))
+        _chunked_list_pairs(grouped, "ds")
         .filter(
-            F.expr("a.id < b.id")
-            & (F.abs(F.expr("a.l") - F.expr("b.l")) <= d)
+            (F.abs(F.expr("a.l") - F.expr("b.l")) <= d)
             & (F.greatest(F.expr("a.l"), F.expr("b.l")) >= T)
         )
         .select(
             F.expr("a.id").alias("id_a"),
             F.expr("b.id").alias("id_b"),
         )
-        # a pair may collide on several prefix grams — dedup BEFORE the
-        # string join + verify so each pair is fetched and scored once
-        .distinct()
     )
 
     # --- block 2: both sides shorter than T ---------------------------
@@ -1790,4 +1861,9 @@ def edit_distance_pairs(
         both.withColumn("dist", F.levenshtein("s_a", "s_b", d))
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+        # pair dedup on SURVIVORS (dist is a pure function of the pair,
+        # so duplicates are exact row duplicates): candidate-count
+        # exchanges shrink to true-pair-count exchanges — see the
+        # candidate-generation comment above
+        .distinct()
     )

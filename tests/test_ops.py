@@ -50,6 +50,65 @@ def test_simhash_finds_exact_duplicates(documents):
     assert (n_dup_groups == 0) == (zero_ham == 0) or zero_ham >= n_dup_groups
 
 
+def test_chunked_list_pairs_exact_across_chunk_boundaries(spark):
+    """The r16 chunked pair kernel must emit every unordered in-list
+    pair EXACTLY once (multiset equality, not set — token_jaccard
+    counts shared tokens by pair row multiplicity) for lists on both
+    sides of, exactly at, and far past the _PAIR_CHUNK boundary, for
+    plain ids and for struct elements, unsorted input order."""
+    import itertools
+
+    from filefilter_spark.ops.dedup import _PAIR_CHUNK, _chunked_list_pairs
+
+    c = _PAIR_CHUNK
+    sizes = [2, 3, c - 1, c, c + 1, 2 * c + 17]
+    rows = [
+        (k, [((k + 1) * 100_000 + i * 7) % (10**9) for i in range(n)][::-1])
+        for k, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(rows, "k int, ids array<bigint>")
+    got = sorted((r.a, r.b) for r in _chunked_list_pairs(df, "ids").collect())
+    want = sorted(
+        p
+        for _, ids in rows
+        for p in itertools.combinations(sorted(ids), 2)
+    )
+    assert got == want  # multiset: every pair once, a < b
+
+    # struct elements: order is by leading id; the payload field rides
+    sdf = spark.createDataFrame(
+        [(1, [(i, i % 3) for i in range(c + 5, 0, -1)])],
+        "k int, ds array<struct<id:int,n:int>>",
+    )
+    spairs = _chunked_list_pairs(sdf, "ds").collect()
+    assert len(spairs) == (c + 5) * (c + 4) // 2
+    assert all(r.a.id < r.b.id and r.a.n == r.a.id % 3 for r in spairs)
+
+
+def test_bucket_pairs_hot_bucket_same_result_as_small(spark):
+    """_bucket_pairs output is independent of which kernel branch a
+    bucket takes: a bucket larger than _PAIR_CHUNK (chunked path) and
+    small buckets (in-place explode) produce the same distinct ordered
+    pair set as brute force."""
+    import itertools
+
+    from filefilter_spark.ops.dedup import _PAIR_CHUNK, _bucket_pairs
+
+    hot = [(i, "hot") for i in range(_PAIR_CHUNK + 9)]
+    cold = [(10_000 + i, "cold") for i in range(4)]
+    # id 0 also in a second bucket shared with a cold id: the pair
+    # (0, 10_000) must appear once despite _bucket_pairs' distinct
+    both = [(0, "mix"), (10_000, "mix")]
+    df = spark.createDataFrame(hot + cold + both, "doc_id int, bucket string")
+    got = sorted((r.id_a, r.id_b) for r in _bucket_pairs(df, ["bucket"]).collect())
+    want = sorted(
+        set(itertools.combinations(range(_PAIR_CHUNK + 9), 2))
+        | set(itertools.combinations(range(10_000, 10_004), 2))
+        | {(0, 10_000)}
+    )
+    assert got == want
+
+
 def test_exact_dedup_min_id_survivor(spark):
     from filefilter_spark.ops.dedup import exact_dedup
 

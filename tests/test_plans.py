@@ -387,27 +387,41 @@ def test_gopher_rep_plan_shape(spark, sf_dir, queries):
 
 
 def test_jaccard_pair_generation_is_codegen(spark, sf_dir, queries):
-    # r13: token_jaccard_pairs generates pairs with two chained
-    # Generate(explode) nodes + an id-inequality filter — all codegen —
-    # instead of the interpreted transform/slice prefix build (measured
-    # 1.88->1.43s at sf0.1). Pin the shape: exactly one corpus scan
-    # pruned to (doc_id, text), >= 3 explodes (postings + the two
-    # pair-gen stages), no transform/slice HOF in pair generation, and
-    # two exchanges (token groupBy + pair agg).
+    # r16: token_jaccard_pairs generates pairs with the hybrid chunked
+    # kernel (_chunked_list_pairs): posting lists within _PAIR_CHUNK
+    # emit pairs in place via two chained codegen'd Generates + the
+    # element-inequality filter (the r13 shape, unchanged for the
+    # common case); oversize lists route through chunk work units and
+    # a round-robin spread exchange so one hot token cannot serialize
+    # the quadratic stage. Pin the shape: every corpus scan pruned to
+    # (doc_id, text); a 3-branch Union (small / same-chunk / cross-
+    # chunk); the small branch keeps the in-place explode over the
+    # UNSORTED list (no per-pair array materialization — "slice(ds"
+    # absent; chunk slicing operates on the sorted __sds copy only);
+    # exactly one round-robin spread exchange for the unit branch; and
+    # the distinct-exchange kinds stay bounded (raw spread, token
+    # groupBy, unit spread, pair agg — duplicates across branches are
+    # identical subtrees AQE reuses at runtime).
     plan = _plan(queries["OP-D2"](spark, sf_dir))
     scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    assert len(scans) == 1
-    assert {c.split(":")[0] for c in scans[0].split(",")} <= {"doc_id", "text"}
-    # postings explode + the two chained pair-gen explodes
-    assert len(re.findall(r"\(\d+\) Generate", plan)) == 3, plan
-    # shingles() itself uses transform+slice (per-row n-gram build) —
-    # pair generation must not: no HOF over the collected posting list
-    # survives anywhere in the plan
+    assert len(scans) >= 1
+    for s in scans:
+        assert {c.split(":")[0] for c in s.split(",")} <= {"doc_id", "text"}
+    assert len(re.findall(r"\(\d+\) Union", plan)) == 1, plan
+    # the small branch's in-place pair generation: chained explodes of
+    # the raw list, never a per-pair transform/slice materialization
+    assert "explode(__ds" in plan
     assert "slice(ds" not in plan and "transform(ds" not in plan
-    # token groupBy + pair agg; +1 tolerated for the spread rebalance
-    # (round-robin over raw rows, fires iff input splits < cores)
-    assert 2 <= _shuffle_count(plan) <= 3, _shuffle_count(plan)
-    assert plan.lower().count("hashpartitioning") <= 4  # 2 shuffles x2 mentions
+    # chunk-unit branch: one spread exchange kind (round-robin) beyond
+    # the raw-input spread rebalance — two round-robin widths at most
+    assert len(set(re.findall(r"RoundRobinPartitioning\(\d+\)", plan))) <= 2
+    assert "roundrobin" in plan.lower(), plan
+    # distinct hash-exchange keys (expression ids normalized away —
+    # the same logical key re-planned per Union branch is one kind):
+    # token groupBy + pair agg only
+    keys = {re.sub(r"#\d+", "", k)
+            for k in re.findall(r"hashpartitioning\(([^)]*)\)", plan)}
+    assert len(keys) <= 2, keys
 
 
 def test_gopher_stage_plans_bound_expression_duplication(spark, sf_dir):
