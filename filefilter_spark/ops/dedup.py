@@ -338,7 +338,18 @@ def _cc_driver(rows, spark, id_type) -> DataFrame:
         StructField("doc_id", id_type),
         StructField("cluster_id", id_type),
     ])
-    return spark.createDataFrame(out, schema)
+    df = spark.createDataFrame(out, schema)
+    # A driver-built DataFrame has no size statistics, so Catalyst's
+    # estimate defaults to "huge" and every consumer join (the split
+    # hash's left outer, the survivor anti-join) plans sort-merge:
+    # two exchanges + sorts to attach a few hundred cluster rows to
+    # the corpus (r16, seen in the OP-D7-safesplit plan). The driver
+    # KNOWS the exact row count here — hint broadcast whenever the
+    # map is small enough to ship (narrow id pairs; 2M rows ≈ 32 MB),
+    # which turns those joins into exchange-free broadcast-hash joins.
+    if len(out) <= 2_000_000:
+        df = F.broadcast(df)
+    return df
 
 
 def cluster_pairs(
