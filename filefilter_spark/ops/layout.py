@@ -120,13 +120,18 @@ def write_zordered(
     cols: Sequence[str],
     bits: int = 16,
     num_files: int | None = None,
+    bounds: dict[str, tuple[int, int]] | None = None,
 ) -> None:
     """Write ``df`` as parquet laid out along the Z-order curve of
     ``cols``: range-partition by the key (one shuffle; explicit file
     count when ``num_files`` is given, else AQE-coalesced), sort
     within partitions, drop the key from the stored schema (it is
-    derivable; storing it would change the logical schema)."""
-    keyed = with_zorder(df, cols, bits=bits)
+    derivable; storing it would change the logical schema). ``bounds``
+    skips the internal min/max pass when the caller already holds the
+    ranges — at table scale that pass is a full scan, so a caller that
+    needs the bounds anyway (filter boxes, re-keying the read-back)
+    should compute them once and share."""
+    keyed = with_zorder(df, cols, bits=bits, bounds=bounds)
     if num_files:
         keyed = keyed.repartitionByRange(num_files, "zkey")
     else:

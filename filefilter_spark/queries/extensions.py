@@ -4531,9 +4531,11 @@ def op_a9_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     out = _scratch("a9z/lineitem_z")
-    write_zordered(li, out, ["l_partkey", "l_suppkey"], bits=16,
-                   num_files=8)
+    # One bounds pass shared by the write, the filter box, and the
+    # re-key (was two identical full-scan min/max jobs over lineitem).
     bounds = column_bounds(li, ["l_partkey", "l_suppkey"])
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], bits=16,
+                   num_files=8, bounds=bounds)
     (plo, phi), (slo, shi) = bounds["l_partkey"], bounds["l_suppkey"]
     back = spark.read.parquet(out).filter(
         F.col("l_partkey").between(plo, plo + (phi - plo) // 10)

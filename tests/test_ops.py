@@ -2129,6 +2129,26 @@ def test_write_zordered_roundtrip_and_stats(spark, tmp_path):
     assert narrow_a >= total // 2 and narrow_b >= total // 2
 
 
+def test_write_zordered_precomputed_bounds_identical(spark, tmp_path):
+    # r16: callers that already hold column_bounds pass them in to skip
+    # the internal min/max scan — the layout must be byte-identical to
+    # the self-computed path (same bounds -> same keys -> same files).
+    from filefilter_spark.ops.layout import column_bounds, write_zordered
+
+    df = spark.range(1024).selectExpr(
+        "id", "CAST(id % 32 AS LONG) AS a",
+        "CAST((id * 11) % 32 AS LONG) AS b",
+    )
+    b = column_bounds(df, ["a", "b"])
+    assert b == {"a": (0, 31), "b": (0, 31)}
+    o1, o2 = str(tmp_path / "self"), str(tmp_path / "given")
+    write_zordered(df, o1, ["a", "b"], bits=5, num_files=4)
+    write_zordered(df, o2, ["a", "b"], bits=5, num_files=4, bounds=b)
+    r1 = sorted(spark.read.parquet(o1).collect(), key=lambda r: r["id"])
+    r2 = sorted(spark.read.parquet(o2).collect(), key=lambda r: r["id"])
+    assert r1 == r2
+
+
 def test_ivf_lloyd_method_deterministic_and_recalls(spark, embeddings):
     # method="lloyd" gives bit-stable cell assignments (identical under
     # repartition — ml.KMeans offers no such contract) and the probe

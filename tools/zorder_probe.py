@@ -77,10 +77,9 @@ def main() -> None:
         .sortWithinPartitions("l_partkey")
         .write.mode("overwrite").parquet(linear)
     )
-    write_zordered(li, zordered, ["l_partkey", "l_suppkey"], bits=16,
-                   num_files=N_FILES)
-
     b = column_bounds(li, ["l_partkey", "l_suppkey"])
+    write_zordered(li, zordered, ["l_partkey", "l_suppkey"], bits=16,
+                   num_files=N_FILES, bounds=b)
     (plo, phi), (slo, shi) = b["l_partkey"], b["l_suppkey"]
     pw, sw = (phi - plo) // 10, (shi - slo) // 10  # decile boxes
     mid_p, mid_s = plo + (phi - plo) // 2, slo + (shi - slo) // 2
