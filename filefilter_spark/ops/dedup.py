@@ -56,32 +56,31 @@ _MERSENNE = (1 << 31) - 1
 _PAIR_CHUNK = 256
 
 
-def _chunked_list_pairs(grouped: DataFrame, list_col: str = "ds") -> DataFrame:
-    """Every unordered element pair within each row's ``list_col`` array,
-    exactly once per row, as columns ``(a, b)`` with ``a < b`` in the
-    elements' natural order.
-
-    Hybrid: rows whose list fits one chunk (the overwhelmingly common
-    case — healthy posting lists are short) emit their pairs in place
-    with the two chained codegen'd explodes, no extra exchange. Rows
-    past ``_PAIR_CHUNK`` are sorted once, split into chunk slices, and
-    each (slice_i, slice_j>=i) combination becomes one work-unit row;
-    units are spread round-robin (deterministic under retry —
-    sort-before-repartition is on) so a hot list's quadratic pair
-    emission runs wherever there are idle cores, not in whichever task
-    owns the aggregation row. Sorting makes cross-slice pairs ordered
-    for free; same-slice pairs order by position. Elements must be
-    distinct and non-null within a row (collect_set members, or
-    structs led by a distinct id — both invariants of every caller),
-    which makes element order equivalent to ``a.id < b.id``.
-    """
-    spark = grouped.sparkSession
-    c = _PAIR_CHUNK
-    small_pairs = (
-        grouped.filter(F.size(list_col) <= c)
-        .selectExpr(f"explode(`{list_col}`) AS a", f"`{list_col}` AS __ds")
+def _inplace_list_pairs(grouped: DataFrame, list_col: str) -> DataFrame:
+    """All-lists-fit-one-chunk mode: the two chained codegen'd explodes
+    emit each row's pairs in place, no extra exchange (the r13 shape)."""
+    return (
+        grouped.selectExpr(
+            f"explode(`{list_col}`) AS a", f"`{list_col}` AS __ds"
+        )
         .selectExpr("a", "explode(__ds) AS b")
         .filter(F.col("a") < F.col("b"))
+    )
+
+
+def _hybrid_list_pairs(grouped: DataFrame, list_col: str) -> DataFrame:
+    """Mixed-size mode: rows whose list fits one chunk emit pairs in
+    place; rows past ``_PAIR_CHUNK`` are sorted once, split into chunk
+    slices, and each (slice_i, slice_j>=i) combination becomes one
+    work-unit row; units are spread round-robin (deterministic under
+    retry — sort-before-repartition is on) so a hot list's quadratic
+    pair emission runs wherever there are idle cores, not in whichever
+    task owns the aggregation row. Sorting makes cross-slice pairs
+    ordered for free; same-slice pairs order by position."""
+    spark = grouped.sparkSession
+    c = _PAIR_CHUNK
+    small_pairs = _inplace_list_pairs(
+        grouped.filter(F.size(list_col) <= c), list_col
     )
     units = (
         grouped.filter(F.size(list_col) > c)
@@ -107,6 +106,37 @@ def _chunked_list_pairs(grouped: DataFrame, list_col: str = "ds") -> DataFrame:
         .selectExpr("a", "explode(cb) AS b")
     )
     return small_pairs.unionByName(same).unionByName(cross)
+
+
+def _chunked_list_pairs(grouped: DataFrame, list_col: str = "ds") -> DataFrame:
+    """Every unordered element pair within each row's ``list_col`` array,
+    exactly once per row, as columns ``(a, b)`` with ``a < b`` in the
+    elements' natural order.
+
+    Mode-routed (the :func:`cluster_pairs` pattern): ``grouped`` is
+    eagerly localCheckpoint'ed — the expensive upstream (LSH banding,
+    gram tagging) is computed exactly once regardless of how many plan
+    branches consume it — then ONE bounded job reads max(size) and
+    picks the plan: all lists within ``_PAIR_CHUNK`` (the
+    overwhelmingly common healthy-posting-list case) keeps the
+    zero-extra-exchange in-place explode; any oversize list routes the
+    mixed hybrid with chunk work units spread round-robin. Routing by
+    the measured list-size bound (not a static branch union) is what
+    keeps the common case free of the hybrid's constant overhead — the
+    empty unit branch still scheduled its spread exchange's worth of
+    tasks and re-ran the final aggregation per branch (measured +0.5 s
+    on the LSH bench row at sf0.1).
+
+    Elements must be distinct and non-null within a row (collect_set
+    members, or structs led by a distinct id — both invariants of
+    every caller), which makes element order equivalent to
+    ``a.id < b.id``.
+    """
+    g = grouped.localCheckpoint(eager=True)
+    mx = g.agg(F.max(F.size(list_col)).alias("m")).first()["m"]
+    if mx is None or mx <= _PAIR_CHUNK:
+        return _inplace_list_pairs(g, list_col)
+    return _hybrid_list_pairs(g, list_col)
 
 
 def _bucket_pairs(

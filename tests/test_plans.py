@@ -387,41 +387,46 @@ def test_gopher_rep_plan_shape(spark, sf_dir, queries):
 
 
 def test_jaccard_pair_generation_is_codegen(spark, sf_dir, queries):
-    # r16: token_jaccard_pairs generates pairs with the hybrid chunked
-    # kernel (_chunked_list_pairs): posting lists within _PAIR_CHUNK
-    # emit pairs in place via two chained codegen'd Generates + the
-    # element-inequality filter (the r13 shape, unchanged for the
-    # common case); oversize lists route through chunk work units and
-    # a round-robin spread exchange so one hot token cannot serialize
-    # the quadratic stage. Pin the shape: every corpus scan pruned to
-    # (doc_id, text); a 3-branch Union (small / same-chunk / cross-
-    # chunk); the small branch keeps the in-place explode over the
-    # UNSORTED list (no per-pair array materialization — "slice(ds"
-    # absent; chunk slicing operates on the sorted __sds copy only);
-    # exactly one round-robin spread exchange for the unit branch; and
-    # the distinct-exchange kinds stay bounded (raw spread, token
-    # groupBy, unit spread, pair agg — duplicates across branches are
-    # identical subtrees AQE reuses at runtime).
+    # r16 (final form): the pair kernel (_chunked_list_pairs) is
+    # MODE-ROUTED — the grouped posting frame is eagerly
+    # localCheckpoint'ed, one bounded job reads max(list size), and the
+    # plan contains ONLY the branch the data needs. Pin both modes at
+    # the kernel surface:
+    from filefilter_spark.ops.dedup import _PAIR_CHUNK, _chunked_list_pairs
+
+    # all-small input -> the zero-extra-exchange in-place explode: no
+    # Union, no round-robin spread, no per-pair slice materialization
+    small = spark.createDataFrame(
+        [(list(range(7)),), (list(range(40, 44)),)], "ds array<bigint>"
+    )
+    p_small = _plan(_chunked_list_pairs(small, "ds"))
+    assert "Union" not in p_small, p_small
+    assert "roundrobin" not in p_small.lower(), p_small
+    assert "explode(__ds" in p_small
+    assert "slice(" not in p_small
+
+    # any oversize list -> the hybrid: 3-branch Union, exactly one
+    # round-robin spread exchange kind for the chunk work units, and
+    # the small branch still the in-place explode of the raw list
+    # (chunk slicing operates on the sorted __sds copy only)
+    big = spark.createDataFrame(
+        [(list(range(_PAIR_CHUNK + 9)),), ([1, 2, 3],)], "ds array<bigint>"
+    )
+    p_big = _plan(_chunked_list_pairs(big, "ds"))
+    assert len(re.findall(r"\(\d+\) Union", p_big)) == 1, p_big
+    assert "roundrobin" in p_big.lower(), p_big
+    assert len(set(re.findall(r"RoundRobinPartitioning\(\d+\)", p_big))) == 1
+    assert "explode(__ds" in p_big
+    assert "slice(ds" not in p_big and "transform(ds" not in p_big
+
+    # and the OP-D2 entry's final plan holds ZERO parquet scans: the
+    # corpus is tokenized exactly once BELOW the eager checkpoint
+    # (posting rows carry doc sizes, so Jaccard needs no corpus
+    # rejoin) — the strongest read-once pin available now that the
+    # pair kernel truncates lineage
     plan = _plan(queries["OP-D2"](spark, sf_dir))
-    scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    assert len(scans) >= 1
-    for s in scans:
-        assert {c.split(":")[0] for c in s.split(",")} <= {"doc_id", "text"}
-    assert len(re.findall(r"\(\d+\) Union", plan)) == 1, plan
-    # the small branch's in-place pair generation: chained explodes of
-    # the raw list, never a per-pair transform/slice materialization
-    assert "explode(__ds" in plan
-    assert "slice(ds" not in plan and "transform(ds" not in plan
-    # chunk-unit branch: one spread exchange kind (round-robin) beyond
-    # the raw-input spread rebalance — two round-robin widths at most
-    assert len(set(re.findall(r"RoundRobinPartitioning\(\d+\)", plan))) <= 2
-    assert "roundrobin" in plan.lower(), plan
-    # distinct hash-exchange keys (expression ids normalized away —
-    # the same logical key re-planned per Union branch is one kind):
-    # token groupBy + pair agg only
-    keys = {re.sub(r"#\d+", "", k)
-            for k in re.findall(r"hashpartitioning\(([^)]*)\)", plan)}
-    assert len(keys) <= 2, keys
+    assert "Scan parquet" not in plan, plan
+    assert "hashpartitioning" in plan.lower()  # the pair-count agg
 
 
 def test_gopher_stage_plans_bound_expression_duplication(spark, sf_dir):
