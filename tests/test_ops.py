@@ -85,6 +85,54 @@ def test_chunked_list_pairs_exact_across_chunk_boundaries(spark):
     assert all(r.a.id < r.b.id and r.a.n == r.a.id % 3 for r in spairs)
 
 
+def test_chunked_list_pairs_plan_only_escape_hatch(spark, monkeypatch):
+    """r17 (ADVICE r16): FILEFILTER_PAIR_PLAN_ONLY=1 gives a LAZY
+    plan-only build — no checkpoint snapshot (no Scan ExistingRDD in
+    the plan), no Spark jobs at build time — for explain/dry-run use.
+    Same pairs when actually executed on all-small lists."""
+    import itertools
+
+    from filefilter_spark.ops.dedup import _chunked_list_pairs
+
+    # range-based input: the source plan has no ExistingRDD of its
+    # own, so any ExistingRDD in the pair plan is a checkpoint snapshot
+    df = spark.range(1).selectExpr(
+        "cast(id as int) k", "array(5L, 3L, 9L, 1L) AS ids"
+    )
+
+    monkeypatch.setenv("FILEFILTER_PAIR_PLAN_ONLY", "1")
+    sc = spark.sparkContext
+    sc.setJobGroup("plan_only_probe", "escape hatch build")
+    pairs = _chunked_list_pairs(df, "ids")
+    sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("plan_only_probe") == []
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan  # no snapshot — fully lazy
+    got = sorted((r.a, r.b) for r in pairs.collect())
+    assert got == sorted(itertools.combinations(sorted([5, 3, 9, 1]), 2))
+
+
+def test_cc_map_broadcast_gate_is_byte_based():
+    """r17 (ADVICE r16): the _cc_driver broadcast hint gates on
+    estimated id BYTES, not row count — wide string ids stop
+    qualifying long before 2M rows."""
+    from filefilter_spark.ops.dedup import (
+        CC_BROADCAST_MAX_BYTES,
+        _cc_map_bytes,
+    )
+
+    # 2M narrow bigint rows ≈ 32 MB -> under the 64 MB gate
+    narrow = [(1, 2)] * 1000
+    assert _cc_map_bytes(narrow) / len(narrow) * 2_000_000 \
+        <= CC_BROADCAST_MAX_BYTES
+    # 2M rows of 200-byte string ids ≈ 800 MB -> over the gate
+    wide = [("x" * 200, "y" * 200)] * 1000
+    assert _cc_map_bytes(wide) / len(wide) * 2_000_000 \
+        > CC_BROADCAST_MAX_BYTES
+    # the estimator samples: width measured from the head scales out
+    assert _cc_map_bytes(wide * 3000) > CC_BROADCAST_MAX_BYTES
+
+
 def test_bucket_pairs_hot_bucket_same_result_as_small(spark):
     """_bucket_pairs output is independent of which kernel branch a
     bucket takes: a bucket larger than _PAIR_CHUNK (chunked path) and

@@ -122,9 +122,12 @@ def test_bench_compact_line_is_tail_safe():
     """r13 (VERDICT r12 #4): the bench's FINAL stdout line must stay
     parseable inside a bounded tail capture — the driver's 2,000-char
     window held only fragments of the full JSON line from r9-r12
-    ("parsed": null). Pin the compact line under 1,000 chars even in
-    the worst realistic shape (every headline query escalated AND
-    missing, loaded box)."""
+    ("parsed": null). r17 (VERDICT r16 #1): the per-query dict now
+    rides the compact line (the r16 driver's PERF per-query/scaling
+    blocks came back empty without it); pin the line under 1,900
+    chars WITH the dict in the worst realistic shape (every headline
+    query escalated AND missing, loaded box), and pin the overflow
+    fallback that drops the dict rather than bursting the window."""
     import json
 
     import bench
@@ -143,9 +146,19 @@ def test_bench_compact_line_is_tail_safe():
         "missing_queries": list(bench.HEADLINE),
     }
     line = json.dumps(bench.compact_line(worst))
-    assert len(line) <= 1000, len(line)
-    # round-trips, and carries the scalars a series reader needs
+    assert len(line) <= 1900, len(line)
+    # round-trips, and carries the scalars AND per-query seconds the
+    # driver's PERF comparison needs
     back = json.loads(line)
     assert back["value"] == 12345.678 and back["sf"] == 0.1
     assert back["missing_queries"] == list(bench.HEADLINE)
-    assert "queries" not in back  # the big dict stays out of the tail
+    assert back["queries"] == {n: 99.999 for n in bench.HEADLINE}
+
+    # Overflow fallback: absurdly long names push the dict out, the
+    # line still lands under the window and stays parseable.
+    huge = dict(worst, queries={("Q" * 200) + str(i): 9.9 for i in range(29)})
+    line2 = json.dumps(bench.compact_line(huge))
+    assert len(line2) <= 1900, len(line2)
+    back2 = json.loads(line2)
+    assert "queries" not in back2
+    assert back2["value"] == 12345.678
