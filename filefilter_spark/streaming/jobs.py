@@ -1012,6 +1012,10 @@ def minhash_stream_dedup(
         # the cross-store probe, the within-batch candidates, and the
         # survivors' band append all reuse it via id filters.
         new_banded = band(new).persist(StorageLevel.MEMORY_AND_DISK)
+        # bounded-lifetime pair-kernel cache (r17, ADVICE r16): the
+        # kernel persists into this scope instead of localCheckpoint,
+        # so long streams free each batch's blocks deterministically
+        pair_scope: list = []
         try:
             remaining = new
             if _dir_exists(spark, docs_dir):
@@ -1074,6 +1078,7 @@ def minhash_stream_dedup(
                     new_banded.join(rem_ids, "doc_id", "left_semi"),
                     ["band", "bucket"],
                     max_bucket=max_bucket,
+                    scope=pair_scope,
                 ),
                 _doc_tokens(remaining, id_col, text_col, shingle_n),
                 threshold,
@@ -1114,6 +1119,8 @@ def minhash_stream_dedup(
                 on_batch(stats)
         finally:
             new_banded.unpersist()
+            for h in pair_scope:
+                h.unpersist()
 
     ckpt_base = (
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
@@ -1337,6 +1344,9 @@ def semdedup_stream_dedup(
         new = batch_df.select(F.col(id_col), F.col(vec_col))
         new_cells = member(new).persist()
         capped_ids: list[int] = []
+        # bounded-lifetime pair-kernel cache (r17, ADVICE r16) — see
+        # the minhash loop's pair_scope note
+        pair_scope: list = []
         try:
             remaining = new
             if _dir_exists(spark, vecs_dir):
@@ -1396,7 +1406,7 @@ def semdedup_stream_dedup(
             )
             pairs_in = _pair_cosine_verify(
                 _bucket_pairs(rem_cells, ["cell"], id_col="id",
-                              max_bucket=max_cell),
+                              max_bucket=max_cell, scope=pair_scope),
                 remaining, _as_double_array(vec_col), id_col, threshold,
             )
             survivors = keep_neardup_survivors(
@@ -1457,6 +1467,8 @@ def semdedup_stream_dedup(
                 on_batch(stats)
         finally:
             new_cells.unpersist()
+            for h in pair_scope:
+                h.unpersist()
 
     ckpt_base = (
         "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
@@ -2340,6 +2352,7 @@ def fuzzy_index_stream_ingest(
     from filefilter_spark.ops.dedup import (
         FUZZY_UNSEEN_GDF,
         _fuzzy_tagged,
+        _reduced_prefix_expr,
     )
 
     stats_dir = f"{index_path}/stats"
@@ -2357,7 +2370,6 @@ def fuzzy_index_stream_ingest(
     d = int(srow["max_dist"])
     n_buckets = int(srow["n_buckets"])
     T = q * (d + 1)
-    prefix_len = q * d + 1
 
     schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(schema)
@@ -2503,11 +2515,18 @@ def fuzzy_index_stream_ingest(
                             ).alias("gdf"),
                             F.col("t.g").alias("g"),
                             F.col("t.occ").alias("occ"),
+                            F.col("t.pos").alias("pos"),
+                            F.col("t.uniq").alias("uniq"),
                         )).alias("gl"))
                         .select(
                             "doc",
-                            F.explode(F.slice(
-                                F.array_sort("gl"), 1, prefix_len
+                            # location-reduced prefix (r17) — same
+                            # lossless cut as the batch op; the frozen
+                            # order (unseen grams on the sentinel) stays
+                            # the sort key, so build- and probe-side
+                            # prefixes share one total order
+                            F.explode(F.expr(
+                                _reduced_prefix_expr("gl", q, d)
                             )).alias("t"),
                         )
                         .select(

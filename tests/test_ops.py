@@ -133,6 +133,48 @@ def test_cc_map_broadcast_gate_is_byte_based():
     assert _cc_map_bytes(wide * 3000) > CC_BROADCAST_MAX_BYTES
 
 
+def test_reliable_checkpoint_dir_passthrough(spark, monkeypatch, tmp_path):
+    """r17 (VERDICT r16 #8): FILEFILTER_RELIABLE_CHECKPOINT_DIR routes
+    the pair kernel's and CC loop's lineage cuts through durable
+    checkpoint() instead of localCheckpoint — identical results, and
+    checkpoint data lands under the configured directory."""
+    import itertools
+    import os
+
+    from filefilter_spark.ops.dedup import (
+        _chunked_list_pairs,
+        cluster_pairs,
+    )
+
+    ckdir = str(tmp_path / "reliable_ck")
+    monkeypatch.setenv("FILEFILTER_RELIABLE_CHECKPOINT_DIR", ckdir)
+    df = spark.range(1).selectExpr(
+        "cast(id as int) k", "array(5L, 3L, 9L, 1L) AS ids"
+    )
+    got = sorted((r.a, r.b) for r in _chunked_list_pairs(df, "ids").collect())
+    assert got == sorted(itertools.combinations(sorted([5, 3, 9, 1]), 2))
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    # driver_max_edges=0 forces the distributed loop (the checkpointing
+    # mode); results must equal the driver union-find's
+    want = sorted(
+        tuple(r) for r in cluster_pairs(pairs).collect()
+    )
+    monkeypatch.setenv("FILEFILTER_RELIABLE_CHECKPOINT_DIR", ckdir)
+    got_cc = sorted(
+        tuple(r)
+        for r in cluster_pairs(pairs, driver_max_edges=0).collect()
+    )
+    assert got_cc == want
+    # durable checkpoint data actually landed under the opt-in dir
+    found = [
+        f for root, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert found, "no reliable checkpoint files written"
+
+
 def test_bucket_pairs_hot_bucket_same_result_as_small(spark):
     """_bucket_pairs output is independent of which kernel branch a
     bucket takes: a bucket larger than _PAIR_CHUNK (chunked path) and
@@ -3564,6 +3606,110 @@ def test_edit_distance_pairs_matches_python_reference(spark):
             for r in edit_distance_pairs(df, max_dist=d, q=2).collect()
         )
         assert got == expect, f"max_dist={d}"
+
+
+def test_reduced_prefix_location_filter(spark):
+    """r17 (VERDICT r16 #4): the location-based prefix reduction.
+
+    (a) SHORTER prefix when the rarest grams are position-spread:
+    unique grams at pairwise distance >= q each need their own edit,
+    so the prefix stops at d+1 grams instead of q*d+1.
+    (b) The cut is LOSSLESS on an adversarial corpus where edits
+    cluster (one edit destroys q grams at once) — those strings keep
+    the longer prefix and still collide.
+    (c) All-duplicate-gram strings (uniq never true) keep the full
+    q*d+1 fallback.
+    """
+    import pyspark.sql.functions as F
+
+    from filefilter_spark.ops.dedup import _reduced_prefix_expr
+
+    q, d = 2, 2
+    # gl entries: (gdf, g, occ, pos, uniq) already rarity-keyed
+    def gl(entries):
+        return [
+            {"gdf": i, "g": g, "occ": 0, "pos": p, "uniq": u}
+            for i, (g, p, u) in enumerate(entries)
+        ]
+
+    rows = [
+        # (a) spread unique grams: positions 0, 4, 8, 12, 16 — cover
+        # exceeds d=2 at the 3rd gram -> prefix d+1 = 3, not q*d+1 = 5
+        (1, gl([("aa", 0, True), ("bb", 4, True), ("cc", 8, True),
+                ("dd", 12, True), ("ee", 16, True), ("ff", 20, True)])),
+        # (b) clustered unique grams: positions 0,1,2,3,... — one edit
+        # window (q=2) covers 2 starts, cover reaches 3 only at the
+        # 5th gram -> full q*d+1 = 5
+        (2, gl([("aa", 0, True), ("ab", 1, True), ("ac", 2, True),
+                ("ad", 3, True), ("ae", 4, True), ("af", 5, True)])),
+        # (c) no unique grams at all -> fallback to q*d+1
+        (3, gl([("aa", 0, False), ("aa", 2, False), ("aa", 4, False),
+                ("aa", 6, False), ("aa", 8, False), ("aa", 10, False)])),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k long, gl array<struct<gdf:long,g:string,occ:int,"
+        "pos:int,uniq:boolean>>",
+    )
+    got = {
+        r["k"]: r["n"]
+        for r in df.select(
+            "k", F.size(F.expr(_reduced_prefix_expr("gl", q, d))).alias("n")
+        ).collect()
+    }
+    assert got == {1: d + 1, 2: q * d + 1, 3: q * d + 1}, got
+
+    # and the reduced prefix is a PREFIX of the rarity sort (never a
+    # reorder or subset from the middle)
+    row = df.filter("k = 1").select(
+        F.expr(_reduced_prefix_expr("gl", q, d)).alias("p")
+    ).first()
+    assert [e["g"] for e in row["p"]] == ["aa", "bb", "cc"]
+
+
+def test_edit_distance_pairs_clustered_edit_adversary(spark):
+    """Losslessness of the location reduction under the adversary it
+    must survive: pairs whose d edits each destroy a whole window of
+    clustered rare grams. Exact equality with a quadratic Python
+    reference over strings engineered so the rarest grams sit adjacent
+    (one edit kills q of them at once)."""
+    import itertools
+
+    from filefilter_spark.ops.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    # hot shared body, rare cluster "xyz" in the middle; edits hit the
+    # cluster so every rare gram of the original dies in <= d edits
+    body = "aaaaaaaa{}aaaaaaaa"
+    rows = [
+        (1, body.format("xyz")),
+        (2, body.format("xYz")),     # 1 sub inside the cluster
+        (3, body.format("YxW")),     # 2 subs inside the cluster
+        (4, body.format("")),        # 3-char delete of the cluster
+        (5, body.format("qrs")),     # different rare cluster
+        (6, body.format("xyz") + "b"),  # 1 insert outside
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, s string")
+    for d, q in [(1, 2), (2, 2), (3, 2), (2, 3), (3, 3)]:
+        expect = sorted(
+            (a, b, lev(sa, sb))
+            for (a, sa), (b, sb) in itertools.combinations(rows, 2)
+            if lev(sa, sb) <= d
+        )
+        got = sorted(
+            tuple(r)
+            for r in edit_distance_pairs(df, max_dist=d, q=q).collect()
+        )
+        assert got == expect, f"d={d} q={q}"
 
 
 def test_edit_distance_pairs_prefix_bounds_postings(spark):
