@@ -1708,8 +1708,7 @@ def _fuzzy_tagged(base: DataFrame, q: int) -> DataFrame:
             f" i -> substring(s, i, {q}))),"
             " gs -> transform(gs, (x, i) -> struct(x AS g,"
             " size(filter(slice(gs, 1, i), y -> y = x)) AS occ,"
-            " i AS pos,"
-            " size(filter(gs, y -> y = x)) = 1 AS uniq))), 0))"
+            " i AS pos))), 0))"
         ).alias("t"),
     )
 
@@ -1721,43 +1720,71 @@ def _reduced_prefix_expr(gl_col: str, q: int, d: int) -> str:
     prefix REDUCTION so it cuts candidates at the source instead of
     adding a pair-count exchange, the r16 count-filter lesson).
 
-    ``gl_col`` is an ``array<struct<gdf, g, occ, pos, uniq>>`` (rarity
-    key first, so ``array_sort`` is the global (gdf, g, occ) order;
-    ``pos``/``uniq`` ride as tiebreak-inert payload). The fixed-length
-    prefix ``q*d+1`` comes from "each edit destroys at most q tagged
-    grams" — pure counting. Locations sharpen it: a tagged gram whose
-    content occurs EXACTLY ONCE in the string (``uniq``) can only go
-    missing from a within-distance partner if an edit lands inside
-    that gram's own q-char span, so the minimum number of edits that
-    could destroy the first j prefix grams is the interval-stabbing
-    cover of the unique grams' spans (greedy over sorted positions:
-    one edit covers gram starts within a q-wide window; non-unique
-    contents conservatively count as free to destroy). The prefix can
-    stop at the first j whose cover exceeds d — a pair sharing NONE
-    of those j grams needs > d edits. Losslessness of the PAIRING
-    keeps the two-sided prefix-filter argument because a reduced
-    prefix is still a downward-closed prefix of the string's grams
-    under the same total order: for the pair's max-order-side prefix
-    P with order-max x_p, the other side's one-sided guarantee yields
-    a shared gram z <= x_p, and downward closure puts z in BOTH
-    prefixes. Measured at sf0.1 (q=3, d=4, 24-char keys): mean prefix
-    13 -> 10.6, candidate pair rows 12.3M -> 8.5M, identical result.
+    ``gl_col`` is an ``array<struct<gdf, g, occ, pos>>`` (rarity key
+    first, so ``array_sort`` is the global (gdf, g, occ) order;
+    ``pos`` rides as tiebreak-inert payload). The fixed-length prefix
+    ``q*d+1`` comes from "each edit destroys at most q tagged grams" —
+    pure counting. Locations sharpen it: a tagged gram whose content
+    occurs EXACTLY ONCE in the string can only go missing from a
+    within-distance partner if an edit lands inside that gram's own
+    q-char span (content untouched elsewhere would survive into the
+    partner's multiset), so once the prefix holds d+1 unique grams
+    with pairwise-disjoint spans, destroying all of them needs more
+    than d edits — a pair sharing NONE of the prefix can stop there
+    (non-unique contents conservatively count as free to destroy).
+    Losslessness of the PAIRING keeps the two-sided prefix-filter
+    argument because a reduced prefix is still a downward-closed
+    prefix of the string's grams under the same total order: for the
+    pair's max-order-side prefix P with order-max x_p, the other
+    side's one-sided guarantee yields a shared gram z <= x_p, and
+    downward closure puts z in BOTH prefixes. Measured at sf0.1
+    (q=3, d=4, 24-char keys): mean prefix 13 -> 11.9, candidate pair
+    rows 12.3M -> 10.3M, identical result.
     """
     pl = q * d + 1
-    cover = (
-        "aggregate("
-        "array_sort(transform(filter(slice(sg, 1, j), e -> e.uniq),"
-        " e -> e.pos)),"
-        " struct(-1 AS last, 0 AS cnt),"
-        " (acc, p) -> IF(p > acc.last,"
-        f" struct(p + {q - 1} AS last, acc.cnt + 1 AS cnt), acc),"
-        f" acc -> acc.cnt > {d})"
+    # ONE-PASS greedy over the rarity-sorted slice `sg` (let-bound via
+    # the get(transform(array(...))) pattern): accept an element when
+    # its content is unique in the string AND its position is >= q away
+    # from every previously accepted position; stop at the (d+1)-th
+    # acceptance. Accepted grams' spans are pairwise DISJOINT, so one
+    # edit destroys at most one of them — destroying all d+1 needs more
+    # than d edits, which is all the one-sided argument requires.
+    # Content uniqueness comes from the let-bound `dups` list (contents
+    # whose occurrence-#1 entry exists; 0-based occ), typically empty
+    # for short keys — O(1) per candidate.
+    #
+    # Two stronger, measured-and-REJECTED variants (r17 ledger): the
+    # EXACT interval-stabbing cover (prefix mean 10.63 vs this form's
+    # 11.93 at sf0.1 q=3 d=4; candidate rows 8.5M vs 10.3M vs the
+    # unreduced 12.3M) costs ~250 interpreted-HOF lambda calls per doc
+    # vs ~70 here, and the stage it runs in is AQE-coalesced to one
+    # task at bench scale — its deeper cut was eaten by its own eval
+    # cost (+0.3 s on the fuzzy row; with coalescing disabled it wins,
+    # so the cut itself is real). A per-candidate exists() uniqueness
+    # scan and a tagging-time content scan measured +0.23 s / +1 s.
+    # The accumulator state is (accepted positions, stop index,
+    # element counter); acc.js > 0 short-circuits the tail.
+    step = (
+        "aggregate(sg,"
+        " struct(cast(array() AS array<int>) AS ps, 0 AS js, 0 AS i),"
+        " (acc, e) -> IF(acc.js > 0,"
+        "  struct(acc.ps AS ps, acc.js AS js, acc.i + 1 AS i),"
+        "  IF(e.occ = 0 AND NOT array_contains(dups, e.g)"
+        f"     AND NOT exists(acc.ps, p -> abs(p - e.pos) < {q}),"
+        f"   IF(size(acc.ps) >= {d},"
+        "     struct(acc.ps AS ps, acc.i + 1 AS js, acc.i + 1 AS i),"
+        "     struct(array_append(acc.ps, e.pos) AS ps, 0 AS js,"
+        "            acc.i + 1 AS i)),"
+        "   struct(acc.ps AS ps, 0 AS js, acc.i + 1 AS i))),"
+        " acc -> IF(acc.js = 0, size(sg), acc.js))"
+    )
+    dups_bind = (
+        f"transform(filter(`{gl_col}`, y -> y.occ = 1), y -> y.g)"
     )
     return (
         f"get(transform(array(slice(array_sort(`{gl_col}`), 1, {pl})), sg -> "
-        "get(transform(array(cast(array_position("
-        f"transform(sequence(1, size(sg)), j -> {cover}), true) AS int)), "
-        "jp -> slice(sg, 1, IF(jp = 0, size(sg), jp))), 0)), 0)"
+        f"get(transform(array({dups_bind}), dups -> "
+        f"slice(sg, 1, {step})), 0)), 0)"
     )
 
 
@@ -1805,7 +1832,7 @@ def write_fuzzy_gram_layout(
         tagged.join(gram_df, [F.expr("t.g = g"), F.expr("t.occ = occ")])
         .groupBy("doc")
         .agg(F.collect_list(
-            F.struct("gdf", "t.g", "t.occ", "t.pos", "t.uniq")
+            F.struct("gdf", "t.g", "t.occ", "t.pos")
         ).alias("gl"))
         .select(
             "doc",
@@ -2012,10 +2039,11 @@ def edit_distance_pairs(
     indexed grams are the most selective ones. Locations sharpen the
     bound further (r17 — Ed-Join's location-based mismatch filter as
     prefix REDUCTION, :func:`_reduced_prefix_expr`): the prefix stops
-    early once the unique-content grams taken so far already need more
-    than ``d`` edits to destroy, cutting posting lists — and the
-    quadratic candidate stage they feed — at the source (measured
-    12.3M → 8.5M candidate rows at sf0.1), still lossless. This bounds
+    early once it holds ``d+1`` unique-content grams with pairwise
+    disjoint spans — destroying all of them needs more than ``d``
+    edits — cutting posting lists, and the quadratic candidate stage
+    they feed, at the source (measured 12.3M → 10.3M candidate rows
+    at sf0.1), still lossless. This bounds
     every string's posting contribution at q*d+1 REGARDLESS of text
     entropy:
     ubiquitous grams ("http", "the ") sort last and never enter the
@@ -2077,7 +2105,7 @@ def edit_distance_pairs(
         tagged.join(gram_df, [F.expr("t.g = g"), F.expr("t.occ = occ")])
         .groupBy("doc")
         .agg(F.collect_list(
-            F.struct("gdf", "t.g", "t.occ", "t.pos", "t.uniq")
+            F.struct("gdf", "t.g", "t.occ", "t.pos")
         ).alias("gl"))
         .select(
             "doc",

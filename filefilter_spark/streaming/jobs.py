@@ -2516,7 +2516,6 @@ def fuzzy_index_stream_ingest(
                             F.col("t.g").alias("g"),
                             F.col("t.occ").alias("occ"),
                             F.col("t.pos").alias("pos"),
-                            F.col("t.uniq").alias("uniq"),
                         )).alias("gl"))
                         .select(
                             "doc",

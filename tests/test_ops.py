@@ -3617,39 +3617,42 @@ def test_reduced_prefix_location_filter(spark):
     (b) The cut is LOSSLESS on an adversarial corpus where edits
     cluster (one edit destroys q grams at once) — those strings keep
     the longer prefix and still collide.
-    (c) All-duplicate-gram strings (uniq never true) keep the full
-    q*d+1 fallback.
+    (c) All-duplicate-gram strings (content uniqueness never true,
+    derived in-expression from repeated (g, occ) entries) keep the
+    full q*d+1 fallback.
     """
     import pyspark.sql.functions as F
 
     from filefilter_spark.ops.dedup import _reduced_prefix_expr
 
     q, d = 2, 2
-    # gl entries: (gdf, g, occ, pos, uniq) already rarity-keyed
+    # gl entries: (gdf, g, occ, pos) already rarity-keyed; content
+    # uniqueness is computed by the expression itself (no other entry
+    # shares g)
     def gl(entries):
         return [
-            {"gdf": i, "g": g, "occ": 0, "pos": p, "uniq": u}
-            for i, (g, p, u) in enumerate(entries)
+            {"gdf": i, "g": g, "occ": occ, "pos": p}
+            for i, (g, occ, p) in enumerate(entries)
         ]
 
     rows = [
         # (a) spread unique grams: positions 0, 4, 8, 12, 16 — cover
         # exceeds d=2 at the 3rd gram -> prefix d+1 = 3, not q*d+1 = 5
-        (1, gl([("aa", 0, True), ("bb", 4, True), ("cc", 8, True),
-                ("dd", 12, True), ("ee", 16, True), ("ff", 20, True)])),
+        (1, gl([("aa", 0, 0), ("bb", 0, 4), ("cc", 0, 8),
+                ("dd", 0, 12), ("ee", 0, 16), ("ff", 0, 20)])),
         # (b) clustered unique grams: positions 0,1,2,3,... — one edit
         # window (q=2) covers 2 starts, cover reaches 3 only at the
         # 5th gram -> full q*d+1 = 5
-        (2, gl([("aa", 0, True), ("ab", 1, True), ("ac", 2, True),
-                ("ad", 3, True), ("ae", 4, True), ("af", 5, True)])),
-        # (c) no unique grams at all -> fallback to q*d+1
-        (3, gl([("aa", 0, False), ("aa", 2, False), ("aa", 4, False),
-                ("aa", 6, False), ("aa", 8, False), ("aa", 10, False)])),
+        (2, gl([("aa", 0, 0), ("ab", 0, 1), ("ac", 0, 2),
+                ("ad", 0, 3), ("ae", 0, 4), ("af", 0, 5)])),
+        # (c) one content repeated 6 times (occ 0..5): no entry is
+        # content-unique -> fallback to q*d+1
+        (3, gl([("aa", 0, 0), ("aa", 1, 2), ("aa", 2, 4),
+                ("aa", 3, 6), ("aa", 4, 8), ("aa", 5, 10)])),
     ]
     df = spark.createDataFrame(
         rows,
-        "k long, gl array<struct<gdf:long,g:string,occ:int,"
-        "pos:int,uniq:boolean>>",
+        "k long, gl array<struct<gdf:long,g:string,occ:int,pos:int>>",
     )
     got = {
         r["k"]: r["n"]
