@@ -1965,7 +1965,6 @@ def build_fuzzy_index(
       per-file replay guard.
     """
     d, T = int(max_dist), int(q) * (int(max_dist) + 1)
-    prefix_len = int(q) * d + 1
     base = df.select(
         F.col(id_col).alias("id"), F.col(str_col).alias("s")
     ).filter(F.col("s").isNotNull())
@@ -1974,19 +1973,38 @@ def build_fuzzy_index(
         raise ValueError("build_fuzzy_index: empty corpus — nothing to index")
     spark = df.sparkSession
 
-    write_fuzzy_gram_layout(
-        base, f"{path}/gramdf", f"{path}/postings", q, d, n_buckets
-    )
+    # The three store derivations below are independent of one another
+    # (gramdf+postings chain; strings; short) — submit them from a
+    # small thread pool so the short jobs back-fill the executor tail
+    # of the long one (guide §2.6, overlap independent jobs). Actions
+    # are thread-safe on one session; each thread's jobs just
+    # interleave on the scheduler. The pairs seed afterwards reads the
+    # finished layout, so it stays sequential.
+    from concurrent.futures import ThreadPoolExecutor
 
     strings = base.select("id", "s", F.length("s").alias("l"))
-    strings.withColumn(
-        "sbucket", F.pmod(F.xxhash64("id"), F.lit(int(n_buckets)))
-    ).repartition("sbucket").sortWithinPartitions("id").write.mode(
-        "overwrite"
-    ).partitionBy("sbucket").parquet(f"{path}/strings")
-    strings.filter(F.col("l") < T).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/short")
+
+    def _w_gram_postings() -> None:
+        write_fuzzy_gram_layout(
+            base, f"{path}/gramdf", f"{path}/postings", q, d, n_buckets
+        )
+
+    def _w_strings() -> None:
+        strings.withColumn(
+            "sbucket", F.pmod(F.xxhash64("id"), F.lit(int(n_buckets)))
+        ).repartition("sbucket").sortWithinPartitions("id").write.mode(
+            "overwrite"
+        ).partitionBy("sbucket").parquet(f"{path}/strings")
+
+    def _w_short() -> None:
+        strings.filter(F.col("l") < T).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{path}/short")
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(_w_gram_postings), pool.submit(_w_strings),
+                    pool.submit(_w_short)]:
+            fut.result()
 
     # Seed pairs/ FROM the just-written layout instead of re-running
     # edit_distance_pairs from scratch (r17, guide §1.2 — the batch op

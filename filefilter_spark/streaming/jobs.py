@@ -2576,18 +2576,27 @@ def fuzzy_index_stream_ingest(
                     # is batch size — but it makes the narrow-batch
                     # case (the streaming steady state at higher
                     # n_buckets) a partition-pruned read for free.
-                    bkts = sorted(
-                        r["bucket"]
-                        for r in prefix_b.select(
-                            "bucket"
-                        ).distinct().collect()
-                    )
-                    n_bkts_probed = len(bkts)
+                    # r17: the collect itself is one job per batch, so
+                    # it only runs when the batch CAN be narrow — with
+                    # E = n_in * (q*d+1) hashed prefix entries, a batch
+                    # with E >= 8 * n_buckets covers every bucket with
+                    # near-certainty (coupon collector needs ~ln(n)+4
+                    # draws per bucket), so a default-shaped batch
+                    # skips straight to the full postings read.
                     store_post = spark.read.parquet(post_dir)
-                    if len(bkts) < n_buckets:
-                        store_post = store_post.filter(
-                            F.col("bucket").isin(bkts)
+                    n_bkts_probed = n_buckets
+                    if n_in * (q * d + 1) < 8 * n_buckets:
+                        bkts = sorted(
+                            r["bucket"]
+                            for r in prefix_b.select(
+                                "bucket"
+                            ).distinct().collect()
                         )
+                        n_bkts_probed = len(bkts)
+                        if len(bkts) < n_buckets:
+                            store_post = store_post.filter(
+                                F.col("bucket").isin(bkts)
+                            )
                     cross = (
                         F.broadcast(
                             prefix_b.select(
@@ -2663,15 +2672,28 @@ def fuzzy_index_stream_ingest(
                     short_pairs = banded(short_b, all_short).unionByName(
                         banded(short_store, short_b)
                     )
+                    # candidate dedup moved AFTER the verify (r17 —
+                    # the same change the r16 batch op made, same
+                    # proof: dist is a pure function of the pair, so
+                    # multi-gram collisions are exact row duplicates
+                    # and the pre-verify distinct pushed the whole
+                    # candidate set through an exchange for a handful
+                    # of survivors; the re-verified duplicates are
+                    # early-exit thresholded levenshteins). The three
+                    # blocks are pairwise disjoint by construction
+                    # (cross: one side stored; within: both new;
+                    # short: both below T with strict (len, id)
+                    # canonicalization), so dedup only collapses
+                    # same-block multi-gram collisions.
                     cands = (
                         cross.unionByName(within)
                         .unionByName(short_pairs)
-                        .distinct()
                     )
                     if on_batch is not None:
-                        # candidate-per-batch cost — what the
-                        # staleness signal predicts (the verify tier
-                        # reuses this persisted frame)
+                        # candidate-ROW cost per batch — what the
+                        # staleness signal predicts (raw collision
+                        # rows since r17; the verify tier reuses this
+                        # persisted frame)
                         cands = cands.persist(
                             StorageLevel.MEMORY_AND_DISK
                         )
@@ -2705,25 +2727,51 @@ def fuzzy_index_stream_ingest(
                             F.col("id_b").cast("long"),
                             F.col("dist").cast("int").alias("dist"),
                         )
+                        # survivor-count dedup (see the candidate
+                        # comment above)
+                        .distinct()
                     )
                     if on_batch is not None:
                         verified = verified.persist(
                             StorageLevel.MEMORY_AND_DISK
                         )
                         n_new_pairs = verified.count()
-                    verified.write.mode("append").parquet(pairs_dir)
-                    prefix_b.repartition("bucket").write.partitionBy(
-                        "bucket"
-                    ).mode("append").parquet(post_dir)
-                    base_b.select(
-                        "id", "s", F.length("s").alias("l")
-                    ).withColumn(
-                        "sbucket",
-                        F.pmod(F.xxhash64("id"), F.lit(n_buckets)),
-                    ).repartition("sbucket").write.partitionBy(
-                        "sbucket"
-                    ).mode("append").parquet(strings_dir)
-                    short_b.write.mode("append").parquet(short_dir)
+
+                    # The four store appends are independent of one
+                    # another (their input frames are persisted or
+                    # snapshot-listed at batch start, and the crash
+                    # contract only requires ALL of them to precede
+                    # the stats commit) — overlap them so each
+                    # append's task tail back-fills with the next
+                    # append's work (guide §2.6).
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    def _w_pairs() -> None:
+                        verified.write.mode("append").parquet(pairs_dir)
+
+                    def _w_postings() -> None:
+                        prefix_b.repartition("bucket").write.partitionBy(
+                            "bucket"
+                        ).mode("append").parquet(post_dir)
+
+                    def _w_strings() -> None:
+                        base_b.select(
+                            "id", "s", F.length("s").alias("l")
+                        ).withColumn(
+                            "sbucket",
+                            F.pmod(F.xxhash64("id"), F.lit(n_buckets)),
+                        ).repartition("sbucket").write.partitionBy(
+                            "sbucket"
+                        ).mode("append").parquet(strings_dir)
+
+                    def _w_short() -> None:
+                        short_b.write.mode("append").parquet(short_dir)
+
+                    with ThreadPoolExecutor(max_workers=3) as pool:
+                        for fut in [pool.submit(w) for w in
+                                    (_w_pairs, _w_postings,
+                                     _w_strings, _w_short)]:
+                            fut.result()
                     commit_stats(cur, batch_id, new_keys, n_in)
                     if on_batch is not None:
                         verified.unpersist()
