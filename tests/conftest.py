@@ -64,6 +64,43 @@ SLOW_TESTS = {
     "test_text_index_nbuckets_from_sidecar",
     "test_semdedup_stream_emits_staleness_signal",
     "test_build_bloom_tree_reduce_identical",
+    # second trim (r17): the first cut still ran ~11-12 min under
+    # load; everything profiling >= 6 s moves too, EXCEPT
+    # test_edit_distance_pairs_matches_python_reference — the fast
+    # tier keeps one full fuzzy differential as the guard on the
+    # round's riskiest change.
+    "test_frequent_tokens_tree_reduce_identical",
+    "test_text_index_growth_signal",
+    "test_edit_distance_pairs_clustered_edit_adversary",
+    "test_text_index_built_then_grown_probe_exact",
+    "test_semdedup_stage",
+    "test_lsh_ann_recall_vs_exact_topk",
+    "test_centroid_broadcast_path_equals_literal",
+    "test_encode_reproduces_training_segmentation",
+    "test_batchsearch_stage_is_result_producing",
+    "test_lloyd_seeding_modes",
+    "test_build_bloom_slice_traffic_bounded_by_set_bits",
+    "test_remove_duplicate_spans_matches_bruteforce",
+    "test_search_stage_via_persisted_index",
+    "test_bloom_dedup_matches_plain_anti_join",
+    "test_quality_classifier_separable_task_exact",
+    "test_csv_roundtrip_quotes_delimiters_newlines",
+    "test_gopherrep_stage",
+    "test_qualityfilter_training_bounded_scoring_full",
+    "test_build_bloom_dense_promotion",
+    "test_minhash_stream_dedup_single_batch_equals_batch",
+    "test_edit_distance_pairs_prefix_bounds_postings",
+    "test_ivfpq_probe_is_filter_plus_take_ordered",
+    "test_searchindex_stage_builds_then_search_queries",
+    "test_round6_corpus_stages_in_pipeline",
+    "test_lsh_cosine_pairs_recall_vs_exact",
+    "test_safesplit_minhash_method_matches_jaccard",
+    "test_gopher_repetition_char_fractions",
+    "test_edit_distance_pairs_hot_gram_cap_trades_recall_only",
+    "test_lloyd_kmeans_deterministic_and_correct",
+    "test_semantic_dedup_recall_vs_exact",
+    "test_quality_scores_match_model_coefficients",
+    "test_cluster_pairs_raises_when_not_converged",
 }
 
 
